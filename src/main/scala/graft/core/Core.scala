@@ -1,0 +1,157 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query-time evaluation grid.
+  *
+  * The reference carries (minTimestamp, maxTimestamp, step) on every series and
+  * defines "null" as absence from the sample list; all dense-fill / temporal
+  * stages are evaluated against this grid, not against the data
+  * (ref: query/aggregator/TimeSeries.java:68,83-90).
+  *
+  * Timestamps are epoch millis; the grid is `[startMs, alignedEndMs]` inclusive,
+  * points every `stepMs` (ref: TimeSeries.calculateAlignedMaxTimestamp,
+  * query/aggregator/TimeSeries.java:241).
+  */
+final case class QueryGrid(startMs: Long, endMs: Long, stepMs: Long) {
+  require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+  def alignedEndMs: Long = startMs + ((endMs - startMs) / stepMs) * stepMs
+  def numPoints: Long = (alignedEndMs - startMs) / stepMs + 1
+
+  /** One row per grid point: (timestamp LONG). Distributed via sequence+explode
+    * so a 100TB-scale densify never materializes on the driver. */
+  def gridDF(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      explode(sequence(lit(startMs), lit(alignedEndMs), lit(stepMs))).as("timestamp"))
+
+  /** Column expr: bucket an arbitrary timestamp onto this grid (floor — matches
+    * DuckDB's `//` integer division for oracle parity). */
+  def bucket(ts: Column): Column =
+    (lit(startMs) + floor((ts - lit(startMs)) / lit(stepMs)).cast(LongType) * lit(stepMs))
+}
+
+/** Canonical storage/query schema for samples.
+  *
+  * Mirrors the reference's persisted doc model — labels (sorted k:v set),
+  * timestamp epoch_millis, double value (ref: core/mapping/Constants.java:25-116)
+  * — as an exploded one-row-per-sample DataFrame, which is the layout Catalyst
+  * optimizes best (columnar parquet + whole-stage codegen).
+  */
+object TsSchema {
+  val SeriesId = "series_id"
+  val LabelsCol = "labels"
+  val Ts = "timestamp"
+  val Value = "value"
+
+  val samples: StructType = StructType(Seq(
+    StructField(SeriesId, LongType, nullable = false),
+    StructField(LabelsCol, MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField(Ts, LongType, nullable = false),
+    StructField(Value, DoubleType, nullable = true)))
+
+  /** Canonical sorted "k:v,k:v" string for a label map — the series identity.
+    * (ref: core/model/Labels.java:20-155 keeps labels sorted; toIndexSet emits
+    * "key:value" strings.) Codegen-friendly: pure builtin functions. */
+  def seriesKey(labels: Column): Column =
+    concat_ws(",", transform(array_sort(map_entries(labels)),
+      e => concat(e.getField("key"), lit(":"), e.getField("value"))))
+
+  /** 64-bit stable series id (ref: Labels.stableHash, core/model/Labels.java:96). */
+  def seriesId(labels: Column): Column = xxhash64(seriesKey(labels))
+
+  /** Attach series_id derived from labels. */
+  def withSeriesId(df: DataFrame): DataFrame =
+    df.withColumn(SeriesId, seriesId(col(LabelsCol)))
+}
+
+/** Helpers producing bit-identical aggregates across engines (Spark vs a
+  * DuckDB oracle): double summation is order-dependent, so cross-row sums are
+  * computed in exact decimal and only then converted back to double. */
+object OracleSafe {
+  private val Dec = DecimalType(38, 9)
+
+  /** Exact sum of a double column: decimal(38,9) accumulate, then one double cast. */
+  def dSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact mean: decimal sum / count, single double division at the end. */
+  def dAvg(c: Column): Column = (sum(c.cast(Dec)).cast(DoubleType) / count(c))
+
+  /** DuckDB SQL fragments mirroring the above, for oracle queries. */
+  def sqlSum(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(38,9))) AS DOUBLE)"
+  def sqlAvg(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(38,9))) AS DOUBLE) / count($expr)"
+}
+
+/** Test-data table loaders (driver-provided parquet, TESTDATA.md). */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Memoize + cache derived inputs shared by many queries in one session
+    * (the Verify/Bench mains run 60+ queries over the same derived series). */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def cached(spark: SparkSession, sfDir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, sfDir, key), build.cache())
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  /** events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+    * nanosAsLong reads it as LONG nanos. `ts_ms` below normalizes either
+    * representation to epoch millis (== DuckDB epoch_ms). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+  }
+
+  private def tsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000")   // nanos → millis, exact integer div
+    case _        => unix_millis(col("ts"))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** `events` viewed as canonical TSDB samples: series identity = the event_type
+    * label plus a low-cardinality user bucket (mirrors the reference ingest doc
+    * {labels, timestamp epoch_millis, value} — core/mapping/Constants.java:84-116).
+    */
+  def eventSamples(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "eventSamples") {
+      val ev = events(spark, sfDir)
+      val labels = map(
+        lit("name"), col("event_type"),
+        lit("user"), (col("user_id") % 10).cast(StringType))
+      TsSchema.withSeriesId(
+        ev.select(
+          labels.as(TsSchema.LabelsCol),
+          tsMillis(ev).as(TsSchema.Ts),   // == DuckDB epoch_ms(ts)
+          col("value").as(TsSchema.Value)))
+    }
+
+  /** The events table's time extent at any SF (data is 2024-01-01 .. 2024-01-31). */
+  val EventsGrid6h: QueryGrid = QueryGrid(
+    startMs = 1704067200000L,               // 2024-01-01T00:00:00Z
+    endMs = 1706745600000L,                 // 2024-02-01T00:00:00Z
+    stepMs = 6L * 3600 * 1000)
+
+  /** Regularized per-series grid: mean value per 6h bucket (oracle-exact).
+    * This is the reference's `summarize 6h avg` producing an aligned grid the
+    * temporal stages can run on (ref: lang/m3/stage/SummarizeStage.java:39-62). */
+  def griddedEventSamples(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "griddedEventSamples") {
+      val g = EventsGrid6h
+      eventSamples(spark, sfDir)
+        .withColumn(TsSchema.Ts, g.bucket(col(TsSchema.Ts)))
+        .groupBy(TsSchema.SeriesId, TsSchema.LabelsCol, TsSchema.Ts)
+        .agg(OracleSafe.dAvg(col(TsSchema.Value)).as(TsSchema.Value))
+    }
+}

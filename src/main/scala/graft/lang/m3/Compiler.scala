@@ -1,0 +1,221 @@
+package graft.lang.m3
+
+import graft.core.QueryGrid
+import graft.stages._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** M3QL → DataFrame compiler.
+  *
+  * Mirrors the reference's translate path (M3OSTranslator → plan →
+  * SourceBuilderVisitor, lang/m3/dsl/M3OSTranslator.java:38-63) collapsed to a
+  * single fold: the reference's shard/coordinator stage split, partial states
+  * and buckets_path wiring all disappear into Catalyst. What is kept is the
+  * plan-time **time-buffer arithmetic** (Context.timeBuffer/timeShift,
+  * SourceBuilderVisitor.java:192-227): moving/perSecondRate widen the scan
+  * range backwards, timeshift shifts it, and a final truncate clips back to
+  * the query grid (TruncateStage injection, SourceBuilderVisitor.java:329-339).
+  *
+  * Macros become named DataFrames, cached when referenced more than once —
+  * the reference's unfold-cache CSE (SourceBuilderVisitor.java:372-394).
+  */
+final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
+
+  /** Parser-recognized but unimplemented in the reference — parity demands the
+    * same failure (lang/m3/common/Constants.java:39-70). */
+  private val unimplemented = Set(
+    "aliasSub", "aliasByDistinctTags", "aliasByBucket", "aliasByHistogramBucket",
+    "anomalies", "asBurnRate", "asMultiBurnRate", "burnRate", "burnRateMultiplier",
+    "constantLine", "divideWhen", "histogramCDF", "jainCP", "mockFetchLine",
+    "mockFetchLinear", "mockFetchPeriodic", "multiBurnRate", "nonNegativeDerivative",
+    "nPercentile", "promHistogramPercentile", "removeAbovePercentile",
+    "removeBelowPercentile", "setDiff", "showAnomalyThresholds", "stdev",
+    "sustainedAbove")
+
+  def compile(q: Query): DataFrame = {
+    val macroDefs = q.macros.toMap
+    // count references for cache decisions
+    val refCounts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def countRefs(p: Pipeline): Unit = {
+      p.source match { case MacroSource(n) => refCounts(n) += 1; case _ => }
+      p.stages.foreach(_.args.foreach {
+        case RefArg(n) => refCounts(n) += 1
+        case _         =>
+      })
+    }
+    (q.macros.map(_._2) :+ q.main).foreach(countRefs)
+
+    val compiled = collection.mutable.Map.empty[String, DataFrame]
+    def macroDF(name: String): DataFrame =
+      compiled.getOrElseUpdate(name, {
+        val p = macroDefs.getOrElse(name,
+          throw new IllegalArgumentException(s"undefined macro: $name"))
+        val df = compilePipeline(p, macroDF)
+        if (refCounts(name) > 1) df.cache() else df
+      })
+
+    compilePipeline(q.main, macroDF)
+  }
+
+  /** (extra scan lookback, accumulated timeshift) for a stage list
+    * (ref: SourceBuilderVisitor.java:192-227,522-556,780-792). */
+  private def buffers(stages: List[StageCall]): (Long, Long) =
+    stages.foldLeft((0L, 0L)) { case ((buf, shift), st) =>
+      st.name match {
+        case "moving" | "movingAverage" | "movingMax" | "movingMedian" |
+             "movingMin" | "movingSum" | "perSecondRate" =>
+          val w = st.args.collectFirst { case DurArg(ms) => ms }.getOrElse(grid.stepMs)
+          (buf + w, shift)
+        case "timeshift" =>
+          val s = st.args.collectFirst { case DurArg(ms) => ms }.getOrElse(0L)
+          (buf, shift + s)
+        case _ => (buf, shift)
+      }
+    }
+
+  private def compilePipeline(p: Pipeline, macroDF: String => DataFrame): DataFrame = {
+    val (buf, shift) = buffers(p.stages)
+    val widened = QueryGrid(grid.startMs - buf - shift, grid.endMs - shift, grid.stepMs)
+    val src = p.source match {
+      case FetchSource(filters) => Fetch.fetch(samples, filters, widened)
+      case MacroSource(n)       => macroDF(n)
+    }
+    val out = p.stages.foldLeft(src)((df, st) => applyStage(df, st, macroDF))
+    if (buf > 0 || shift > 0) Temporal.truncate(out, grid) else out
+  }
+
+  private def str(a: Arg): String = a match {
+    case StrArg(s) => s
+    case NumArg(v) => if (v == v.floor) v.toLong.toString else v.toString
+    case DurArg(m) => m.toString
+    case RefArg(n) => n
+  }
+  private def strings(args: List[Arg]): Seq[String] = args.map(str)
+
+  private def applyStage(df: DataFrame, st: StageCall,
+                         macroDF: String => DataFrame): DataFrame = {
+    def num(i: Int, dflt: Double = Double.NaN): Double =
+      st.args.lift(i) match {
+        case Some(NumArg(v)) => v
+        case Some(DurArg(m)) => m.toDouble
+        case Some(StrArg(s)) => s.toDouble
+        case _ if !dflt.isNaN => dflt
+        case _ => throw new IllegalArgumentException(s"${st.name}: missing numeric arg $i")
+      }
+    def dur(i: Int, dflt: Long = -1L): Long =
+      st.args.lift(i) match {
+        case Some(DurArg(m)) => m
+        case Some(NumArg(v)) => v.toLong
+        case _ if dflt >= 0  => dflt
+        case _ => throw new IllegalArgumentException(s"${st.name}: missing duration arg $i")
+      }
+    def ref: DataFrame = st.args.collectFirst { case RefArg(n) => macroDF(n) }
+      .getOrElse(throw new IllegalArgumentException(s"${st.name}: missing pipeline ref"))
+    def tagArgs(from: Int): Seq[String] =
+      strings(st.args.drop(from)).filterNot(_.isEmpty)
+    def groupTags: Seq[String] = st.args.collect { case StrArg(s) => s }
+
+    st.name match {
+      // grouping aggregations
+      case "sum" | "sumSeries"              => Grouping.sum(df, groupTags)
+      case "avg" | "average"                => Grouping.avg(df, groupTags)
+      case "min" | "minimum" | "minSeries"  => Grouping.min(df, groupTags)
+      case "max" | "maximum" | "maxSeries"  => Grouping.max(df, groupTags)
+      case "count"                          => Grouping.count(df, groupTags)
+      case "multiply" | "multiplySeries"    => Grouping.multiplyExact(df, groupTags)
+      case "range"                          => Grouping.range(df, groupTags)
+      case "median" | "medianOfSeries"      => Grouping.percentileExact(df, 0.5, groupTags)
+      case "percentile_of_series" =>
+        Grouping.percentileExact(df, num(0) / 100.0, st.args.drop(1).collect { case StrArg(s) => s })
+      case "histogramPercentile" =>
+        Grouping.histogramPercentile(df, num(0) / 100.0)
+
+      // mappers
+      case "abs" | "absolute"      => Mappers.absStage(df)
+      case "logarithm" | "log"     => Mappers.logarithm(df)
+      case "sqrt" | "squareRoot"   => Mappers.sqrtStage(df)
+      case "round"                 => Mappers.roundStage(df, num(0, 0).toInt)
+      case "scale"                 => Mappers.scale(df, num(0))
+      case "divideScalar"          => Mappers.divideScalar(df, num(0))
+      case "offset"                => Mappers.offsetStage(df, num(0))
+      case "scaleToSeconds"        => Mappers.scaleToSeconds(df, grid, num(0))
+
+      // temporal
+      case "derivative"     => Temporal.derivative(df, grid)
+      case "perSecond"      => Temporal.perSecond(df)
+      case "perSecondRate"  => Temporal.perSecondRate(df, dur(0, grid.stepMs * 10))
+      case "integral"       => Temporal.integral(df, grid,
+        st.args.headOption.exists(a => str(a) == "true"))
+      case "changed"        => Temporal.changed(df)
+      case "timeshift"      => Temporal.timeshift(df, dur(0))
+      case "moving"         => Temporal.moving(df, dur(0), str(st.args(1)))
+      case "movingAverage"  => Temporal.moving(df, dur(0), "avg")
+      case "movingSum"      => Temporal.moving(df, dur(0), "sum")
+      case "movingMin"      => Temporal.moving(df, dur(0), "min")
+      case "movingMax"      => Temporal.moving(df, dur(0), "max")
+      case "movingMedian"   => Temporal.moving(df, dur(0), "median")
+      case "keepLastValue"  => Temporal.keepLastValue(df, grid,
+        st.args.headOption.map(a => dur(0)))
+      case "sustain"        => Temporal.sustain(df, grid, dur(0))
+      case "summarize"      => Temporal.summarize(df, dur(0),
+        if (st.args.length > 1) str(st.args(1)) else "avg",
+        if (st.args.length > 2 && str(st.args(2)) == "true") grid.startMs else 0L)
+
+      // grid / null semantics
+      case "transformNull"  => GridOps.transformNull(df, grid, num(0, 0.0))
+      case "isNonNull"      => GridOps.isNonNull(df, grid)
+      case "removeEmpty"    => GridOps.removeEmpty(df)
+      case "fallbackSeries" =>
+        st.args.collectFirst { case RefArg(n) => n } match {
+          case Some(n) => GridOps.fallbackSeriesBinary(df, macroDF(n))
+          case None    => GridOps.fallbackSeries(spark, df, grid, num(0))
+        }
+
+      // filters
+      case "valueFilter"      => Filters.valueFilter(df, str(st.args(0)), num(1))
+      case "removeBelowValue" => Filters.valueFilter(df, ">=", num(0))
+      case "removeAboveValue" => Filters.valueFilter(df, "<=", num(0))
+      case "excludeByTag"     => Filters.excludeByTag(df, str(st.args(0)), tagArgs(1))
+      case "tagCompare"       => Filters.tagCompare(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
+      case "where"            => Filters.whereTags(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
+      case "intersect"        => Filters.intersect(df, ref,
+        st.args.collect { case StrArg(s) => s })
+
+      // label ops
+      case "alias"       => LabelOps.alias(df, str(st.args(0)))
+      case "aliasByTags" => LabelOps.aliasByTags(df, groupTags)
+      case "showTags"    =>
+        val inc = st.args.headOption.forall(a => str(a) != "false")
+        LabelOps.showTags(df, inc, tagArgs(1))
+      case "mapKey"      => LabelOps.mapKey(df, str(st.args(0)), str(st.args(1)))
+      case "tagSub"      => LabelOps.tagSub(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
+
+      // series-set ops
+      case "sort" =>
+        val by = st.args.headOption.map(str).getOrElse("avg")
+        val desc = st.args.lift(1).forall(a => str(a) != "asc")
+        SeriesSet.sortSeries(df, by, desc)
+      case "head" => SeriesSet.slice(df, num(0, 10).toInt)
+      case "tail" => SeriesSet.slice(df, num(0, 10).toInt, tail = true)
+      case "topK" =>
+        val k = num(0, 10).toInt
+        val by = st.args.lift(1).map(str).getOrElse("current")
+        val desc = st.args.lift(2).forall(a => str(a) != "asc")
+        SeriesSet.topK(df, k, by, desc)
+      case "union"     => SeriesSet.union(Seq(df, ref))
+      case "divide"    => SeriesSet.divide(df, ref, st.args.collect { case StrArg(s) => s })
+      case "diff"      => SeriesSet.diff(df, ref, st.args.collect { case StrArg(s) => s })
+      case "asPercent" => SeriesSet.asPercent(df, ref, st.args.collect { case StrArg(s) => s })
+
+      case n if unimplemented(n) =>
+        throw new UnsupportedOperationException(s"M3QL function not implemented: $n")
+      case other =>
+        throw new IllegalArgumentException(s"unknown M3QL stage: $other")
+    }
+  }
+}
+
+object M3QL {
+  /** Parse + compile an M3QL query over a canonical samples DataFrame. */
+  def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String): DataFrame =
+    new Compiler(spark, samples, grid).compile(Parser.parse(q))
+}

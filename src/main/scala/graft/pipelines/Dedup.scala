@@ -1,0 +1,138 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant avoids the O(n^2) cross product — exact dedup is
+  * a hash groupBy; MinHash/SimHash/n-gram variants build an inverted index
+  * (explode → equi-join on bucket key) so the shuffle is proportional to
+  * candidate pairs, not all pairs. Hot keys (stop-grams shared by >maxDf docs)
+  * are dropped, which is both the standard LSH trick and the skew guard.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row (lowest doc_id) per distinct key set.
+    * One hash-shuffle; at 100TB this is the cheapest possible full dedup. */
+  def exact(docs: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Normalized word shingles of size n: (doc_id, shingle) distinct. */
+  private def shingles(docs: DataFrame, n: Int, idCol: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    docs.select(col(idCol),
+        explode(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
+      .where(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs: inverted index on shingles, count common
+    * shingles per candidate pair, exact Jaccard >= threshold.
+    * `maxDf` drops stop-shingles (skew + noise guard at scale). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        idCol: String = "doc_id", maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, n, idCol)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf && col("df") >= 2),
+      Seq("shingle"), "left_semi")
+    val a = filtered.select(col(idCol).as("doc_id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("doc_id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .join(sizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")), Seq("doc_id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** MinHash signatures: numHashes independent min-hashes of the shingle set,
+    * each seed s via xxhash64(shingle, s) — pure builtins, partial-aggregated. */
+  def minhashSignatures(docs: DataFrame, shingleN: Int, numHashes: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, shingleN, idCol)
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands`, hash each band,
+    * equi-join on (band, bandHash) for candidates, then verify with exact
+    * Jaccard (ref technique: Broder'97 / MMDS ch.3). */
+  def minhashLshPairs(docs: DataFrame, shingleN: Int, numHashes: Int, bands: Int,
+                      threshold: Double, idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, shingleN, numHashes, idCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bh"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_id_a"), col(s"y.$idCol").as("doc_id_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard
+    val sh = shingles(docs, shingleN, idCol)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("doc_id_a"), col("shingle")), Seq("doc_id_a"))
+      .join(sh.select(col(idCol).as("doc_id_b"), col("shingle").as("shingle_b")), Seq("doc_id_b"))
+      .where(col("shingle") === col("shingle_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .join(sizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")), Seq("doc_id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature — bit b is set iff the sum over tokens of
+    * (+1 if bit b of xxhash64(token) else -1) is positive. Near-dups share
+    * most bits; bucketing on bit-ranges gives the scale path. */
+  def simhashBuckets(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L) * pow2(b)).otherwise(0L)
+    }.reduce((a, b) => a + b)
+    agg.withColumn("simhash", sim).select(col(idCol), col("simhash"))
+      .withColumn("band16", shiftrightunsigned(col("simhash"), 48))
+  }
+
+  private def pow2(b: Int): Column = lit(if (b == 63) Long.MinValue else 1L << b)
+
+  /** Embedding near-dup pairs: sign-LSH bucket (numPlanes hyperplanes), then
+    * exact cosine within buckets >= threshold. Avoids the all-pairs product;
+    * at 100TB, bucket + per-bucket pair join is the standard ANN-dedup shape. */
+  def embeddingNearDupPairs(emb: DataFrame, cosineThreshold: Double,
+                            numPlanes: Int = 8, idCol: String = "vec_id"): DataFrame = {
+    val withSig = Vectors.withLshSignature(emb, "embedding", numPlanes, seed = 7)
+    val a = withSig.select(col(idCol).as("vec_id_a"), col("embedding").as("ea"), col("lsh_sig"))
+    val b = withSig.select(col(idCol).as("vec_id_b"), col("embedding").as("eb"), col("lsh_sig"))
+    a.join(b, Seq("lsh_sig"))
+      .where(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", Vectors.cosine(col("ea"), col("eb")))
+      .where(col("cosine") >= cosineThreshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
+}

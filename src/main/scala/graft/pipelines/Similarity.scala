@@ -1,0 +1,111 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector helpers over ARRAY<FLOAT> embedding columns — pure builtin
+  * `zip_with`/`aggregate` expressions (codegen'd, no UDF). */
+object Vectors {
+  /** Elementwise dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic +-1 hyperplane for sign-LSH (seeded; same plane set on every
+    * call → signatures are reproducible across jobs). */
+  private def planes(numPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Append `lsh_sig` (LONG bitmask of hyperplane signs). dim inferred=64. */
+  def withLshSignature(emb: DataFrame, vecCol: String, numPlanes: Int, seed: Int,
+                       dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim, seed)
+    val sig = ps.zipWithIndex.map { case (p, i) =>
+      val pl = typedlit(p)
+      when(dot(col(vecCol), pl) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    emb.withColumn("lsh_sig", sig)
+  }
+}
+
+/** Similarity search over an embedding column: brute-force cosine top-k as the
+  * exact baseline, and an LSH-bucketed variant as the scale path (candidates
+  * from near buckets only, then exact re-rank).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine to the query vector (query side broadcast; the
+    * ranking is a distributed TakeOrdered — no global sort materialized). */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+                     idCol: String = "vec_id"): DataFrame = {
+    val q = emb.where(col(idCol) === queryId)
+      .select(col("embedding").as("q_emb"))
+    val scored = emb.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", Vectors.cosine(col("embedding"), col("q_emb")))
+    scored
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
+      .select(col(idCol), col("cosine"), col("rnk"))
+  }
+
+  /** Approximate top-k: sign-LSH signature buckets; candidates = vectors whose
+    * signature is within `maxHamming` bits of the query's; exact cosine re-rank
+    * of candidates. Recall tunes via numPlanes/maxHamming. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int = 8,
+              maxHamming: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    val withSig = Vectors.withLshSignature(emb, "embedding", numPlanes, seed = 7)
+    val q = withSig.where(col(idCol) === queryId)
+      .select(col("embedding").as("q_emb"), col("lsh_sig").as("q_sig"))
+    val cand = withSig.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", bit_count(col("lsh_sig").bitwiseXOR(col("q_sig"))))
+      .where(col("hamming") <= maxHamming)
+    cand
+      .withColumn("cosine", Vectors.cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
+      .select(col(idCol), col("cosine"), col("rnk"))
+  }
+
+  /** IVF-style variant: kmeans-lite — partition vectors by nearest of
+    * `nCentroids` seed vectors (deterministic sample), probe the query's
+    * nearest `nProbe` cells only. The 100TB path: cells are the partition
+    * pruning unit. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4, idCol: String = "vec_id"): DataFrame = {
+    // centroids = deterministic sample of the corpus (ids hashed)
+    val cents = emb
+      .withColumn("_h", xxhash64(col(idCol)))
+      .orderBy("_h").limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("embedding"), col("cent_id"))
+    val qCells = assigned.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", Vectors.cosine(col("q_emb"), col("cent_emb")))
+      .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
+      .select(col("cent_id"), col("q_emb"))
+    assigned.where(col(idCol) =!= queryId)
+      .join(broadcast(qCells), Seq("cent_id"))
+      .withColumn("cosine", Vectors.cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
+      .select(col(idCol), col("cosine"), col("rnk"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (doc_id, text, lang, source, n_chars). All pure builtin expressions —
+  * whole-stage-codegen'd, no UDFs, embarrassingly parallel (no shuffle).
+  */
+object TextAnalysis {
+
+  /** GPT-style coarse token pattern: letter runs | digit runs | punct runs. */
+  private val BpeIsh = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + word stats. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("n_words", size(toks).cast(LongType))
+      .withColumn("n_bpe_tokens",
+        size(expr(s"regexp_extract_all(text, '${BpeIsh.replace("\\", "\\\\")}', 0)")).cast(LongType))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+  }
+
+  val Stopwords = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was", "for",
+    "on", "with", "as", "by", "at", "it", "this", "that", "be", "from")
+
+  /** Quality scoring: length / punctuation / stopword-ratio heuristics
+    * (the usual C4/Gopher-style filters). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*))).cast(DoubleType)
+    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast(DoubleType)
+    docs
+      .withColumn("n_chars_m", length(col("text")).cast(LongType))
+      .withColumn("n_tokens", nTok.cast(LongType))
+      .withColumn("stopword_ratio", stopHits / nTok)
+      .withColumn("punct_ratio", punct / length(col("text")).cast(DoubleType))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / nTok)
+      .withColumn("quality",
+        when(col("n_chars_m") < 10, 0.0).otherwise(
+          least(lit(1.0), col("n_chars_m") / lit(500.0)) * lit(0.4)
+            + least(lit(1.0), col("stopword_ratio") * lit(5.0)) * lit(0.4)
+            + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(4.0))) * lit(0.2)))
+  }
+
+  /** SQL list literal of the stopwords, for the DuckDB oracle. */
+  def StopwordsSql: String = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-language marker words for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "value", "table", "row"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "un"))
+
+  /** LangMarkers as (lang, SQL word-list literal) for the DuckDB oracle. */
+  def LangMarkersSql: Seq[(String, String)] =
+    LangMarkers.map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString(", ") }
+
+  /** Language ID: count marker-word hits per language, pick the argmax by
+    * (hits, lang) tuple order (no hits → "und"). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val scored = LangMarkers.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, reverse insertion order): array_max on struct compares fieldwise
+    val best = greatest(scored: _*)
+    docs
+      .withColumn("lang_hits", best.getField("hits"))
+      .withColumn("lang_guess",
+        when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+  }
+
+  /** Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7) over
+    * the normalized text (whitespace-collapsed, lowercased) — deterministic,
+    * overflow-free under ANSI mode, and SQL-replicable. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val P = 1000000007L
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    docs.withColumn("fingerprint",
+      aggregate(
+        transform(split(norm, ""), ch => ascii(ch).cast(LongType)),
+        lit(0L),
+        (acc, c) => pmod(acc * lit(31L) + c, lit(P))))
+  }
+}

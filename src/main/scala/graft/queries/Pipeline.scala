@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.pipelines.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings` — the
+  * beyond-reference surface (dedup, similarity search, text analysis). Each
+  * query exercises the real pipeline implementation; oracles are plain SQL
+  * where the semantics are SQL-expressible, else rows-only.
+  */
+object Pipeline extends QueryPack {
+
+  // ---- text analysis -------------------------------------------------------
+  private def qTokens(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(s, sf))
+      .select("doc_id", "n_tokens", "n_bpe_tokens", "avg_word_len")
+      .orderBy("doc_id")
+  private val qTokensSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def qQuality(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, sf))
+      .select("doc_id", "n_chars_m", "stopword_ratio", "punct_ratio", "quality")
+      .orderBy("doc_id")
+  private val qQualitySql = {
+    val stop = TextAnalysis.StopwordsSql
+    s"""WITH q AS (SELECT doc_id, text,
+       |  CAST(len(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> list_contains([$stop], t))) AS DOUBLE) AS stop_hits,
+       |  CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |FROM documents)
+       |SELECT doc_id, n_chars_m,
+       |  stop_hits / n_tok AS stopword_ratio,
+       |  punct / CAST(len(text) AS DOUBLE) AS punct_ratio,
+       |  CASE WHEN n_chars_m < 10 THEN 0.0 ELSE
+       |    least(1.0, n_chars_m / 500.0) * 0.4
+       |    + least(1.0, (stop_hits / n_tok) * 5.0) * 0.4
+       |    + (1.0 - least(1.0, (punct / CAST(len(text) AS DOUBLE)) * 4.0)) * 0.2 END AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  private def qLangId(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, sf))
+      .select("doc_id", "lang_hits", "lang_guess")
+      .orderBy("doc_id")
+  private val qLangIdSql = {
+    val hits = TextAnalysis.LangMarkersSql.map { case (lang, words) =>
+      s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> list_contains([$words], t))) AS INT) AS h_$lang"
+    }.mkString(", ")
+    s"""WITH q AS (SELECT doc_id, $hits FROM documents)
+       |SELECT doc_id,
+       |  greatest(h_en, h_de, h_fr, h_es) AS lang_hits,
+       |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+       |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+       |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+       |       ELSE 'de' END AS lang_guess
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  private def qFingerprint(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, sf))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  private val qFingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ''),
+      |                   c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- dedup ---------------------------------------------------------------
+  private def qDedupExact(s: SparkSession, sf: String): DataFrame =
+    Dedup.exact(Tables.documents(s, sf), Seq("text")).select("doc_id").orderBy("doc_id")
+  private val qDedupExactSql =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  private def qDedupNgram(s: SparkSession, sf: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, sf), n = 3, threshold = 0.6)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  private def qDedupMinhash(s: SparkSession, sf: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, sf), shingleN = 3, numHashes = 32, bands = 8,
+      threshold = 0.5)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  private def qDedupSimhash(s: SparkSession, sf: String): DataFrame =
+    Dedup.simhashBuckets(Tables.documents(s, sf))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  private def qDedupEmbed(s: SparkSession, sf: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, sf), cosineThreshold = 0.2)
+      .orderBy("vec_id_a", "vec_id_b")
+
+  // ---- similarity search ---------------------------------------------------
+  private def qAnnBrute(s: SparkSession, sf: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  private val qAnnBruteSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, row_number() OVER (
+      |    ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) AS rnk
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY rnk LIMIT 10""".stripMargin
+
+  private def qAnnLsh(s: SparkSession, sf: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10, numPlanes = 8)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("text_token_stats", qTokens, Some(qTokensSql)),
+    QueryDef("text_quality", qQuality, Some(qQualitySql)),
+    QueryDef("text_langid", qLangId, Some(qLangIdSql)),
+    QueryDef("text_fingerprint", qFingerprint, Some(qFingerprintSql)),
+    QueryDef("dedup_exact", qDedupExact, Some(qDedupExactSql)),
+    QueryDef("dedup_ngram_jaccard", qDedupNgram, None),
+    QueryDef("dedup_minhash_lsh", qDedupMinhash, None),
+    QueryDef("dedup_simhash", qDedupSimhash, None),
+    QueryDef("dedup_embedding", qDedupEmbed, None),
+    QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
+    QueryDef("ann_lsh", qAnnLsh, None))
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark DataFrame builder plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB on the same parquet tables.
+  * Column names and row order must match between the two (the driver compare
+  * sorts columns by name and hashes values).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryPack {
+  def all: Seq[QueryDef]
+}
+
+object Registry {
+  def packs: Seq[QueryPack] = Seq(Tpch, M3, Pipeline)
+
+  lazy val all: Seq[QueryDef] = packs.flatMap(_.all)
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

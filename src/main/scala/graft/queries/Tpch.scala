@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.core.{OracleSafe, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style analytical queries over the driver test tables — the bench
+  * headliners. These exercise the relational core (scan/filter pushdown,
+  * partial aggregation, broadcast joins, distributed topK) at 100TB posture:
+  * dimension tables are broadcast, fact-side filters are pushed to parquet,
+  * and every aggregate is map-side partial.
+  */
+object Tpch extends QueryPack {
+  import OracleSafe.{dSum, dAvg, sqlSum, sqlAvg}
+
+  /** Q1-style pricing summary. Filters+aggregates push to the lineitem scan. */
+  private def q1(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dSum(col("l_extendedprice")).as("sum_base_price"),
+        dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  %s AS sum_base_price,
+      |  %s AS sum_disc_price,
+      |  %s AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin.format(
+      sqlSum("l_extendedprice"),
+      sqlSum("l_extendedprice * (1.0 - l_discount)"),
+      sqlAvg("l_quantity"))
+
+  /** Q3-style: revenue of urgent orders by order, top 10. Broadcast the small
+    * filtered orders side? No — orders is the smaller fact; customer dim is
+    * broadcast; distributed TopK via TakeOrderedAndProject. */
+  private def q3(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.customer(spark, sf).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sf).where(col("o_orderdate") < lit("1998-03-15"))
+    val li = Tables.lineitem(spark, sf).where(col("l_shipdate") > lit("1995-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority, %s AS revenue
+      |FROM lineitem, orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.format(
+      sqlSum("l_extendedprice * (1.0 - l_discount)"))
+
+  /** Q5-style: revenue by nation through a 5-way join; all dims broadcast. */
+  private def q5(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val cust = Tables.customer(spark, sf)
+    val supp = Tables.supplier(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    val reg = Tables.region(spark, sf)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name, %s AS revenue
+      |FROM lineitem, orders, customer, supplier, nation, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.format(
+      sqlSum("l_extendedprice * (1.0 - l_discount)"))
+
+  /** Q6-style: simple predicate + single aggregate (pure scan throughput). */
+  private def q6(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(dSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+
+  private val q6Sql =
+    """SELECT %s AS revenue, count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin.format(
+      sqlSum("l_extendedprice * l_discount"))
+
+  /** Order-priority counts with EXISTS semi-join (Q4-style). */
+  private def q4(spark: SparkSession, sf: String): DataFrame = {
+    val ord = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-10-01"))
+    val bigLines = Tables.lineitem(spark, sf).where(col("l_quantity") >= 40)
+    ord.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 40)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Top-k parts by shipped quantity — distributed TopK (TakeOrderedAndProject). */
+  private def topParts(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(25)
+
+  private val topPartsSql =
+    """SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_partkey
+      |ORDER BY total_qty DESC, l_partkey LIMIT 25""".stripMargin
+
+  /** Window function over facts: per-supplier running revenue rank. */
+  private def suppRank(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySupp = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey")
+      .agg(dSum(col("l_extendedprice")).as("revenue"))
+    bySupp
+      .withColumn("rank", rank().over(Window.orderBy(col("revenue").desc, col("l_suppkey"))))
+      .orderBy("rank")
+  }
+
+  private val suppRankSql =
+    """SELECT l_suppkey, %s AS revenue,
+      |  rank() OVER (ORDER BY %s DESC, l_suppkey) AS rank
+      |FROM lineitem GROUP BY l_suppkey ORDER BY rank""".stripMargin.format(
+      sqlSum("l_extendedprice"), sqlSum("l_extendedprice"))
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("tpch_q1_pricing", q1, Some(q1Sql)),
+    QueryDef("tpch_q3_topn_join", q3, Some(q3Sql)),
+    QueryDef("tpch_q5_multijoin", q5, Some(q5Sql)),
+    QueryDef("tpch_q4_semijoin", q4, Some(q4Sql)),
+    QueryDef("tpch_q6_scan_agg", q6, Some(q6Sql)),
+    QueryDef("tpch_topk_parts", topParts, Some(topPartsSql)),
+    QueryDef("tpch_supplier_rank", suppRank, Some(suppRankSql)))
+}

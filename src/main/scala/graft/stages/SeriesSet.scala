@@ -1,0 +1,115 @@
+package graft.stages
+
+import graft.core.{OracleSafe, TsSchema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Whole-series-set operators: sort / head / tail / topK, union, and the binary
+  * label-matched projections (divide/diff/asPercent).
+  *
+  * These are the reference's coordinator-only stages (PipelineStage.isCoordinatorOnly,
+  * query/stage/PipelineStage.java:82) — the ones that need a global view. In
+  * Spark they are the stages that introduce a shuffle; topK/limit pushes
+  * partial ordering into each partition (TakeOrderedAndProject), matching the
+  * reference's shard-local-topK + coordinator re-merge
+  * (ref: TopKStage.java:33-47,108,172).
+  */
+object SeriesSet {
+  private val S = TsSchema
+
+  /** Per-series ranking key (ref: stage/util/SortComparatorUtil.java;
+    * SortByType avg,current,max,min,sum,stddev,name —
+    * lang/m3/common/SortByType.java:14-43; `current` = last non-null value). */
+  private def seriesKeyAgg(by: String): Column = by match {
+    case "avg"     => OracleSafe.dAvg(col(S.Value))
+    case "sum"     => OracleSafe.dSum(col(S.Value))
+    case "max"     => max(col(S.Value))
+    case "min"     => min(col(S.Value))
+    case "current" => expr(s"max_by(${S.Value}, ${S.Ts})")
+    case "stddev" =>
+      val n = count(col(S.Value)).cast(DoubleType)
+      val s1 = OracleSafe.dSum(col(S.Value))
+      val s2 = OracleSafe.dSum(col(S.Value) * col(S.Value))
+      when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+    case other => throw new IllegalArgumentException(s"sort by: $other")
+  }
+
+  /** Attach `_rank` = dense series rank by the key (ties broken by series key
+    * string for determinism). Single narrow shuffle on the tiny per-series
+    * aggregate, then broadcast back. */
+  private def ranked(df: DataFrame, by: String, desc: Boolean): DataFrame = {
+    val keys =
+      if (by == "name") df.select(col(S.SeriesId), TsSchema.seriesKey(col(S.LabelsCol)).as("_skey"))
+        .distinct().withColumn("_key", col("_skey").cast(StringType))
+      else df.groupBy(S.SeriesId)
+        .agg(seriesKeyAgg(by).as("_key"), first(TsSchema.seriesKey(col(S.LabelsCol))).as("_skey"))
+    val ord =
+      if (desc) Seq(col("_key").desc_nulls_last, col("_skey").asc)
+      else Seq(col("_key").asc_nulls_last, col("_skey").asc)
+    val rk = keys.withColumn("_rank", row_number().over(Window.orderBy(ord: _*)))
+      .select(S.SeriesId, "_rank")
+    df.join(broadcast(rk), Seq(S.SeriesId))
+  }
+
+  /** `sort [by] [asc|desc]` — order the series list (ref: SortStage.java:27-41).
+    * Emits `_rank` so a downstream formatter can emit series in order. */
+  def sortSeries(df: DataFrame, by: String = "avg", desc: Boolean = true): DataFrame =
+    ranked(df, by, desc).orderBy(col("_rank"), col(S.Ts))
+
+  /** `head n` / `tail n` — first/last n series by rank (ref: SliceStage.java:30-44). */
+  def slice(df: DataFrame, n: Int, by: String = "avg", desc: Boolean = true,
+            tail: Boolean = false): DataFrame = {
+    val r = ranked(df, by, desc)
+    val total = r.select(max("_rank")).first().getInt(0)
+    val keep = if (tail) col("_rank") > total - n else col("_rank") <= n
+    r.where(keep)
+  }
+
+  /** `topK k by order` (ref: TopKStage.java:33-47; defaults k=10, by=current). */
+  def topK(df: DataFrame, k: Int = 10, by: String = "current", desc: Boolean = true): DataFrame =
+    ranked(df, by, desc).where(col("_rank") <= k)
+
+  /** `union <ref…>` — concatenate series sets, duplicates retained
+    * (ref: UnionStage.java:23-30). */
+  def union(dfs: Seq[DataFrame]): DataFrame =
+    dfs.map(_.select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)).reduce(_ unionByName _)
+
+  /** Label-match key for binary projections: all labels, or only `keys`
+    * (ref: AbstractBinaryProjectionStage.java:58-96). */
+  private def matchKey(keys: Seq[String]): Column =
+    if (keys.isEmpty) TsSchema.seriesKey(col(S.LabelsCol))
+    else concat_ws("", keys.map(k => coalesce(col(S.LabelsCol).getItem(k), lit(""))): _*)
+
+  /** Binary projection core: join left to right on (label-match key, timestamp)
+    * then combine values (ref: AbstractBinaryProjectionStage.java:112-187 —
+    * merge-join on sorted timestamps == equi-join on the shared grid;
+    * keepNans=false drops mismatched timestamps = inner join). */
+  private def binary(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     keepNans: Boolean)(f: (Column, Column) => Column): DataFrame = {
+    val l = left.withColumn("_mk", matchKey(keys))
+    val r = right.withColumn("_mk", matchKey(keys))
+      .select(col("_mk"), col(S.Ts), col(S.Value).as("_rv"))
+    val joined =
+      if (keepNans) l.join(r, Seq("_mk", S.Ts), "full_outer")
+      else l.join(r, Seq("_mk", S.Ts), "inner")
+    joined
+      .withColumn(S.Value, f(col(S.Value), col("_rv")))
+      .drop("_mk", "_rv")
+  }
+
+  /** `divide <ref> [tags]` (ref: DivideStage.java:22-34). */
+  def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
+             keepNans: Boolean = false): DataFrame =
+    binary(left, right, keys, keepNans)((l, r) => l / r)
+
+  /** `diff <ref>` — left minus right (ref: SubtractStage.java:28). */
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
+           keepNans: Boolean = false): DataFrame =
+    binary(left, right, keys, keepNans)((l, r) => l - r)
+
+  /** `asPercent <ref> [tags]` — 100*left/right (ref: AsPercentStage.java:22-26). */
+  def asPercent(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    binary(left, right, keys, keepNans = false)((l, r) => l * lit(100.0) / r)
+}

@@ -1,0 +1,181 @@
+package graft.stages
+
+import graft.core.{OracleSafe, QueryGrid, TsSchema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-series temporal stages — need the ordered history of ONE series.
+  *
+  * Uniform Spark mapping: window functions over
+  * `Window.partitionBy(series_id).orderBy(timestamp)`. At 100TB this is a
+  * single hash-shuffle on series_id (high cardinality → even spread), then
+  * in-partition sorted evaluation; no coordinator bottleneck like the
+  * reference's single-node reduce.
+  */
+object Temporal {
+  private val S = TsSchema
+  private def w = Window.partitionBy(S.SeriesId).orderBy(S.Ts)
+  private val Dec = DecimalType(38, 9)
+
+  /** `derivative` — v - lag(v), only when consecutive points are EXACTLY one
+    * step apart, else the point is dropped (ref: DerivativeStage.java:25-36). */
+  def derivative(df: DataFrame, grid: QueryGrid): DataFrame =
+    df.withColumn("_pv", lag(S.Value, 1).over(w))
+      .withColumn("_pt", lag(S.Ts, 1).over(w))
+      .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") === grid.stepMs)
+      .withColumn(S.Value, col(S.Value) - col("_pv"))
+      .drop("_pv", "_pt")
+
+  /** `perSecond` — (v - lag(v)) / seconds-elapsed (ref: PerSecondStage.java:26-40). */
+  def perSecond(df: DataFrame): DataFrame =
+    df.withColumn("_pv", lag(S.Value, 1).over(w))
+      .withColumn("_pt", lag(S.Ts, 1).over(w))
+      .where(col("_pt").isNotNull && col(S.Ts) > col("_pt"))
+      .withColumn(S.Value, (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
+      .drop("_pv", "_pt")
+
+  /** `changed` — 1.0 if value differs from previous non-null value, else 0.0
+    * (ref: ChangedStage.java:25-39). */
+  def changed(df: DataFrame): DataFrame =
+    df.withColumn("_prev",
+        last(S.Value, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(S.Value,
+        when(col("_prev").isNotNull && col("_prev") =!= col(S.Value), 1.0).otherwise(0.0))
+      .drop("_prev")
+
+  /** `integral resetOnGap` — running cumulative sum per series; if resetOnGap,
+    * restarts at 0 whenever the gap to the previous point exceeds one step
+    * (ref: IntegralStage.java:28-40). Session id = cumulative gap-flag sum. */
+  def integral(df: DataFrame, grid: QueryGrid, resetOnGap: Boolean = false): DataFrame = {
+    val withSess =
+      if (!resetOnGap) df.withColumn("_sess", lit(0L))
+      else df
+        .withColumn("_gap",
+          when(col(S.Ts) - lag(S.Ts, 1).over(w) > grid.stepMs, 1L).otherwise(0L))
+        .withColumn("_sess", sum("_gap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("_gap")
+    val ws = Window.partitionBy(S.SeriesId, "_sess").orderBy(S.Ts)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withSess
+      .withColumn(S.Value, sum(col(S.Value).cast(Dec)).over(ws).cast(DoubleType))
+      .drop("_sess")
+  }
+
+  /** `timeshift dur` — shift series forward by `dur` so past data aligns with
+    * the current window; the scan range was widened backwards at plan time
+    * (ref: TimeshiftStage.java:24-48; SourceBuilderVisitor.java:780-792). */
+  def timeshift(df: DataFrame, shiftMs: Long): DataFrame =
+    df.withColumn(S.Ts, col(S.Ts) + shiftMs)
+
+  /** Internal truncate — clip to [startMs, endMs] after buffer-widened fetch
+    * (ref: TruncateStage.java:25-31; injected SourceBuilderVisitor.java:329-339). */
+  def truncate(df: DataFrame, grid: QueryGrid): DataFrame =
+    df.where(col(S.Ts) >= grid.startMs && col(S.Ts) <= grid.alignedEndMs)
+
+  /** `moving dur fn` — trailing time-window aggregate (movingAverage/Max/Min/
+    * Sum/Median; ref: MovingStage.java:38-45 + moving/ helper classes). RANGE frame over
+    * millis; sums in exact decimal so a SQL oracle matches bit-for-bit. */
+  def moving(df: DataFrame, windowMs: Long, fn: String): DataFrame = {
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts)
+      .rangeBetween(-windowMs, 0)
+    val v = col(S.Value)
+    val agg: Column = fn match {
+      case "sum"    => sum(v.cast(Dec)).over(frame).cast(DoubleType)
+      case "avg"    => (sum(v.cast(Dec)).over(frame).cast(DoubleType) / count(v).over(frame))
+      case "min"    => min(v).over(frame)
+      case "max"    => max(v).over(frame)
+      case "count"  => count(v).over(frame).cast(DoubleType)
+      case "median" => expr(s"percentile(${S.Value}, 0.5)").over(frame)
+      case other    => throw new IllegalArgumentException(s"moving fn: $other")
+    }
+    df.withColumn(S.Value, agg)
+  }
+
+  /** `keepLastValue [intervalMs]` — on the dense grid, fill missing points with
+    * the last seen value, optionally only within `intervalMs` lookback
+    * (ref: KeepLastValueStage.java:35-51). Expects grid-aligned input. */
+  def keepLastValue(df: DataFrame, grid: QueryGrid, intervalMs: Option[Long] = None): DataFrame = {
+    val dense = GridOps.densify(df, grid)
+    val filled = dense
+      .withColumn("_src_ts", when(col(S.Value).isNotNull, col(S.Ts)))
+      .withColumn("_lv", last(S.Value, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_lt", last("_src_ts", ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val within = intervalMs match {
+      case Some(iv) => col("_lt").isNotNull && (col(S.Ts) - col("_lt")) <= iv
+      case None     => col("_lt").isNotNull
+    }
+    filled
+      .withColumn(S.Value, when(within, col("_lv")))
+      .drop("_src_ts", "_lv", "_lt")
+      .where(col(S.Value).isNotNull)
+  }
+
+  /** `sustain dur` — keep a point only if the series has an uninterrupted
+    * non-null run for `dur` ending at it (ref: SustainStage.java:27-41). */
+  def sustain(df: DataFrame, grid: QueryGrid, durMs: Long): DataFrame = {
+    val dense = GridOps.densify(df, grid)
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-durMs, 0)
+    val expected = (durMs / grid.stepMs) + 1
+    dense
+      .withColumn("_n", count(S.Value).over(frame))
+      .withColumn("_t", count("*").over(frame))
+      .where(col(S.Value).isNotNull && col("_n") === col("_t") && col("_t") === expected)
+      .drop("_n", "_t")
+  }
+
+  /** `summarize interval fn [alignToFrom]` — downsample into interval buckets;
+    * fn ∈ sum/avg/max/min/last/count/stddev (ref: SummarizeStage.java:39-62;
+    * bucket alignment SourceBuilderVisitor.java:674-697). Bucket timestamp =
+    * bucket start, aligned to `alignMs` (query start, or epoch). */
+  def summarize(df: DataFrame, intervalMs: Long, fn: String, alignMs: Long = 0L): DataFrame = {
+    val bucket = (lit(alignMs) +
+      floor((col(S.Ts) - lit(alignMs)) / lit(intervalMs)).cast(LongType) * lit(intervalMs))
+    val v = col(S.Value)
+    val aggExpr: Column = fn match {
+      case "sum"   => OracleSafe.dSum(v)
+      case "avg"   => OracleSafe.dAvg(v)
+      case "min"   => min(v)
+      case "max"   => max(v)
+      case "count" => count(v).cast(DoubleType)
+      case "last"  => expr(s"max_by(${S.Value}, ${S.Ts})")
+      case "stddev" =>
+        val n = count(v).cast(DoubleType)
+        val s1 = OracleSafe.dSum(v)
+        val s2 = OracleSafe.dSum(v * v)
+        when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+      case other => throw new IllegalArgumentException(s"summarize fn: $other")
+    }
+    df.withColumn("_b", bucket)
+      .groupBy(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts))
+      .agg(aggExpr.as(S.Value))
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+  }
+
+  /** `perSecondRate [lookbackMs]` — Prometheus-counter rate: a decrease starts a
+    * new monotonic segment (counter reset); per-point rate within the segment;
+    * then smoothed with a trailing moving average over the same lookback
+    * (ref: PerSecondRateStage.java:27-52). */
+  def perSecondRate(df: DataFrame, lookbackMs: Long): DataFrame = {
+    val seg = df
+      .withColumn("_pv", lag(S.Value, 1).over(w))
+      .withColumn("_reset", when(col("_pv").isNotNull && col(S.Value) < col("_pv"), 1L).otherwise(0L))
+      .withColumn("_seg", sum("_reset").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(S.SeriesId, "_seg").orderBy(S.Ts)
+    val rated = seg
+      .withColumn("_spv", lag(S.Value, 1).over(ws))
+      .withColumn("_spt", lag(S.Ts, 1).over(ws))
+      .withColumn("_rate",
+        when(col("_spt").isNotNull && col(S.Ts) > col("_spt"),
+          (col(S.Value) - col("_spv")) / ((col(S.Ts) - col("_spt")) / lit(1000.0))))
+      .where(col("_rate").isNotNull)
+    val smooth = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-lookbackMs, 0)
+    rated
+      .withColumn(S.Value,
+        (sum(col("_rate").cast(Dec)).over(smooth).cast(DoubleType) / count("_rate").over(smooth)))
+      .drop("_pv", "_reset", "_seg", "_spv", "_spt", "_rate")
+  }
+}

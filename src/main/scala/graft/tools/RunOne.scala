@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one named query and show result/plan.
+  * usage: runMain graft.tools.RunOne <queryName> [sfDir] [explain|show|count]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val mode = if (args.length > 2) args(2) else "show"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    mode match {
+      case "explain" => df.explain("formatted")
+      case "count"   => println(s"rows=${df.count()}")
+      case _         => df.show(30, truncate = false); println(s"rows=${df.count()}")
+    }
+    spark.stop()
+  }
+}
