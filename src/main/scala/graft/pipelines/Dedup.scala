@@ -86,10 +86,11 @@ object Dedup {
     // verify candidates with exact shingle Jaccard
     val sh = shingles(docs, shingleN, idCol)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    // equi-join on (doc, shingle) both sides — intersection size per pair
+    // without the |a|x|b| cross-shingle blowup
     val inter = cand
       .join(sh.select(col(idCol).as("doc_id_a"), col("shingle")), Seq("doc_id_a"))
-      .join(sh.select(col(idCol).as("doc_id_b"), col("shingle").as("shingle_b")), Seq("doc_id_b"))
-      .where(col("shingle") === col("shingle_b"))
+      .join(sh.select(col(idCol).as("doc_id_b"), col("shingle")), Seq("doc_id_b", "shingle"))
       .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))

@@ -46,11 +46,12 @@ object Similarity {
     * ranking is a distributed TakeOrdered — no global sort materialized). */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
                      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val q = emb.where(col(idCol) === queryId)
       .select(col("embedding").as("q_emb"))
     val scored = emb.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
     scored
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.core.{QueryGrid, Tables, TsSchema}
+import graft.lang.m3.M3QL
+import graft.lang.prom.PromQL
+import graft.stages._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second operator batch: summarize/moving variants, exact percentiles,
+  * histogram percentile, fallback/mock sources, slices, and full end-to-end
+  * queries through the M3QL parser and the PromQL compiler.
+  */
+object M3b extends QueryPack {
+  private val S = TsSchema
+  private val grid = Tables.EventsGrid6h
+
+  private def raw(s: SparkSession, sf: String): DataFrame = Tables.eventSamples(s, sf)
+  private def g(s: SparkSession, sf: String): DataFrame = Tables.griddedEventSamples(s, sf)
+
+  private def flat(df: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val base = Seq(
+      S.seriesKey(col(S.LabelsCol)).as("series"),
+      col(S.Ts).as("ts"), col(S.Value).as("value")) ++ extra.map(col)
+    df.select(base: _*)
+      .where(col("value").isNotNull)
+      .orderBy((Seq("series", "ts", "value") ++ extra).map(col): _*)
+  }
+
+  private val sCte =
+    "s AS (SELECT event_type AS etype, CAST(user_id % 10 AS VARCHAR) AS usr, " +
+      "epoch_ms(ts) AS t, value FROM events)"
+  private val gCte =
+    "g AS (SELECT etype, usr, 1704067200000 + ((t - 1704067200000) // 21600000) * 21600000 AS ts, " +
+      "CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) / count(value) AS value " +
+      "FROM s GROUP BY 1, 2, 3)"
+  private def withSG(body: String) = s"WITH $sCte, $gCte $body"
+  private val ser = "'name:' || etype || ',user:' || usr"
+  private val serName = "'name:' || etype"
+  private val ord = "ORDER BY series, ts, value"
+  private val part = "PARTITION BY etype, usr ORDER BY ts"
+  private def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,9))) AS DOUBLE)"
+  private val dayBucket = s"${grid.startMs} + ((ts - ${grid.startMs}) // 86400000) * 86400000"
+
+  // ---- percentiles ---------------------------------------------------------
+  private def qP90(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.percentileExact(g(s, sf), 0.9, Seq("name")))
+  private val qP90Sql = withSG(
+    s"SELECT $serName AS series, ts, quantile_cont(value, 0.9) AS value FROM g GROUP BY etype, ts $ord")
+
+  private def qP25(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.percentileExact(g(s, sf), 0.25, Seq("name")))
+  private val qP25Sql = withSG(
+    s"SELECT $serName AS series, ts, quantile_cont(value, 0.25) AS value FROM g GROUP BY etype, ts $ord")
+
+  /** Histogram-percentile over synthetic bucket counts: counts of raw samples
+    * per value bucket [5*b, 5*(b+1)) become one series per bucket with
+    * bucket_id/bucket_range labels, then histogramPercentile interpolates. */
+  private def histInput(s: SparkSession, sf: String): DataFrame = {
+    val b = floor(col(S.Value) / 5).cast("long")
+    raw(s, sf)
+      .withColumn("_b", when(b > 5, 5L).otherwise(b))
+      .withColumn(S.Ts, grid.bucket(col(S.Ts)))
+      .groupBy(col(S.LabelsCol).getItem("name").as("_name"), col("_b"), col(S.Ts))
+      .agg(count(lit(1)).cast("double").as(S.Value))
+      .withColumn(S.LabelsCol, map(
+        lit("name"), col("_name"),
+        lit("bucket_id"), col("_b").cast("string"),
+        lit("bucket_range"), concat((col("_b") * 5).cast("string"), lit("-"),
+          ((col("_b") + 1) * 5).cast("string"))))
+      .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+  }
+
+  private def qHistP50(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.histogramPercentile(histInput(s, sf), 0.5))
+  private val qHistP50Sql = withSG(
+    s""", h AS (
+       |  SELECT etype, LEAST(CAST(floor(value / 5) AS BIGINT), 5) AS b,
+       |         1704067200000 + ((t - 1704067200000) // 21600000) * 21600000 AS ts,
+       |         CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM s GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT etype, ts, b, cnt, b * 5 AS lo, (b + 1) * 5 AS hi,
+       |    sum(cnt) OVER (PARTITION BY etype, ts ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (PARTITION BY etype, ts) AS total
+       |  FROM h),
+       |hit AS (
+       |  SELECT *, row_number() OVER (PARTITION BY etype, ts ORDER BY b) AS rn
+       |  FROM c WHERE cum >= 0.5 * total)
+       |SELECT $serName AS series, ts,
+       |  CAST(lo AS DOUBLE) + (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * (0.5 * total - (cum - cnt)) / cnt AS value
+       |FROM hit WHERE rn = 1 $ord""".stripMargin)
+
+  // ---- summarize variants --------------------------------------------------
+  private def summarizeQ(name: String, fn: String, sqlAgg: String, having: String = "") =
+    QueryDef(name,
+      (s, sf) => flat(Temporal.summarize(g(s, sf), 86400000L, fn, grid.startMs)),
+      Some(withSG(
+        s"""SELECT $ser AS series, $dayBucket AS ts, $sqlAgg AS value
+           |FROM g GROUP BY etype, usr, 2 $having $ord""".stripMargin)))
+
+  private val summarizeQs = Seq(
+    summarizeQ("m3_summarize_avg", "avg", s"${dsum("value")} / count(value)"),
+    summarizeQ("m3_summarize_min", "min", "min(value)"),
+    summarizeQ("m3_summarize_max", "max", "max(value)"),
+    summarizeQ("m3_summarize_count", "count", "CAST(count(value) AS DOUBLE)"),
+    summarizeQ("m3_summarize_stddev", "stddev",
+      s"""CASE WHEN count(value) > 1 THEN
+         | sqrt((${dsum("value * value")} - ${dsum("value")} * ${dsum("value")} / CAST(count(value) AS DOUBLE))
+         |      / (CAST(count(value) AS DOUBLE) - 1.0)) END""".stripMargin,
+      having = "HAVING count(value) > 1"))
+
+  // ---- moving variants -----------------------------------------------------
+  private val movWin = 2L * 86400000L
+  private def movingQ(name: String, fn: String, sqlExpr: String) =
+    QueryDef(name,
+      (s, sf) => flat(Temporal.moving(g(s, sf), movWin, fn)),
+      Some(withSG(
+        s"""SELECT $ser AS series, ts, $sqlExpr AS value FROM g $ord""".stripMargin)))
+
+  private def frame = s"OVER ($part RANGE BETWEEN $movWin PRECEDING AND CURRENT ROW)"
+  private val movingQs = Seq(
+    movingQ("m3_moving_sum", "sum",
+      s"CAST(sum(CAST(value AS DECIMAL(38,9))) $frame AS DOUBLE)"),
+    movingQ("m3_moving_min", "min", s"min(value) $frame"),
+    movingQ("m3_moving_count", "count", s"CAST(count(value) $frame AS DOUBLE)"),
+    movingQ("m3_moving_median", "median", s"quantile_cont(value, 0.5) $frame"))
+
+  // ---- keepLastValue with lookback interval --------------------------------
+  private def qKeepLastIv(s: SparkSession, sf: String): DataFrame =
+    flat(Temporal.keepLastValue(g(s, sf), grid, Some(2L * grid.stepMs)))
+  private val qKeepLastIvSql = withSG(
+    s""", dense AS (
+       |  SELECT sr.etype, sr.usr, gs.ts, gv.value
+       |  FROM (SELECT DISTINCT etype, usr FROM g) sr
+       |  CROSS JOIN (SELECT unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts) gs
+       |  LEFT JOIN g gv ON gv.etype = sr.etype AND gv.usr = sr.usr AND gv.ts = gs.ts)
+       |SELECT series, ts, value FROM (
+       |  SELECT $ser AS series, ts,
+       |    last_value(value IGNORE NULLS) OVER ($part ROWS UNBOUNDED PRECEDING) AS lv,
+       |    ts - max(CASE WHEN value IS NOT NULL THEN ts END)
+       |           OVER ($part ROWS UNBOUNDED PRECEDING) AS age
+       |  FROM dense) t(series, ts, value, age)
+       |WHERE value IS NOT NULL AND age <= ${2L * grid.stepMs} $ord""".stripMargin)
+
+  // ---- slices --------------------------------------------------------------
+  private def qHead(s: SparkSession, sf: String): DataFrame =
+    flat(SeriesSet.slice(g(s, sf), 3, by = "sum").drop("_rank"))
+  private def qTail(s: SparkSession, sf: String): DataFrame =
+    flat(SeriesSet.slice(g(s, sf), 3, by = "sum", tail = true).drop("_rank"))
+  private def sliceSql(cmp: String) = withSG(
+    s""", keys AS (
+       |  SELECT etype, usr, ${dsum("value")} AS k, $ser AS sk
+       |  FROM g GROUP BY etype, usr),
+       |rk AS (SELECT etype, usr, row_number() OVER (ORDER BY k DESC, sk) AS rnk FROM keys),
+       |nn AS (SELECT count(*) AS n FROM keys)
+       |SELECT $ser AS series, ts, value FROM g
+       |WHERE EXISTS (SELECT 1 FROM rk, nn WHERE rk.etype = g.etype AND rk.usr = g.usr AND $cmp)
+       |$ord""".stripMargin)
+  private val qHeadSql = sliceSql("rk.rnk <= 3")
+  private val qTailSql = sliceSql("rk.rnk > nn.n - 3")
+
+  // ---- fallback / mock sources ---------------------------------------------
+  private def qFallback(s: SparkSession, sf: String): DataFrame = {
+    val empty = Fetch.fetch(raw(s, sf), Fetch.parseFilters("name:does_not_exist"), grid)
+    flat(GridOps.fallbackSeries(s, empty, grid, 42.0))
+  }
+  private val qFallbackSql =
+    s"""SELECT 'fallback:true' AS series, unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts,
+       |  42.0 AS value ORDER BY series, ts, value""".stripMargin
+
+  private def qMockFetch(s: SparkSession, sf: String): DataFrame =
+    flat(Fetch.mockFetch(s, grid, Seq(
+      1.5 -> Map("name" -> "mock", "idx" -> "0"),
+      2.5 -> Map("name" -> "mock", "idx" -> "1"))))
+  private val qMockFetchSql =
+    s"""SELECT series, ts, value FROM (
+       |  SELECT 'idx:' || i || ',name:mock' AS series,
+       |         unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts,
+       |         1.5 + i AS value
+       |  FROM (SELECT unnest([0, 1]) AS i))
+       |ORDER BY series, ts, value""".stripMargin
+
+  // ---- end-to-end through the M3QL parser ----------------------------------
+  private def qM3qlPipeline(s: SparkSession, sf: String): DataFrame =
+    flat(M3QL.query(s, raw(s, sf), grid,
+      "fetch name:click user:(1,2,3) | summarize 6h avg true | scale 2 | > 10"))
+  private val qM3qlPipelineSql = withSG(
+    s"""SELECT series, ts, value FROM (
+       |  SELECT $ser AS series, ts, value * 2.0 AS value
+       |  FROM g WHERE etype = 'click' AND usr IN ('1','2','3'))
+       |WHERE value > 10.0 $ord""".stripMargin)
+
+  private def qM3qlMacro(s: SparkSession, sf: String): DataFrame =
+    flat(M3QL.query(s, raw(s, sf), grid,
+      "a = fetch name:view | summarize 6h avg true; " +
+        "fetch name:click | summarize 6h avg true | asPercent(a) user"))
+  private val qM3qlMacroSql = withSG(
+    s""", l AS (SELECT usr, ts, value FROM g WHERE etype = 'click'),
+       |r AS (SELECT usr, ts, value FROM g WHERE etype = 'view')
+       |SELECT * FROM (
+       |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
+       |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
+
+  // ---- end-to-end through the PromQL compiler ------------------------------
+  private def qPromAgg(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, """sum(sqrt(click))"""))
+  private val qPromAggSql = withSG(
+    s"""SELECT '' AS series, ts, ${dsum("sqrt(value)")} AS value
+       |FROM g WHERE etype = 'click' GROUP BY ts $ord""".stripMargin)
+
+  private def qPromOverTime(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, """avg_over_time(view{user="4"}[2d])"""))
+  private val qPromOverTimeSql = withSG(
+    s"""SELECT $ser AS series, ts,
+       |  CAST(sum(CAST(value AS DECIMAL(38,9))) $frame AS DOUBLE)
+       |    / count(value) $frame AS value
+       |FROM g WHERE etype = 'view' AND usr = '4' $ord""".stripMargin)
+
+  private def qPromScalarMath(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, """clamp_max(error * 3, 40)"""))
+  private val qPromScalarMathSql = withSG(
+    s"""SELECT $ser AS series, ts, least(value * 3.0, 40.0) AS value
+       |FROM g WHERE etype = 'error' $ord""".stripMargin)
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("m3_percentile_p90", qP90, Some(qP90Sql)),
+    QueryDef("m3_percentile_p25", qP25, Some(qP25Sql)),
+    QueryDef("m3_histogram_percentile", qHistP50, Some(qHistP50Sql)),
+    QueryDef("m3_keep_last_interval", qKeepLastIv, Some(qKeepLastIvSql)),
+    QueryDef("m3_head", qHead, Some(qHeadSql)),
+    QueryDef("m3_tail", qTail, Some(qTailSql)),
+    QueryDef("m3_fallback_series", qFallback, Some(qFallbackSql)),
+    QueryDef("m3_mock_fetch", qMockFetch, Some(qMockFetchSql)),
+    QueryDef("m3ql_e2e_pipeline", qM3qlPipeline, Some(qM3qlPipelineSql)),
+    QueryDef("m3ql_e2e_macro", qM3qlMacro, Some(qM3qlMacroSql)),
+    QueryDef("promql_e2e_agg", qPromAgg, Some(qPromAggSql)),
+    QueryDef("promql_e2e_over_time", qPromOverTime, Some(qPromOverTimeSql)),
+    QueryDef("promql_e2e_scalar_math", qPromScalarMath, Some(qPromScalarMathSql))) ++
+    summarizeQs ++ movingQs
+}

@@ -122,6 +122,26 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  private def qAnnIvf(s: SparkSession, sf: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+
+  // ---- multimodal ----------------------------------------------------------
+  private def qMultimodal(s: SparkSession, sf: String): DataFrame = {
+    import graft.pipelines.Multimodal
+    val media = Multimodal.samplePayload(
+      Multimodal.syntheticMedia(Tables.documents(s, sf)), maxBytes = 256)
+    Multimodal.extractFeatures(media)
+      .select("media_id", "modality", "n_bytes", "byte_mean")
+      .orderBy("media_id")
+  }
+
+  private def qMinhashSig(s: SparkSession, sf: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(s, sf), shingleN = 3, numHashes = 8)
+      .select("doc_id", "h0", "h1", "h2", "h3")
+      .orderBy("doc_id")
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("text_token_stats", qTokens, Some(qTokensSql)),
     QueryDef("text_quality", qQuality, Some(qQualitySql)),
@@ -133,5 +153,8 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_simhash", qDedupSimhash, None),
     QueryDef("dedup_embedding", qDedupEmbed, None),
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
-    QueryDef("ann_lsh", qAnnLsh, None))
+    QueryDef("ann_lsh", qAnnLsh, None),
+    QueryDef("ann_ivf", qAnnIvf, None),
+    QueryDef("multimodal_features", qMultimodal, None),
+    QueryDef("dedup_minhash_sig", qMinhashSig, None))
 }

@@ -47,6 +47,26 @@ object Fetch {
     filters.foldLeft(samples.where(timePred))((df, f) => df.where(f.predicate))
   }
 
+  /** `mockFetch [values] [tags]` — synthesize constant series over the query
+    * grid without touching storage (test/alerting source; ref:
+    * lang/m3/stage/MockFetchStage.java:29-38 — MatchNoneQueryBuilder + literal
+    * series at the coordinator). One series per (value, tagset). */
+  def mockFetch(spark: org.apache.spark.sql.SparkSession, grid: QueryGrid,
+                series: Seq[(Double, Map[String, String])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dfs = series.map { case (v, tags) =>
+      val labelCol = map(tags.toSeq.sortBy(_._1)
+        .flatMap { case (k, x) => Seq(lit(k), lit(x)) }: _*)
+        .cast(MapType(StringType, StringType, valueContainsNull = false))
+      grid.gridDF(spark).select(
+        TsSchema.seriesId(labelCol).as(TsSchema.SeriesId),
+        labelCol.as(TsSchema.LabelsCol),
+        col(TsSchema.Ts),
+        lit(v).as(TsSchema.Value))
+    }
+    dfs.reduce(_ unionByName _)
+  }
+
   /** Parse `"k:v k2:v2"` filter text (the fetch argument list). */
   def parseFilters(text: String): Seq[LabelFilter] =
     text.trim.split("\\s+").filter(_.nonEmpty).toSeq.map { tok =>

@@ -88,6 +88,12 @@ object Temporal {
       case "max"    => max(v).over(frame)
       case "count"  => count(v).over(frame).cast(DoubleType)
       case "median" => expr(s"percentile(${S.Value}, 0.5)").over(frame)
+      case "last"   => expr(s"max_by(${S.Value}, ${S.Ts})").over(frame)
+      case "stddev" =>
+        val n = count(v).over(frame).cast(DoubleType)
+        val s1 = sum(v.cast(Dec)).over(frame).cast(DoubleType)
+        val s2 = sum((v * v).cast(Dec)).over(frame).cast(DoubleType)
+        when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
       case other    => throw new IllegalArgumentException(s"moving fn: $other")
     }
     df.withColumn(S.Value, agg)

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.core.TsSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest — the Spark replacement for the reference's
+  * engine write path (TSDBEngine.index → Appender → Head → MemChunk,
+  * org/opensearch/index/engine/TSDBEngine.java:341,436-466).
+  *
+  * Mapping of reference behaviors:
+  *  - wire doc {labels: "k v k v …", timestamp: epoch_millis, value: double}
+  *    (core/mapping/Constants.java:84-116, README "flat-json format")
+  *  - out-of-order rejection beyond head tolerance (TSDBOutOfOrderException,
+  *    TSDBEngine.java:466) → `withWatermark(tolerance)`: late rows are dropped
+  *    by the engine rather than erroring, with metrics on the query progress.
+  *  - refresh interval (~1s visibility) → micro-batch trigger interval.
+  *  - chunk flush / Live→Closed index rotation (core/head/Head.java:52,
+  *    LiveSeriesIndex.java:132) → time-partitioned parquet commits per batch;
+  *    partition column = day bucket, giving query-time partition pruning
+  *    (replaces TimeRangePruningQuery).
+  *
+  * At scale: the sink is hash-distributed by series via the natural shuffle-free
+  * append; files per partition bounded by maxRecordsPerFile; retention is a
+  * partition-drop job (core/retention/TimeBasedRetention.java equivalent).
+  */
+object Ingest {
+
+  /** Wire schema for JSON ingest lines. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("labels", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Parse the space-separated "k v k v …" label string into the canonical
+    * label map + series_id (ref: README "Index some metrics"). */
+  def parseWire(df: DataFrame): DataFrame = {
+    val toks = split(col("labels"), "\\s+")
+    val n = size(toks)
+    // odd positions are keys, the following token is the value
+    val idx = sequence(lit(1), n - 1, lit(2))
+    val labelMap = map_from_entries(
+      transform(idx, i => struct(
+        element_at(toks, i).as("key"),
+        element_at(toks, i + 1).as("value"))))
+    df.select(
+      labelMap.as(TsSchema.LabelsCol),
+      col("timestamp").as(TsSchema.Ts),
+      col("value").as(TsSchema.Value))
+      .transform(TsSchema.withSeriesId)
+      .select(TsSchema.SeriesId, TsSchema.LabelsCol, TsSchema.Ts, TsSchema.Value)
+  }
+
+  /** JSON-lines stream source → canonical samples stream. */
+  def readJsonStream(spark: SparkSession, path: String): DataFrame =
+    parseWire(spark.readStream.schema(wireSchema).json(path))
+
+  /** Apply the out-of-order tolerance (the head's OOO window) and derive the
+    * time partition column. Dedup of exact duplicate samples within the
+    * watermark mirrors the reference's DedupIterator FIRST policy
+    * (TimeSeriesUnfoldAggregator.java:270-276). */
+  def withIngestSemantics(samples: DataFrame, oooToleranceMs: Long,
+                          dedup: Boolean = true): DataFrame = {
+    val withEventTime = samples
+      .withColumn("_event_time", timestamp_millis(col(TsSchema.Ts)))
+      .withWatermark("_event_time", s"${oooToleranceMs / 1000} seconds")
+    val deduped =
+      if (dedup) withEventTime.dropDuplicatesWithinWatermark(TsSchema.SeriesId, TsSchema.Ts)
+      else withEventTime
+    deduped
+      .withColumn("day", date_trunc("day", col("_event_time")))
+      .drop("_event_time")
+  }
+
+  /** Write the canonical stream to a day-partitioned parquet table.
+    * trigger interval ≈ the reference's refresh interval (~1s visibility). */
+  def writer(samples: DataFrame, tablePath: String, checkpoint: String,
+             triggerMs: Long = 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
+    samples.writeStream
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy("day")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .outputMode("append")
+
+  def start(spark: SparkSession, sourcePath: String, tablePath: String,
+            checkpoint: String, oooToleranceMs: Long = 60000L): StreamingQuery =
+    writer(withIngestSemantics(readJsonStream(spark, sourcePath), oooToleranceMs),
+      tablePath, checkpoint).start()
+
+  /** Retention: drop whole day partitions older than the horizon — the
+    * TimeBasedRetention equivalent, metadata-only at scale. */
+  def retentionSweep(spark: SparkSession, tablePath: String, keepDays: Int,
+                     nowMs: Long): Seq[String] = {
+    val cutoff = java.time.Instant.ofEpochMilli(nowMs)
+      .minus(java.time.Duration.ofDays(keepDays))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(base)) return Nil
+    val dropped = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        // dir names are URL-escaped ("day=2023-01-01 00%3A00%3A00"); the
+        // leading yyyy-MM-dd prefix is all the comparison needs
+        p.getName.startsWith("day=") && {
+          val d = java.time.LocalDate.parse(p.getName.stripPrefix("day=").take(10))
+          d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.isBefore(cutoff)
+        }
+      }
+    dropped.foreach(fs.delete(_, true))
+    dropped.map(_.toString)
+  }
+
+  /** Streaming windowed aggregation (query-over-stream): per label-key tumbling
+    * window aggregate with watermark-bounded state — the Structured Streaming
+    * face of `summarize` (SURVEY.md §2.5). */
+  def streamingSummarize(samples: DataFrame, windowMs: Long, lateMs: Long): DataFrame =
+    samples
+      .withColumn("_event_time", timestamp_millis(col(TsSchema.Ts)))
+      .withWatermark("_event_time", s"${lateMs / 1000} seconds")
+      .groupBy(col(TsSchema.SeriesId),
+        window(col("_event_time"), s"${windowMs / 1000} seconds"))
+      .agg(
+        first(col(TsSchema.LabelsCol)).as(TsSchema.LabelsCol),
+        avg(col(TsSchema.Value)).as("avg_value"),
+        count(col(TsSchema.Value)).as("n"),
+        min(col(TsSchema.Value)).as("min_value"),
+        max(col(TsSchema.Value)).as("max_value"))
+}

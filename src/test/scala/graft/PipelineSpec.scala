@@ -1,0 +1,110 @@
+package graft
+
+import graft.pipelines.{Dedup, Multimodal, Similarity, TextAnalysis, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the training-data pipeline operators. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s", 43L),  // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),  // exact dup of 0
+    (3L, "completely different text about spark engines and parquet files", "en", "s", 63L),
+    (4L, "der hund und die katze sind nicht ein tier das ist", "de", "s", 50L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps first doc per distinct text") {
+    val kept = Dedup.exact(docs, Seq("text")).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 3L, 4L))
+  }
+
+  test("ngram jaccard finds near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))   // identical
+    assert(pairs.contains((0L, 1L)))   // one word differs
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers the same near-dups") {
+    val pairs = Dedup.minhashLshPairs(docs, shingleN = 2, numHashes = 32, bands = 16,
+      threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("simhash identical docs share signature") {
+    val sigs = Dedup.simhashBuckets(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(2L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("language id separates en from de") {
+    val langs = TextAnalysis.languageId(docs).select("doc_id", "lang_guess")
+      .as[(Long, String)].collect().toMap
+    assert(langs(0L) == "en" && langs(4L) == "de")
+  }
+
+  test("token stats count whitespace and bpe-ish tokens") {
+    val r = TextAnalysis.tokenStats(docs).where($"doc_id" === 0)
+      .select("n_tokens", "n_bpe_tokens").as[(Long, Long)].head()
+    assert(r._1 == 9 && r._2 == 9)
+  }
+
+  test("cosine similarity math") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.6f, 0.8f, 0f)),
+      (2L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(sims((0L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(sims((0L, 1L)) - 0.6) < 1e-6)
+  }
+
+  test("brute-force topk ranks identical vector first") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.6f, 0.8f, 0f)),
+      (2L, Array(1f, 0.01f, 0f)),
+      (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, queryId = 0L, k = 2)
+      .select("vec_id", "rnk").as[(Long, Int)].collect().toMap
+    assert(top(2L) == 1)
+    assert(top(1L) == 2)
+  }
+
+  test("codegen float_dot matches builtin dot") {
+    import graft.functions.VectorExprs
+    VectorExprs.register(spark)
+    val df = Seq(
+      (0L, Array(1.5f, -2f, 3f), Array(2f, 0.5f, 1f)),
+      (1L, Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("id", "a", "b")
+    val rows = df.select(
+        VectorExprs.floatDot("a", "b").as("fast"),
+        graft.pipelines.Vectors.dot(col("a"), col("b")).as("ref"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, r) => assert(f == r) }
+  }
+
+  test("multimodal feature extraction over binary payloads") {
+    val media = Multimodal.syntheticMedia(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    val r = feats.where($"media_id" === 0)
+      .select("n_bytes", "feature").head()
+    assert(r.getLong(0) == 43L)
+    assert(r.getSeq[Float](1).length == 8)
+    // deterministic: same payload → same features
+    val f0 = feats.where($"media_id" === 0).select("byte_mean").head().getDouble(0)
+    val f2 = feats.where($"media_id" === 2).select("byte_mean").head().getDouble(0)
+    assert(f0 == f2)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.core.TsSchema
+import graft.streaming.Ingest
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end Structured Streaming ingest: json-lines → watermark+dedup →
+  * day-partitioned parquet; then query the table back. */
+class StreamingIngestSpec extends SparkTestBase {
+
+  test("wire format parses to canonical samples") {
+    import spark.implicits._
+    val df = Seq(
+      ("host a region x", 1704067200000L, 1.5),
+      ("host b region x", 1704067260000L, 2.5))
+      .toDF("labels", "timestamp", "value")
+    val out = Ingest.parseWire(df).collect()
+    assert(out.length == 2)
+    val m = out.head.getMap[String, String](1)
+    assert(m("host") == "a" && m("region") == "x")
+  }
+
+  test("streaming ingest writes day-partitioned parquet with dedup") {
+    val dir = Files.createTempDirectory("graft_ingest").toFile.getAbsolutePath
+    val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
+    new java.io.File(src).mkdirs()
+    val lines = Seq(
+      """{"labels":"host a","timestamp":1704067200000,"value":1.0}""",
+      """{"labels":"host a","timestamp":1704067200000,"value":1.0}""",   // dup
+      """{"labels":"host a","timestamp":1704153600000,"value":2.0}""",   // next day
+      """{"labels":"host b","timestamp":1704067200000,"value":3.0}""")
+    Files.write(java.nio.file.Paths.get(s"$src/batch1.json"),
+      lines.mkString("\n").getBytes)
+
+    val q = Ingest.start(spark, src, tbl, ckp, oooToleranceMs = 60000L)
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.parquet(tbl)
+    assert(back.count() == 3, "duplicate sample within watermark must be dropped")
+    // partition column materialized per day
+    val days = back.select(date_format(col("day"), "yyyy-MM-dd"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(days.toSeq == Seq("2024-01-01", "2024-01-02"))
+    // canonical columns round-trip
+    assert(back.columns.toSet ==
+      Set(TsSchema.SeriesId, TsSchema.LabelsCol, TsSchema.Ts, TsSchema.Value, "day"))
+  }
+
+  test("streaming summarize aggregates tumbling windows") {
+    val dir = Files.createTempDirectory("graft_sumz").toFile.getAbsolutePath
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val lines = (0 until 10).map { i =>
+      s"""{"labels":"host a","timestamp":${1704067200000L + i * 60000L},"value":$i.0}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$src/b.json"), lines.mkString("\n").getBytes)
+    val agg = Ingest.streamingSummarize(
+      Ingest.readJsonStream(spark, src), windowMs = 300000L, lateMs = 60000L)
+    val q = agg.writeStream.format("memory").queryName("sumz")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sumz").collect()
+    assert(rows.length == 2)   // 10 minutes / 5-minute windows
+    val ns = rows.map(_.getAs[Long]("n")).sorted.toSeq
+    assert(ns == Seq(5L, 5L))
+  }
+
+  test("retention sweep drops old day partitions") {
+    val dir = Files.createTempDirectory("graft_ret").toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "2023-01-01 00:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("x", "day_s")
+      .withColumn("day", col("day_s").cast("timestamp"))
+      .write.partitionBy("day").parquet(s"$dir/tbl")
+    val dropped = Ingest.retentionSweep(spark, s"$dir/tbl", keepDays = 30,
+      nowMs = 1704067200000L)
+    assert(dropped.length == 1 && dropped.head.contains("2023"))
+    assert(spark.read.parquet(s"$dir/tbl").count() == 1)
+  }
+}
