@@ -17,7 +17,13 @@ import org.apache.spark.sql.types._
   */
 final case class QueryGrid(startMs: Long, endMs: Long, stepMs: Long) {
   require(stepMs > 0, s"stepMs must be positive, got $stepMs")
-  def alignedEndMs: Long = startMs + ((endMs - startMs) / stepMs) * stepMs
+  /** Last grid point: the range is END-EXCLUSIVE `[startMs, endMs)` —
+    * the reference's truncate clips to [min, max) and its dense stages
+    * enumerate the same half-open grid (ref: TruncateStage.java:25-31;
+    * golden corpus dense-fill cases). */
+  def alignedEndMs: Long =
+    if (endMs <= startMs) startMs
+    else startMs + ((endMs - startMs - 1) / stepMs) * stepMs
   def numPoints: Long = (alignedEndMs - startMs) / stepMs + 1
 
   /** One row per grid point: (timestamp LONG). Distributed via sequence+explode

@@ -13,6 +13,8 @@ final case class StrArg(v: String) extends Arg
 final case class NumArg(v: Double) extends Arg
 final case class DurArg(ms: Long) extends Arg
 final case class RefArg(name: String) extends Arg   // macro reference (binary stages)
+/** Inline parenthesized sub-pipeline: `divide(fetch a:b | sum)` */
+final case class PipeArg(pipeline: Pipeline) extends Arg
 
 final case class StageCall(name: String, args: List[Arg])
 
@@ -27,9 +29,13 @@ final case class Query(macros: List[(String, Pipeline)], main: Pipeline)
 /** Duration literals `10s 5m 2h 7d` → millis
   * (ref: lang/m3/common/M3Duration.java). */
 object Duration {
-  private val Re = "^([0-9]+)(ms|s|m|h|d|w)$".r
+  private val Re = "^(-?)([0-9]+)(ms|s|m|h|d|w)$".r
+  /** Negative durations are accepted and returned as their absolute value —
+    * the reference shifts forward regardless of sign
+    * (ref: TimeshiftStage.java:35-51 "Both positive and negative values
+    * result in forward shifting"). */
   def parse(s: String): Option[Long] = s match {
-    case Re(n, u) =>
+    case Re(_, n, u) =>
       val mult = u match {
         case "ms" => 1L
         case "s"  => 1000L

@@ -79,7 +79,9 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       case FetchSource(filters) => Fetch.fetch(samples, filters, widened)
       case MacroSource(n)       => macroDF(n)
     }
-    val out = p.stages.foldLeft(src)((df, st) => applyStage(df, st, macroDF))
+    // stages run against the WIDENED grid; the final truncate clips back
+    // (ref: SourceBuilderVisitor.java:329-339)
+    val out = p.stages.foldLeft(src)((df, st) => applyStage(df, st, widened, macroDF))
     if (buf > 0 || shift > 0) Temporal.truncate(out, grid) else out
   }
 
@@ -91,7 +93,7 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
   }
   private def strings(args: List[Arg]): Seq[String] = args.map(str)
 
-  private def applyStage(df: DataFrame, st: StageCall,
+  private def applyStage(df: DataFrame, st: StageCall, g: QueryGrid,
                          macroDF: String => DataFrame): DataFrame = {
     def num(i: Int, dflt: Double = Double.NaN): Double =
       st.args.lift(i) match {
@@ -108,7 +110,10 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         case _ if dflt >= 0  => dflt
         case _ => throw new IllegalArgumentException(s"${st.name}: missing duration arg $i")
       }
-    def ref: DataFrame = st.args.collectFirst { case RefArg(n) => macroDF(n) }
+    def ref: DataFrame = st.args.collectFirst {
+        case RefArg(n)  => macroDF(n)
+        case PipeArg(p) => compilePipeline(p, macroDF)
+      }
       .getOrElse(throw new IllegalArgumentException(s"${st.name}: missing pipeline ref"))
     def tagArgs(from: Int): Seq[String] =
       strings(st.args.drop(from)).filterNot(_.isEmpty)
@@ -117,15 +122,18 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     st.name match {
       // grouping aggregations
       case "sum" | "sumSeries"              => Grouping.sum(df, groupTags)
-      case "avg" | "average"                => Grouping.avg(df, groupTags)
+      case "avg" | "average" | "averageSeries" => Grouping.avg(df, groupTags)
       case "min" | "minimum" | "minSeries"  => Grouping.min(df, groupTags)
       case "max" | "maximum" | "maxSeries"  => Grouping.max(df, groupTags)
-      case "count"                          => Grouping.count(df, groupTags)
+      case "count" | "countSeries"          => Grouping.count(df, g, groupTags)
       case "multiply" | "multiplySeries"    => Grouping.multiplyExact(df, groupTags)
-      case "range"                          => Grouping.range(df, groupTags)
-      case "median" | "medianOfSeries"      => Grouping.percentileExact(df, 0.5, groupTags)
-      case "percentile_of_series" =>
-        Grouping.percentileExact(df, num(0) / 100.0, st.args.drop(1).collect { case StrArg(s) => s })
+      case "range" | "rangeOfSeries"        => Grouping.range(df, groupTags)
+      case "median" | "medianOfSeries"      => Grouping.percentileM3(df, 50.0, groupTags)
+      case "percentileOfSeries" | "percentile_of_series" =>
+        val rest = st.args.drop(1).collect { case StrArg(s) => s }
+        val interpolate = rest.contains("true")
+        Grouping.percentileM3(df, num(0),
+          rest.filterNot(t => t == "true" || t == "false"), interpolate)
       case "histogramPercentile" =>
         Grouping.histogramPercentile(df, num(0) / 100.0)
 
@@ -137,41 +145,50 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       case "scale"                 => Mappers.scale(df, num(0))
       case "divideScalar"          => Mappers.divideScalar(df, num(0))
       case "offset"                => Mappers.offsetStage(df, num(0))
-      case "scaleToSeconds"        => Mappers.scaleToSeconds(df, grid, num(0))
+      case "scaleToSeconds"        => Mappers.scaleToSeconds(df, g, num(0))
 
       // temporal
-      case "derivative"     => Temporal.derivative(df, grid)
+      case "derivative"     => Temporal.derivative(df, g)
       case "perSecond"      => Temporal.perSecond(df)
-      case "perSecondRate"  => Temporal.perSecondRate(df, dur(0, grid.stepMs * 10))
-      case "integral"       => Temporal.integral(df, grid,
+      case "perSecondRate"  => Temporal.perSecondRate(df, dur(0, g.stepMs * 10))
+      case "integral"       => Temporal.integral(df, g,
         st.args.headOption.exists(a => str(a) == "true"))
       case "changed"        => Temporal.changed(df)
       case "timeshift"      => Temporal.timeshift(df, dur(0))
-      case "moving"         => Temporal.moving(df, dur(0), str(st.args(1)))
-      case "movingAverage"  => Temporal.moving(df, dur(0), "avg")
-      case "movingSum"      => Temporal.moving(df, dur(0), "sum")
-      case "movingMin"      => Temporal.moving(df, dur(0), "min")
-      case "movingMax"      => Temporal.moving(df, dur(0), "max")
-      case "movingMedian"   => Temporal.moving(df, dur(0), "median")
-      case "keepLastValue"  => Temporal.keepLastValue(df, grid,
+      case "moving"         => Temporal.moving(df, g, dur(0), str(st.args(1)))
+      case "movingAverage"  => Temporal.moving(df, g, dur(0), "avg")
+      case "movingSum"      => Temporal.moving(df, g, dur(0), "sum")
+      case "movingMin"      => Temporal.moving(df, g, dur(0), "min")
+      case "movingMax"      => Temporal.moving(df, g, dur(0), "max")
+      case "movingMedian"   => Temporal.moving(df, g, dur(0), "median")
+      case "keepLastValue"  => Temporal.keepLastValue(df, g,
         st.args.headOption.map(a => dur(0)))
-      case "sustain"        => Temporal.sustain(df, grid, dur(0))
+      case "sustain"        => Temporal.sustain(df, g, dur(0))
       case "summarize"      => Temporal.summarize(df, dur(0),
         if (st.args.length > 1) str(st.args(1)) else "avg",
-        if (st.args.length > 2 && str(st.args(2)) == "true") grid.startMs else 0L)
+        if (st.args.length > 2 && str(st.args(2)) == "true") g.startMs else 0L)
 
       // grid / null semantics
-      case "transformNull"  => GridOps.transformNull(df, grid, num(0, 0.0))
-      case "isNonNull"      => GridOps.isNonNull(df, grid)
+      case "transformNull"  => GridOps.transformNull(df, g, num(0, 0.0))
+      case "isNonNull"      => GridOps.isNonNull(df, g)
       case "removeEmpty"    => GridOps.removeEmpty(df)
       case "fallbackSeries" =>
-        st.args.collectFirst { case RefArg(n) => n } match {
-          case Some(n) => GridOps.fallbackSeriesBinary(df, macroDF(n))
-          case None    => GridOps.fallbackSeries(spark, df, grid, num(0))
+        st.args.collectFirst {
+          case RefArg(n)  => () => macroDF(n)
+          case PipeArg(p) => () => compilePipeline(p, macroDF)
+        } match {
+          case Some(mk) => GridOps.fallbackSeriesBinary(df, mk())
+          case None     => GridOps.fallbackSeries(spark, df, g, num(0))
         }
 
       // filters
-      case "valueFilter"      => Filters.valueFilter(df, str(st.args(0)), num(1))
+      case "valueFilter"      =>
+        val op = str(st.args(0)) match {
+          case "eq" => "=="; case "ne" => "!="; case "ge" => ">="
+          case "gt" => ">"; case "le" => "<="; case "lt" => "<"
+          case sym  => sym
+        }
+        Filters.valueFilter(df, op, num(1))
       case "removeBelowValue" => Filters.valueFilter(df, ">=", num(0))
       case "removeAboveValue" => Filters.valueFilter(df, "<=", num(0))
       case "excludeByTag"     => Filters.excludeByTag(df, str(st.args(0)), tagArgs(1))
@@ -190,7 +207,7 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       case "tagSub"      => LabelOps.tagSub(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
 
       // series-set ops
-      case "sort" =>
+      case "sort" | "sortSeries" =>
         val by = st.args.headOption.map(str).getOrElse("avg")
         val desc = st.args.lift(1).forall(a => str(a) != "asc")
         SeriesSet.sortSeries(df, by, desc)
@@ -203,8 +220,10 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         SeriesSet.topK(df, k, by, desc)
       case "union"     => SeriesSet.union(Seq(df, ref))
       case "divide"    => SeriesSet.divide(df, ref, st.args.collect { case StrArg(s) => s })
-      case "diff"      => SeriesSet.diff(df, ref, st.args.collect { case StrArg(s) => s })
-      case "asPercent" => SeriesSet.asPercent(df, ref, st.args.collect { case StrArg(s) => s })
+      case "diff" | "subtract" =>
+        SeriesSet.diff(df, ref, st.args.collect { case StrArg(s) => s })
+      case "asPercent" | "ratio" =>
+        SeriesSet.asPercent(df, ref, st.args.collect { case StrArg(s) => s })
 
       case n if unimplemented(n) =>
         throw new UnsupportedOperationException(s"M3QL function not implemented: $n")

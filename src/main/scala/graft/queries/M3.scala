@@ -53,14 +53,14 @@ object M3 extends QueryPack {
   private val qFetchSql = withS(
     s"""SELECT $ser AS series, t AS ts, value FROM s
        |WHERE etype = 'click' AND usr IN ('2','3')
-       |  AND t >= ${fetchGrid.startMs} AND t <= ${fetchGrid.endMs} $ord""".stripMargin)
+       |  AND t >= ${fetchGrid.startMs} AND t < ${fetchGrid.endMs} $ord""".stripMargin)
 
   private def qFetchWild(s: SparkSession, sf: String): DataFrame =
     flat(Fetch.fetch(raw(s, sf), Fetch.parseFilters("name:*e* user:!(0,1)"), fetchGrid))
   private val qFetchWildSql = withS(
     s"""SELECT $ser AS series, t AS ts, value FROM s
        |WHERE etype LIKE '%e%' AND usr NOT IN ('0','1')
-       |  AND t >= ${fetchGrid.startMs} AND t <= ${fetchGrid.endMs} $ord""".stripMargin)
+       |  AND t >= ${fetchGrid.startMs} AND t < ${fetchGrid.endMs} $ord""".stripMargin)
 
   // ---- grouping aggregations ----------------------------------------------
   private def agg(name: String, sparkFn: DataFrame => DataFrame, sqlAgg: String,
@@ -75,13 +75,21 @@ object M3 extends QueryPack {
     agg("m3_avg", Grouping.avg(_, Seq("name")), s"${dsum("value")} / count(value)"),
     agg("m3_min", Grouping.min(_, Seq("name")), "min(value)"),
     agg("m3_max", Grouping.max(_, Seq("name")), "max(value)"),
-    agg("m3_count", Grouping.count(_, Seq("name")), "CAST(count(value) AS DOUBLE)"),
+
     agg("m3_range", Grouping.range(_, Seq("name")), "max(value) - min(value)"),
     agg("m3_stddev", Grouping.stddev(_, Seq("name")),
       s"""CASE WHEN count(value) > 1 THEN
          | sqrt((${dsum("value * value")} - ${dsum("value")} * ${dsum("value")} / CAST(count(value) AS DOUBLE))
          |      / (CAST(count(value) AS DOUBLE) - 1.0)) END""".stripMargin,
       having = "HAVING count(value) > 1"))
+
+  private def qCount(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.count(g(s, sf), grid, Seq("name")))
+  private val qCountSql = withSG(
+    s""", c AS (SELECT etype, CAST(count(DISTINCT usr) AS DOUBLE) AS value FROM g GROUP BY etype)
+       |SELECT $serName AS series, gs.ts, value FROM c
+       |CROSS JOIN (SELECT unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts) gs
+       |$ord""".stripMargin)
 
   private def qSumAll(s: SparkSession, sf: String): DataFrame = flat(Grouping.sum(g(s, sf), Nil))
   private val qSumAllSql = withSG(
@@ -138,7 +146,7 @@ object M3 extends QueryPack {
        |  SELECT $ser AS series, ts,
        |         (value - lag(value) OVER ($part)) / ((ts - lag(ts) OVER ($part)) / 1000.0) AS value,
        |         lag(ts) OVER ($part) AS pt FROM g)
-       |WHERE pt IS NOT NULL $ord""".stripMargin)
+       |WHERE pt IS NOT NULL AND value >= 0.0 $ord""".stripMargin)
 
   private def qChanged(s: SparkSession, sf: String): DataFrame =
     flat(Temporal.changed(g(s, sf)))
@@ -172,20 +180,23 @@ object M3 extends QueryPack {
        |FROM seg $ord""".stripMargin)
 
   private val movWin = 2L * 86400000L // 2 days
+  private val movFrame = s"OVER ($part RANGE BETWEEN $movWin PRECEDING AND 1 PRECEDING)"
+  private def movingSql(agg: String) = withSG(
+    s"""$denseCte
+       |SELECT series, ts, value FROM (
+       |  SELECT $ser AS series, ts, $agg AS value,
+       |         count(value) $movFrame AS n
+       |  FROM dense) t(series, ts, value, n)
+       |WHERE n > 0 $ord""".stripMargin)
+
   private def qMovingAvg(s: SparkSession, sf: String): DataFrame =
-    flat(Temporal.moving(g(s, sf), movWin, "avg"))
-  private val qMovingAvgSql = withSG(
-    s"""SELECT $ser AS series, ts,
-       |  CAST(sum(CAST(value AS DECIMAL(38,9))) OVER ($part RANGE BETWEEN $movWin PRECEDING AND CURRENT ROW) AS DOUBLE)
-       |    / count(value) OVER ($part RANGE BETWEEN $movWin PRECEDING AND CURRENT ROW) AS value
-       |FROM g $ord""".stripMargin)
+    flat(Temporal.moving(g(s, sf), grid, movWin, "avg"))
+  private val qMovingAvgSql = movingSql(
+    s"CAST(sum(CAST(value AS DECIMAL(38,9))) $movFrame AS DOUBLE) / count(value) $movFrame")
 
   private def qMovingMax(s: SparkSession, sf: String): DataFrame =
-    flat(Temporal.moving(g(s, sf), movWin, "max"))
-  private val qMovingMaxSql = withSG(
-    s"""SELECT $ser AS series, ts,
-       |  max(value) OVER ($part RANGE BETWEEN $movWin PRECEDING AND CURRENT ROW) AS value
-       |FROM g $ord""".stripMargin)
+    flat(Temporal.moving(g(s, sf), grid, movWin, "max"))
+  private val qMovingMaxSql = movingSql(s"max(value) $movFrame")
 
   private def qTimeshift(s: SparkSession, sf: String): DataFrame =
     flat(Temporal.timeshift(g(s, sf), 86400000L))
@@ -196,7 +207,7 @@ object M3 extends QueryPack {
     flat(Temporal.truncate(g(s, sf), fetchGrid))
   private val qTruncateSql = withSG(
     s"""SELECT $ser AS series, ts, value FROM g
-       |WHERE ts >= ${fetchGrid.startMs} AND ts <= ${fetchGrid.alignedEndMs} $ord""".stripMargin)
+       |WHERE ts >= ${fetchGrid.startMs} AND ts < ${fetchGrid.endMs} $ord""".stripMargin)
 
   private def qSummarizeSum(s: SparkSession, sf: String): DataFrame =
     flat(Temporal.summarize(g(s, sf), 86400000L, "sum", grid.startMs))
@@ -266,7 +277,7 @@ object M3 extends QueryPack {
        |FROM rated $ord""".stripMargin)
 
   // ---- grid / null semantics ----------------------------------------------
-  private val denseCte =
+  private def denseCte =
     s""", dense AS (
        |  SELECT sr.etype, sr.usr, gs.ts, gv.value
        |  FROM (SELECT DISTINCT etype, usr FROM g) sr
@@ -390,7 +401,7 @@ object M3 extends QueryPack {
   private val qUnionSql = withS(
     s"""SELECT $ser AS series, t AS ts, value FROM s
        |WHERE etype IN ('click', 'view')
-       |  AND t >= ${fetchGrid.startMs} AND t <= ${fetchGrid.endMs} $ord""".stripMargin)
+       |  AND t >= ${fetchGrid.startMs} AND t < ${fetchGrid.endMs} $ord""".stripMargin)
 
   private def binPair(s: SparkSession, sf: String): (DataFrame, DataFrame) = {
     val gg = g(s, sf)
@@ -408,7 +419,7 @@ object M3 extends QueryPack {
   private val qDivideSeriesSql = withSG(
     s"""$binCte
        |SELECT * FROM (
-       |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts, l.value / r.value AS value
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value / r.value AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   private def qDiffSeries(s: SparkSession, sf: String): DataFrame = {
@@ -428,7 +439,7 @@ object M3 extends QueryPack {
   private val qAsPercentSql = withSG(
     s"""$binCte
        |SELECT * FROM (
-       |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   override def all: Seq[QueryDef] =
@@ -436,6 +447,7 @@ object M3 extends QueryPack {
       QueryDef("m3_fetch", qFetch, Some(qFetchSql)),
       QueryDef("m3_fetch_wildcard", qFetchWild, Some(qFetchWildSql)),
       QueryDef("m3_sum_all", qSumAll, Some(qSumAllSql)),
+      QueryDef("m3_count", qCount, Some(qCountSql)),
       QueryDef("m3_multiply", qMultiply, Some(qMultiplySql)),
       QueryDef("m3_median", qMedian, Some(qMedianSql))) ++
     aggQueries ++ mapperQueries ++

@@ -111,21 +111,33 @@ object M3b extends QueryPack {
          |      / (CAST(count(value) AS DOUBLE) - 1.0)) END""".stripMargin,
       having = "HAVING count(value) > 1"))
 
-  // ---- moving variants -----------------------------------------------------
+  // ---- moving variants (reference-exact: frame [t-w, t) over the dense grid,
+  // emitted wherever the window holds data) --------------------------------
   private val movWin = 2L * 86400000L
+  private def denseCte =
+    s""", dense AS (
+       |  SELECT sr.etype, sr.usr, gs.ts, gv.value
+       |  FROM (SELECT DISTINCT etype, usr FROM g) sr
+       |  CROSS JOIN (SELECT unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts) gs
+       |  LEFT JOIN g gv ON gv.etype = sr.etype AND gv.usr = sr.usr AND gv.ts = gs.ts)""".stripMargin
+  private def movFrame = s"OVER ($part RANGE BETWEEN $movWin PRECEDING AND 1 PRECEDING)"
   private def movingQ(name: String, fn: String, sqlExpr: String) =
     QueryDef(name,
-      (s, sf) => flat(Temporal.moving(g(s, sf), movWin, fn)),
+      (s, sf) => flat(Temporal.moving(g(s, sf), grid, movWin, fn)),
       Some(withSG(
-        s"""SELECT $ser AS series, ts, $sqlExpr AS value FROM g $ord""".stripMargin)))
+        s"""$denseCte
+           |SELECT series, ts, value FROM (
+           |  SELECT $ser AS series, ts, $sqlExpr AS value,
+           |         count(value) $movFrame AS n
+           |  FROM dense) t(series, ts, value, n)
+           |WHERE n > 0 $ord""".stripMargin)))
 
-  private def frame = s"OVER ($part RANGE BETWEEN $movWin PRECEDING AND CURRENT ROW)"
   private val movingQs = Seq(
     movingQ("m3_moving_sum", "sum",
-      s"CAST(sum(CAST(value AS DECIMAL(38,9))) $frame AS DOUBLE)"),
-    movingQ("m3_moving_min", "min", s"min(value) $frame"),
-    movingQ("m3_moving_count", "count", s"CAST(count(value) $frame AS DOUBLE)"),
-    movingQ("m3_moving_median", "median", s"quantile_cont(value, 0.5) $frame"))
+      s"CAST(sum(CAST(value AS DECIMAL(38,9))) $movFrame AS DOUBLE)"),
+    movingQ("m3_moving_min", "min", s"min(value) $movFrame"),
+    movingQ("m3_moving_count", "count", s"CAST(count(value) $movFrame AS DOUBLE)"),
+    movingQ("m3_moving_median", "median", s"quantile_cont(value, 0.5) $movFrame"))
 
   // ---- keepLastValue with lookback interval --------------------------------
   private def qKeepLastIv(s: SparkSession, sf: String): DataFrame =
@@ -200,7 +212,7 @@ object M3b extends QueryPack {
     s""", l AS (SELECT usr, ts, value FROM g WHERE etype = 'click'),
        |r AS (SELECT usr, ts, value FROM g WHERE etype = 'view')
        |SELECT * FROM (
-       |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   // ---- end-to-end through the PromQL compiler ------------------------------
@@ -212,10 +224,11 @@ object M3b extends QueryPack {
 
   private def qPromOverTime(s: SparkSession, sf: String): DataFrame =
     flat(PromQL.query(s, g(s, sf), grid, """avg_over_time(view{user="4"}[2d])"""))
+  private def incFrame = s"OVER ($part RANGE BETWEEN $movWin PRECEDING AND CURRENT ROW)"
   private val qPromOverTimeSql = withSG(
     s"""SELECT $ser AS series, ts,
-       |  CAST(sum(CAST(value AS DECIMAL(38,9))) $frame AS DOUBLE)
-       |    / count(value) $frame AS value
+       |  CAST(sum(CAST(value AS DECIMAL(38,9))) $incFrame AS DOUBLE)
+       |    / count(value) $incFrame AS value
        |FROM g WHERE etype = 'view' AND usr = '4' $ord""".stripMargin)
 
   private def qPromScalarMath(s: SparkSession, sf: String): DataFrame =

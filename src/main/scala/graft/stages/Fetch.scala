@@ -41,9 +41,9 @@ object Fetch {
     }
   }
 
-  /** Apply fetch filters + grid time range to a canonical samples DF. */
+  /** Apply fetch filters + grid time range (end-exclusive) to a samples DF. */
   def fetch(samples: DataFrame, filters: Seq[LabelFilter], grid: QueryGrid): DataFrame = {
-    val timePred = col(TsSchema.Ts) >= grid.startMs && col(TsSchema.Ts) <= grid.endMs
+    val timePred = col(TsSchema.Ts) >= grid.startMs && col(TsSchema.Ts) < grid.endMs
     filters.foldLeft(samples.where(timePred))((df, f) => df.where(f.predicate))
   }
 

@@ -61,8 +61,27 @@ object Grouping {
   def max(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
     run(df, groupKeys)(functions_max)
 
-  /** `count` — number of series with data at each timestamp (ref: CountStage.java:30-53). */
-  def count(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
+  /** `count` — the number of SERIES in each group, emitted as a dense constant
+    * series over the whole query grid (ref: CountStage.processGroup /
+    * buildDenseSamples — the count is series cardinality, not per-timestamp
+    * sample presence; CountStage.java:96-111,165-175). */
+  def count(df: DataFrame, grid: graft.core.QueryGrid,
+            groupKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = groupKeys.map(k => col(TsSchema.LabelsCol).getItem(k).as(s"_g_$k"))
+    val withKeys = df.select(col(TsSchema.SeriesId) +: keyCols: _*)
+    val counts = withKeys
+      .groupBy(groupKeys.map(k => col(s"_g_$k")): _*)
+      .agg(functions.count_distinct(col(TsSchema.SeriesId)).cast(DoubleType).as(TsSchema.Value))
+    val dense = counts.select(
+      col("*"),
+      explode(sequence(lit(grid.startMs), lit(grid.alignedEndMs), lit(grid.stepMs)))
+        .as(TsSchema.Ts))
+    finish(dense, groupKeys)
+  }
+
+  /** Per-timestamp count of series with data — the Spark-natural variant kept
+    * for pipelines that want presence counts rather than cardinality. */
+  def countAtTimestamp(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
     run(df, groupKeys)(c => functions.count(c).cast(DoubleType))
 
   /** `range` — per-ts max-min, MinMax partial state (ref: RangeStage.java:22-45). */
@@ -87,9 +106,37 @@ object Grouping {
   def percentileOfSeries(df: DataFrame, p: Double, groupKeys: Seq[String] = Nil): DataFrame =
     run(df, groupKeys)(c => percentile_approx(c, lit(p), lit(1000000)))
 
-  /** Exact percentile with linear interpolation (matches M3 PercentileUtils). */
+  /** Exact percentile with linear interpolation (Spark `percentile` semantics,
+    * pos = p*(n-1) — used by the SQL-oracle demo queries). */
   def percentileExact(df: DataFrame, p: Double, groupKeys: Seq[String] = Nil): DataFrame =
     run(df, groupKeys)(c => expr(s"percentile(${TsSchema.Value}, $p)"))
+
+  /** M3-exact `percentileOfSeries p [tags]`: nearest-rank-lower —
+    * rank = ceil(p/100 * n) (1-based, min 1), optional linear interpolation
+    * toward the previous element (ref: PercentileUtils.calculatePercentile,
+    * query/utils/PercentileUtils.java:37-75). Output label set gains
+    * `__percentile` = formatted p (ref: PercentileOfSeriesStage.java:78). */
+  def percentileM3(df: DataFrame, p: Double, groupKeys: Seq[String] = Nil,
+                   interpolate: Boolean = false): DataFrame = {
+    val out = run(df, groupKeys) { c =>
+      val vals = array_sort(collect_list(c))
+      val n = size(vals)
+      val fr = lit(p / 100.0) * n
+      val rank = greatest(ceil(fr).cast(IntegerType), lit(1))
+      val atRank = element_at(vals, rank)
+      if (!interpolate) atRank
+      else {
+        val prev = element_at(vals, greatest(rank - 1, lit(1)))
+        val fraction = fr - (rank.cast(DoubleType) - 1.0)
+        when(rank >= 2, prev + fraction * (atRank - prev)).otherwise(atRank)
+      }
+    }
+    val pLabel = if (p == p.floor) p.toLong.toString else p.toString
+    out
+      .withColumn(TsSchema.LabelsCol,
+        map_concat(col(TsSchema.LabelsCol), map(lit("__percentile"), lit(pLabel))))
+      .withColumn(TsSchema.SeriesId, TsSchema.seriesId(col(TsSchema.LabelsCol)))
+  }
 
   /** Per-ts sample stddev via decimal-exact moments (ref: StdDevBucketSummarizer;
     * manual formula keeps Spark and a SQL oracle bit-identical). */

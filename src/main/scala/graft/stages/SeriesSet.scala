@@ -82,34 +82,65 @@ object SeriesSet {
     if (keys.isEmpty) TsSchema.seriesKey(col(S.LabelsCol))
     else concat_ws("", keys.map(k => coalesce(col(S.LabelsCol).getItem(k), lit(""))): _*)
 
-  /** Binary projection core: join left to right on (label-match key, timestamp)
-    * then combine values (ref: AbstractBinaryProjectionStage.java:112-187 —
-    * merge-join on sorted timestamps == equi-join on the shared grid;
-    * keepNans=false drops mismatched timestamps = inner join). */
+  /** Binary projection core (ref: AbstractBinaryProjectionStage):
+    *  - right side with a SINGLE series (or a single group after key
+    *    projection) matches EVERY left series with no label check at all
+    *    (ref :243-249, :341-346 "If right operand has single series, project
+    *    all left ... without label matching")
+    *  - otherwise match on all labels, or only `keys`; multiple right series
+    *    in one group are merged first-wins (ref :90-110 groupAndMerge)
+    *  - per-timestamp equi-join; keepNans=false drops mismatches (inner join)
+    *  - output labels = transformed LEFT labels (`typeLabel`, e.g.
+    *    divide/asPercent add type:ratios — DivideStage.java:114-115)
+    */
   private def binary(left: DataFrame, right: DataFrame, keys: Seq[String],
-                     keepNans: Boolean)(f: (Column, Column) => Column): DataFrame = {
+                     keepNans: Boolean, typeLabel: Option[String])
+                    (f: (Column, Column) => Column): DataFrame = {
+    // merge right series sharing a group key: first-wins by series key order
+    val rGrouped = right
+      .withColumn("_mk", matchKey(keys))
+      .withColumn("_sk", TsSchema.seriesKey(col(S.LabelsCol)))
+      .groupBy(col("_mk"), col(S.Ts))
+      .agg(expr(s"min_by(${S.Value}, _sk)").as("_rv"))
+    val singleRight = rGrouped.select("_mk").distinct().count() == 1
     val l = left.withColumn("_mk", matchKey(keys))
-    val r = right.withColumn("_mk", matchKey(keys))
-      .select(col("_mk"), col(S.Ts), col(S.Value).as("_rv"))
     val joined =
-      if (keepNans) l.join(r, Seq("_mk", S.Ts), "full_outer")
-      else l.join(r, Seq("_mk", S.Ts), "inner")
-    joined
+      if (singleRight) {
+        val r = rGrouped.select(col(S.Ts), col("_rv"))
+        if (keepNans) l.join(r, Seq(S.Ts), "full_outer") else l.join(r, Seq(S.Ts), "inner")
+      } else {
+        val r = rGrouped.select(col("_mk"), col(S.Ts), col("_rv"))
+        if (keepNans) l.join(r, Seq("_mk", S.Ts), "full_outer")
+        else l.join(r, Seq("_mk", S.Ts), "inner")
+      }
+    val combined = joined
       .withColumn(S.Value, f(col(S.Value), col("_rv")))
       .drop("_mk", "_rv")
+    typeLabel match {
+      case Some(t) => combined
+        .withColumn(S.LabelsCol,
+          map_concat(col(S.LabelsCol), map(lit("type"), lit(t))))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+      case None => combined
+    }
   }
 
-  /** `divide <ref> [tags]` (ref: DivideStage.java:22-34). */
+  /** `divide <ref> [tags]` — 0 denominator and NaN operands yield NaN; output
+    * tagged type:ratios (ref: DivideStage.java:114-127). */
   def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
              keepNans: Boolean = false): DataFrame =
-    binary(left, right, keys, keepNans)((l, r) => l / r)
+    binary(left, right, keys, keepNans, Some("ratios"))((l, r) =>
+      when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
-  /** `diff <ref>` — left minus right (ref: SubtractStage.java:28). */
+  /** `diff <ref>` — left minus right (ref: SubtractStage.java:28; no label
+    * transform). */
   def diff(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
            keepNans: Boolean = false): DataFrame =
-    binary(left, right, keys, keepNans)((l, r) => l - r)
+    binary(left, right, keys, keepNans, None)((l, r) => l - r)
 
-  /** `asPercent <ref> [tags]` — 100*left/right (ref: AsPercentStage.java:22-26). */
+  /** `asPercent <ref> [tags]` — 100*left/right, tagged type:ratios
+    * (ref: AsPercentStage.java:110-117). */
   def asPercent(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil): DataFrame =
-    binary(left, right, keys, keepNans = false)((l, r) => l * lit(100.0) / r)
+    binary(left, right, keys, keepNans = false, Some("ratios"))((l, r) =>
+      when(r === 0.0, lit(Double.NaN)).otherwise(l * lit(100.0) / r))
 }

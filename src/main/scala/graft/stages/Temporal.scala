@@ -28,11 +28,13 @@ object Temporal {
       .withColumn(S.Value, col(S.Value) - col("_pv"))
       .drop("_pv", "_pt")
 
-  /** `perSecond` — (v - lag(v)) / seconds-elapsed (ref: PerSecondStage.java:26-40). */
+  /** `perSecond` — (v - lag(v)) / seconds-elapsed; negative differences
+    * (counter resets) emit NOTHING (ref: PerSecondStage.java:80-82 — "Skip
+    * negative differences"). */
   def perSecond(df: DataFrame): DataFrame =
     df.withColumn("_pv", lag(S.Value, 1).over(w))
       .withColumn("_pt", lag(S.Ts, 1).over(w))
-      .where(col("_pt").isNotNull && col(S.Ts) > col("_pt"))
+      .where(col("_pt").isNotNull && col(S.Ts) > col("_pt") && col(S.Value) >= col("_pv"))
       .withColumn(S.Value, (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
       .drop("_pv", "_pt")
 
@@ -69,19 +71,43 @@ object Temporal {
   def timeshift(df: DataFrame, shiftMs: Long): DataFrame =
     df.withColumn(S.Ts, col(S.Ts) + shiftMs)
 
-  /** Internal truncate — clip to [startMs, endMs] after buffer-widened fetch
+  /** Internal truncate — clip to [startMs, endMs) after buffer-widened fetch
     * (ref: TruncateStage.java:25-31; injected SourceBuilderVisitor.java:329-339). */
   def truncate(df: DataFrame, grid: QueryGrid): DataFrame =
-    df.where(col(S.Ts) >= grid.startMs && col(S.Ts) <= grid.alignedEndMs)
+    df.where(col(S.Ts) >= grid.startMs && col(S.Ts) < grid.endMs)
 
-  /** `moving dur fn` — trailing time-window aggregate (movingAverage/Max/Min/
-    * Sum/Median; ref: MovingStage.java:38-45 + moving/ helper classes). RANGE frame over
-    * millis; sums in exact decimal so a SQL oracle matches bit-for-bit. */
-  def moving(df: DataFrame, windowMs: Long, fn: String): DataFrame = {
+  /** `moving dur fn` — reference-exact trailing window: at each GRID timestamp
+    * the window is evaluated BEFORE the current point is added, i.e. the frame
+    * is `[t-dur, t)` EXCLUSIVE of t, and a value is emitted at every grid
+    * point whose window holds >=1 non-null sample — including points where the
+    * series itself has no sample (ref: MovingStage.java:109-124 —
+    * evaluate-then-update loop over the time grid). */
+  def moving(df: DataFrame, grid: QueryGrid, windowMs: Long, fn: String): DataFrame = {
+    val dense = GridOps.densify(df, grid)
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts)
+      .rangeBetween(-windowMs, -1)
+    // both window exprs must be computed BEFORE the emptiness filter — filtering
+    // first would remove source rows from the aggregation frame
+    dense
+      .withColumn("_agg", movingAgg(fn, frame))
+      .withColumn("_n", count(S.Value).over(frame))
+      .where(col("_n") > 0)
+      .withColumn(S.Value, col("_agg"))
+      .drop("_agg", "_n")
+  }
+
+  /** Prometheus-style trailing window INCLUSIVE of the current point, emitted
+    * at existing sample points (the `*_over_time` family semantics). */
+  def movingInclusive(df: DataFrame, windowMs: Long, fn: String): DataFrame = {
     val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts)
       .rangeBetween(-windowMs, 0)
+    df.withColumn(S.Value, movingAgg(fn, frame))
+  }
+
+  private def movingAgg(fn: String,
+                        frame: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val v = col(S.Value)
-    val agg: Column = fn match {
+    fn match {
       case "sum"    => sum(v.cast(Dec)).over(frame).cast(DoubleType)
       case "avg"    => (sum(v.cast(Dec)).over(frame).cast(DoubleType) / count(v).over(frame))
       case "min"    => min(v).over(frame)
@@ -96,7 +122,6 @@ object Temporal {
         when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
       case other    => throw new IllegalArgumentException(s"moving fn: $other")
     }
-    df.withColumn(S.Value, agg)
   }
 
   /** `keepLastValue [intervalMs]` — on the dense grid, fill missing points with

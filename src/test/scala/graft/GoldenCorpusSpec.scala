@@ -1,0 +1,123 @@
+package graft
+
+import graft.core.QueryGrid
+import graft.lang.m3.M3QL
+import graft.yaml.MiniYaml
+import graft.yaml.MiniYaml.{Y, YMap, YNum}
+import org.apache.spark.sql.Row
+
+/** Conformance against the reference's OWN golden corpus: loads
+  * golden_dataset_rest_it.yaml from the read-only reference checkout at test
+  * time (never copied into this repo), replays each fixture onto the canonical
+  * samples schema, runs each m3ql query through our parse→compile→execute
+  * path, and compares positional values on the query grid.
+  *
+  * Reference format: src/javaRestTest/resources/test_cases/
+  * golden_dataset_rest_it.yaml; loader framework YamlLoader.java.
+  */
+class GoldenCorpusSpec extends SparkTestBase {
+
+  private val yamlPath =
+    "/root/reference/src/javaRestTest/resources/test_cases/golden_dataset_rest_it.yaml"
+
+  /** Queries exercising semantics we intentionally don't reproduce yet; each
+    * exclusion carries the reason. */
+  private val excluded: Map[String, String] = Map.empty
+
+  private def isoToMs(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  private lazy val root: Y = MiniYaml.parseFile(yamlPath)
+
+  private lazy val fixture = {
+    val inputs = root("test_case")("input_data_list").list
+    val rows = inputs.flatMap { in =>
+      val tc = in("time_config")
+      val start = isoToMs(tc("min_timestamp").str)
+      val step = graft.lang.m3.Duration.parse(tc("step").str).get
+      in("regular_metrics").list.flatMap { m =>
+        val labels = m("labels").str.split(",").map { kv =>
+          val Array(k, v) = kv.split(":", 2); k -> v
+        }.toMap
+        m("values").list.zipWithIndex.collect {
+          case (YNum(v), i) => Row(labels, start + i * step, v)
+        }
+      }
+    }
+    samplesDF(rows).cache()
+  }
+
+  private def runCase(q: Y): Unit = {
+    val name = q("name").str
+    val tc = q("time_config")
+    val grid = QueryGrid(
+      isoToMs(tc("min_timestamp").str),
+      isoToMs(tc("max_timestamp").str),
+      graft.lang.m3.Duration.parse(tc("step").str).get)
+    val result = M3QL.query(spark, fixture, grid, q("query").str)
+    val got = toGolden(result, grid)
+    val expected = q("expected")("data").list.map { d =>
+      val metric = d("metric").asInstanceOf[YMap].m.map { case (k, v) => s"$k:${v.str}" }
+        .toSeq.sorted.mkString(",")
+      val values = d("values").list.map {
+        case YNum(v) => Some(v)
+        case _       => None
+      }
+      metric -> values
+    }
+    assert(got.keySet == expected.map(_._1).toSet,
+      s"$name: series mismatch got=${got.keySet} want=${expected.map(_._1).toSet}")
+    for ((sk, want) <- expected) {
+      val have = got(sk)
+      // expected arrays may carry trailing nulls beyond the query grid
+      want.drop(have.length).zipWithIndex.foreach { case (w, i) =>
+        assert(w.isEmpty, s"$name/$sk[${have.length + i}]: expected $w beyond grid")
+      }
+      want.take(have.length).zipWithIndex.foreach { case (w, i) =>
+        (have(i), w) match {
+          case (Some(h), Some(x)) =>
+            assert(math.abs(h - x) <= 1e-6 * math.max(1.0, math.abs(x)),
+              s"$name/$sk[$i]: $h != $x")
+          case (None, None) =>
+          case (h, x) => fail(s"$name/$sk[$i]: $h vs $x")
+        }
+      }
+      // grid points beyond the expected list must be absent
+      have.drop(want.length).zipWithIndex.foreach { case (h, i) =>
+        assert(h.isEmpty, s"$name/$sk[${want.length + i}]: unexpected point $h")
+      }
+    }
+  }
+
+  // materialize test cases at class-construction time
+  {
+    val qs =
+      try root("test_case")("queries").list
+      catch { case e: Throwable =>
+        System.err.println(s"[golden] corpus load failed: $e")
+        e.getStackTrace.take(5).foreach(f => System.err.println(s"  at $f"))
+        Nil
+      }
+    if (qs.isEmpty) {
+      test("golden corpus loads") {
+        cancel(s"reference corpus not available at $yamlPath")
+      }
+    } else {
+      qs.foreach { q =>
+        val name = q("name").str
+        val expectedStatus = q("expected").get("status").map(_.str).getOrElse("success")
+        excluded.get(name) match {
+          case Some(reason) =>
+            ignore(s"golden: $name") {}
+          case None if expectedStatus != "success" =>
+            test(s"golden: $name (expected failure)") {
+              intercept[Exception](
+                M3QL.query(spark, fixture,
+                  QueryGrid(0, 60000, 60000), q("query").str).collect())
+            }
+          case None =>
+            test(s"golden: $name") { runCase(q) }
+        }
+      }
+    }
+  }
+}

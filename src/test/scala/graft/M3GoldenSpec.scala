@@ -44,8 +44,9 @@ class M3GoldenSpec extends SparkTestBase {
       Map("" -> Seq(S(5.5), S(11), S(3), S(22), S(50), N, S(38.5), S(8), N, S(55))))
     assertSeries(run("fetch test:t1 | max"),
       Map("" -> Seq(S(10), S(20), S(3), S(40), S(50), N, S(70), S(8), N, S(100))))
+    // count = series cardinality as a dense constant series over the grid
     assertSeries(run("fetch test:t1 | count"),
-      Map("" -> Seq(S(2), S(2), S(1), S(2), S(1), N, S(2), S(1), N, S(2))))
+      Map("" -> Seq.fill(10)(S(2))))
     assertSeries(run("fetch test:t1 | range"),
       Map("" -> Seq(S(9), S(18), S(0), S(36), S(0), N, S(63), S(0), N, S(90))))
   }
@@ -86,16 +87,29 @@ class M3GoldenSpec extends SparkTestBase {
       Map("dc:a,name:m,test:t1" -> Seq(S(1), S(2), S(3), S(4), S(4), S(4), S(7), S(8), S(8), S(10))))
   }
 
-  test("macro + binary divide") {
+  test("macro + binary divide (single right series matches all, adds type:ratios)") {
     assertSeries(run("b = fetch test:t2; fetch test:t1 dc:a | divide(b) dc"),
-      Map("dc:a,name:m,test:t1" ->
+      Map("dc:a,name:m,test:t1,type:ratios" ->
         Seq(S(0.2), S(0.4), S(0.6), S(0.8), N, N, S(1.4), S(1.6), N, S(2))))
   }
 
   test("asPercent against macro") {
     assertSeries(run("b = fetch test:t1 dc:a; fetch test:t1 dc:a | asPercent(b)"),
-      Map("dc:a,name:m,test:t1" ->
+      Map("dc:a,name:m,test:t1,type:ratios" ->
         Seq(S(100), S(100), S(100), S(100), N, N, S(100), S(100), N, S(100))))
+  }
+
+  test("inline sub-pipeline as binary argument") {
+    assertSeries(run("fetch test:t1 dc:a | diff(fetch test:t1 dc:a)"),
+      Map("dc:a,name:m,test:t1" ->
+        Seq(S(0), S(0), S(0), S(0), N, N, S(0), S(0), N, S(0))))
+  }
+
+  test("percentileOfSeries uses M3 nearest-rank and __percentile label") {
+    // at each ts: sorted values of the two t1 series; p50 rank=ceil(0.5*n)
+    assertSeries(run("fetch test:t1 | percentileOfSeries 50"),
+      Map("__percentile:50" ->
+        Seq(S(1), S(2), S(3), S(4), S(50), N, S(7), S(8), N, S(10))))
   }
 
   test("topK picks highest-current series") {
@@ -123,9 +137,10 @@ class M3GoldenSpec extends SparkTestBase {
   }
 
   test("moving average over time window") {
-    // window 2m trailing incl current → avg of up to 3 points
+    // reference window is [t-2m, t) EXCLUSIVE of t: first grid point has an
+    // empty window (nothing before it) → absent; rest see only 5s
     assertSeries(run("fetch test:t2 | movingAverage 2m"),
-      Map("dc:a,name:other,test:t2" -> Seq.fill(10)(S(5))))
+      Map("dc:a,name:other,test:t2" -> (N +: Seq.fill(9)(S(5)))))
   }
 
   test("timeshift widens scan then truncates") {

@@ -66,12 +66,11 @@ class PromQLSpec extends SparkTestBase {
         Seq(2.0, 4, 6, 8, 10, 12, 14, 16, 18, 20).map(v => S(math.sqrt(v)))))
   }
 
-  test("vector / vector joins on labels") {
-    val out = run("""req{dc="a"} / mem{dc="a"}""")
-    // different metric name → no label match on full label set → empty
-    assert(out.count() == 0)
-    val out2 = toGolden(run("""sum by (dc) (req) / sum by (dc) (mem)"""))
-    assert(out2.contains("dc:a"))
+  test("vector / vector division (single right series projects onto all)") {
+    // right side is one series → M3 binary rule: match everything, tag ratios
+    val out = toGolden(run("""req{dc="a"} / mem{dc="a"}"""))
+    assert(out.keySet == Set("dc:a,name:req,type:ratios"))
+    assert(out("dc:a,name:req,type:ratios").head.contains(0.2))
   }
 
   test("unimplemented prom function throws") {

@@ -15,8 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
 
-  /** Grid used by most golden cases: t0=1000ms epoch, step=1m. */
-  val g: QueryGrid = QueryGrid(60000L, 60000L * 10, 60000L)
+  /** Grid used by most golden cases: 10 points at 1m steps, end-exclusive. */
+  val g: QueryGrid = QueryGrid(60000L, 60000L * 11, 60000L)
 
   def series(labels: String, values: Seq[Option[Double]], grid: QueryGrid = g): Seq[Row] = {
     val m = labels.split(",").map { kv =>
