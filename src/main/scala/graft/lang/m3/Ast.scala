@@ -21,6 +21,12 @@ final case class StageCall(name: String, args: List[Arg])
 sealed trait Source
 final case class FetchSource(filters: Seq[LabelFilter]) extends Source
 final case class MacroSource(name: String) extends Source
+/** `mockFetch v1,v2,… [k:v …]` — synthetic series, values laid sequentially on
+  * the query grid (ref: MockFetchStage; default label name:mockFetch). */
+final case class MockFetchSource(values: List[Double], tags: Seq[(String, String)]) extends Source
+/** Parenthesized pipeline group: `(a) | (b)` unions results (ref:
+  * UnionFunctionTransformation — union(x,y) == (x) | (y)). */
+final case class GroupSource(pipeline: Pipeline) extends Source
 
 final case class Pipeline(source: Source, stages: List[StageCall])
 

@@ -31,8 +31,11 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     "removeBelowPercentile", "setDiff", "showAnomalyThresholds", "stdev",
     "sustainedAbove")
 
+  private var macroNames: Set[String] = Set.empty
+
   def compile(q: Query): DataFrame = {
     val macroDefs = q.macros.toMap
+    macroNames = macroDefs.keySet
     // count references for cache decisions
     val refCounts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def countRefs(p: Pipeline): Unit = {
@@ -72,17 +75,37 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       }
     }
 
-  private def compilePipeline(p: Pipeline, macroDF: String => DataFrame): DataFrame = {
-    val (buf, shift) = buffers(p.stages)
+  private def compilePipeline(p: Pipeline, macroDF: String => DataFrame,
+                              extraBuf: Long = 0L, extraShift: Long = 0L,
+                              clip: Boolean = true): DataFrame = {
+    val (buf0, shift0) = buffers(p.stages)
+    val buf = buf0 + extraBuf
+    val shift = shift0 + extraShift
     val widened = QueryGrid(grid.startMs - buf - shift, grid.endMs - shift, grid.stepMs)
     val src = p.source match {
-      case FetchSource(filters) => Fetch.fetch(samples, filters, widened)
-      case MacroSource(n)       => macroDF(n)
+      case FetchSource(filters) =>
+        // unfold rebucket: fetched samples are consolidated onto the query
+        // step grid before stages run (ref: TimeSeriesUnfoldAggregator
+        // consolidation via ConsolidationFunction — AVG default)
+        Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "avg")
+      case MockFetchSource(values, tags) =>
+        Fetch.mockFetch(spark, widened, values, tags)
+      case GroupSource(gp) =>
+        compilePipeline(gp, macroDF, buf, shift, clip = false)
+      case MacroSource(n) => macroDF(n)
     }
-    // stages run against the WIDENED grid; the final truncate clips back
-    // (ref: SourceBuilderVisitor.java:329-339)
-    val out = p.stages.foldLeft(src)((df, st) => applyStage(df, st, widened, macroDF))
-    if (buf > 0 || shift > 0) Temporal.truncate(out, grid) else out
+    // stages run against the WIDENED grid; a union-group at position k inherits
+    // the buffers of the stages AFTER it (its branch feeds the same tail); the
+    // final truncate clips back (ref: SourceBuilderVisitor.java:329-339)
+    val out = p.stages.zipWithIndex.foldLeft(src) {
+      case (df, (StageCall("__group", List(PipeArg(inner))), k)) =>
+        val (sb, ss) = buffers(p.stages.drop(k + 1))
+        val branch = compilePipeline(inner, macroDF, sb + extraBuf, ss + extraShift,
+          clip = false)
+        SeriesSet.union(Seq(df, branch))
+      case (df, (st, _)) => applyStage(df, st, widened, macroDF)
+    }
+    if (clip && (buf > 0 || shift > 0)) Temporal.truncate(out, grid) else out
   }
 
   private def str(a: Arg): String = a match {
@@ -153,8 +176,11 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       case "perSecondRate"  => Temporal.perSecondRate(df, dur(0, g.stepMs * 10))
       case "integral"       => Temporal.integral(df, g,
         st.args.headOption.exists(a => str(a) == "true"))
-      case "changed"        => Temporal.changed(df)
-      case "timeshift"      => Temporal.timeshift(df, dur(0))
+      case "changed"        => Temporal.changed(df, g)
+      case "timeshift"      =>
+        if (st.args.length != 1)
+          throw new IllegalArgumentException("Timeshift function expects exactly one argument")
+        Temporal.timeshift(df, dur(0))
       case "moving"         => Temporal.moving(df, g, dur(0), str(st.args(1)))
       case "movingAverage"  => Temporal.moving(df, g, dur(0), "avg")
       case "movingSum"      => Temporal.moving(df, g, dur(0), "sum")
@@ -191,8 +217,22 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         Filters.valueFilter(df, op, num(1))
       case "removeBelowValue" => Filters.valueFilter(df, ">=", num(0))
       case "removeAboveValue" => Filters.valueFilter(df, "<=", num(0))
+      // word-form value-filter stages: `| eq 12`
+      // (ref: Constants.Functions.ValueFilter, M3PlanNodeFactory value-filter cases)
+      case "eq" => Filters.valueFilter(df, "==", num(0))
+      case "ne" => Filters.valueFilter(df, "!=", num(0))
+      case "ge" => Filters.valueFilter(df, ">=", num(0))
+      case "gt" => Filters.valueFilter(df, ">", num(0))
+      case "le" => Filters.valueFilter(df, "<=", num(0))
+      case "lt" => Filters.valueFilter(df, "<", num(0))
       case "excludeByTag"     => Filters.excludeByTag(df, str(st.args(0)), tagArgs(1))
-      case "tagCompare"       => Filters.tagCompare(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
+      case "tagCompare"       =>
+        if (st.args.length == 2) {
+          // combined form: tagCompare "<=" "key:value"
+          val kv = str(st.args(1))
+          val i = kv.indexOf(':')
+          Filters.tagCompare(df, str(st.args(0)), kv.substring(0, i), kv.substring(i + 1))
+        } else Filters.tagCompare(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
       case "where"            => Filters.whereTags(df, str(st.args(0)), str(st.args(1)), str(st.args(2)))
       case "intersect"        => Filters.intersect(df, ref,
         st.args.collect { case StrArg(s) => s })
@@ -227,6 +267,9 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
 
       case n if unimplemented(n) =>
         throw new UnsupportedOperationException(s"M3QL function not implemented: $n")
+      case n if macroNames(n) && st.args.isEmpty =>
+        // bare macro reference in pipe position unions its series in
+        SeriesSet.union(Seq(df, macroDF(n)))
       case other =>
         throw new IllegalArgumentException(s"unknown M3QL stage: $other")
     }

@@ -149,12 +149,15 @@ object M3 extends QueryPack {
        |WHERE pt IS NOT NULL AND value >= 0.0 $ord""".stripMargin)
 
   private def qChanged(s: SparkSession, sf: String): DataFrame =
-    flat(Temporal.changed(g(s, sf)))
+    flat(Temporal.changed(g(s, sf), grid))
   private val qChangedSql = withSG(
-    s"""SELECT $ser AS series, ts,
-       |  CASE WHEN lag(value) OVER ($part) IS NOT NULL
-       |        AND lag(value) OVER ($part) <> value THEN 1.0 ELSE 0.0 END AS value
-       |FROM g $ord""".stripMargin)
+    s"""$denseCte
+       |SELECT $ser AS series, ts,
+       |  CASE WHEN value IS NOT NULL
+       |        AND last_value(value IGNORE NULLS) OVER ($part ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+       |        AND last_value(value IGNORE NULLS) OVER ($part ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) <> value
+       |       THEN 1.0 ELSE 0.0 END AS value
+       |FROM dense $ord""".stripMargin)
 
   private def qIntegral(s: SparkSession, sf: String): DataFrame =
     flat(Temporal.integral(g(s, sf), grid))

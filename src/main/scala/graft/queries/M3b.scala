@@ -183,24 +183,24 @@ object M3b extends QueryPack {
        |  42.0 AS value ORDER BY series, ts, value""".stripMargin
 
   private def qMockFetch(s: SparkSession, sf: String): DataFrame =
-    flat(Fetch.mockFetch(s, grid, Seq(
-      1.5 -> Map("name" -> "mock", "idx" -> "0"),
-      2.5 -> Map("name" -> "mock", "idx" -> "1"))))
+    flat(M3QL.query(s, raw(s, sf), grid, "mockFetch 1.5,2.5,3.5 name:mock | scale 2"))
   private val qMockFetchSql =
-    s"""SELECT series, ts, value FROM (
-       |  SELECT 'idx:' || i || ',name:mock' AS series,
-       |         unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts,
-       |         1.5 + i AS value
-       |  FROM (SELECT unnest([0, 1]) AS i))
+    s"""SELECT series, ts, value FROM (VALUES
+       |  ('name:mock', ${grid.startMs}, 3.0),
+       |  ('name:mock', ${grid.startMs + grid.stepMs}, 5.0),
+       |  ('name:mock', ${grid.startMs + 2 * grid.stepMs}, 7.0)) t(series, ts, value)
        |ORDER BY series, ts, value""".stripMargin
 
   // ---- end-to-end through the M3QL parser ----------------------------------
   private def qM3qlPipeline(s: SparkSession, sf: String): DataFrame =
     flat(M3QL.query(s, raw(s, sf), grid,
       "fetch name:click user:(1,2,3) | summarize 6h avg true | scale 2 | > 10"))
+  // the compiler's unfold-rebucket + summarize each pass through DECIMAL(38,9),
+  // so the oracle quantizes g once more before scaling
   private val qM3qlPipelineSql = withSG(
     s"""SELECT series, ts, value FROM (
-       |  SELECT $ser AS series, ts, value * 2.0 AS value
+       |  SELECT $ser AS series, ts,
+       |         CAST(CAST(value AS DECIMAL(38,9)) AS DOUBLE) * 2.0 AS value
        |  FROM g WHERE etype = 'click' AND usr IN ('1','2','3'))
        |WHERE value > 10.0 $ord""".stripMargin)
 
@@ -209,8 +209,9 @@ object M3b extends QueryPack {
       "a = fetch name:view | summarize 6h avg true; " +
         "fetch name:click | summarize 6h avg true | asPercent(a) user"))
   private val qM3qlMacroSql = withSG(
-    s""", l AS (SELECT usr, ts, value FROM g WHERE etype = 'click'),
-       |r AS (SELECT usr, ts, value FROM g WHERE etype = 'view')
+    s""", q AS (SELECT etype, usr, ts, CAST(CAST(value AS DECIMAL(38,9)) AS DOUBLE) AS value FROM g),
+       |l AS (SELECT usr, ts, value FROM q WHERE etype = 'click'),
+       |r AS (SELECT usr, ts, value FROM q WHERE etype = 'view')
        |SELECT * FROM (
        |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)

@@ -23,7 +23,8 @@ object Fetch {
     val negated: Boolean = rawValue.startsWith("!")
     private val v = if (negated) rawValue.substring(1) else rawValue
     val values: Seq[String] =
-      if (v.startsWith("(") && v.endsWith(")")) v.substring(1, v.length - 1).split(",").toSeq.map(_.trim)
+      if ((v.startsWith("(") && v.endsWith(")")) || (v.startsWith("{") && v.endsWith("}")))
+        v.substring(1, v.length - 1).split(",").toSeq.map(_.trim)
       else Seq(v)
 
     private def one(tag: Column, value: String): Column =
@@ -47,24 +48,28 @@ object Fetch {
     filters.foldLeft(samples.where(timePred))((df, f) => df.where(f.predicate))
   }
 
-  /** `mockFetch [values] [tags]` — synthesize constant series over the query
-    * grid without touching storage (test/alerting source; ref:
-    * lang/m3/stage/MockFetchStage.java:29-38 — MatchNoneQueryBuilder + literal
-    * series at the coordinator). One series per (value, tagset). */
+  /** `mockFetch v1,v2,… [tags]` — synthesize one series whose values are laid
+    * SEQUENTIALLY on the query grid, one per step from the start, without
+    * touching storage (ref: lang/m3/stage/MockFetchStage.java:29-38 —
+    * MatchNoneQueryBuilder + literal series at the coordinator). Default
+    * label set {name: "mockFetch"}, overridden/extended by `tags`. */
   def mockFetch(spark: org.apache.spark.sql.SparkSession, grid: QueryGrid,
-                series: Seq[(Double, Map[String, String])]): DataFrame = {
+                values: Seq[Double], tags: Seq[(String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.types._
-    val dfs = series.map { case (v, tags) =>
-      val labelCol = map(tags.toSeq.sortBy(_._1)
-        .flatMap { case (k, x) => Seq(lit(k), lit(x)) }: _*)
-        .cast(MapType(StringType, StringType, valueContainsNull = false))
-      grid.gridDF(spark).select(
-        TsSchema.seriesId(labelCol).as(TsSchema.SeriesId),
-        labelCol.as(TsSchema.LabelsCol),
-        col(TsSchema.Ts),
-        lit(v).as(TsSchema.Value))
+    val labels = (Map("name" -> "mockFetch") ++ tags.toMap).toSeq.sortBy(_._1)
+    val labelCol = map(labels.flatMap { case (k, x) => Seq(lit(k), lit(x)) }: _*)
+      .cast(MapType(StringType, StringType, valueContainsNull = false))
+    // NaN values mean "no sample at this slot" (mockFetch corpus: nan → null);
+    // ALL values are laid regardless of the query end — the synthesized series
+    // carries its own extent (ref: MockFetchStage)
+    val rows = values.zipWithIndex.collect {
+      case (v, i) if !v.isNaN => (grid.startMs + i * grid.stepMs, v)
     }
-    dfs.reduce(_ unionByName _)
+    import spark.implicits._
+    rows.toDF(TsSchema.Ts, TsSchema.Value).select(
+      TsSchema.seriesId(labelCol).as(TsSchema.SeriesId),
+      labelCol.as(TsSchema.LabelsCol),
+      col(TsSchema.Ts), col(TsSchema.Value))
   }
 
   /** Parse `"k:v k2:v2"` filter text (the fetch argument list). */

@@ -17,14 +17,20 @@ object GridOps {
   private val S = TsSchema
 
   /** One row per (series, grid point); value null where no sample exists.
-    * Input must be grid-aligned (timestamps on the grid). */
+    * Sample timestamps OUTSIDE the grid are retained too — the reference's
+    * dense grid is the SERIES' own (min,max,step) metadata, which for
+    * synthesized series (mockFetch) can extend past the query-aligned end
+    * (ref: TimeSeries.java:68 — grid metadata travels with the series). */
   def densify(df: DataFrame, grid: QueryGrid): DataFrame = {
     // distinct() can't touch MAP columns; series_id is the dedup key anyway
     val series = df.groupBy(S.SeriesId).agg(first(col(S.LabelsCol)).as(S.LabelsCol))
-    val dense = series.select(
-      col(S.SeriesId), col(S.LabelsCol),
+    val gridPts = series.select(
+      col(S.SeriesId),
       explode(sequence(lit(grid.startMs), lit(grid.alignedEndMs), lit(grid.stepMs))).as(S.Ts))
-    dense.join(df.select(S.SeriesId, S.Ts, S.Value), Seq(S.SeriesId, S.Ts), "left")
+    val allPts = gridPts.union(df.select(S.SeriesId, S.Ts)).distinct()
+    allPts
+      .join(series, Seq(S.SeriesId))
+      .join(df.select(S.SeriesId, S.Ts, S.Value), Seq(S.SeriesId, S.Ts), "left")
       .select(col(S.SeriesId), col(S.LabelsCol), col(S.Ts), col(S.Value))
   }
 

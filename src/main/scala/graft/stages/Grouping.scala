@@ -22,7 +22,10 @@ object Grouping {
     * (ref: AbstractGroupingStage group-key = values of groupByLabels). */
   private def grouped(df: DataFrame, groupKeys: Seq[String]): (DataFrame, Seq[Column]) = {
     val keyCols = groupKeys.map(k => col(TsSchema.LabelsCol).getItem(k).as(s"_g_$k"))
+    // series missing any groupBy label are excluded (golden corpus: sum by a
+    // non-existent tag yields an empty result)
     val withKeys = df.select(col("*") +: keyCols: _*)
+      .where(groupKeys.map(k => col(s"_g_$k").isNotNull).foldLeft(lit(true))(_ && _))
     (withKeys, groupKeys.map(k => col(s"_g_$k")) :+ col(TsSchema.Ts))
   }
 
@@ -69,6 +72,7 @@ object Grouping {
             groupKeys: Seq[String] = Nil): DataFrame = {
     val keyCols = groupKeys.map(k => col(TsSchema.LabelsCol).getItem(k).as(s"_g_$k"))
     val withKeys = df.select(col(TsSchema.SeriesId) +: keyCols: _*)
+      .where(groupKeys.map(k => col(s"_g_$k").isNotNull).foldLeft(lit(true))(_ && _))
     val counts = withKeys
       .groupBy(groupKeys.map(k => col(s"_g_$k")): _*)
       .agg(functions.count_distinct(col(TsSchema.SeriesId)).cast(DoubleType).as(TsSchema.Value))

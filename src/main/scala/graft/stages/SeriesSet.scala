@@ -39,7 +39,8 @@ object SeriesSet {
   /** Attach `_rank` = dense series rank by the key (ties broken by series key
     * string for determinism). Single narrow shuffle on the tiny per-series
     * aggregate, then broadcast back. */
-  private def ranked(df: DataFrame, by: String, desc: Boolean): DataFrame = {
+  private def ranked(df0: DataFrame, by: String, desc: Boolean): DataFrame = {
+    val df = df0.drop("_rank")
     val keys =
       if (by == "name") df.select(col(S.SeriesId), TsSchema.seriesKey(col(S.LabelsCol)).as("_skey"))
         .distinct().withColumn("_key", col("_skey").cast(StringType))
@@ -61,7 +62,9 @@ object SeriesSet {
   /** `head n` / `tail n` — first/last n series by rank (ref: SliceStage.java:30-44). */
   def slice(df: DataFrame, n: Int, by: String = "avg", desc: Boolean = true,
             tail: Boolean = false): DataFrame = {
-    val r = ranked(df, by, desc)
+    // a preceding `sort` stage's ranking is honored (ref SliceStage takes the
+    // head of the CURRENT series order); else rank by the default key
+    val r = if (df.columns.contains("_rank")) df else ranked(df, by, desc)
     val total = r.select(max("_rank")).first().getInt(0)
     val keep = if (tail) col("_rank") > total - n else col("_rank") <= n
     r.where(keep)

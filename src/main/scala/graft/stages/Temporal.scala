@@ -38,14 +38,20 @@ object Temporal {
       .withColumn(S.Value, (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
       .drop("_pv", "_pt")
 
-  /** `changed` — 1.0 if value differs from previous non-null value, else 0.0
-    * (ref: ChangedStage.java:25-39). */
-  def changed(df: DataFrame): DataFrame =
-    df.withColumn("_prev",
+  /** `changed` — DENSE 0/1 series over the query grid: 1 where the sample at t
+    * exists and differs from the previous non-null value, 0 everywhere else
+    * (incl. missing samples and the first point) — ref: ChangedStage.java:25-39;
+    * functional corpus "changed function with series containing nulls". */
+  def changed(df: DataFrame, grid: QueryGrid): DataFrame = {
+    val dense = GridOps.densify(df, grid)
+    dense
+      .withColumn("_prev",
         last(S.Value, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn(S.Value,
-        when(col("_prev").isNotNull && col("_prev") =!= col(S.Value), 1.0).otherwise(0.0))
+        when(col(S.Value).isNotNull && col("_prev").isNotNull &&
+          col("_prev") =!= col(S.Value), 1.0).otherwise(0.0))
       .drop("_prev")
+  }
 
   /** `integral resetOnGap` — running cumulative sum per series; if resetOnGap,
     * restarts at 0 whenever the gap to the previous point exceeds one step

@@ -15,10 +15,19 @@ import org.apache.spark.sql.Row
   * Reference format: src/javaRestTest/resources/test_cases/
   * golden_dataset_rest_it.yaml; loader framework YamlLoader.java.
   */
-class GoldenCorpusSpec extends SparkTestBase {
+class GoldenCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/golden_dataset_rest_it.yaml")
 
-  private val yamlPath =
-    "/root/reference/src/javaRestTest/resources/test_cases/golden_dataset_rest_it.yaml"
+class FunctionalCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/functional_correctness_rest_it.yaml")
+
+class E2eCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/e2e_m3ql_query_execution_rest_it.yaml")
+
+class MockFetchCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/mockfetch_test_it.yaml")
+
+abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
 
   /** Queries exercising semantics we intentionally don't reproduce yet; each
     * exclusion carries the reason. */
@@ -54,13 +63,28 @@ class GoldenCorpusSpec extends SparkTestBase {
       isoToMs(tc("max_timestamp").str),
       graft.lang.m3.Duration.parse(tc("step").str).get)
     val result = M3QL.query(spark, fixture, grid, q("query").str)
-    val got = toGolden(result, grid)
+    // position-based collect: index = (ts - start)/step, allowing points past
+    // the aligned end (mockFetch series extend to their own last value)
+    val rows = result.select(
+        graft.core.TsSchema.seriesKey(org.apache.spark.sql.functions.col("labels")).as("sk"),
+        org.apache.spark.sql.functions.col("timestamp"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+    val got: Map[String, Seq[Option[Double]]] = rows.groupBy(_.getString(0)).map {
+      case (sk, rs) =>
+        val byPos = rs.map(r => ((r.getLong(1) - grid.startMs) / grid.stepMs).toInt ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        val maxPos = math.max(grid.numPoints.toInt - 1,
+          if (byPos.isEmpty) 0 else byPos.keys.max)
+        sk -> (0 to maxPos).map(i => byPos.getOrElse(i, None))
+    }
     val expected = q("expected")("data").list.map { d =>
       val metric = d("metric").asInstanceOf[YMap].m.map { case (k, v) => s"$k:${v.str}" }
         .toSeq.sorted.mkString(",")
       val values = d("values").list.map {
-        case YNum(v) => Some(v)
-        case _       => None
+        case YNum(v)                      => Some(v)
+        case MiniYaml.YStr("NaN")         => Some(Double.NaN)
+        case _                            => None
       }
       metric -> values
     }
@@ -75,7 +99,8 @@ class GoldenCorpusSpec extends SparkTestBase {
       want.take(have.length).zipWithIndex.foreach { case (w, i) =>
         (have(i), w) match {
           case (Some(h), Some(x)) =>
-            assert(math.abs(h - x) <= 1e-6 * math.max(1.0, math.abs(x)),
+            assert((h.isNaN && x.isNaN) ||
+              math.abs(h - x) <= 1e-6 * math.max(1.0, math.abs(x)),
               s"$name/$sk[$i]: $h != $x")
           case (None, None) =>
           case (h, x) => fail(s"$name/$sk[$i]: $h vs $x")

@@ -31,7 +31,7 @@ object MiniYaml {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
 
   def parse(src: String): Y = {
-    val lines = src.linesIterator.toVector
+    val stripped = src.linesIterator.toVector
       .map { raw =>
         // strip comments not inside quotes
         val sb = new StringBuilder
@@ -45,7 +45,20 @@ object MiniYaml {
         }
         sb.toString
       }
-      .filter(_.trim.nonEmpty)
+      .filter(l => l.trim.nonEmpty && l.trim != "---")
+    // fold multi-line quoted scalars (odd quote count continues on next line;
+    // YAML folds the newline to a single space)
+    val joined = Vector.newBuilder[String]
+    var acc: String = null
+    for (l <- stripped) {
+      if (acc != null) {
+        acc = acc + " " + l.trim
+        if (l.count(_ == '"') % 2 == 1) { joined += acc; acc = null }
+      } else if (l.count(_ == '"') % 2 == 1) acc = l
+      else joined += l
+    }
+    if (acc != null) joined += acc
+    val lines = joined.result()
       .map(l => Line(l.takeWhile(_ == ' ').length, l.trim))
     val (y, rest) = parseBlock(lines, 0)
     require(rest.isEmpty, s"trailing yaml at: ${rest.headOption}")
@@ -81,6 +94,8 @@ object MiniYaml {
         while (lines.nonEmpty && lines.head.indent > indent &&
                !lines.head.text.startsWith("- ")) {
           val (mv, rem) = parseMap(lines, lines.head.indent)
+          require(rem.length < lines.length,
+            s"yaml parser stuck at: ${lines.head}")
           m = m ++ mv.asInstanceOf[YMap].m
           lines = rem
         }
@@ -98,8 +113,18 @@ object MiniYaml {
     while (lines.nonEmpty && lines.head.indent == indent &&
            !lines.head.text.startsWith("- ") && lines.head.text.contains(":")) {
       val (k, (v, isBlock)) = splitKV(lines.head.text)
+      val keyIndent = lines.head.indent
       lines = lines.tail
-      if (isBlock) {
+      if (v == YStr("|") || v == YStr(">")) {
+        // block scalar: deeper-indented lines joined (newline for |, space for >)
+        val sepChar = if (v == YStr("|")) "\n" else " "
+        val body = scala.collection.mutable.ListBuffer.empty[String]
+        while (lines.nonEmpty && lines.head.indent > keyIndent) {
+          body += lines.head.text
+          lines = lines.tail
+        }
+        m += k -> YStr(body.mkString(sepChar))
+      } else if (isBlock) {
         if (lines.nonEmpty && lines.head.indent > indent) {
           val (bv, rem) = parseBlock(lines, indent + 1)
           m += k -> bv; lines = rem
@@ -128,7 +153,8 @@ object MiniYaml {
     else if (s == "true") YBool(true)
     else if (s == "false") YBool(false)
     else if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2)
-      YStr(s.substring(1, s.length - 1))
+      YStr(s.substring(1, s.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
     else if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
       YStr(s.substring(1, s.length - 1))
     else if (s.startsWith("[")) {
