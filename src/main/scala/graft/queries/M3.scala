@@ -422,7 +422,7 @@ object M3 extends QueryPack {
   private val qDivideSeriesSql = withSG(
     s"""$binCte
        |SELECT * FROM (
-       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value / r.value AS value
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   private def qDiffSeries(s: SparkSession, sf: String): DataFrame = {
@@ -442,7 +442,7 @@ object M3 extends QueryPack {
   private val qAsPercentSql = withSG(
     s"""$binCte
        |SELECT * FROM (
-       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value * 100.0 / r.value END AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   override def all: Seq[QueryDef] =

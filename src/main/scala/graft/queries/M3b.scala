@@ -213,7 +213,7 @@ object M3b extends QueryPack {
        |l AS (SELECT usr, ts, value FROM q WHERE etype = 'click'),
        |r AS (SELECT usr, ts, value FROM q WHERE etype = 'view')
        |SELECT * FROM (
-       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, l.value * 100.0 / r.value AS value
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value * 100.0 / r.value END AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   // ---- end-to-end through the PromQL compiler ------------------------------

@@ -1,0 +1,53 @@
+package graft
+
+import graft.lang.m3.M3QL
+import org.apache.spark.sql.functions._
+
+/** Differential correctness runs — the Spark analogue of the reference's
+  * pushdown-on-vs-off oracle (multi_index_pushdown_comparison_rest_it.yaml):
+  * the same query must produce identical results under different physical
+  * configurations (1 shuffle partition vs many, repartitioned input, codegen
+  * on/off). Catches any operator whose result depends on partitioning or
+  * evaluation mode — the property that makes results stable from local[4]
+  * to a 1000-executor cluster.
+  */
+class DifferentialSpec extends SparkTestBase {
+  private val S = Some(_: Double)
+  private val N = Option.empty[Double]
+
+  private def fx = samplesDF(
+    series("name:m,dc:a", Seq(S(1), S(2), S(3), S(4), N, N, S(7), S(8), N, S(10))) ++
+    series("name:m,dc:b", Seq(S(10), S(20), N, S(40), S(50), N, S(70), N, N, S(100))) ++
+    series("name:x,dc:a", Seq(S(5), S(4), S(3), S(2), S(1), S(2), S(3), S(4), S(5), S(6))))
+
+  private val queries = Seq(
+    "fetch name:m | sum dc",
+    "fetch name:m | movingAverage 3m",
+    "fetch name:m | transformNull 0 | integral",
+    "b = fetch name:x; fetch name:m dc:a | asPercent(b) dc",
+    "fetch name:m | percentileOfSeries 75",
+    "fetch name:m | topK 1 sum",
+    "fetch name:m | summarize 2m avg true | derivative")
+
+  private def runAll(partitions: Int, codegen: Boolean): Seq[Map[String, Seq[Option[Double]]]] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+    try queries.map { q =>
+      val df = M3QL.query(spark, fx.repartition(partitions), g, q)
+      toGolden(df.drop("_rank"), g)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+  }
+
+  test("results identical across partitioning and codegen configurations") {
+    val base = runAll(partitions = 1, codegen = true)
+    val manyParts = runAll(partitions = 7, codegen = true)
+    val noCodegen = runAll(partitions = 4, codegen = false)
+    queries.indices.foreach { i =>
+      assert(base(i) == manyParts(i), s"partitioning changed result of: ${queries(i)}")
+      assert(base(i) == noCodegen(i), s"codegen mode changed result of: ${queries(i)}")
+    }
+  }
+}
