@@ -27,32 +27,63 @@ class E2eCorpusSpec extends GoldenCorpusBase(
 class MockFetchCorpusSpec extends GoldenCorpusBase(
   "/root/reference/src/javaRestTest/resources/test_cases/mockfetch_test_it.yaml")
 
+/** Multi-index corpora: indices collapse into the single samples table (the
+  * union IS the multi-index read; overlapping windows dedup on (series, ts)
+  * — SURVEY.md §3.4: federation reduces to reading both partitions + dedup). */
+class OverlappingWindowsCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/multi_index_overlapping_windows_rest_it.yaml")
+
+class DataMigrationCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/multi_index_data_migration_rest_it.yaml")
+
+class PushdownComparisonCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/multi_index_pushdown_comparison_rest_it.yaml")
+
 abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
 
   /** Queries exercising semantics we intentionally don't reproduce yet; each
     * exclusion carries the reason. */
-  private val excluded: Map[String, String] = Map.empty
+  private val excluded: Map[String, String] = Map(
+    "metric_with_migration_moving_sum__pushdown" ->
+      ("cross-cluster federation artifact: with resolved_partitions pushdown the " +
+        "reference evaluates the moving window PER PARTITION and merges, losing " +
+        "cross-partition lookback; out of scope v1 (SURVEY §3.4). Our global " +
+        "answer matches the reference's own no-pushdown variant, which passes."))
 
   private def isoToMs(s: String): Long = java.time.Instant.parse(s).toEpochMilli
 
   private lazy val root: Y = MiniYaml.parseFile(yamlPath)
 
+  private def parseLabels(s: String): Map[String, String] =
+    s.split(",").map { kv => val Array(k, v) = kv.split(":", 2); k -> v }.toMap
+
   private lazy val fixture = {
     val inputs = root("test_case")("input_data_list").list
     val rows = inputs.flatMap { in =>
-      val tc = in("time_config")
-      val start = isoToMs(tc("min_timestamp").str)
-      val step = graft.lang.m3.Duration.parse(tc("step").str).get
-      in("regular_metrics").list.flatMap { m =>
-        val labels = m("labels").str.split(",").map { kv =>
-          val Array(k, v) = kv.split(":", 2); k -> v
-        }.toMap
-        m("values").list.zipWithIndex.collect {
-          case (YNum(v), i) => Row(labels, start + i * step, v)
-        }
+      in.get("regular_metrics") match {
+        case Some(rm) =>
+          // FIXED_INTERVAL: values positional on the input grid
+          val tc = in("time_config")
+          val start = isoToMs(tc("min_timestamp").str)
+          val step = graft.lang.m3.Duration.parse(tc("step").str).get
+          rm.list.flatMap { m =>
+            val labels = parseLabels(m("labels").str)
+            m("values").list.zipWithIndex.collect {
+              case (YNum(v), i) => Row(labels, start + i * step, v)
+            }
+          }
+        case None =>
+          // GENERIC: explicit (timestamp, value) data points
+          in("metrics").list.flatMap { m =>
+            val labels = parseLabels(m("labels").str)
+            m("data_points").list.map { dp =>
+              Row(labels, isoToMs(dp("timestamp").str), dp("value").num)
+            }
+          }
       }
     }
-    samplesDF(rows).cache()
+    // multi-index overlap: first occurrence per (series, ts) wins
+    samplesDF(rows).dropDuplicates("series_id", "timestamp").cache()
   }
 
   private def runCase(q: Y): Unit = {
