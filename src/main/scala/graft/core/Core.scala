@@ -38,6 +38,14 @@ final case class QueryGrid(startMs: Long, endMs: Long, stepMs: Long) {
     (lit(startMs) + floor((ts - lit(startMs)) / lit(stepMs)).cast(LongType) * lit(stepMs))
 }
 
+/** Per-operand grid metadata threaded through the M3QL compiler: the nominal
+  * step and bucket origin of a pipeline's current output. The reference keeps
+  * (minTimestamp, step) on every TimeSeries and normalizes operands of a
+  * binary projection when they disagree (query/aggregator/TimeSeriesNormalizer
+  * .java:16-45); we track the same facts at plan time — the step only changes
+  * at `summarize`, so it is statically known per pipeline. */
+final case class StepMeta(stepMs: Long, startMs: Long)
+
 /** Canonical storage/query schema for samples.
   *
   * Mirrors the reference's persisted doc model — labels (sorted k:v set),
@@ -96,13 +104,18 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Memoize + cache derived inputs shared by many queries in one session
-    * (the Verify/Bench mains run 60+ queries over the same derived series). */
+  /** Memoize + persist derived inputs shared by many queries in one session
+    * (the Verify/Bench mains run 60+ queries over the same derived series).
+    * MEMORY_AND_DISK: under memory pressure a partition spills to local disk
+    * instead of being silently recomputed from the 6h-bucket decimal
+    * aggregation — repeated recomputation is exactly what skews a long bench
+    * run (and a 100× production run). */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def cached(spark: SparkSession, sfDir: String, key: String)
                     (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, sfDir, key), build.cache())
+    memo.getOrElseUpdate((spark, sfDir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")

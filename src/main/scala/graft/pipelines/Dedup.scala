@@ -122,16 +122,45 @@ object Dedup {
 
   private def pow2(b: Int): Column = lit(if (b == 63) Long.MinValue else 1L << b)
 
-  /** Embedding near-dup pairs: sign-LSH bucket (numPlanes hyperplanes), then
-    * exact cosine within buckets >= threshold. Avoids the all-pairs product;
-    * at 100TB, bucket + per-bucket pair join is the standard ANN-dedup shape. */
+  /** Embedding near-dup pairs: BANDED sign-LSH — `numBands` independent
+    * signatures of `planesPerBand` hyperplanes each (distinct seeds), a
+    * candidate pair is any two vectors sharing ANY band's bucket, then exact
+    * cosine verification >= threshold.
+    *
+    * Scale design vs a single signature: one 8-plane signature yields only
+    * 256 buckets, so per-bucket pairing degenerates toward O(n²/256) on a
+    * large corpus. Banding keeps per-band buckets fine (`planesPerBand` bits
+    * ⇒ 2^p buckets per band) while recall comes from the OR over bands
+    * (P[candidate] = 1-(1-s^p)^b for sign-agreement rate s). `maxBucket`
+    * caps any still-hot bucket (dropped entirely — the standard LSH skew
+    * guard; a dropped bucket's true pairs can still surface via the other
+    * bands). Shuffle stays proportional to candidate pairs, never all pairs.
+    */
   def embeddingNearDupPairs(emb: DataFrame, cosineThreshold: Double,
-                            numPlanes: Int = 8, idCol: String = "vec_id"): DataFrame = {
-    val withSig = Vectors.withLshSignature(emb, "embedding", numPlanes, seed = 7)
-    val a = withSig.select(col(idCol).as("vec_id_a"), col("embedding").as("ea"), col("lsh_sig"))
-    val b = withSig.select(col(idCol).as("vec_id_b"), col("embedding").as("eb"), col("lsh_sig"))
-    a.join(b, Seq("lsh_sig"))
+                            planesPerBand: Int = 12, numBands: Int = 4,
+                            maxBucket: Int = 1000, idCol: String = "vec_id"): DataFrame = {
+    val withSigs = (0 until numBands).foldLeft(emb) { (d, b) =>
+      Vectors.withLshSignature(d, "embedding", planesPerBand, seed = 7 + b)
+        .withColumnRenamed("lsh_sig", s"_sig$b")
+    }
+    val bandCols = (0 until numBands).map(b =>
+      struct(lit(b).as("band"), col(s"_sig$b").as("sig")))
+    val buckets = withSigs
+      .select(col(idCol), col("embedding"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("embedding"), col("bk.band"), col("bk.sig"))
+    // hot-bucket cap: count per (band, sig), drop oversized buckets
+    val kept = buckets.join(
+      buckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2 && col("n") <= maxBucket),
+      Seq("band", "sig"), "left_semi")
+    val a = kept.select(col("band"), col("sig"),
+      col(idCol).as("vec_id_a"), col("embedding").as("ea"))
+    val b = kept.select(col("band"), col("sig"),
+      col(idCol).as("vec_id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("band", "sig"))
       .where(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b", "ea", "eb")
+      .dropDuplicates("vec_id_a", "vec_id_b")
       .withColumn("cosine", Vectors.cosine(col("ea"), col("eb")))
       .where(col("cosine") >= cosineThreshold)
       .select("vec_id_a", "vec_id_b", "cosine")

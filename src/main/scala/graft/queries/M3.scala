@@ -425,11 +425,31 @@ object M3 extends QueryPack {
        |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
+  // diff default (keepNans=false): UNION of the matched pair's timestamps with
+  // the absent side as 0 (ref: SubtractStage.processSampleValues:120-143 —
+  // null→0.0); matched series only (usr present on both sides)
   private def qDiffSeries(s: SparkSession, sf: String): DataFrame = {
     val (l, r) = binPair(s, sf)
     flat(SeriesSet.diff(l, r, Seq("user")))
   }
   private val qDiffSeriesSql = withSG(
+    s"""$binCte,
+       |m AS (SELECT usr FROM l INTERSECT SELECT usr FROM r),
+       |lm AS (SELECT * FROM l WHERE usr IN (SELECT usr FROM m)),
+       |rm AS (SELECT * FROM r WHERE usr IN (SELECT usr FROM m))
+       |SELECT * FROM (
+       |  SELECT 'name:click,user:' || COALESCE(lm.usr, rm.usr) AS series,
+       |         COALESCE(lm.ts, rm.ts) AS ts,
+       |         COALESCE(lm.value, 0) - COALESCE(rm.value, 0) AS value
+       |  FROM lm FULL JOIN rm ON lm.usr = rm.usr AND lm.ts = rm.ts) $ord""".stripMargin)
+
+  // diff keepNans=true: a point exists only where BOTH sides have one
+  // (ref: SubtractStage.processSampleValues scenario 2)
+  private def qDiffKeepNans(s: SparkSession, sf: String): DataFrame = {
+    val (l, r) = binPair(s, sf)
+    flat(SeriesSet.diff(l, r, Seq("user"), keepNans = true))
+  }
+  private val qDiffKeepNansSql = withSG(
     s"""$binCte
        |SELECT * FROM (
        |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts, l.value - r.value AS value
@@ -487,5 +507,6 @@ object M3 extends QueryPack {
       QueryDef("m3_union", qUnion, Some(qUnionSql)),
       QueryDef("m3_divide_series", qDivideSeries, Some(qDivideSeriesSql)),
       QueryDef("m3_diff_series", qDiffSeries, Some(qDiffSeriesSql)),
+      QueryDef("m3_diff_keepnans", qDiffKeepNans, Some(qDiffKeepNansSql)),
       QueryDef("m3_as_percent", qAsPercent, Some(qAsPercentSql)))
 }

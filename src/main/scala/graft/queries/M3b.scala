@@ -72,25 +72,56 @@ object M3b extends QueryPack {
       .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
   }
 
-  private def qHistP50(s: SparkSession, sf: String): DataFrame =
-    flat(Grouping.histogramPercentile(histInput(s, sf), 0.5))
-  private val qHistP50Sql = withSG(
+  /** Shared bucket/cumulative CTE: per (etype, ts, bucket) counts with the
+    * running and total sums the upper-bound pick needs. */
+  private val histCte =
     s""", h AS (
        |  SELECT etype, LEAST(CAST(floor(value / 5) AS BIGINT), 5) AS b,
        |         1704067200000 + ((t - 1704067200000) // 21600000) * 21600000 AS ts,
        |         CAST(count(*) AS DOUBLE) AS cnt
        |  FROM s GROUP BY 1, 2, 3),
        |c AS (
-       |  SELECT etype, ts, b, cnt, b * 5 AS lo, (b + 1) * 5 AS hi,
+       |  SELECT etype, ts, b, cnt, (b + 1) * 5 AS hi,
        |    sum(cnt) OVER (PARTITION BY etype, ts ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
        |    sum(cnt) OVER (PARTITION BY etype, ts) AS total
-       |  FROM h),
-       |hit AS (
-       |  SELECT *, row_number() OVER (PARTITION BY etype, ts ORDER BY b) AS rn
-       |  FROM c WHERE cum >= 0.5 * total)
-       |SELECT $serName AS series, ts,
-       |  CAST(lo AS DOUBLE) + (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * (0.5 * total - (cum - cnt)) / cnt AS value
-       |FROM hit WHERE rn = 1 $ord""".stripMargin)
+       |  FROM h)""".stripMargin
+  /** M3 semantics: value = UPPER BOUND of the first bucket whose cumulative
+    * count reaches p×total — no interpolation — and the output series gains
+    * histogramPercentile:pXX (ref: HistogramPercentileStage:340-425). */
+  private def histSql(ps: Seq[Int]): String = withSG(
+    histCte + "\n" +
+      ps.map(p =>
+        s"""SELECT 'histogramPercentile:p$p,name:' || etype AS series, ts,
+           |  CAST(min(hi) AS DOUBLE) AS value
+           |FROM c WHERE total <> 0 AND cum >= ${p / 100.0} * total GROUP BY etype, ts""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s")\n$ord"))
+
+  private def qHistP50(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.histogramPercentile(histInput(s, sf), "bucket_id", "bucket_range", Seq(50)))
+  private val qHistP50Sql = histSql(Seq(50))
+
+  private def qHistMulti(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.histogramPercentile(histInput(s, sf), "bucket_id", "bucket_range", Seq(50, 99)))
+  private val qHistMultiSql = histSql(Seq(50, 99))
+
+  /** percentileOfSeries with several percentiles: one output series per p,
+    * nearest-rank rank=ceil(p/100×n) min 1 (ref: PercentileUtils:37-75),
+    * each labeled __percentile:p. */
+  private def qPercentileMulti(s: SparkSession, sf: String): DataFrame =
+    flat(Grouping.percentileM3(g(s, sf), Seq(25.0, 75.0), Seq("name"), interpolate = false))
+  private val qPercentileMultiSql = withSG(
+    s""", v AS (
+       |  SELECT etype, ts, value,
+       |    row_number() OVER (PARTITION BY etype, ts ORDER BY value) AS rk,
+       |    count(*) OVER (PARTITION BY etype, ts) AS n
+       |  FROM g)
+       |SELECT * FROM (
+       |SELECT '__percentile:25,name:' || etype AS series, ts, value FROM v
+       |WHERE rk = GREATEST(CAST(ceil(0.25 * n) AS BIGINT), 1)
+       |UNION ALL
+       |SELECT '__percentile:75,name:' || etype AS series, ts, value FROM v
+       |WHERE rk = GREATEST(CAST(ceil(0.75 * n) AS BIGINT), 1))
+       |$ord""".stripMargin)
 
   // ---- summarize variants --------------------------------------------------
   private def summarizeQ(name: String, fn: String, sqlAgg: String, having: String = "") =
@@ -216,6 +247,28 @@ object M3b extends QueryPack {
        |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts, CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value * 100.0 / r.value END AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
+  /** Mixed-step binary op through the compiler: the right operand is
+    * summarized to 12h while the left stays on the 6h query grid, so the
+    * compiler's StepMeta tracking must invoke Normalizer.alignOperands
+    * (LCM=12h, AVG consolidation) before the divide — the reference's
+    * TimeSeriesNormalizer-inside-DivideStage path. */
+  private def qDivideMixedStep(s: SparkSession, sf: String): DataFrame =
+    flat(M3QL.query(s, raw(s, sf), grid,
+      "b = fetch name:view | summarize 12h sum; fetch name:click | divide(b) user"))
+  private val qDivideMixedStepSql = withSG(
+    s""", l12 AS (
+       |  SELECT usr, 1704067200000 + ((ts - 1704067200000) // 43200000) * 43200000 AS t2,
+       |         ${dsum("value")} / count(value) AS value
+       |  FROM g WHERE etype = 'click' GROUP BY 1, 2),
+       |r12 AS (
+       |  SELECT usr, (ts // 43200000) * 43200000 AS t2,
+       |         ${dsum("value")} AS value
+       |  FROM g WHERE etype = 'view' GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.t2 AS ts,
+       |         CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value
+       |  FROM l12 l JOIN r12 r ON l.usr = r.usr AND l.t2 = r.t2) $ord""".stripMargin)
+
   // ---- end-to-end through the PromQL compiler ------------------------------
   private def qPromAgg(s: SparkSession, sf: String): DataFrame =
     flat(PromQL.query(s, g(s, sf), grid, """sum(sqrt(click))"""))
@@ -241,7 +294,10 @@ object M3b extends QueryPack {
   override def all: Seq[QueryDef] = Seq(
     QueryDef("m3_percentile_p90", qP90, Some(qP90Sql)),
     QueryDef("m3_percentile_p25", qP25, Some(qP25Sql)),
+    QueryDef("m3_percentile_multi", qPercentileMulti, Some(qPercentileMultiSql)),
     QueryDef("m3_histogram_percentile", qHistP50, Some(qHistP50Sql)),
+    QueryDef("m3_histogram_percentile_p99", qHistMulti, Some(qHistMultiSql)),
+    QueryDef("m3_divide_mixed_step", qDivideMixedStep, Some(qDivideMixedStepSql)),
     QueryDef("m3_keep_last_interval", qKeepLastIv, Some(qKeepLastIvSql)),
     QueryDef("m3_head", qHead, Some(qHeadSql)),
     QueryDef("m3_tail", qTail, Some(qTailSql)),

@@ -142,7 +142,23 @@ object Pipeline extends QueryPack {
       .select("doc_id", "h0", "h1", "h2", "h3")
       .orderBy("doc_id")
 
+  // ---- /_tsdb/stats equivalent --------------------------------------------
+  /** seriesCountByLabelValuePair over the events-as-samples view (ref:
+    * RestTSDBStatsAction flat format) — series identity = (name, user). */
+  private def qStatsPairs(s: SparkSession, sf: String): DataFrame =
+    graft.serve.TsdbStats.seriesCountByLabelValuePair(Tables.eventSamples(s, sf))
+      .orderBy("label", "value")
+  private val qStatsPairsSql =
+    """WITH s AS (SELECT DISTINCT event_type AS etype, CAST(user_id % 10 AS VARCHAR) AS usr
+      |           FROM events)
+      |SELECT * FROM (
+      |  SELECT 'name' AS label, etype AS value, count(*) AS num_series FROM s GROUP BY etype
+      |  UNION ALL
+      |  SELECT 'user' AS label, usr AS value, count(*) AS num_series FROM s GROUP BY usr)
+      |ORDER BY label, value""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("tsdb_stats_pairs", qStatsPairs, Some(qStatsPairsSql)),
     QueryDef("text_token_stats", qTokens, Some(qTokensSql)),
     QueryDef("text_quality", qQuality, Some(qQualitySql)),
     QueryDef("text_langid", qLangId, Some(qLangIdSql)),

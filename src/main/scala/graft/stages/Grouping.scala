@@ -115,15 +115,30 @@ object Grouping {
   def percentileExact(df: DataFrame, p: Double, groupKeys: Seq[String] = Nil): DataFrame =
     run(df, groupKeys)(c => expr(s"percentile(${TsSchema.Value}, $p)"))
 
-  /** M3-exact `percentileOfSeries p [tags]`: nearest-rank-lower —
+  /** Whole-number percentiles print without the decimal point, fractional ones
+    * with trailing zeros stripped (ref: PercentileUtils.formatPercentile,
+    * query/utils/PercentileUtils.java:110-117). */
+  private def fmtPercentile(p: Double): String =
+    if (p == p.floor) p.toLong.toString
+    else p.toString.replaceAll("\\.?0+$", "")
+
+  /** M3-exact `percentileOfSeries p… [true|false] [tags]`: nearest-rank-lower —
     * rank = ceil(p/100 * n) (1-based, min 1), optional linear interpolation
     * toward the previous element (ref: PercentileUtils.calculatePercentile,
-    * query/utils/PercentileUtils.java:37-75). Output label set gains
-    * `__percentile` = formatted p (ref: PercentileOfSeriesStage.java:78). */
-  def percentileM3(df: DataFrame, p: Double, groupKeys: Seq[String] = Nil,
-                   interpolate: Boolean = false): DataFrame = {
-    val out = run(df, groupKeys) { c =>
-      val vals = array_sort(collect_list(c))
+    * query/utils/PercentileUtils.java:37-75). One output series per requested
+    * percentile — percentiles are deduped and sorted, and each series gains
+    * `__percentile` = formatted p (ref: PercentileOfSeriesStage.java:62,
+    * validateAndNormalizePercentiles). A single shuffle collects each group's
+    * values once; the per-percentile projections explode from that buffer. */
+  def percentileM3(df: DataFrame, ps: Seq[Double], groupKeys: Seq[String],
+                   interpolate: Boolean): DataFrame = {
+    require(ps.nonEmpty, "percentileOfSeries requires at least one percentile value")
+    val sortedPs = ps.distinct.sorted
+    val (withKeys, gCols) = grouped(df, groupKeys)
+    val agged = withKeys.groupBy(gCols: _*)
+      .agg(array_sort(collect_list(col(TsSchema.Value))).as("_vals"))
+    def pVal(p: Double): Column = {
+      val vals = col("_vals")
       val n = size(vals)
       val fr = lit(p / 100.0) * n
       val rank = greatest(ceil(fr).cast(IntegerType), lit(1))
@@ -135,12 +150,27 @@ object Grouping {
         when(rank >= 2, prev + fraction * (atRank - prev)).otherwise(atRank)
       }
     }
-    val pLabel = if (p == p.floor) p.toLong.toString else p.toString
-    out
+    val perP = array(sortedPs.map(p =>
+      struct(lit(fmtPercentile(p)).as("_plabel"), pVal(p).as("_pv"))): _*)
+    val exploded = agged
+      .withColumn("_p", explode(perP))
+      .withColumn(TsSchema.Value, col("_p").getField("_pv"))
+    val groupLabels =
+      if (groupKeys.isEmpty) map().cast(MapType(StringType, StringType, valueContainsNull = false))
+      else map_filter(
+        map(groupKeys.flatMap(k => Seq(lit(k), col(s"_g_$k"))): _*),
+        (_, v) => v.isNotNull)
+    exploded
       .withColumn(TsSchema.LabelsCol,
-        map_concat(col(TsSchema.LabelsCol), map(lit("__percentile"), lit(pLabel))))
+        map_concat(groupLabels, map(lit("__percentile"), col("_p").getField("_plabel"))))
       .withColumn(TsSchema.SeriesId, TsSchema.seriesId(col(TsSchema.LabelsCol)))
+      .select(TsSchema.SeriesId, TsSchema.LabelsCol, TsSchema.Ts, TsSchema.Value)
   }
+
+  /** Single-percentile convenience overload. */
+  def percentileM3(df: DataFrame, p: Double, groupKeys: Seq[String] = Nil,
+                   interpolate: Boolean = false): DataFrame =
+    percentileM3(df, Seq(p), groupKeys, interpolate)
 
   /** Per-ts sample stddev via decimal-exact moments (ref: StdDevBucketSummarizer;
     * manual formula keeps Spark and a SQL oracle bit-identical). */
@@ -152,22 +182,70 @@ object Grouping {
       when(n > 1, sqrt((s2 - s * s / n) / (n - lit(1.0))))
     }
 
-  /** `histogramPercentile p` — regroup by all labels EXCEPT the bucket keys,
-    * then per timestamp compute the percentile from cumulative bucket counts
-    * with linear interpolation inside the target bucket — the same math as
-    * PromQL histogram_quantile (ref: HistogramPercentileStage.java:41-70;
-    * BUCKET_ID :54, BUCKET_RANGE :57 — bucket_range = "lo-hi").
+  /** Upper bound of a `bucket_range` label value, as pure builtin expressions
+    * (ref: HistogramPercentileStage.BucketInfo.parseBucket:560-640):
+    *  - "infinity" / "+Inf" whole-range → +∞ (upper of the catch-all bucket)
+    *  - duration ranges "10ms-20ms" → upper in fractional milliseconds
+    *  - value ranges "10-20", "-10--5", "1e-5-2e-5" (signed + scientific
+    *    notation; the delimiter dash is found past a leading sign and never
+    *    inside an exponent — ref findDelimiterDash:599-623)
+    *  - "lo-infinity" / "lo-+Inf" → upper == lo (ref parseValueRange)
+    *  - anything else raises, like the reference's IllegalArgumentException.
+    */
+  private def bucketUpperBound(br: Column): Column = {
+    val delim = "^(-?.*?)(?<![eE])-(.*)$"
+    val left = regexp_extract(br, delim, 1)
+    val right = regexp_extract(br, delim, 2)
+    val durRe = "^(-?\\d+(?:\\.\\d+)?)(ns|us|µs|ms|s|m|h)$"
+    def durMs(s: Column): Column = {
+      val v = regexp_extract(s, durRe, 1).cast(DoubleType)
+      val u = regexp_extract(s, durRe, 2)
+      val nanosFactor = when(u === "ns", lit(1.0))
+        .when(u === "us" || u === "µs", lit(1000.0))
+        .when(u === "ms", lit(1e6)).when(u === "s", lit(1e9))
+        .when(u === "m", lit(6e10)).when(u === "h", lit(3.6e12))
+      round(v * nanosFactor) / lit(1e6)
+    }
+    val leftVal = when(left === "-Inf" || left === "-infinity", lit(Double.NegativeInfinity))
+      .otherwise(left.cast(DoubleType))
+    val upper =
+      when(br === "infinity" || br === "+Inf", lit(Double.PositiveInfinity))
+        .when(left.rlike(durRe) && right.rlike(durRe), durMs(right))
+        .when(right === "infinity" || right === "+Inf", leftVal)
+        .otherwise(right.cast(DoubleType))
+    when(upper.isNull, raise_error(concat(
+      lit("Failed to parse bucket range '"), br,
+      lit("' in histogram percentile calculation"))).cast(DoubleType))
+      .otherwise(upper)
+  }
+
+  /** `histogramPercentile bucketIdKey bucketRangeKey p…` — regroup by all
+    * labels EXCEPT the two bucket keys, then per timestamp pick the UPPER
+    * BOUND of the first bucket (sorted by upper bound) whose cumulative count
+    * reaches p/100 × total — no interpolation (ref:
+    * HistogramPercentileStage.calculatePercentile:380-425). One output series
+    * per requested percentile, labeled `histogramPercentile`=pXX (ref :354).
+    * Timestamps whose buckets are all zero emit nothing (NaN-skip, :346-349);
+    * a duplicate (bucketId, bucketRange) at one timestamp raises, matching the
+    * reference's IllegalStateException (:322).
     *
     * Implemented with window functions over the bucket rows (no UDF): one
     * shuffle on (regrouped series, ts), then cumsum + first-bucket pick.
     */
-  def histogramPercentile(df: DataFrame, p: Double): DataFrame = {
+  /** PromQL-style `histogram_quantile`: same bucket regroup as
+    * histogramPercentile but with linear interpolation INSIDE the target
+    * bucket (PromQL semantics — the M3 stage returns the bucket upper bound
+    * instead). Kept for the PromQL frontend. */
+  def histogramQuantile(df: DataFrame, p: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = TsSchema
     val bucketKeys = Seq("bucket_id", "bucket_range")
     val newLabels = map_filter(col(S.LabelsCol), (k, _) => !k.isInCollection(bucketKeys))
-    val lo = split(col(S.LabelsCol).getItem("bucket_range"), "-").getItem(0).cast(DoubleType)
-    val hi = split(col(S.LabelsCol).getItem("bucket_range"), "-").getItem(1).cast(DoubleType)
+    val br = col(S.LabelsCol).getItem("bucket_range")
+    // signed-aware bounds: the delimiter dash is found past a leading sign
+    val delim = "^(-?.*?)(?<![eE])-(.*)$"
+    val lo = regexp_extract(br, delim, 1).cast(DoubleType)
+    val hi = regexp_extract(br, delim, 2).cast(DoubleType)
     val base = df
       .withColumn("_lo", lo).withColumn("_hi", hi)
       .withColumn(S.LabelsCol, newLabels)
@@ -189,6 +267,50 @@ object Grouping {
           col("_lo") + (col("_hi") - col("_lo")) *
             (col("_target") - (col("_cum") - col(S.Value))) / col(S.Value)))
       .select(col(S.SeriesId), col(S.LabelsCol), col(S.Ts), col(S.Value))
+  }
+
+  def histogramPercentile(df: DataFrame, bucketIdKey: String, bucketRangeKey: String,
+                          ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty, "histogramPercentile requires at least one percentile value")
+    val sortedPs = ps.distinct.sorted
+    val S = TsSchema
+    val newLabels = map_filter(col(S.LabelsCol),
+      (k, _) => k =!= bucketIdKey && k =!= bucketRangeKey)
+    val base = df
+      // series missing either bucket label are skipped (ref :289-292)
+      .where(col(S.LabelsCol).getItem(bucketIdKey).isNotNull &&
+             col(S.LabelsCol).getItem(bucketRangeKey).isNotNull)
+      .withColumn("_bid", col(S.LabelsCol).getItem(bucketIdKey))
+      .withColumn("_br", col(S.LabelsCol).getItem(bucketRangeKey))
+      .withColumn("_upper", bucketUpperBound(col(S.LabelsCol).getItem(bucketRangeKey)))
+      .withColumn(S.LabelsCol, newLabels)
+      .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+    val wDup = Window.partitionBy(S.SeriesId, S.Ts, "_bid", "_br")
+    val w = Window.partitionBy(S.SeriesId, S.Ts).orderBy(col("_upper"), col("_bid"))
+    val wAll = Window.partitionBy(S.SeriesId, S.Ts)
+    val cum = base
+      .withColumn(S.Value,
+        when(functions.count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("already seen range"), col("_br"),
+            lit(" Histogram buckets may have changed"))).cast(DoubleType))
+          .otherwise(col(S.Value)))
+      .withColumn("_cum", functions.sum(S.Value).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_total", functions.sum(S.Value).over(wAll))
+    val perP = sortedPs.map { p =>
+      val target = lit(p / 100.0) * col("_total")
+      cum
+        .where(col("_total") =!= 0 && col("_cum") >= target)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .withColumn(S.Value, col("_upper"))
+        .withColumn(S.LabelsCol, map_concat(col(S.LabelsCol),
+          map(lit("histogramPercentile"), lit("p" + fmtPercentile(p)))))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+        .select(col(S.SeriesId), col(S.LabelsCol), col(S.Ts), col(S.Value))
+    }
+    perP.reduce(_ unionByName _)
   }
 
   private def functions_min(c: Column): Column = functions.min(c)

@@ -1,6 +1,6 @@
 package graft.stages
 
-import graft.core.{OracleSafe, QueryGrid, TsSchema}
+import graft.core.{OracleSafe, QueryGrid, StepMeta, TsSchema}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -36,10 +36,14 @@ object Normalizer {
   }
 
   /** Resample a canonical samples DF onto `targetGrid` with the given
-    * consolidation function. One shuffle on (series, slot). */
+    * consolidation function. One shuffle on (series, slot). NaN samples are
+    * skipped, and a slot whose samples were all NaN emits nothing — matching
+    * ConsolidationFunction / TimeSeriesNormalizer.resampleSeries
+    * (ref: TimeSeriesNormalizer.java:330-371). */
   def resample(df: DataFrame, targetGrid: QueryGrid, fn: String = "avg"): DataFrame = {
     val slot = targetGrid.bucket(col(S.Ts))
-    df.withColumn("_slot", slot)
+    df.where(col(S.Value).isNotNull && !isnan(col(S.Value)))
+      .withColumn("_slot", slot)
       .where(col("_slot") >= targetGrid.startMs && col("_slot") < targetGrid.endMs)
       .groupBy(col(S.SeriesId), col(S.LabelsCol), col("_slot").as(S.Ts))
       .agg(consolidate(fn)(col(S.Value)).as(S.Value))
@@ -50,8 +54,10 @@ object Normalizer {
     * otherwise (ref: ConsolidationFunction.TYPE_AWARE). */
   def resampleTypeAware(df: DataFrame, targetGrid: QueryGrid): DataFrame = {
     val slot = targetGrid.bucket(col(S.Ts))
-    val isCounter = col(S.LabelsCol).getItem("type") === "counter"
-    df.withColumn("_slot", slot)
+    // counter and counts, case-insensitive (ref: ConsolidationStrategy.TYPE_AWARE)
+    val isCounter = lower(col(S.LabelsCol).getItem("type")).isin("counter", "counts")
+    df.where(col(S.Value).isNotNull && !isnan(col(S.Value)))
+      .withColumn("_slot", slot)
       .where(col("_slot") >= targetGrid.startMs && col("_slot") < targetGrid.endMs)
       .groupBy(col(S.SeriesId), col(S.LabelsCol), col("_slot").as(S.Ts))
       .agg(
@@ -74,4 +80,27 @@ object Normalizer {
       (resample(left, target, fn), resample(right, target, fn), target)
     }
   }
+
+  /** Normalize the two operands of a binary projection when their compile-time
+    * steps differ, the way the reference runs TimeSeriesNormalizer inside
+    * AbstractBinaryProjectionStage (PAIRWISE/BATCH, LCM step, AVG
+    * consolidation — ref: AbstractBinaryProjectionStage.java:266-317,
+    * TimeSeriesNormalizer.java:188-268): common step = LCM, bucket origin =
+    * min of the operand origins. An operand already on the target grid (same
+    * step, origin a step-multiple away) is passed through untouched, like the
+    * reference's already-aligned check (:295-298). */
+  def alignOperands(left: DataFrame, lm: StepMeta, right: DataFrame, rm: StepMeta,
+                    endMs: Long): (DataFrame, DataFrame, StepMeta) =
+    if (lm.stepMs == rm.stepMs && (lm.startMs - rm.startMs) % lm.stepMs == 0)
+      (left, right, StepMeta(lm.stepMs, math.min(lm.startMs, rm.startMs)))
+    else {
+      val step = lcm(lm.stepMs, rm.stepMs)
+      val start = math.min(lm.startMs, rm.startMs)
+      val end = start + ((endMs - start + step - 1) / step) * step
+      val target = QueryGrid(start, end, step)
+      def align(df: DataFrame, m: StepMeta): DataFrame =
+        if (m.stepMs == step && (m.startMs - start) % step == 0) df
+        else resample(df, target, "avg")
+      (align(left, lm), align(right, rm), StepMeta(step, start))
+    }
 }

@@ -15,9 +15,20 @@ import org.apache.spark.sql.types._
   * partial ordering into each partition (TakeOrderedAndProject), matching the
   * reference's shard-local-topK + coordinator re-merge
   * (ref: TopKStage.java:33-47,108,172).
+  *
+  * All decisions that depend on the data (single right group, common label
+  * keys, divisor cardinality) are folded into the lazy plan as 1-row broadcast
+  * joins / window aggregates — no driver-side probe runs while the plan is
+  * being built, so a binary projection is one job end-to-end at any scale.
   */
 object SeriesSet {
   private val S = TsSchema
+  /** Unambiguous separators for label match keys: \u0001 joins key/value
+    * parts, \u0000 marks a missing value, \u0002 is the single-right-group
+    * sentinel join key — none can occur in real label values. */
+  private val Sep = "\u0001"
+  private val MissingV = "\u0000"
+  private val SingleKey = "\u0002"
 
   /** Per-series ranking key (ref: stage/util/SortComparatorUtil.java;
     * SortByType avg,current,max,min,sum,stddev,name —
@@ -59,15 +70,19 @@ object SeriesSet {
   def sortSeries(df: DataFrame, by: String = "avg", desc: Boolean = true): DataFrame =
     ranked(df, by, desc).orderBy(col("_rank"), col(S.Ts))
 
-  /** `head n` / `tail n` — first/last n series by rank (ref: SliceStage.java:30-44). */
+  /** `head n` / `tail n` — first/last n series by rank (ref: SliceStage.java:30-44).
+    * The tail cutoff is a 1-row broadcast join, not a driver action, so empty
+    * input yields an empty result (the reference returns empty, not an error). */
   def slice(df: DataFrame, n: Int, by: String = "avg", desc: Boolean = true,
             tail: Boolean = false): DataFrame = {
     // a preceding `sort` stage's ranking is honored (ref SliceStage takes the
     // head of the CURRENT series order); else rank by the default key
     val r = if (df.columns.contains("_rank")) df else ranked(df, by, desc)
-    val total = r.select(max("_rank")).first().getInt(0)
-    val keep = if (tail) col("_rank") > total - n else col("_rank") <= n
-    r.where(keep)
+    if (!tail) r.where(col("_rank") <= n)
+    else {
+      val tot = r.agg(coalesce(max("_rank"), lit(0)).as("_total"))
+      r.crossJoin(broadcast(tot)).where(col("_rank") > col("_total") - n).drop("_total")
+    }
   }
 
   /** `topK k by order` (ref: TopKStage.java:33-47; defaults k=10, by=current). */
@@ -79,71 +94,173 @@ object SeriesSet {
   def union(dfs: Seq[DataFrame]): DataFrame =
     dfs.map(_.select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)).reduce(_ unionByName _)
 
-  /** Label-match key for binary projections: all labels, or only `keys`
-    * (ref: AbstractBinaryProjectionStage.java:58-96). */
-  private def matchKey(keys: Seq[String]): Column =
-    if (keys.isEmpty) TsSchema.seriesKey(col(S.LabelsCol))
-    else concat_ws("", keys.map(k => coalesce(col(S.LabelsCol).getItem(k), lit(""))): _*)
+  // ------------------------------------------------------------------------
+  // binary projections (ref: AbstractBinaryProjectionStage)
+  // ------------------------------------------------------------------------
 
-  /** Binary projection core (ref: AbstractBinaryProjectionStage):
-    *  - right side with a SINGLE series (or a single group after key
-    *    projection) matches EVERY left series with no label check at all
-    *    (ref :243-249, :341-346 "If right operand has single series, project
-    *    all left ... without label matching")
-    *  - otherwise match on all labels, or only `keys`; multiple right series
-    *    in one group are merged first-wins (ref :90-110 groupAndMerge)
-    *  - per-timestamp equi-join; keepNans=false drops mismatches (inner join)
-    *  - output labels = transformed LEFT labels (`typeLabel`, e.g.
-    *    divide/asPercent add type:ratios — DivideStage.java:114-115)
+  /** How multiple right series sharing one match group combine
+    * (ref: mergeMatchingSeries overrides). */
+  private sealed trait RightMerge
+  /** subtract: same-group right series merge by per-timestamp SUM, a NaN
+    * operand poisons the sum (ref: SubtractStage.mergeMatchingSeries:88-118). */
+  private case object MergeSum extends RightMerge
+  /** divide/asPercent: a group with more than one right series is an error
+    * (ref: DivideStage.mergeMatchingSeries:94-104). */
+  private final case class MergeSingle(op: String) extends RightMerge
+
+  private def hasAllKeys(keys: Seq[String]): Column =
+    keys.map(k => col(S.LabelsCol).getItem(k).isNotNull).reduce(_ && _)
+
+  private def explicitKey(keys: Seq[String]): Column =
+    concat_ws(Sep, keys.map(k => coalesce(col(S.LabelsCol).getItem(k), lit(MissingV))): _*)
+
+  /** 1-row DF with `_ck` = sorted label keys present in EVERY series of both
+    * operands — the reference's common-tag-key extraction when no explicit
+    * keys are given (ref: AbstractBinaryProjectionStage.extractCommonTagKeys
+    * :376-403, Labels.findCommonLabelNames:128-154; empty intersection falls
+    * back to full label matching). Every row of a series carries identical
+    * labels, so the per-row intersection equals the per-series one; the two
+    * aggregations prune to the labels column only. */
+  private def commonKeysDF(left: DataFrame, right: DataFrame): DataFrame = {
+    val lab = left.select(col(S.LabelsCol)).unionAll(right.select(col(S.LabelsCol)))
+    val tot = lab.agg(count(lit(1)).as("_tot"))
+    lab.select(explode(map_keys(col(S.LabelsCol))).as("_k"))
+      .groupBy("_k").agg(count(lit(1)).as("_c"))
+      .crossJoin(broadcast(tot))
+      .where(col("_c") === col("_tot"))
+      .agg(sort_array(collect_list(col("_k"))).as("_ck"))
+  }
+
+  /** Match key from the (cross-joined) `_ck` common-key array: project the
+    * label map onto the common keys; empty intersection → full label identity. */
+  private def commonKeyExpr: Column =
+    when(size(col("_ck")) === 0, TsSchema.seriesKey(col(S.LabelsCol)))
+      .otherwise(concat_ws(Sep, transform(col("_ck"),
+        k => concat(k, lit(":"), coalesce(element_at(col(S.LabelsCol), k), lit(MissingV))))))
+
+  /** Shared prologue of every binary projection: attach the match key to both
+    * sides, merge right series per group, and resolve the single-right-group
+    * rule branch-free.
+    *
+    * Returns (left rows with `_jk`, right rows (`_jk`, timestamp, `_rv`)).
+    *
+    *  - explicit keys: series missing any key are dropped on both sides
+    *    (ref: extractGroupLabels:436-471 returns null → series dropped)
+    *  - no keys: match on the common-key projection (see commonKeysDF)
+    *  - a single right GROUP matches every left series with no label check
+    *    (ref :341-346): the grouped key extent min==max folds into a 1-row
+    *    broadcast and the join key becomes a sentinel on both sides. Spark's
+    *    ReuseExchange dedupes the second pass over the grouped shuffle.
     */
-  private def binary(left: DataFrame, right: DataFrame, keys: Seq[String],
-                     keepNans: Boolean, typeLabel: Option[String])
-                    (f: (Column, Column) => Column): DataFrame = {
-    // merge right series sharing a group key: first-wins by series key order
-    val rGrouped = right
-      .withColumn("_mk", matchKey(keys))
-      .withColumn("_sk", TsSchema.seriesKey(col(S.LabelsCol)))
-      .groupBy(col("_mk"), col(S.Ts))
-      .agg(expr(s"min_by(${S.Value}, _sk)").as("_rv"))
-    val singleRight = rGrouped.select("_mk").distinct().count() == 1
-    val l = left.withColumn("_mk", matchKey(keys))
-    val joined =
-      if (singleRight) {
-        val r = rGrouped.select(col(S.Ts), col("_rv"))
-        if (keepNans) l.join(r, Seq(S.Ts), "full_outer") else l.join(r, Seq(S.Ts), "inner")
-      } else {
-        val r = rGrouped.select(col("_mk"), col(S.Ts), col("_rv"))
-        if (keepNans) l.join(r, Seq("_mk", S.Ts), "full_outer")
-        else l.join(r, Seq("_mk", S.Ts), "inner")
+  private def keyed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    merge: RightMerge): (DataFrame, DataFrame) = {
+    val (l0, r0) =
+      if (keys.nonEmpty)
+        (left.where(hasAllKeys(keys)).withColumn("_mk", explicitKey(keys)),
+         right.where(hasAllKeys(keys)).withColumn("_mk", explicitKey(keys)))
+      else {
+        val ck = broadcast(commonKeysDF(left, right))
+        (left.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"),
+         right.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"))
       }
-    val combined = joined
-      .withColumn(S.Value, f(col(S.Value), col("_rv")))
-      .drop("_mk", "_rv")
-    typeLabel match {
-      case Some(t) => combined
-        .withColumn(S.LabelsCol,
-          map_concat(col(S.LabelsCol), map(lit("type"), lit(t))))
-        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
-      case None => combined
+    val rKeyed = r0.withColumn("_sk", TsSchema.seriesKey(col(S.LabelsCol)))
+    val rGrouped = merge match {
+      case MergeSum =>
+        rKeyed.groupBy(col("_mk"), col(S.Ts)).agg(
+          when(max(when(isnan(col(S.Value)), 1).otherwise(0)) === 1, lit(Double.NaN))
+            .otherwise(OracleSafe.dSum(col(S.Value))).as("_rv"))
+      case MergeSingle(op) =>
+        val g = rKeyed.groupBy(col("_mk"), col(S.Ts)).agg(
+          expr(s"min_by(${S.Value}, _sk)").as("_rv"),
+          collect_set(col("_sk")).as("_sks"))
+        val w = Window.partitionBy("_mk")
+        g.withColumn("_nser", size(array_distinct(flatten(collect_list(col("_sks")).over(w)))))
+          .withColumn("_rv",
+            when(col("_nser") > 1,
+              raise_error(concat(
+                lit(s"bucket for $op must have exactly one divisor, got "),
+                col("_nser").cast(StringType))).cast(DoubleType))
+              .otherwise(col("_rv")))
+          .select(col("_mk"), col(S.Ts), col("_rv"))
     }
+    val rStats = rGrouped.agg(min("_mk").as("_mkmin"), max("_mk").as("_mkmax"))
+    val jk = when(col("_mkmin") === col("_mkmax"), lit(SingleKey)).otherwise(col("_mk"))
+    val rj = rGrouped.crossJoin(broadcast(rStats))
+      .withColumn("_jk", jk).select(col("_jk"), col(S.Ts), col("_rv"))
+    val lj = l0.crossJoin(broadcast(rStats))
+      .withColumn("_jk", jk)
+      .drop("_mk", "_mkmin", "_mkmax")
+    (lj, rj)
+  }
+
+  /** Replace/add the type label on the output (left) labels
+    * (ref: DivideStage/AsPercentStage.transformLabels add type:ratios). */
+  private def typed(df: DataFrame, typeLabel: Option[String]): DataFrame = typeLabel match {
+    case Some(t) =>
+      df.withColumn(S.LabelsCol,
+          map_concat(map_filter(col(S.LabelsCol), (k, _) => k =!= "type"),
+            map(lit("type"), lit(t))))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+    case None => df
+  }
+
+  /** Inner-timestamp binary projection (divide/asPercent: mismatched
+    * timestamps are skipped — ref alignTimestampsAndProcess :152-170 with
+    * hasKeepNansOption=false). */
+  private def binaryInner(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          op: String, typeLabel: Option[String])
+                         (f: (Column, Column) => Column): DataFrame = {
+    val (l, r) = keyed(left, right, keys, MergeSingle(op))
+    typed(
+      l.join(r, Seq("_jk", S.Ts), "inner")
+        .withColumn(S.Value, f(col(S.Value), col("_rv")))
+        .drop("_jk", "_rv"),
+      typeLabel)
   }
 
   /** `divide <ref> [tags]` — 0 denominator and NaN operands yield NaN; output
-    * tagged type:ratios (ref: DivideStage.java:114-127). */
-  def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
-             keepNans: Boolean = false): DataFrame =
-    binary(left, right, keys, keepNans, Some("ratios"))((l, r) =>
+    * tagged type:ratios (ref: DivideStage.processSampleValues:129-141). */
+  def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    binaryInner(left, right, keys, "divide", Some("ratios"))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
-  /** `diff <ref>` — left minus right (ref: SubtractStage.java:28; no label
-    * transform). */
-  def diff(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
-           keepNans: Boolean = false): DataFrame =
-    binary(left, right, keys, keepNans, None)((l, r) => l - r)
-
   /** `asPercent <ref> [tags]` — 100*left/right, tagged type:ratios
-    * (ref: AsPercentStage.java:110-117). */
+    * (ref: AsPercentStage.processSampleValues:100-107). */
   def asPercent(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil): DataFrame =
-    binary(left, right, keys, keepNans = false, Some("ratios"))((l, r) =>
+    binaryInner(left, right, keys, "asPercent/ratio", Some("ratios"))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l * lit(100.0) / r))
+
+  /** `diff <ref> [keepNans] [tags]` — left minus right over the UNION of the
+    * matched pair's timestamps (ref: SubtractStage.processSampleValues:120-143
+    * + alignTimestampsAndProcess :140-176):
+    *  - NaN samples count as absent
+    *  - both absent → no output point
+    *  - keepNans=true: one side absent → no output point
+    *  - keepNans=false: the absent side is 0 (left-only ts → l, right-only → -r)
+    *  - left series with no matching right group emit nothing; empty right
+    *    operand → empty output (ref process():389-392)
+    */
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
+           keepNans: Boolean = false): DataFrame = {
+    val (l, r) = keyed(left, right, keys, MergeSum)
+    // one row per (left series, join key) so right-only timestamps can be
+    // attributed to each matched left series with the LEFT labels
+    val lSeries = l.groupBy(col(S.SeriesId), col("_jk"))
+      .agg(first(col(S.LabelsCol)).as(S.LabelsCol))
+    val rExp = lSeries.join(r, Seq("_jk"))
+      .select(col(S.SeriesId), col("_jk"), col(S.LabelsCol).as("_rlab"),
+        col(S.Ts), col("_rv"))
+    val lSub = l.join(r.select("_jk").distinct(), Seq("_jk"), "left_semi")
+      .select(col(S.SeriesId), col("_jk"), col(S.LabelsCol), col(S.Ts), col(S.Value))
+    val joined = lSub.join(rExp, Seq(S.SeriesId, "_jk", S.Ts), "full_outer")
+    val lv = when(isnan(col(S.Value)), lit(null)).otherwise(col(S.Value))
+    val rv = when(isnan(col("_rv")), lit(null)).otherwise(col("_rv"))
+    val keep = if (keepNans) lv.isNotNull && rv.isNotNull
+               else lv.isNotNull || rv.isNotNull
+    joined
+      .withColumn(S.LabelsCol, coalesce(col(S.LabelsCol), col("_rlab")))
+      .where(keep)
+      .withColumn(S.Value, coalesce(lv, lit(0.0)) - coalesce(rv, lit(0.0)))
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+  }
 }

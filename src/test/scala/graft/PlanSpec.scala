@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the headline queries: locks in the plans the
+  * bench (and the 100TB posture) depends on — broadcast joins for small dims,
+  * filter pushdown to the parquet scan, TakeOrderedAndProject for top-N.
+  * Runs only when the driver-generated testdata is present. */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val available = new java.io.File(sf).isDirectory
+  private lazy val spark = SparkTestBase.session
+
+  private def planOf(name: String): String = {
+    val df = graft.queries.Registry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def check(name: String)(asserts: String => Unit): Unit =
+    test(s"plan: $name") {
+      if (!available) cancel(s"testdata not available at $sf")
+      asserts(planOf(name))
+    }
+
+  check("tpch_q3_topn_join") { p =>
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
+  }
+
+  check("tpch_q5_multijoin") { p =>
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  check("tpch_q6_scan_agg") { p =>
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [GreaterThan")
+      || p.contains("PushedFilters: [And"), s"scan filters must push down:\n$p")
+  }
+
+  check("m3_fetch") { p =>
+    // the label + time filters must reach the scan: a raw parquet read shows
+    // them as PushedFilters; the shared cached samples view shows them as
+    // InMemoryTableScan predicates (the time bound below is the fetch range)
+    val pushedToParquet = p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")
+    val pushedToCache = p.contains("InMemoryTableScan") && p.contains("1704672000000")
+    assert(pushedToParquet || pushedToCache, s"fetch filters must push to the scan:\n$p")
+  }
+
+  check("tpch_topk_parts") { p =>
+    assert(p.contains("TakeOrderedAndProject"), "top-K must be a distributed TakeOrdered")
+  }
+}
