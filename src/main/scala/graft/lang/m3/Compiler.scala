@@ -361,4 +361,19 @@ object M3QL {
   /** Parse + compile an M3QL query over a canonical samples DataFrame. */
   def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String): DataFrame =
     new Compiler(spark, samples, grid).compile(Parser.parse(q))
+
+  /** Entry point mirroring the reference REST surface: date-math start/end and
+    * default step resolve to the evaluation grid
+    * (ref: RestM3QLAction.java:56-140 via serve.QueryParams). */
+  def query(spark: SparkSession, samples: DataFrame, params: graft.serve.QueryParams,
+            nowMs: Long): DataFrame =
+    query(spark, samples, params.grid(nowMs), params.query)
+
+  /** `explain=true` equivalent: return the compiled plan instead of running it
+    * (ref: RestM3QLAction explain param — the translated DSL; here, the
+    * optimized logical + physical Spark plan). */
+  def explain(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String): String = {
+    val df = query(spark, samples, grid, q)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
 }

@@ -37,7 +37,12 @@ object Dedup {
     * `maxDf` drops stop-shingles (skew + noise guard at scale). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         idCol: String = "doc_id", maxDf: Int = 1000): DataFrame = {
+    // the shingle index feeds sizes, document frequencies, AND both join
+    // sides — materialize it once instead of re-tokenizing the corpus per
+    // branch (at 100TB you'd write this index to storage; MEMORY_AND_DISK is
+    // the single-job equivalent)
     val sh = shingles(docs, n, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val filtered = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf && col("df") >= 2),
@@ -72,7 +77,12 @@ object Dedup {
                       threshold: Double, idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, shingleN, numHashes, idCol)
+    // one shingle index shared by the signature build and the verify joins
+    // (see ngramJaccardPairs for the 100TB rationale)
+    val sh = shingles(docs, shingleN, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    val sig = sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
@@ -83,8 +93,7 @@ object Dedup {
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("doc_id_a"), col(s"y.$idCol").as("doc_id_b"))
       .distinct()
-    // verify candidates with exact shingle Jaccard
-    val sh = shingles(docs, shingleN, idCol)
+    // verify candidates with exact shingle Jaccard (same persisted index)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     // equi-join on (doc, shingle) both sides — intersection size per pair
     // without the |a|x|b| cross-shingle blowup
@@ -157,11 +166,12 @@ object Dedup {
       col(idCol).as("vec_id_a"), col("embedding").as("ea"))
     val b = kept.select(col("band"), col("sig"),
       col(idCol).as("vec_id_b"), col("embedding").as("eb"))
+    graft.functions.VectorExprs.register(emb.sparkSession)
     a.join(b, Seq("band", "sig"))
       .where(col("vec_id_a") < col("vec_id_b"))
       .select("vec_id_a", "vec_id_b", "ea", "eb")
       .dropDuplicates("vec_id_a", "vec_id_b")
-      .withColumn("cosine", Vectors.cosine(col("ea"), col("eb")))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("ea", "eb"))
       .where(col("cosine") >= cosineThreshold)
       .select("vec_id_a", "vec_id_b", "cosine")
   }

@@ -64,6 +64,7 @@ object Similarity {
     * of candidates. Recall tunes via numPlanes/maxHamming. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int = 8,
               maxHamming: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val withSig = Vectors.withLshSignature(emb, "embedding", numPlanes, seed = 7)
     val q = withSig.where(col(idCol) === queryId)
       .select(col("embedding").as("q_emb"), col("lsh_sig").as("q_sig"))
@@ -72,7 +73,7 @@ object Similarity {
       .withColumn("hamming", bit_count(col("lsh_sig").bitwiseXOR(col("q_sig"))))
       .where(col("hamming") <= maxHamming)
     cand
-      .withColumn("cosine", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
@@ -85,25 +86,26 @@ object Similarity {
     * pruning unit. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     // centroids = deterministic sample of the corpus (ids hashed)
     val cents = emb
       .withColumn("_h", xxhash64(col(idCol)))
       .orderBy("_h").limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", Vectors.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("sim", graft.functions.VectorExprs.fastCosine("embedding", "cent_emb"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
       .where(col("rn") === 1)
       .select(col(idCol), col("embedding"), col("cent_id"))
     val qCells = assigned.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
-      .withColumn("sim", Vectors.cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("sim", graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
       .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
       .select(col("cent_id"), col("q_emb"))
     assigned.where(col(idCol) =!= queryId)
       .join(broadcast(qCells), Seq("cent_id"))
-      .withColumn("cosine", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))

@@ -131,7 +131,21 @@ object M3b extends QueryPack {
         s"""SELECT $ser AS series, $dayBucket AS ts, $sqlAgg AS value
            |FROM g GROUP BY etype, usr, 2 $having $ord""".stripMargin)))
 
+  /** summarize pNN: nearest-rank percentile per bucket (ref:
+    * PercentileBucketSummarizer.java:55-70 — same math as percentileOfSeries). */
+  private def qSummarizeP90(s: SparkSession, sf: String): DataFrame =
+    flat(Temporal.summarize(g(s, sf), 86400000L, "p90", grid.startMs))
+  private val qSummarizeP90Sql = withSG(
+    s""", v AS (
+       |  SELECT etype, usr, $dayBucket AS b, value,
+       |    row_number() OVER (PARTITION BY etype, usr, ($dayBucket) ORDER BY value) AS rk,
+       |    count(*) OVER (PARTITION BY etype, usr, ($dayBucket)) AS n
+       |  FROM g)
+       |SELECT $ser AS series, b AS ts, value FROM v
+       |WHERE rk = GREATEST(CAST(ceil(0.9 * n) AS BIGINT), 1) $ord""".stripMargin)
+
   private val summarizeQs = Seq(
+    QueryDef("m3_summarize_p90", qSummarizeP90, Some(qSummarizeP90Sql)),
     summarizeQ("m3_summarize_avg", "avg", s"${dsum("value")} / count(value)"),
     summarizeQ("m3_summarize_min", "min", "min(value)"),
     summarizeQ("m3_summarize_max", "max", "max(value)"),

@@ -172,19 +172,38 @@ object Temporal {
     val bucket = (lit(alignMs) +
       floor((col(S.Ts) - lit(alignMs)) / lit(intervalMs)).cast(LongType) * lit(intervalMs))
     val v = col(S.Value)
-    val aggExpr: Column = fn match {
-      case "sum"   => OracleSafe.dSum(v)
-      case "avg"   => OracleSafe.dAvg(v)
-      case "min"   => min(v)
-      case "max"   => max(v)
-      case "count" => count(v).cast(DoubleType)
-      case "last"  => expr(s"max_by(${S.Value}, ${S.Ts})")
+    // nearest-rank percentile of the bucket's values, same math as
+    // percentileOfSeries (ref: summarize/PercentileBucketSummarizer.java:55-70
+    // — rank = ceil(p/100 × n), clamped to ≥1, value = sorted[rank-1])
+    def pctl(p: Double): Column = {
+      // NaN values are excluded; an all-NaN bucket has no data → null value
+      // (absence), like hasData()=false in the reference
+      val vals = array_sort(collect_list(when(!isnan(v), v)))
+      val rank = greatest(ceil(lit(p / 100.0) * size(vals)).cast(IntegerType), lit(1))
+      when(size(vals) > 0, element_at(vals, rank))
+    }
+    // fn surface = WindowAggregationType.fromString (lang/m3/common/
+    // WindowAggregationType.java:105-139): aliases, median, pNN; `count` is a
+    // Spark-side extension the reference lacks
+    val aggExpr: Column = fn.toLowerCase(java.util.Locale.ROOT) match {
+      case "sum"                => OracleSafe.dSum(v)
+      case "avg" | "average"    => OracleSafe.dAvg(v)
+      case "min" | "minimum"    => min(v)
+      case "max" | "maximum"    => max(v)
+      case "median"             => pctl(50.0)
+      case "count"              => count(v).cast(DoubleType)
+      case "last"               => expr(s"max_by(${S.Value}, ${S.Ts})")
       case "stddev" =>
         val n = count(v).cast(DoubleType)
         val s1 = OracleSafe.dSum(v)
         val s2 = OracleSafe.dSum(v * v)
         when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
-      case other => throw new IllegalArgumentException(s"summarize fn: $other")
+      case p if p.startsWith("p") && p.length > 1 &&
+        scala.util.Try(p.substring(1).toFloat).toOption.exists(f => f >= 0 && f <= 100) =>
+        pctl(p.substring(1).toFloat)
+      case other => throw new IllegalArgumentException(
+        s"Invalid window aggregation type: $other. " +
+          "Supported: sum, avg, max, min, median, last, stddev, p0-p100 (e.g., p50, p95)")
     }
     df.withColumn("_b", bucket)
       .groupBy(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts))

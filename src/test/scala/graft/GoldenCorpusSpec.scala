@@ -39,6 +39,23 @@ class DataMigrationCorpusSpec extends GoldenCorpusBase(
 class PushdownComparisonCorpusSpec extends GoldenCorpusBase(
   "/root/reference/src/javaRestTest/resources/test_cases/multi_index_pushdown_comparison_rest_it.yaml")
 
+class RestExampleCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/tsdb_rest_it_example.yaml")
+
+/** Cluster-mode corpora (internalClusterTest): shard/node distribution is
+  * physical in the reference; in Spark the same property is partitioning
+  * invariance (DifferentialSpec), so these reduce to the same query-over-
+  * fixture replay. Cross-cluster queries select specific indices — the loader
+  * filters the fixture rows to the query's index list. */
+class ClusterExampleCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/internalClusterTest/resources/test_cases/example_tsdb_cluster_it.yaml")
+
+class MultiShardCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/internalClusterTest/resources/test_cases/multi_shard_multi_node_tsdb_it.yaml")
+
+class CrossClusterCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/internalClusterTest/resources/test_cases/example_cross_cluster_search_it.yaml")
+
 abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
 
   /** Queries exercising semantics we intentionally don't reproduce yet; each
@@ -50,17 +67,28 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
         "cross-partition lookback; out of scope v1 (SURVEY §3.4). Our global " +
         "answer matches the reference's own no-pushdown variant, which passes."))
 
-  private def isoToMs(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+  /** Fixed reference instant for corpora using relative time expressions
+    * ("now-50m"); any aligned value works since data layout and query grids
+    * derive from the same expressions. 2024-01-01T00:00:00Z. */
+  private val nowMs = 1704067200000L
+
+  private def isoToMs(s: String): Long =
+    if (s.startsWith("now")) graft.serve.DateMath.parse(s, nowMs)
+    else java.time.Instant.parse(s).toEpochMilli
 
   private lazy val root: Y = MiniYaml.parseFile(yamlPath)
 
   private def parseLabels(s: String): Map[String, String] =
     s.split(",").map { kv => val Array(k, v) = kv.split(":", 2); k -> v }.toMap
 
-  private lazy val fixture = {
+  /** Fixture rows tagged with their source index name, so index-selective
+    * queries (cross-cluster: `indices: "cluster_a:remote_metrics_a"`) can
+    * replay against exactly the named subset. */
+  private lazy val fixtureRows: Seq[(String, Row)] = {
     val inputs = root("test_case")("input_data_list").list
-    val rows = inputs.flatMap { in =>
-      in.get("regular_metrics") match {
+    inputs.flatMap { in =>
+      val idx = in.get("index_name").map(_.str).getOrElse("")
+      val rows = in.get("regular_metrics") match {
         case Some(rm) =>
           // FIXED_INTERVAL: values positional on the input grid
           val tc = in("time_config")
@@ -81,9 +109,26 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
             }
           }
       }
+      rows.map(idx -> _)
     }
-    // multi-index overlap: first occurrence per (series, ts) wins
-    samplesDF(rows).dropDuplicates("series_id", "timestamp").cache()
+  }
+
+  private lazy val knownIndices: Set[String] = fixtureRows.map(_._1).toSet
+
+  /** The samples DF a query reads: all rows, or — when every name in the
+    * query's `indices` list resolves to a loaded index (cluster prefixes
+    * stripped) — only those indices' rows. Alias names like "golden_all" that
+    * match nothing fall back to the full fixture, the pre-cross-cluster
+    * behavior. Multi-index overlap: first occurrence per (series, ts) wins. */
+  private def fixtureFor(q: Y): org.apache.spark.sql.DataFrame = {
+    val wanted = q.get("indices").map(_.str.split(",").toSeq
+      .map(_.trim.split(":").last)).getOrElse(Nil)
+    val rows =
+      if (wanted.nonEmpty && wanted.forall(knownIndices)) {
+        val w = wanted.toSet
+        fixtureRows.collect { case (idx, r) if w(idx) => r }
+      } else fixtureRows.map(_._2)
+    samplesDF(rows).dropDuplicates("series_id", "timestamp")
   }
 
   private def runCase(q: Y): Unit = {
@@ -93,7 +138,7 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
       isoToMs(tc("min_timestamp").str),
       isoToMs(tc("max_timestamp").str),
       graft.lang.m3.Duration.parse(tc("step").str).get)
-    val result = M3QL.query(spark, fixture, grid, q("query").str)
+    val result = M3QL.query(spark, fixtureFor(q), grid, q("query").str)
     // position-based collect: index = (ts - start)/step, allowing points past
     // the aligned end (mockFetch series extend to their own last value)
     val rows = result.select(
@@ -167,7 +212,7 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
           case None if expectedStatus != "success" =>
             test(s"golden: $name (expected failure)") {
               intercept[Exception](
-                M3QL.query(spark, fixture,
+                M3QL.query(spark, fixtureFor(q),
                   QueryGrid(0, 60000, 60000), q("query").str).collect())
             }
           case None =>

@@ -1,12 +1,12 @@
 package graft
 
+import graft.lang.m3.M3QL
 import graft.serve.{DateMath, QueryParams}
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Mirrors the reference REST layer's parameter defaults and date-math
   * behavior (RestM3QLAction.java:56-140, BaseTSDBAction.java:48-55,
   * RestPromQLAction.java:290-327). */
-class QueryParamsSpec extends AnyFunSuite {
+class QueryParamsSpec extends SparkTestBase {
   private val now = 1704672000000L // 2024-01-08T00:00:00Z
 
   test("now and relative offsets") {
@@ -58,9 +58,30 @@ class QueryParamsSpec extends AnyFunSuite {
   }
 
   test("instant query: a single evaluation point at `time`") {
-    val g = QueryParams.instant("q", "now-1h", now)
-    assert(g.startMs == now - 3600000L)
-    assert(g.numPoints == 1L)
-    assert(g.alignedEndMs == g.startMs)
+    val grid = QueryParams.instant("q", "now-1h", now)
+    assert(grid.startMs == now - 3600000L)
+    assert(grid.numPoints == 1L)
+    assert(grid.alignedEndMs == grid.startMs)
+  }
+
+  test("M3QL entry point resolves QueryParams to the evaluation grid") {
+    val S = Some(_: Double)
+    val N = Option.empty[Double]
+    val fx = samplesDF(series("name:m,dc:a",
+      Seq(S(1), S(2), S(3), S(4), S(5), S(6), S(7), S(8), S(9), S(10))))
+    // the fixture grid is [60000, 660000) at 1m steps; express it as params
+    val params = QueryParams("fetch name:m | scale 2",
+      start = "60000", end = "660000", stepMs = 60000L)
+    val df = M3QL.query(spark, fx, params, nowMs = 0L)
+    assertSeries(df, Map("dc:a,name:m" ->
+      Seq(S(2), S(4), S(6), S(8), S(10), S(12), S(14), S(16), S(18), S(20))))
+  }
+
+  test("explain returns the compiled plan instead of executing") {
+    val fx = samplesDF(series("name:m,dc:a",
+      Seq(Some(1.0), None, None, None, None, None, None, None, None, None)))
+    val plan = M3QL.explain(spark, fx, g, "fetch name:m | sum dc")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
 }
