@@ -61,13 +61,22 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** MinHash signatures: numHashes independent min-hashes of the shingle set,
-    * each seed s via xxhash64(shingle, s) — pure builtins, partial-aggregated. */
+  /** The min-hash family over a shingle column: hash the string ONCE, then
+    * derive each of the `numHashes` members by hashing the 8-byte value with
+    * the seed — numHashes× cheaper than re-hashing the string bytes per seed,
+    * which is the per-row hot loop of the signature scan. Pure builtins,
+    * partial-aggregated. */
+  private def minhashAggs(numHashes: Int): (Column, Seq[Column]) = {
+    val base = xxhash64(col("shingle"))
+    (base, (0 until numHashes).map(s => min(xxhash64(col("_h"), lit(s))).as(s"h$s")))
+  }
+
+  /** MinHash signatures: numHashes independent min-hashes of the shingle set. */
   def minhashSignatures(docs: DataFrame, shingleN: Int, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame = {
     val sh = shingles(docs, shingleN, idCol)
-    val mins = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    val (base, mins) = minhashAggs(numHashes)
+    sh.withColumn("_h", base).groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding: split the signature into `bands`, hash each band,
@@ -81,8 +90,8 @@ object Dedup {
     // (see ngramJaccardPairs for the 100TB rationale)
     val sh = shingles(docs, shingleN, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mins = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
-    val sig = sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    val (base, mins) = minhashAggs(numHashes)
+    val sig = sh.withColumn("_h", base).groupBy(idCol).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))

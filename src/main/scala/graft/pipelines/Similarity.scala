@@ -24,15 +24,29 @@ object Vectors {
     Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Append `lsh_sig` (LONG bitmask of hyperplane signs). dim inferred=64. */
+  /** Append `lsh_sig` (LONG bitmask of hyperplane signs). dim inferred=64.
+    *
+    * The plane dot products run through the codegen'd `float_dot` expression
+    * (functions.FloatDotProduct), not the interpreted `aggregate(zip_with)`
+    * form — the signature is computed for EVERY row of the corpus, so this is
+    * the scan-wide hot loop of every LSH variant. Planes ride along as a
+    * broadcast 1-row cross join of ARRAY<FLOAT> literal columns. */
   def withLshSignature(emb: DataFrame, vecCol: String, numPlanes: Int, seed: Int,
                        dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
     val ps = planes(numPlanes, dim, seed)
-    val sig = ps.zipWithIndex.map { case (p, i) =>
-      val pl = typedlit(p)
-      when(dot(col(vecCol), pl) >= 0, lit(1L << i)).otherwise(0L)
+    val planeCols = ps.zipWithIndex.map { case (p, i) =>
+      typedlit(p.map(_.toFloat)).as(s"_lshpl$i")
+    }
+    val withPlanes = emb.crossJoin(
+      broadcast(spark.range(1).select(planeCols: _*)))
+    val sig = (0 until numPlanes).map { i =>
+      when(expr(s"float_dot($vecCol, _lshpl$i)") >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
-    emb.withColumn("lsh_sig", sig)
+    withPlanes.withColumn("lsh_sig", sig)
+      .drop((0 until numPlanes).map(i => s"_lshpl$i"): _*)
   }
 }
 
