@@ -90,10 +90,12 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     val widened = QueryGrid(grid.startMs - buf - shift, grid.endMs - shift, grid.stepMs)
     val (src, srcMeta) = p.source match {
       case FetchSource(filters) =>
-        // unfold rebucket: fetched samples are consolidated onto the query
-        // step grid before stages run (ref: TimeSeriesUnfoldAggregator
-        // consolidation via ConsolidationFunction — AVG default)
-        (Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "avg"),
+        // unfold rebucket: fetched samples are floor-aligned onto the query
+        // step grid keeping the LATEST sample per aligned timestamp —
+        // last-wins, not an average (ref: TimeSeriesUnfoldAggregator
+        // :305-320 "only keep the latest sample for each aligned timestamp";
+        // validated by m3ql_step_size_from_index_settings_rest_it.yaml)
+        (Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "last"),
           StepMeta(grid.stepMs, widened.startMs))
       case MockFetchSource(values, tags) =>
         (Fetch.mockFetch(spark, widened, values, tags),

@@ -34,6 +34,13 @@ object M3b extends QueryPack {
     "g AS (SELECT etype, usr, 1704067200000 + ((t - 1704067200000) // 21600000) * 21600000 AS ts, " +
       "CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) / count(value) AS value " +
       "FROM s GROUP BY 1, 2, 3)"
+  /** fetch-unfold view: LAST sample per 6h bucket — the reference keeps the
+    * latest sample per aligned timestamp (TimeSeriesUnfoldAggregator:305-320),
+    * so compiler-path (M3QL text) oracles read gl, not the avg view g. */
+  private val glCte =
+    "gl AS (SELECT etype, usr, 1704067200000 + ((t - 1704067200000) // 21600000) * 21600000 AS ts, " +
+      "arg_max(value, t) AS value " +
+      "FROM s GROUP BY 1, 2, 3)"
   private def withSG(body: String) = s"WITH $sCte, $gCte $body"
   private val ser = "'name:' || etype || ',user:' || usr"
   private val serName = "'name:' || etype"
@@ -240,13 +247,14 @@ object M3b extends QueryPack {
   private def qM3qlPipeline(s: SparkSession, sf: String): DataFrame =
     flat(M3QL.query(s, raw(s, sf), grid,
       "fetch name:click user:(1,2,3) | summarize 6h avg true | scale 2 | > 10"))
-  // the compiler's unfold-rebucket + summarize each pass through DECIMAL(38,9),
-  // so the oracle quantizes g once more before scaling
+  // fetch-unfold keeps the LAST sample per 6h bucket (gl); the summarize pass
+  // quantizes through DECIMAL(38,9) before scaling
   private val qM3qlPipelineSql = withSG(
-    s"""SELECT series, ts, value FROM (
+    s""", $glCte
+       |SELECT series, ts, value FROM (
        |  SELECT $ser AS series, ts,
        |         CAST(CAST(value AS DECIMAL(38,9)) AS DOUBLE) * 2.0 AS value
-       |  FROM g WHERE etype = 'click' AND usr IN ('1','2','3'))
+       |  FROM gl WHERE etype = 'click' AND usr IN ('1','2','3'))
        |WHERE value > 10.0 $ord""".stripMargin)
 
   private def qM3qlMacro(s: SparkSession, sf: String): DataFrame =
@@ -254,7 +262,8 @@ object M3b extends QueryPack {
       "a = fetch name:view | summarize 6h avg true; " +
         "fetch name:click | summarize 6h avg true | asPercent(a) user"))
   private val qM3qlMacroSql = withSG(
-    s""", q AS (SELECT etype, usr, ts, CAST(CAST(value AS DECIMAL(38,9)) AS DOUBLE) AS value FROM g),
+    s""", $glCte,
+       |q AS (SELECT etype, usr, ts, CAST(CAST(value AS DECIMAL(38,9)) AS DOUBLE) AS value FROM gl),
        |l AS (SELECT usr, ts, value FROM q WHERE etype = 'click'),
        |r AS (SELECT usr, ts, value FROM q WHERE etype = 'view')
        |SELECT * FROM (
@@ -270,14 +279,15 @@ object M3b extends QueryPack {
     flat(M3QL.query(s, raw(s, sf), grid,
       "b = fetch name:view | summarize 12h sum; fetch name:click | divide(b) user"))
   private val qDivideMixedStepSql = withSG(
-    s""", l12 AS (
+    s""", $glCte,
+       |l12 AS (
        |  SELECT usr, 1704067200000 + ((ts - 1704067200000) // 43200000) * 43200000 AS t2,
        |         ${dsum("value")} / count(value) AS value
-       |  FROM g WHERE etype = 'click' GROUP BY 1, 2),
+       |  FROM gl WHERE etype = 'click' GROUP BY 1, 2),
        |r12 AS (
        |  SELECT usr, (ts // 43200000) * 43200000 AS t2,
        |         ${dsum("value")} AS value
-       |  FROM g WHERE etype = 'view' GROUP BY 1, 2)
+       |  FROM gl WHERE etype = 'view' GROUP BY 1, 2)
        |SELECT * FROM (
        |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.t2 AS ts,
        |         CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value

@@ -56,6 +56,22 @@ class MultiShardCorpusSpec extends GoldenCorpusBase(
 class CrossClusterCorpusSpec extends GoldenCorpusBase(
   "/root/reference/src/internalClusterTest/resources/test_cases/example_cross_cluster_search_it.yaml")
 
+/** Step-size corpus: queries whose grid step differs from the data's native
+  * interval — validates the fetch unfold's last-wins bucket alignment
+  * (TimeSeriesUnfoldAggregator:305-320). The per-index default_step_size
+  * setting itself maps to serve.QueryParams defaults; each case's
+  * time_config carries the resolved step. */
+class StepSizeCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/m3ql_step_size_from_index_settings_rest_it.yaml")
+
+/** resolved_partitions parsing corpus: the partition-ID formats are REST
+  * plumbing (federation resolution), but every query's SEMANTICS replay
+  * against the fixture — metric names are index-unique, and the unknown-index
+  * fallback mirrors resolved_partitions taking precedence over the URL
+  * `indices` param (its test 4). */
+class ResolvedPartitionsCorpusSpec extends GoldenCorpusBase(
+  "/root/reference/src/javaRestTest/resources/test_cases/m3ql_resolved_partitions_index_parsing_rest_it.yaml")
+
 abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
 
   /** Queries exercising semantics we intentionally don't reproduce yet; each
@@ -65,7 +81,14 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
       ("cross-cluster federation artifact: with resolved_partitions pushdown the " +
         "reference evaluates the moving window PER PARTITION and merges, losing " +
         "cross-partition lookback; out of scope v1 (SURVEY §3.4). Our global " +
-        "answer matches the reference's own no-pushdown variant, which passes."))
+        "answer matches the reference's own no-pushdown variant, which passes."),
+    "fetch with non-existing partition returns error" ->
+      ("expects the storage catalog's 404 index_not_found_exception — an index " +
+        "existence check, not query semantics; the corpus replay reads one " +
+        "fixture table, where a missing metric is an empty result (its " +
+        "companion test 7 covers that and passes). A catalog-backed deployment " +
+        "gets the equivalent AnalysisException from spark.read of a missing " +
+        "table path."))
 
   /** Fixed reference instant for corpora using relative time expressions
     * ("now-50m"); any aligned value works since data layout and query grids
