@@ -48,4 +48,16 @@ class PlanSpec extends AnyFunSuite {
   check("tpch_topk_parts") { p =>
     assert(p.contains("TakeOrderedAndProject"), "top-K must be a distributed TakeOrdered")
   }
+
+  check("m3_divide_series") { p =>
+    // the single-right-group decision is a 1-row broadcast fold, never a
+    // cartesian product over data rows
+    assert(!p.contains("CartesianProduct"), s"no cartesian product in binary ops:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the right-extent stats must ride a broadcast")
+  }
+
+  check("m3_diff_series") { p =>
+    assert(!p.contains("CartesianProduct"), s"no cartesian product in diff:\n$p")
+  }
 }
