@@ -318,10 +318,10 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         val desc = st.args.lift(2).forall(a => str(a) != "asc")
         same(SeriesSet.topK(df, k, by, desc))
       case "union"     => same(SeriesSet.union(Seq(df, ref)))
-      case "divide"    =>
+      case "divide" | "divideSeries" =>
         // PAIRWISE step normalization before the projection (ref: DivideStage
-        // .getNormalizationStrategy; tags start at child index 1 —
-        // M3ASTConverter:299-302)
+        // .getNormalizationStrategy; divideSeries is the same plan node and
+        // tags start at child index 1 — M3ASTConverter:45,299-302)
         val (rdf, rmeta) = refM
         val (l2, r2, m2) = Normalizer.alignOperands(df, meta, rdf, rmeta, grid.endMs)
         (SeriesSet.divide(l2, r2, refTags(1)), m2)

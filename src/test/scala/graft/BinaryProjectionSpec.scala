@@ -102,6 +102,13 @@ class BinaryProjectionSpec extends SparkTestBase {
       Map("dc:a,name:m,type:ratios" -> Seq(S(5), N, N, N, N, N, N, N, N, N)))
   }
 
+  test("divideSeries is an alias of divide (ref M3ASTConverter:45,299)") {
+    val fx = samplesDF(series("name:m,dc:a", Seq(S(4), S(6), N, N, N, N, N, N, N, N)))
+    assertSeries(
+      M3QL.query(spark, fx, g, "b = fetch name:m; fetch name:m | divideSeries(b)"),
+      Map("dc:a,name:m,type:ratios" -> Seq(S(1), S(1), N, N, N, N, N, N, N, N)))
+  }
+
   test("keepNans flag parses strictly through the language") {
     val fx = samplesDF(series("name:m,dc:a", Seq(S(1), S(2), N, N, N, N, N, N, N, N)))
     // boolean accepted
