@@ -41,14 +41,15 @@ object Bench {
     // must carry the result inside that window: a compact line with the
     // headline subset (every tpch_* plus the slowest queries, 2-decimal secs)
     // and the exact total. queries_omitted records the cap (no silent caps).
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val byTime = results.sortBy(-_._2)
     val keep = (results.filter(_._1.startsWith("tpch_")) ++ byTime).map(_._1)
       .distinct.take(40).toSet
     val compactQs = results.filter(r => keep(r._1))
-      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${f2(v)}""" }.mkString("{", ",", "}")
     val omitted = results.size - keep.size
     Console.out.println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$compactQs,""" +
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$compactQs,""" +
         s""""queries_omitted":$omitted,"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()

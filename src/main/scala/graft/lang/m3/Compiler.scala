@@ -95,7 +95,8 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         // last-wins, not an average (ref: TimeSeriesUnfoldAggregator
         // :305-320 "only keep the latest sample for each aligned timestamp";
         // validated by m3ql_step_size_from_index_settings_rest_it.yaml)
-        (Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "last"),
+        (Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "last",
+          skipNaN = false),
           StepMeta(grid.stepMs, widened.startMs))
       case MockFetchSource(values, tags) =>
         (Fetch.mockFetch(spark, widened, values, tags),

@@ -210,11 +210,14 @@ object PromQL {
         mapValue(in)(c => binCol(op, c, lit(v)))
       case BinOp(op, l, r) =>
         val (lf, rf) = (eval(l, g), eval(r, g))
+        // PromQL vector matching emits a point only where BOTH operands have
+        // one, unlike M3 diff's zero-fill default — keepNans=true is that
+        // inner behavior
         op match {
           case "/" => SeriesSet.divide(lf, rf)
-          case "-" => SeriesSet.diff(lf, rf)
+          case "-" => SeriesSet.diff(lf, rf, keepNans = true)
           case "*" => SeriesSet.divide(lf, mapValue(rf)(c => lit(1.0) / c))
-          case "+" => SeriesSet.diff(lf, mapValue(rf)(c => -c))
+          case "+" => SeriesSet.diff(lf, mapValue(rf)(c => -c), keepNans = true)
         }
       case ScalarLit(_) =>
         throw PromParseError("bare scalar is not a vector expression")

@@ -40,7 +40,9 @@ object Dedup {
     // the shingle index feeds sizes, document frequencies, AND both join
     // sides — materialize it once instead of re-tokenizing the corpus per
     // branch (at 100TB you'd write this index to storage; MEMORY_AND_DISK is
-    // the single-job equivalent)
+    // the single-job equivalent). The cache lives until the session evicts
+    // it — callers running many dedups in one session can release it with
+    // spark.catalog.clearCache() between corpora.
     val sh = shingles(docs, n, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))

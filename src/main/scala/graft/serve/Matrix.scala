@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * Values are stringified doubles (Prometheus wire format); timestamps are
   * epoch seconds. `includeMetadata` adds step/start/end per series.
   */
-object Matrix {
-
-  private def esc(s: String): String =
+/** Shared JSON string escaper for the serve-layer renderers. */
+private[serve] object JsonEsc {
+  def esc(s: String): String =
     s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -24,6 +24,10 @@ object Matrix {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+}
+
+object Matrix {
+  import JsonEsc.esc
 
   private def fmtValue(v: Double): String =
     if (v.isNaN) "NaN"

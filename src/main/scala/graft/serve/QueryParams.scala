@@ -32,7 +32,15 @@ object DateMath {
   }
 
   private def parseAnchor(a: String): Long =
-    if (a.nonEmpty && a.forall(c => c.isDigit)) a.toLong // epoch_millis
+    // format order is strict_date_optional_time FIRST, then epoch_millis —
+    // so "2024" is the year and "2024-01" a month, while longer digit runs
+    // (not valid dates) fall through to epoch millis
+    if (a.matches("\\d{4}"))
+      LocalDate.of(a.toInt, 1, 1).atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    else if (a.matches("\\d{4}-\\d{2}"))
+      LocalDate.parse(a + "-01", DateTimeFormatter.ISO_LOCAL_DATE)
+        .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    else if (a.nonEmpty && a.forall(c => c.isDigit)) a.toLong // epoch_millis
     else {
       // strict_date_optional_time: yyyy-MM-dd['T'HH:mm:ss[.SSS][offset]]
       val t = scala.util.Try(OffsetDateTime.parse(a, DateTimeFormatter.ISO_OFFSET_DATE_TIME)

@@ -50,12 +50,7 @@ object TsdbStats {
       .where(col("label") === "name")
       .select(col("value").as("name"), col("num_series"))
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  import JsonEsc.esc
 
   /** Grouped-format JSON (ref response example :84-108): headStats plus, per
     * label name, value cardinality and (optionally) per-value series counts. */
@@ -80,19 +75,21 @@ object TsdbStats {
     (Seq(head, s""""labelStats":{${labels.mkString(",")}}""")).mkString("{", ",", "}")
   }
 
-  /** Flat (Prometheus-style) format (ref response example :113-145). */
+  /** Flat (Prometheus-style) format (ref response example :113-145). All three
+    * arrays derive from ONE collected (label, value, num_series) aggregate —
+    * a single pass over the input, like renderGrouped. */
   def renderFlat(samples: DataFrame, includeValueStats: Boolean = true): String = {
     val h = headStats(samples).collect()(0)
-    def arr(df: DataFrame, nameCol: String, valueCol: String): String =
-      df.orderBy(col(valueCol).desc, col(nameCol)).collect()
-        .map(r => s"""{"name":"${esc(r.getAs[String](nameCol))}","value":${r.getAs[Long](valueCol)}}""")
+    val pairs = seriesCountByLabelValuePair(samples).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def arr(items: Seq[(String, Long)]): String =
+      items.sortBy { case (n, v) => (-v, n) }
+        .map { case (n, v) => s"""{"name":"${esc(n)}","value":$v}""" }
         .mkString("[", ",", "]")
-    val byMetric = arr(seriesCountByMetricName(samples), "name", "num_series")
-    val byLabelName = arr(
-      labelValueCountByLabelName(samples).select(col("label").as("name"), col("num_values")),
-      "name", "num_values")
-    val pairDf = seriesCountByLabelValuePair(samples)
-      .select(concat(col("label"), lit("="), col("value")).as("name"), col("num_series"))
+    val byMetric = arr(pairs.toSeq.collect { case ("name", v, n) => (v, n) })
+    val byLabelName = arr(pairs.groupBy(_._1).view
+      .map { case (label, rs) => (label, rs.length.toLong) }.toSeq)
+    val byPair = arr(pairs.toSeq.map { case (l, v, n) => (s"$l=$v", n) })
     val head =
       s""""headStats":{"numSeries":${h.getLong(0)},"sampleCount":${h.getLong(1)},""" +
         s""""minTime":${if (h.isNullAt(2)) 0L else h.getLong(2)},""" +
@@ -101,9 +98,7 @@ object TsdbStats {
       head,
       s""""seriesCountByMetricName":$byMetric""",
       s""""labelValueCountByLabelName":$byLabelName""") ++
-      (if (includeValueStats)
-        Seq(s""""seriesCountByLabelValuePair":${arr(pairDf, "name", "num_series")}""")
-      else Nil)
+      (if (includeValueStats) Seq(s""""seriesCountByLabelValuePair":$byPair""") else Nil)
     parts.mkString("{", ",", "}")
   }
 }

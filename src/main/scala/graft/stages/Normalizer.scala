@@ -36,14 +36,17 @@ object Normalizer {
   }
 
   /** Resample a canonical samples DF onto `targetGrid` with the given
-    * consolidation function. One shuffle on (series, slot). NaN samples are
-    * skipped, and a slot whose samples were all NaN emits nothing — matching
-    * ConsolidationFunction / TimeSeriesNormalizer.resampleSeries
-    * (ref: TimeSeriesNormalizer.java:330-371). */
-  def resample(df: DataFrame, targetGrid: QueryGrid, fn: String = "avg"): DataFrame = {
+    * consolidation function. One shuffle on (series, slot). With
+    * `skipNaN=true` (the TimeSeriesNormalizer behavior — NaN samples skipped,
+    * an all-NaN slot emits nothing; ref: TimeSeriesNormalizer.java:330-371);
+    * the fetch-unfold path passes `skipNaN=false` because the unfold keeps
+    * the latest sample per slot NaN included (TimeSeriesUnfoldAggregator
+    * :305-320 has no NaN filter). */
+  def resample(df: DataFrame, targetGrid: QueryGrid, fn: String = "avg",
+               skipNaN: Boolean = true): DataFrame = {
     val slot = targetGrid.bucket(col(S.Ts))
-    df.where(col(S.Value).isNotNull && !isnan(col(S.Value)))
-      .withColumn("_slot", slot)
+    val in = if (skipNaN) df.where(col(S.Value).isNotNull && !isnan(col(S.Value))) else df
+    in.withColumn("_slot", slot)
       .where(col("_slot") >= targetGrid.startMs && col("_slot") < targetGrid.endMs)
       .groupBy(col(S.SeriesId), col(S.LabelsCol), col("_slot").as(S.Ts))
       .agg(consolidate(fn)(col(S.Value)).as(S.Value))

@@ -156,25 +156,39 @@ object SeriesSet {
                     merge: RightMerge): (DataFrame, DataFrame) = {
     val (l0, r0) =
       if (keys.nonEmpty)
-        (left.where(hasAllKeys(keys)).withColumn("_mk", explicitKey(keys)),
-         right.where(hasAllKeys(keys)).withColumn("_mk", explicitKey(keys)))
+        (left.withColumn("_mk", explicitKey(keys)),
+         right.withColumn("_mk", explicitKey(keys)))
       else {
         val ck = broadcast(commonKeysDF(left, right))
         (left.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"),
          right.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"))
       }
     val rKeyed = r0.withColumn("_sk", TsSchema.seriesKey(col(S.LabelsCol)))
+    // the reference's single-SERIES short-circuit (process() right.size()==1,
+    // :389-399) runs BEFORE any key extraction, so a lone right series with a
+    // missing key still matches everything; only the grouping path drops
+    // missing-key series (extractGroupLabels:436-471) — folded in branch-free
+    // via the 1-row series-count broadcast
+    val rSeriesStats = rKeyed.agg(count_distinct(col("_sk")).as("_nrser"))
+    val rFiltered =
+      if (keys.isEmpty) rKeyed
+      else rKeyed.crossJoin(broadcast(rSeriesStats))
+        .where(col("_nrser") === 1 || hasAllKeys(keys)).drop("_nrser")
     val rGrouped = merge match {
       case MergeSum =>
-        rKeyed.groupBy(col("_mk"), col(S.Ts)).agg(
+        rFiltered.groupBy(col("_mk"), col(S.Ts)).agg(
           when(max(when(isnan(col(S.Value)), 1).otherwise(0)) === 1, lit(Double.NaN))
             .otherwise(OracleSafe.dSum(col(S.Value))).as("_rv"))
       case MergeSingle(op) =>
-        val g = rKeyed.groupBy(col("_mk"), col(S.Ts)).agg(
+        val g = rFiltered.groupBy(col("_mk"), col(S.Ts)).agg(
           expr(s"min_by(${S.Value}, _sk)").as("_rv"),
           collect_set(col("_sk")).as("_sks"))
-        val w = Window.partitionBy("_mk")
-        g.withColumn("_nser", size(array_distinct(flatten(collect_list(col("_sks")).over(w)))))
+        // divisor cardinality per GROUP from the already-reduced rows: a tiny
+        // second aggregate (exchange-reused) instead of a whole-partition
+        // window buffer
+        val rCard = g.select(col("_mk"), explode(col("_sks")).as("_sk"))
+          .groupBy("_mk").agg(count_distinct(col("_sk")).as("_nser"))
+        g.join(rCard, Seq("_mk"))
           .withColumn("_rv",
             when(col("_nser") > 1,
               raise_error(concat(
@@ -187,7 +201,13 @@ object SeriesSet {
     val jk = when(col("_mkmin") === col("_mkmax"), lit(SingleKey)).otherwise(col("_mk"))
     val rj = rGrouped.crossJoin(broadcast(rStats))
       .withColumn("_jk", jk).select(col("_jk"), col(S.Ts), col("_rv"))
+    // left series are label-filtered only on the matching path: with a single
+    // right group they all project with no key check (ref :341-346)
+    val lKeep =
+      if (keys.isEmpty) lit(true)
+      else col("_mkmin") === col("_mkmax") || hasAllKeys(keys)
     val lj = l0.crossJoin(broadcast(rStats))
+      .where(lKeep)
       .withColumn("_jk", jk)
       .drop("_mk", "_mkmin", "_mkmax")
     (lj, rj)

@@ -91,6 +91,27 @@ class BinaryProjectionSpec extends SparkTestBase {
           "dc:b,host:h2,type:ratios" -> Seq(S(5), N, N, N, N, N, N, N, N, N)))
   }
 
+  test("a single right series matches everything even when it lacks the key") {
+    // ref process() right.size()==1 short-circuits BEFORE key extraction
+    val l = samplesDF(series("name:m,dc:a", Seq(S(10), N, N, N, N, N, N, N, N, N)))
+    val r = samplesDF(series("name:total", Seq(S(2), N, N, N, N, N, N, N, N, N)))
+    assertSeries(SeriesSet.divide(l, r, Seq("dc")),
+      Map("dc:a,name:m,type:ratios" -> Seq(S(5), N, N, N, N, N, N, N, N, N)))
+  }
+
+  test("a single right group projects left series that lack the key") {
+    // ref processWithoutLabelMatching takes ALL left series, no key filter
+    val l = samplesDF(
+      series("name:m,dc:a", Seq(S(10), N, N, N, N, N, N, N, N, N)) ++
+      series("name:m2", Seq(S(20), N, N, N, N, N, N, N, N, N))) // no dc
+    val r = samplesDF(
+      series("name:e1,dc:x", Seq(S(2), N, N, N, N, N, N, N, N, N)) ++
+      series("name:e2,dc:x", Seq(N, S(9), N, N, N, N, N, N, N, N))) // same group
+    assertSeries(SeriesSet.diff(l, r, Seq("dc")),
+      Map("dc:a,name:m" -> Seq(S(8), S(-9), N, N, N, N, N, N, N, N),
+          "name:m2"     -> Seq(S(18), S(-9), N, N, N, N, N, N, N, N)))
+  }
+
   test("explicit-key matching drops series missing the key") {
     val l = samplesDF(
       series("name:m,dc:a", Seq(S(10), N, N, N, N, N, N, N, N, N)) ++

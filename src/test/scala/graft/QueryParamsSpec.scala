@@ -34,6 +34,14 @@ class QueryParamsSpec extends SparkTestBase {
     assert(DateMath.parse("2024-01-08T06:30:00||/d", now) == now)
   }
 
+  test("date formats win over epoch millis for year and month anchors") {
+    // strict_date_optional_time is tried before epoch_millis
+    val y2024 = 1704067200000L // 2024-01-01T00:00:00Z
+    assert(DateMath.parse("2024", now) == y2024)
+    assert(DateMath.parse("2024-01", now) == y2024)
+    assert(DateMath.parse("2024||+7d", now) == now)
+  }
+
   test("implicit count of 1") {
     assert(DateMath.parse("now-m", now) == now - 60000L)
   }
