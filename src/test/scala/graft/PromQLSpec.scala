@@ -73,6 +73,16 @@ class PromQLSpec extends SparkTestBase {
     assert(out("dc:a,name:req,type:ratios").head.contains(0.2))
   }
 
+  test("vector subtraction emits points only where both sides exist") {
+    // PromQL vector matching: no zero-fill of absent operands (unlike the M3
+    // diff default) — a hole on either side means no output point
+    val holes = samplesDF(
+      series("name:a,dc:x", Seq(S(10), S(20), N, N, N, N, N, N, N, N)) ++
+      series("name:b,dc:x", Seq(N, S(5), S(7), N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "a - b"))
+    assert(out.values.head == Seq(N, S(15), N, N, N, N, N, N, N, N))
+  }
+
   test("unimplemented prom function throws") {
     intercept[UnsupportedOperationException](run("""holt_winters(req[2m])"""))
   }
