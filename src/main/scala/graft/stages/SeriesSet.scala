@@ -144,16 +144,23 @@ object SeriesSet {
     *
     * Returns (left rows with `_jk`, right rows (`_jk`, timestamp, `_rv`)).
     *
-    *  - explicit keys: series missing any key are dropped on both sides
-    *    (ref: extractGroupLabels:436-471 returns null → series dropped)
-    *  - no keys: match on the common-key projection (see commonKeysDF)
+    *  - a lone right SERIES matches everything even without the match keys
+    *    (ref process() right.size()==1, :389-399 — before key extraction)
+    *  - otherwise, explicit keys drop series missing any key on the right
+    *    (grouping, ref extractGroupLabels:436-471) and, on the matching path
+    *    only, on the left; no keys → the common-key projection (commonKeysDF)
     *  - a single right GROUP matches every left series with no label check
-    *    (ref :341-346): the grouped key extent min==max folds into a 1-row
-    *    broadcast and the join key becomes a sentinel on both sides. Spark's
-    *    ReuseExchange dedupes the second pass over the grouped shuffle.
+    *    (ref :341-346)
+    *
+    * Every data-dependent decision above reads ONE 1-row aggregate over the
+    * keyed right side (`rStats`), broadcast-cross-joined where needed — the
+    * plan stays shallow (the right subtree appears a bounded number of times
+    * and no decision spawns nested self-joins), which keeps AQE stage count,
+    * and therefore small-scale latency, flat.
     */
   private def keyed(left: DataFrame, right: DataFrame, keys: Seq[String],
                     merge: RightMerge): (DataFrame, DataFrame) = {
+    val valid: Column = if (keys.isEmpty) lit(true) else hasAllKeys(keys)
     val (l0, r0) =
       if (keys.nonEmpty)
         (left.withColumn("_mk", explicitKey(keys)),
@@ -164,52 +171,47 @@ object SeriesSet {
          right.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"))
       }
     val rKeyed = r0.withColumn("_sk", TsSchema.seriesKey(col(S.LabelsCol)))
-    // the reference's single-SERIES short-circuit (process() right.size()==1,
-    // :389-399) runs BEFORE any key extraction, so a lone right series with a
-    // missing key still matches everything; only the grouping path drops
-    // missing-key series (extractGroupLabels:436-471) — folded in branch-free
-    // via the 1-row series-count broadcast
-    val rSeriesStats = rKeyed.agg(count_distinct(col("_sk")).as("_nrser"))
-    val rFiltered =
-      if (keys.isEmpty) rKeyed
-      else rKeyed.crossJoin(broadcast(rSeriesStats))
-        .where(col("_nrser") === 1 || hasAllKeys(keys)).drop("_nrser")
+    // ONE pass: right series count + the VALID group-key extent
+    val rStats = broadcast(rKeyed.agg(
+      count_distinct(col("_sk")).as("_nrser"),
+      count_distinct(when(valid, col("_mk"))).as("_nmk")))
+    val single = col("_nrser") === 1 || col("_nmk") === 1
+    // rows feeding the groups: a lone series passes whole; else valid only
+    val rIn = rKeyed.crossJoin(rStats)
+      .where(col("_nrser") === 1 || valid)
+      .withColumn("_jk", when(single, lit(SingleKey)).otherwise(col("_mk")))
     val rGrouped = merge match {
       case MergeSum =>
-        rFiltered.groupBy(col("_mk"), col(S.Ts)).agg(
+        rIn.groupBy(col("_jk"), col(S.Ts)).agg(
           when(max(when(isnan(col(S.Value)), 1).otherwise(0)) === 1, lit(Double.NaN))
             .otherwise(OracleSafe.dSum(col(S.Value))).as("_rv"))
       case MergeSingle(op) =>
-        val g = rFiltered.groupBy(col("_mk"), col(S.Ts)).agg(
+        val g = rIn.groupBy(col("_jk"), col(S.Ts)).agg(
           expr(s"min_by(${S.Value}, _sk)").as("_rv"),
-          collect_set(col("_sk")).as("_sks"))
-        // divisor cardinality per GROUP from the already-reduced rows: a tiny
-        // second aggregate (exchange-reused) instead of a whole-partition
-        // window buffer
-        val rCard = g.select(col("_mk"), explode(col("_sks")).as("_sk"))
-          .groupBy("_mk").agg(count_distinct(col("_sk")).as("_nser"))
-        g.join(rCard, Seq("_mk"))
+          count(lit(1)).as("_nAtTs"),
+          min(col("_sk")).as("_skmin"), max(col("_sk")).as("_skmax"))
+        // >1 distinct series in a group ⇔ the series-key extent differs
+        // somewhere in the group; a cheap unbounded-frame window over the
+        // ALREADY-REDUCED rows (no per-row buffers, no self-join)
+        val w = Window.partitionBy("_jk")
+        g.withColumn("_dup",
+            min(col("_skmin")).over(w) =!= max(col("_skmax")).over(w))
           .withColumn("_rv",
-            when(col("_nser") > 1,
+            when(col("_dup"),
               raise_error(concat(
                 lit(s"bucket for $op must have exactly one divisor, got "),
-                col("_nser").cast(StringType))).cast(DoubleType))
+                greatest(max(col("_nAtTs")).over(w), lit(2L)).cast(StringType)))
+                .cast(DoubleType))
               .otherwise(col("_rv")))
-          .select(col("_mk"), col(S.Ts), col("_rv"))
+          .select(col("_jk"), col(S.Ts), col("_rv"))
     }
-    val rStats = rGrouped.agg(min("_mk").as("_mkmin"), max("_mk").as("_mkmax"))
-    val jk = when(col("_mkmin") === col("_mkmax"), lit(SingleKey)).otherwise(col("_mk"))
-    val rj = rGrouped.crossJoin(broadcast(rStats))
-      .withColumn("_jk", jk).select(col("_jk"), col(S.Ts), col("_rv"))
+    val rj = rGrouped.select(col("_jk"), col(S.Ts), col("_rv"))
     // left series are label-filtered only on the matching path: with a single
-    // right group they all project with no key check (ref :341-346)
-    val lKeep =
-      if (keys.isEmpty) lit(true)
-      else col("_mkmin") === col("_mkmax") || hasAllKeys(keys)
-    val lj = l0.crossJoin(broadcast(rStats))
-      .where(lKeep)
-      .withColumn("_jk", jk)
-      .drop("_mk", "_mkmin", "_mkmax")
+    // right series/group they all project with no key check (ref :341-346)
+    val lj = l0.crossJoin(rStats)
+      .where(single || valid)
+      .withColumn("_jk", when(single, lit(SingleKey)).otherwise(col("_mk")))
+      .drop("_mk", "_nrser", "_nmk")
     (lj, rj)
   }
 
