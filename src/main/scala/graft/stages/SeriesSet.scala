@@ -49,7 +49,13 @@ object SeriesSet {
 
   /** Attach `_rank` = dense series rank by the key (ties broken by series key
     * string for determinism). Single narrow shuffle on the tiny per-series
-    * aggregate, then broadcast back. */
+    * aggregate, then broadcast back.
+    *
+    * Scale note: the global `Window.orderBy` ranks the PER-SERIES aggregate on
+    * one partition — the same coordinator-side contract as the reference's
+    * sort/topK (shard-local partials, coordinator merge). That is fine up to
+    * ~1M series (a few MB of (id, key) pairs); beyond that, rank with a
+    * range-partitioned sort + partition-offset pass instead. */
   private def ranked(df0: DataFrame, by: String, desc: Boolean): DataFrame = {
     val df = df0.drop("_rank")
     val keys =
