@@ -17,6 +17,9 @@ run / fork := true
 // after the run. Send forked output straight through and drop the banner.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by a command, not a task — silence sbt's
+// unused-key lint false positive (7-line [warn] block on every load).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

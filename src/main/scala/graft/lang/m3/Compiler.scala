@@ -26,6 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
 
+  /** A pipeline value: one entry per union branch, each with its own step
+    * metadata — the reference carries step on every TimeSeries and a union
+    * preserves per-series steps (UnionStage.java:23-30). Branches stay
+    * separate until a step-sensitive stage consumes them: binary projections
+    * normalize PAIRWISE/BATCH (AbstractBinaryProjectionStage.java:266-317),
+    * grouping aggregations normalize MAX/TYPE_AWARE
+    * (AbstractGroupingStage.java:122,208-222), everything else collapses to a
+    * plain union. */
+  private type Branches = Seq[(DataFrame, StepMeta)]
+
   /** Parser-recognized but unimplemented in the reference — parity demands the
     * same failure (lang/m3/common/Constants.java:39-70). */
   private val unimplemented = Set(
@@ -53,16 +63,16 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     }
     (q.macros.map(_._2) :+ q.main).foreach(countRefs)
 
-    val compiled = collection.mutable.Map.empty[String, (DataFrame, StepMeta)]
-    def macroDF(name: String): (DataFrame, StepMeta) =
+    val compiled = collection.mutable.Map.empty[String, Branches]
+    def macroDF(name: String): Branches =
       compiled.getOrElseUpdate(name, {
         val p = macroDefs.getOrElse(name,
           throw new IllegalArgumentException(s"undefined macro: $name"))
-        val (df, meta) = compilePipeline(p, macroDF)
-        (if (refCounts(name) > 1) df.cache() else df, meta)
+        val bs = compilePipeline(p, macroDF)
+        if (refCounts(name) > 1) bs.map { case (df, m) => (df.cache(), m) } else bs
       })
 
-    compilePipeline(q.main, macroDF)._1
+    Normalizer.collapse(compilePipeline(q.main, macroDF))._1
   }
 
   /** (extra scan lookback, accumulated timeshift) for a stage list
@@ -81,26 +91,26 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       }
     }
 
-  private def compilePipeline(p: Pipeline, macroDF: String => (DataFrame, StepMeta),
+  private def compilePipeline(p: Pipeline, macroDF: String => Branches,
                               extraBuf: Long = 0L, extraShift: Long = 0L,
-                              clip: Boolean = true): (DataFrame, StepMeta) = {
+                              clip: Boolean = true): Branches = {
     val (buf0, shift0) = buffers(p.stages)
     val buf = buf0 + extraBuf
     val shift = shift0 + extraShift
     val widened = QueryGrid(grid.startMs - buf - shift, grid.endMs - shift, grid.stepMs)
-    val (src, srcMeta) = p.source match {
+    val src: Branches = p.source match {
       case FetchSource(filters) =>
         // unfold rebucket: fetched samples are floor-aligned onto the query
         // step grid keeping the LATEST sample per aligned timestamp —
         // last-wins, not an average (ref: TimeSeriesUnfoldAggregator
         // :305-320 "only keep the latest sample for each aligned timestamp";
         // validated by m3ql_step_size_from_index_settings_rest_it.yaml)
-        (Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "last",
+        Seq((Normalizer.resample(Fetch.fetch(samples, filters, widened), widened, "last",
           skipNaN = false),
-          StepMeta(grid.stepMs, widened.startMs))
+          StepMeta(grid.stepMs, widened.startMs)))
       case MockFetchSource(values, tags) =>
-        (Fetch.mockFetch(spark, widened, values, tags),
-          StepMeta(grid.stepMs, widened.startMs))
+        Seq((Fetch.mockFetch(spark, widened, values, tags),
+          StepMeta(grid.stepMs, widened.startMs)))
       case GroupSource(gp) =>
         compilePipeline(gp, macroDF, buf, shift, clip = false)
       case MacroSource(n) => macroDF(n)
@@ -108,15 +118,15 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     // stages run against the WIDENED grid; a union-group at position k inherits
     // the buffers of the stages AFTER it (its branch feeds the same tail); the
     // final truncate clips back (ref: SourceBuilderVisitor.java:329-339)
-    val (out, outMeta) = p.stages.zipWithIndex.foldLeft((src, srcMeta)) {
-      case ((df, meta), (StageCall("__group", List(PipeArg(inner))), k)) =>
+    val out = p.stages.zipWithIndex.foldLeft(src) {
+      case (bs, (StageCall("__group", List(PipeArg(inner))), k)) =>
         val (sb, ss) = buffers(p.stages.drop(k + 1))
-        val (branch, _) = compilePipeline(inner, macroDF, sb + extraBuf, ss + extraShift,
-          clip = false)
-        (SeriesSet.union(Seq(df, branch)), meta)
-      case ((df, meta), (st, _)) => applyStage(df, meta, st, widened, macroDF)
+        bs ++ compilePipeline(inner, macroDF, sb + extraBuf, ss + extraShift, clip = false)
+      case (bs, (st, _)) => applyStage(bs, st, widened, macroDF)
     }
-    (if (clip && (buf > 0 || shift > 0)) Temporal.truncate(out, grid) else out, outMeta)
+    if (clip && (buf > 0 || shift > 0))
+      out.map { case (df, m) => (Temporal.truncate(df, grid), m) }
+    else out
   }
 
   private def str(a: Arg): String = a match {
@@ -127,8 +137,22 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
   }
   private def strings(args: List[Arg]): Seq[String] = args.map(str)
 
-  private def applyStage(df: DataFrame, meta: StepMeta, st: StageCall, g: QueryGrid,
-                         macroDF: String => (DataFrame, StepMeta)): (DataFrame, StepMeta) = {
+  /** Order tokens accepted by sort/topK (ref: SortOrderType.fromString,
+    * lang/m3/common/SortOrderType.java:37-43 — anything else raises). */
+  private def sortOrderDesc(tok: Option[String]): Boolean = tok match {
+    case None                            => true
+    case Some("asc") | Some("ascending") => false
+    case Some("desc") | Some("descending") => true
+    case Some(other) => throw new IllegalArgumentException(
+      s"Invalid sort order type: $other, Supported: asc, ascending, desc, descending")
+  }
+
+  private def applyStage(bs: Branches, st: StageCall, g: QueryGrid,
+                         macroDF: String => Branches): Branches = {
+    lazy val (df, meta) = Normalizer.collapse(bs)
+    // grouping aggregations get the coordinator-side MAX/TYPE_AWARE
+    // normalization when branch steps differ (AbstractGroupingStage.java:122)
+    lazy val (gdf, gmeta) = Normalizer.collapseGrouping(bs, grid.endMs)
     def num(i: Int, dflt: Double = Double.NaN): Double =
       st.args.lift(i) match {
         case Some(NumArg(v)) => v
@@ -144,11 +168,12 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         case _ if dflt >= 0  => dflt
         case _ => throw new IllegalArgumentException(s"${st.name}: missing duration arg $i")
       }
-    def refM: (DataFrame, StepMeta) = st.args.collectFirst {
+    def refB: Branches = st.args.collectFirst {
         case RefArg(n)  => macroDF(n)
         case PipeArg(p) => compilePipeline(p, macroDF)
       }
       .getOrElse(throw new IllegalArgumentException(s"${st.name}: missing pipeline ref"))
+    def refM: (DataFrame, StepMeta) = Normalizer.collapse(refB)
     def ref: DataFrame = refM._1
     def tagArgs(from: Int): Seq[String] =
       strings(st.args.drop(from)).filterNot(_.isEmpty)
@@ -157,19 +182,20 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       * .extractGroupByTags — binary-op tags start at child index `from`). */
     def refTags(from: Int): Seq[String] =
       st.args.drop(from).collect { case StrArg(s) => s }
-    def same(d: DataFrame): (DataFrame, StepMeta) = (d, meta)
+    def same(d: DataFrame): Branches = Seq((d, meta))
+    def sameG(d: DataFrame): Branches = Seq((d, gmeta))
 
     st.name match {
       // grouping aggregations
-      case "sum" | "sumSeries"              => same(Grouping.sum(df, groupTags))
-      case "avg" | "average" | "averageSeries" => same(Grouping.avg(df, groupTags))
-      case "min" | "minimum" | "minSeries"  => same(Grouping.min(df, groupTags))
-      case "max" | "maximum" | "maxSeries"  => same(Grouping.max(df, groupTags))
-      case "count" | "countSeries"          => same(Grouping.count(df, g, groupTags))
-      case "multiply" | "multiplySeries"    => same(Grouping.multiplyExact(df, groupTags))
-      case "range" | "rangeOfSeries"        => same(Grouping.range(df, groupTags))
+      case "sum" | "sumSeries"              => sameG(Grouping.sum(gdf, groupTags))
+      case "avg" | "average" | "averageSeries" => sameG(Grouping.avg(gdf, groupTags))
+      case "min" | "minimum" | "minSeries"  => sameG(Grouping.min(gdf, groupTags))
+      case "max" | "maximum" | "maxSeries"  => sameG(Grouping.max(gdf, groupTags))
+      case "count" | "countSeries"          => sameG(Grouping.count(gdf, g, groupTags))
+      case "multiply" | "multiplySeries"    => sameG(Grouping.multiplyExact(gdf, groupTags))
+      case "range" | "rangeOfSeries"        => sameG(Grouping.range(gdf, groupTags))
       case "median" | "medianOfSeries"      =>
-        same(Grouping.percentileM3(df, Seq(50.0), groupTags, interpolate = false))
+        sameG(Grouping.percentileM3(gdf, Seq(50.0), groupTags, interpolate = false))
       case "percentileOfSeries" | "percentile_of_series" =>
         // grammar: percentileOfSeries p… [true|false] [tags] — leading
         // consecutive in-range numerics are percentiles, then an optional
@@ -188,7 +214,7 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         val interpolate =
           if (i < argStrs.length && isBool(argStrs(i))) { i += 1; argStrs(i - 1).toBoolean }
           else false
-        same(Grouping.percentileM3(df, ps, argStrs.drop(i), interpolate))
+        sameG(Grouping.percentileM3(gdf, ps, argStrs.drop(i), interpolate))
       case "histogramPercentile" =>
         // grammar: histogramPercentile bucketIdKey bucketRangeKey p…
         // (ref: HistogramPercentilePlanNode.of:85-120)
@@ -207,7 +233,7 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
               s"Percentiles must be between 0 and 100 (inclusive), got: $p")
           p
         }
-        same(Grouping.histogramPercentile(df, str(st.args(0)), str(st.args(1)), ps))
+        sameG(Grouping.histogramPercentile(gdf, str(st.args(0)), str(st.args(1)), ps))
 
       // mappers
       case "abs" | "absolute"      => same(Mappers.absStage(df))
@@ -249,10 +275,10 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         val newStart =
           if (alignToFrom) meta.startMs
           else Math.floorDiv(meta.startMs, interval) * interval
-        (Temporal.summarize(df, interval,
+        Seq((Temporal.summarize(df, interval,
           if (st.args.length > 1) str(st.args(1)) else "avg",
           if (alignToFrom) meta.startMs else 0L),
-          StepMeta(interval, newStart))
+          StepMeta(interval, newStart)))
 
       // grid / null semantics
       case "transformNull"  => same(GridOps.transformNull(df, g, num(0, 0.0)))
@@ -260,8 +286,8 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       case "removeEmpty"    => same(GridOps.removeEmpty(df))
       case "fallbackSeries" =>
         st.args.collectFirst {
-          case RefArg(n)  => () => macroDF(n)._1
-          case PipeArg(p) => () => compilePipeline(p, macroDF)._1
+          case RefArg(n)  => () => Normalizer.collapse(macroDF(n))._1
+          case PipeArg(p) => () => Normalizer.collapse(compilePipeline(p, macroDF))._1
         } match {
           case Some(mk) => same(GridOps.fallbackSeriesBinary(df, mk()))
           case None     => same(GridOps.fallbackSeries(spark, df, g, num(0)))
@@ -309,23 +335,38 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
       // series-set ops
       case "sort" | "sortSeries" =>
         val by = st.args.headOption.map(str).getOrElse("avg")
-        val desc = st.args.lift(1).forall(a => str(a) != "asc")
+        val desc = sortOrderDesc(st.args.lift(1).map(str))
         same(SeriesSet.sortSeries(df, by, desc))
       case "head" => same(SeriesSet.slice(df, num(0, 10).toInt))
       case "tail" => same(SeriesSet.slice(df, num(0, 10).toInt, tail = true))
       case "topK" =>
         val k = num(0, 10).toInt
         val by = st.args.lift(1).map(str).getOrElse("current")
-        val desc = st.args.lift(2).forall(a => str(a) != "asc")
+        val desc = sortOrderDesc(st.args.lift(2).map(str))
         same(SeriesSet.topK(df, k, by, desc))
-      case "union"     => same(SeriesSet.union(Seq(df, ref)))
+      case "union"     => bs ++ refB
       case "divide" | "divideSeries" =>
         // PAIRWISE step normalization before the projection (ref: DivideStage
         // .getNormalizationStrategy; divideSeries is the same plan node and
         // tags start at child index 1 — M3ASTConverter:45,299-302)
         val (rdf, rmeta) = refM
-        val (l2, r2, m2) = Normalizer.alignOperands(df, meta, rdf, rmeta, grid.endMs)
-        (SeriesSet.divide(l2, r2, refTags(1)), m2)
+        val keys = refTags(1)
+        if (bs.map(_._2).distinct.lengthCompare(1) == 0) {
+          val (l2, r2, m2) = Normalizer.alignOperands(df, meta, rdf, rmeta, grid.endMs)
+          Seq((SeriesSet.divide(l2, r2, keys), m2))
+        } else {
+          // mixed-step union on the left: PAIRWISE means every matched pair
+          // normalizes with the LEFT SERIES' own step; all series of a branch
+          // share a step, so branch-wise alignment against the right operand
+          // is exact. Common keys still come from the FULL operand sets
+          // (ref: extractCommonTagKeys runs over all series, :376-403), so
+          // one shared 1-row aggregate is passed into every branch.
+          val ck = if (keys.isEmpty) Some(SeriesSet.commonKeysDF(df, rdf)) else None
+          bs.map { case (ldf, lm) =>
+            val (l2, r2, m2) = Normalizer.alignOperands(ldf, lm, rdf, rmeta, grid.endMs)
+            (SeriesSet.divide(l2, r2, keys, ck), m2)
+          }
+        }
       case "diff" | "subtract" =>
         // arg 1 (right after the ref) is a strict boolean keepNans when
         // present; tags start at arg 2. NormalizationStrategy.NONE — no
@@ -344,16 +385,25 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         }
         same(SeriesSet.diff(df, rdf, strings(rest.drop(1)), keepNans))
       case "asPercent" | "ratio" =>
-        // BATCH step normalization (ref: AsPercentStage.getNormalizationStrategy)
+        // BATCH step normalization (ref: AsPercentStage.getNormalizationStrategy
+        // — ALL left series and the right operand normalize together onto one
+        // common grid, AbstractBinaryProjectionStage.java:265-289)
         val (rdf, rmeta) = refM
-        val (l2, r2, m2) = Normalizer.alignOperands(df, meta, rdf, rmeta, grid.endMs)
-        (SeriesSet.asPercent(l2, r2, refTags(1)), m2)
+        val keys = refTags(1)
+        if (bs.map(_._2).distinct.lengthCompare(1) == 0) {
+          val (l2, r2, m2) = Normalizer.alignOperands(df, meta, rdf, rmeta, grid.endMs)
+          Seq((SeriesSet.asPercent(l2, r2, keys), m2))
+        } else {
+          val (aligned, m2) = Normalizer.alignAll(bs :+ ((rdf, rmeta)), grid.endMs)
+          Seq((SeriesSet.asPercent(SeriesSet.union(aligned.init), aligned.last, keys), m2))
+        }
 
       case n if unimplemented(n) =>
         throw new UnsupportedOperationException(s"M3QL function not implemented: $n")
       case n if macroNames(n) && st.args.isEmpty =>
-        // bare macro reference in pipe position unions its series in
-        same(SeriesSet.union(Seq(df, macroDF(n)._1)))
+        // bare macro reference in pipe position unions its series in,
+        // keeping the macro's own step metadata as a separate branch
+        bs ++ macroDF(n)
       case other =>
         throw new IllegalArgumentException(s"unknown M3QL stage: $other")
     }

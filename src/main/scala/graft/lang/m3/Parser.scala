@@ -80,9 +80,14 @@ object Parser {
         }
         val w = sb.toString
         if (w.isEmpty) throw ParseError(s"unexpected char '${in(i)}'", i)
+        // NOT a number when it ends in d/D/f/F: Scala's toDoubleOption accepts
+        // Java float-literal suffixes, so "1d" would silently lex as the
+        // NUMBER 1.0 instead of the one-DAY duration (summarize 1d → 1ms
+        // buckets — identity pass-through, wrong answers with no error)
         w.toDoubleOption match {
-          case Some(d) if !w.exists(_ == ':') => out += TNum(d, start)
-          case _                              => out += TIdent(w, start)
+          case Some(d) if !w.exists(_ == ':') && !"dDfF".contains(w.last) =>
+            out += TNum(d, start)
+          case _ => out += TIdent(w, start)
         }
       }
     }

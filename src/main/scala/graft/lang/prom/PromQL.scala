@@ -80,6 +80,10 @@ object PromQL {
       if (peek.isDigit) return ScalarLit(number())
       val name = ident()
       ws()
+      if (aggOps(name) && in.substring(i).trim.startsWith("without"))
+        // parse-time parity with the reference (PromSourceBuilderVisitor
+        // .java:258-259) — never silently degrade to a selector named "sum"
+        throw new UnsupportedOperationException("WITHOUT modifier not yet supported")
       if (aggOps(name) && (peek == '(' || in.substring(i).trim.startsWith("by"))) {
         // sum by (a,b) (expr)  |  sum(expr) [by (a,b)]
         var by = List.empty[String]
@@ -145,9 +149,20 @@ object PromQL {
       }
       Selector(metric, ms.toList)
     }
+
+    /** The whole input must be consumed — otherwise `sum without (mode) (m)`
+      * would silently degrade to a selector for a metric named "sum" and
+      * return wrong data instead of raising. */
+    def parseAll(): Expr = {
+      val e = expr()
+      ws()
+      if (i < in.length)
+        throw PromParseError(s"unexpected trailing input at $i: '${in.substring(i)}' in: $in")
+      e
+    }
   }
 
-  def parse(q: String): Expr = new P(q).expr()
+  def parse(q: String): Expr = new P(q).parseAll()
 
   // ---- compiler ------------------------------------------------------------
   final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
@@ -213,10 +228,12 @@ object PromQL {
         // PromQL vector matching emits a point only where BOTH operands have
         // one, unlike M3 diff's zero-fill default — keepNans=true is that
         // inner behavior
+        // `*`/`/` keep the matched left labels untouched — Prometheus never
+        // rewrites labels on vector math (no M3 type:ratios injection)
         op match {
-          case "/" => SeriesSet.divide(lf, rf)
+          case "/" => SeriesSet.vectorDivide(lf, rf)
           case "-" => SeriesSet.diff(lf, rf, keepNans = true)
-          case "*" => SeriesSet.divide(lf, mapValue(rf)(c => lit(1.0) / c))
+          case "*" => SeriesSet.vectorMultiply(lf, rf)
           case "+" => SeriesSet.diff(lf, mapValue(rf)(c => -c), keepNans = true)
         }
       case ScalarLit(_) =>

@@ -94,30 +94,61 @@ object Similarity {
       .select(col(idCol), col("cosine"), col("rnk"))
   }
 
-  /** IVF-style variant: kmeans-lite — partition vectors by nearest of
-    * `nCentroids` seed vectors (deterministic sample), probe the query's
+  /** IVF index for one corpus: centroids + the per-vector cell assignment,
+    * built ONCE per corpus and persisted (MEMORY_AND_DISK) — queries reuse it
+    * the way a real IVF index is built offline and probed many times, instead
+    * of recomputing the full corpus×centroid assignment per query. Keyed by
+    * the corpus plan's semantic hash. `nCentroids` scales with corpus size
+    * (~√N, the standard IVF cell-count heuristic: ~√N cells × ~√N vectors per
+    * cell balances probe cost against scan cost) with a floor of 16; the one
+    * `count()` here is index-build work, not per-query driver logic. */
+  private final case class IvfIndex(cents: DataFrame, assigned: DataFrame, nCentroids: Int)
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[Int, IvfIndex]()
+
+  private def ivfIndex(emb: DataFrame, idCol: String, nCentroidsOverride: Int): IvfIndex = {
+    val key = (emb.queryExecution.analyzed.semanticHash(), idCol, nCentroidsOverride).hashCode()
+    ivfCache.computeIfAbsent(key, _ => {
+      val nc =
+        if (nCentroidsOverride > 0) nCentroidsOverride
+        else math.max(16, math.sqrt(emb.count().toDouble).round.toInt)
+      // centroids = deterministic sample of the corpus (ids hashed)
+      val cents = emb
+        .withColumn("_h", xxhash64(col(idCol)))
+        .orderBy("_h").limit(nc)
+        .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("sim", graft.functions.VectorExprs.fastCosine("embedding", "cent_emb"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
+        .where(col("rn") === 1)
+        .select(col(idCol), col("embedding"), col("cent_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(cents, assigned, nc)
+    })
+  }
+
+  /** IVF-style variant: kmeans-lite — partition vectors by nearest of the
+    * index's centroids (deterministic sample, ~√N of them), probe the query's
     * nearest `nProbe` cells only. The 100TB path: cells are the partition
-    * pruning unit. */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
+    * pruning unit, and the assignment is a persisted index shared across
+    * queries. Recall@10 vs [[bruteForceTopK]] is data-dependent: on a
+    * clustered corpus the probed cells hold the true neighbors; on the
+    * synthetic sf0.001 corpus — UNIFORM random vectors, zero cluster
+    * structure (same-label and cross-label cosine both ≈ 0) — no cell
+    * assignment can beat the scan fraction, and measured recall@10 is ~0.2
+    * ≈ nProbe/nCells = 4/22, i.e. exactly the pruning ratio (asserted by
+    * `IvfRecallSpec`). Tune nProbe upward for recall, downward for speed. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 0,
               nProbe: Int = 4, idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    // centroids = deterministic sample of the corpus (ids hashed)
-    val cents = emb
-      .withColumn("_h", xxhash64(col(idCol)))
-      .orderBy("_h").limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", graft.functions.VectorExprs.fastCosine("embedding", "cent_emb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("embedding"), col("cent_id"))
-    val qCells = assigned.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
+    val idx = ivfIndex(emb, idCol, nCentroids)
+    val qCells = idx.assigned.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
+      .crossJoin(broadcast(idx.cents))
       .withColumn("sim", graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
       .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
       .select(col("cent_id"), col("q_emb"))
-    assigned.where(col(idCol) =!= queryId)
+    idx.assigned.where(col(idCol) =!= queryId)
       .join(broadcast(qCells), Seq("cent_id"))
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
       .orderBy(col("cosine").desc, col(idCol))

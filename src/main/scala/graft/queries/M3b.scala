@@ -293,6 +293,52 @@ object M3b extends QueryPack {
        |         CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value
        |  FROM l12 l JOIN r12 r ON l.usr = r.usr AND l.t2 = r.t2) $ord""".stripMargin)
 
+  /** Mixed-step UNION on the left of a binary op: the left operand is
+    * click-at-6h unioned with (view | summarize 1d sum)-at-1d, then divided by
+    * error-at-6h. The compiler must keep per-branch StepMeta through the union
+    * and PAIRWISE-normalize each branch against the divisor (ref:
+    * UnionStage.java:23-30 preserves per-series steps;
+    * AbstractBinaryProjectionStage.java:292-306 normalizes per matched pair):
+    * the 6h branch divides point-for-point, the 1d branch sees the divisor
+    * resampled to 1d with AVG consolidation. */
+  private def qDivideUnionMixedStep(s: SparkSession, sf: String): DataFrame =
+    flat(M3QL.query(s, raw(s, sf), grid,
+      "b = fetch name:error; " +
+        "fetch name:click | (fetch name:view | summarize 1d sum) | divide(b) user"))
+  private val qDivideUnionMixedStepSql = withSG(
+    s""", $glCte,
+       |l6 AS (SELECT usr, ts, value FROM gl WHERE etype = 'click'),
+       |lv1 AS (SELECT usr, (ts // 86400000) * 86400000 AS ts, ${dsum("value")} AS value
+       |        FROM gl WHERE etype = 'view' GROUP BY 1, 2),
+       |r6 AS (SELECT usr, ts, value FROM gl WHERE etype = 'error'),
+       |r1 AS (SELECT usr, (ts // 86400000) * 86400000 AS ts, ${dsum("value")} / count(value) AS value
+       |       FROM gl WHERE etype = 'error' GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT 'name:click,type:ratios,user:' || l.usr AS series, l.ts AS ts,
+       |    CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value
+       |  FROM l6 l JOIN r6 r ON l.usr = r.usr AND l.ts = r.ts
+       |  UNION ALL
+       |  SELECT 'name:view,type:ratios,user:' || l.usr AS series, l.ts AS ts,
+       |    CASE WHEN r.value = 0 THEN CAST('NaN' AS DOUBLE) ELSE l.value / r.value END AS value
+       |  FROM lv1 l JOIN r1 r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
+
+  /** `sortSeries sum ascending` through the parser: exercises the full
+    * asc|ascending|desc|descending token set (ref: SortOrderType.java:37-43)
+    * and the ascending rank order, which the oracle checks via the emitted
+    * rank column. */
+  private def qSortAscending(s: SparkSession, sf: String): DataFrame =
+    flat(M3QL.query(s, raw(s, sf), grid, "fetch name:click | sortSeries sum ascending")
+      .withColumnRenamed("_rank", "rnk"), Seq("rnk"))
+  private val qSortAscendingSql = withSG(
+    s""", $glCte,
+       |keys AS (
+       |  SELECT usr, ${dsum("value")} AS k, 'name:click,user:' || usr AS sk
+       |  FROM gl WHERE etype = 'click' GROUP BY usr),
+       |rk AS (SELECT usr, row_number() OVER (ORDER BY k ASC, sk) AS rnk FROM keys)
+       |SELECT 'name:click,user:' || gl.usr AS series, gl.ts AS ts, gl.value AS value, rk.rnk AS rnk
+       |FROM gl JOIN rk ON gl.usr = rk.usr WHERE gl.etype = 'click'
+       |ORDER BY series, ts, value, rnk""".stripMargin)
+
   // ---- end-to-end through the PromQL compiler ------------------------------
   private def qPromAgg(s: SparkSession, sf: String): DataFrame =
     flat(PromQL.query(s, g(s, sf), grid, """sum(sqrt(click))"""))
@@ -322,6 +368,8 @@ object M3b extends QueryPack {
     QueryDef("m3_histogram_percentile", qHistP50, Some(qHistP50Sql)),
     QueryDef("m3_histogram_percentile_p99", qHistMulti, Some(qHistMultiSql)),
     QueryDef("m3_divide_mixed_step", qDivideMixedStep, Some(qDivideMixedStepSql)),
+    QueryDef("m3_divide_union_mixed_step", qDivideUnionMixedStep, Some(qDivideUnionMixedStepSql)),
+    QueryDef("m3_sort_ascending", qSortAscending, Some(qSortAscendingSql)),
     QueryDef("m3_keep_last_interval", qKeepLastIv, Some(qKeepLastIvSql)),
     QueryDef("m3_head", qHead, Some(qHeadSql)),
     QueryDef("m3_tail", qTail, Some(qTailSql)),

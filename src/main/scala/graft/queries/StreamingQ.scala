@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.core.{Tables, TsSchema}
+import graft.lang.m3.M3QL
+import graft.streaming.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end STREAMING oracle entry: until round 4 the ingest sink was only
+  * spec-tested in isolation; this query drives the full write path against the
+  * real events table and hands the result to the DuckDB compare.
+  *
+  * Flow: a deterministic slice of `events` (the click series) is serialized to
+  * the reference's flat-json wire format ("k v k v …" labels — core/mapping/
+  * Constants.java:84-116), each line DUPLICATED so the watermarked
+  * dedup-FIRST stage (TimeSeriesUnfoldAggregator.java:270-276 equivalent) has
+  * real work; an AvailableNow micro-batch streams it through parse →
+  * watermark → dedup → day-partitioned parquet; the table is read back and
+  * queried through the normal M3QL fetch path. Row count doubles if dedup
+  * breaks; values/timestamps hash-mismatch if any hop corrupts them.
+  */
+object StreamingQ extends QueryPack {
+  private val S = TsSchema
+  private val grid = Tables.EventsGrid6h
+
+  private def qRoundtrip(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream")
+    val (src, table, ckpt) =
+      (s"$base/src", s"$base/table", s"$base/ckpt")
+    // wire lines; max() per (series, ts) keeps the input unique per key so
+    // the FIRST-dedup of the intentional duplicates is order-independent
+    val wire = Tables.eventSamples(s, sf)
+      .where(col(S.LabelsCol).getItem("name") === "click")
+      .groupBy(
+        col(S.LabelsCol).getItem("name").as("_n"),
+        col(S.LabelsCol).getItem("user").as("_u"),
+        col(S.Ts))
+      .agg(max(col(S.Value)).as(S.Value))
+      .select(
+        concat(lit("name "), col("_n"), lit(" user "), col("_u")).as("labels"),
+        col(S.Ts).as("timestamp"), col(S.Value).as("value"))
+    wire.unionAll(wire).coalesce(2).write.mode("overwrite").json(src)
+    Ingest.runOnce(s, src, table, ckpt)
+    val back = s.read.parquet(table)
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    M3QL.query(s, back, grid, "fetch name:click")
+      .select(S.seriesKey(col(S.LabelsCol)).as("series"),
+        col(S.Ts).as("ts"), col(S.Value).as("value"))
+      .where(col("value").isNotNull)
+      .orderBy("series", "ts", "value")
+  }
+
+  /** DuckDB mirror: unique-per-(series,ts) click samples (max), then the
+    * fetch-unfold last-wins 6h rebucket, clipped to the query grid. */
+  private val qRoundtripSql =
+    s"""WITH w AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS usr, epoch_ms(ts) AS t, max(value) AS v
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT 'name:click,user:' || usr AS series,
+       |       ${grid.startMs} + ((t - ${grid.startMs}) // ${grid.stepMs}) * ${grid.stepMs} AS ts,
+       |       arg_max(v, t) AS value
+       |FROM w
+       |WHERE t >= ${grid.startMs} AND t < ${grid.endMs}
+       |GROUP BY series, 2
+       |ORDER BY series, ts, value""".stripMargin
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)))
+}

@@ -24,14 +24,18 @@ object GridOps {
   def densify(df: DataFrame, grid: QueryGrid): DataFrame = {
     // distinct() can't touch MAP columns; series_id is the dedup key anyway
     val series = df.groupBy(S.SeriesId).agg(first(col(S.LabelsCol)).as(S.LabelsCol))
+    // ONE full-outer join of grid points against samples covers both "grid
+    // point with no sample" (null value) and "sample outside the grid"
+    // (right-only row) — labels ride along on both sides so no third join,
+    // and no union+distinct re-shuffle of the combined point set
     val gridPts = series.select(
-      col(S.SeriesId),
+      col(S.SeriesId), col(S.LabelsCol).as("_glab"),
       explode(sequence(lit(grid.startMs), lit(grid.alignedEndMs), lit(grid.stepMs))).as(S.Ts))
-    val allPts = gridPts.union(df.select(S.SeriesId, S.Ts)).distinct()
-    allPts
-      .join(series, Seq(S.SeriesId))
-      .join(df.select(S.SeriesId, S.Ts, S.Value), Seq(S.SeriesId, S.Ts), "left")
-      .select(col(S.SeriesId), col(S.LabelsCol), col(S.Ts), col(S.Value))
+    gridPts
+      .join(df.select(col(S.SeriesId), col(S.LabelsCol).as("_slab"), col(S.Ts), col(S.Value)),
+        Seq(S.SeriesId, S.Ts), "full_outer")
+      .select(col(S.SeriesId), coalesce(col("_glab"), col("_slab")).as(S.LabelsCol),
+        col(S.Ts), col(S.Value))
   }
 
   /** `transformNull v` — densify, fill missing grid points with constant v

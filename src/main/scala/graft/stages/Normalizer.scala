@@ -84,26 +84,74 @@ object Normalizer {
     }
   }
 
-  /** Normalize the two operands of a binary projection when their compile-time
-    * steps differ, the way the reference runs TimeSeriesNormalizer inside
-    * AbstractBinaryProjectionStage (PAIRWISE/BATCH, LCM step, AVG
-    * consolidation — ref: AbstractBinaryProjectionStage.java:266-317,
-    * TimeSeriesNormalizer.java:188-268): common step = LCM, bucket origin =
-    * min of the operand origins. An operand already on the target grid (same
-    * step, origin a step-multiple away) is passed through untouched, like the
-    * reference's already-aligned check (:295-298). */
-  def alignOperands(left: DataFrame, lm: StepMeta, right: DataFrame, rm: StepMeta,
-                    endMs: Long): (DataFrame, DataFrame, StepMeta) =
-    if (lm.stepMs == rm.stepMs && (lm.startMs - rm.startMs) % lm.stepMs == 0)
-      (left, right, StepMeta(lm.stepMs, math.min(lm.startMs, rm.startMs)))
+  /** Normalize N operands onto their common grid the way the reference runs
+    * TimeSeriesNormalizer (LCM step, AVG consolidation — ref:
+    * TimeSeriesNormalizer.java:188-268): common step = LCM of all steps,
+    * bucket origin = min of the operand origins. An operand already on the
+    * target grid (same step, origin a step-multiple away) is passed through
+    * untouched, like the reference's already-aligned check
+    * (AbstractBinaryProjectionStage.java:295-298). */
+  def alignAll(ops: Seq[(DataFrame, StepMeta)], endMs: Long): (Seq[DataFrame], StepMeta) = {
+    val metas = ops.map(_._2)
+    val start = metas.map(_.startMs).min
+    val step0 = metas.head.stepMs
+    if (metas.forall(m => m.stepMs == step0 && (m.startMs - start) % step0 == 0))
+      (ops.map(_._1), StepMeta(step0, start))
     else {
-      val step = lcm(lm.stepMs, rm.stepMs)
-      val start = math.min(lm.startMs, rm.startMs)
+      val step = metas.map(_.stepMs).reduce(lcm)
       val end = start + ((endMs - start + step - 1) / step) * step
       val target = QueryGrid(start, end, step)
-      def align(df: DataFrame, m: StepMeta): DataFrame =
+      (ops.map { case (df, m) =>
         if (m.stepMs == step && (m.startMs - start) % step == 0) df
         else resample(df, target, "avg")
-      (align(left, lm), align(right, rm), StepMeta(step, start))
+      }, StepMeta(step, start))
     }
+  }
+
+  /** Normalize the two operands of a binary projection when their compile-time
+    * steps differ (PAIRWISE/BATCH inside AbstractBinaryProjectionStage
+    * .java:266-317). */
+  def alignOperands(left: DataFrame, lm: StepMeta, right: DataFrame, rm: StepMeta,
+                    endMs: Long): (DataFrame, DataFrame, StepMeta) = {
+    val (dfs, m) = alignAll(Seq((left, lm), (right, rm)), endMs)
+    (dfs(0), dfs(1), m)
+  }
+
+  /** Collapse union branches to one DataFrame WITHOUT resampling — the
+    * reference's UnionStage concatenates series keeping each one's own step
+    * (UnionStage.java:23-30). When branch steps disagree the combined meta is
+    * the conservative LCM/min-origin pair, so a later step-sensitive stage
+    * that cannot see per-branch metas still makes a sane decision. */
+  def collapse(bs: Seq[(DataFrame, StepMeta)]): (DataFrame, StepMeta) =
+    if (bs.lengthCompare(1) == 0) bs.head
+    else {
+      val metas = bs.map(_._2)
+      val meta =
+        if (metas.distinct.lengthCompare(1) == 0) metas.head
+        else StepMeta(metas.map(_.stepMs).reduce(lcm), metas.map(_.startMs).min)
+      (SeriesSet.union(bs.map(_._1)), meta)
+    }
+
+  /** Collapse union branches for a grouping aggregation: the reference's
+    * coordinator normalizes each group's series with MAX step strategy and
+    * TYPE_AWARE consolidation before aggregating (AbstractGroupingStage
+    * .java:122-123,208-222). Branch-level approximation of the per-group
+    * normalize: every series of a branch shares the branch's step, so
+    * resampling whole branches is exact whenever a group draws from all
+    * branches (the common case); a group fed by a strict subset of branches
+    * would see a slightly coarser grid than the reference's per-group MAX. */
+  def collapseGrouping(bs: Seq[(DataFrame, StepMeta)], endMs: Long): (DataFrame, StepMeta) = {
+    val metas = bs.map(_._2)
+    if (bs.lengthCompare(1) == 0 || metas.distinct.lengthCompare(1) == 0) collapse(bs)
+    else {
+      val step = metas.map(_.stepMs).max
+      val start = metas.map(_.startMs).min
+      val target = QueryGrid(start, start + ((endMs - start + step - 1) / step) * step, step)
+      val dfs = bs.map { case (df, m) =>
+        if (m.stepMs == step && (m.startMs - start) % step == 0) df
+        else resampleTypeAware(df, target)
+      }
+      (SeriesSet.union(dfs), StepMeta(step, start))
+    }
+  }
 }

@@ -62,10 +62,15 @@ object SeriesSet {
       if (by == "name") df.select(col(S.SeriesId), TsSchema.seriesKey(col(S.LabelsCol)).as("_skey"))
         .distinct().withColumn("_key", col("_skey").cast(StringType))
       else df.groupBy(S.SeriesId)
-        .agg(seriesKeyAgg(by).as("_key"), first(TsSchema.seriesKey(col(S.LabelsCol))).as("_skey"))
+        .agg(seriesKeyAgg(by).as("_k0"), first(TsSchema.seriesKey(col(S.LabelsCol))).as("_skey"))
+        // NaN sorts BELOW any number (ref: SortComparatorUtil.java:52-63 —
+        // "NaN < any number"); Spark natively orders NaN above every double,
+        // so map NaN keys to null and pin nulls to the small end
+        .withColumn("_key", when(isnan(col("_k0")), lit(null)).otherwise(col("_k0")))
+        .drop("_k0")
     val ord =
       if (desc) Seq(col("_key").desc_nulls_last, col("_skey").asc)
-      else Seq(col("_key").asc_nulls_last, col("_skey").asc)
+      else Seq(col("_key").asc_nulls_first, col("_skey").asc)
     val rk = keys.withColumn("_rank", row_number().over(Window.orderBy(ord: _*)))
       .select(S.SeriesId, "_rank")
     df.join(broadcast(rk), Seq(S.SeriesId))
@@ -127,7 +132,7 @@ object SeriesSet {
     * back to full label matching). Every row of a series carries identical
     * labels, so the per-row intersection equals the per-series one; the two
     * aggregations prune to the labels column only. */
-  private def commonKeysDF(left: DataFrame, right: DataFrame): DataFrame = {
+  private[graft] def commonKeysDF(left: DataFrame, right: DataFrame): DataFrame = {
     val lab = left.select(col(S.LabelsCol)).unionAll(right.select(col(S.LabelsCol)))
     val tot = lab.agg(count(lit(1)).as("_tot"))
     lab.select(explode(map_keys(col(S.LabelsCol))).as("_k"))
@@ -165,14 +170,17 @@ object SeriesSet {
     * and therefore small-scale latency, flat.
     */
   private def keyed(left: DataFrame, right: DataFrame, keys: Seq[String],
-                    merge: RightMerge): (DataFrame, DataFrame) = {
+                    merge: RightMerge, ckOverride: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val valid: Column = if (keys.isEmpty) lit(true) else hasAllKeys(keys)
     val (l0, r0) =
       if (keys.nonEmpty)
         (left.withColumn("_mk", explicitKey(keys)),
          right.withColumn("_mk", explicitKey(keys)))
       else {
-        val ck = broadcast(commonKeysDF(left, right))
+        // ckOverride: when the caller splits one logical left operand into
+        // per-step branches (PAIRWISE normalization), the common keys must
+        // still be computed over the FULL operand sets, not per branch
+        val ck = broadcast(ckOverride.getOrElse(commonKeysDF(left, right)))
         (left.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"),
          right.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"))
       }
@@ -236,9 +244,10 @@ object SeriesSet {
     * timestamps are skipped — ref alignTimestampsAndProcess :152-170 with
     * hasKeepNansOption=false). */
   private def binaryInner(left: DataFrame, right: DataFrame, keys: Seq[String],
-                          op: String, typeLabel: Option[String])
+                          op: String, typeLabel: Option[String],
+                          ck: Option[DataFrame] = None)
                          (f: (Column, Column) => Column): DataFrame = {
-    val (l, r) = keyed(left, right, keys, MergeSingle(op))
+    val (l, r) = keyed(left, right, keys, MergeSingle(op), ck)
     typed(
       l.join(r, Seq("_jk", S.Ts), "inner")
         .withColumn(S.Value, f(col(S.Value), col("_rv")))
@@ -248,8 +257,9 @@ object SeriesSet {
 
   /** `divide <ref> [tags]` — 0 denominator and NaN operands yield NaN; output
     * tagged type:ratios (ref: DivideStage.processSampleValues:129-141). */
-  def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil): DataFrame =
-    binaryInner(left, right, keys, "divide", Some("ratios"))((l, r) =>
+  def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
+             ck: Option[DataFrame] = None): DataFrame =
+    binaryInner(left, right, keys, "divide", Some("ratios"), ck)((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
   /** `asPercent <ref> [tags]` — 100*left/right, tagged type:ratios
@@ -257,6 +267,20 @@ object SeriesSet {
   def asPercent(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil): DataFrame =
     binaryInner(left, right, keys, "asPercent/ratio", Some("ratios"))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l * lit(100.0) / r))
+
+  /** PromQL vector arithmetic `/` and `*`: the divide matching machinery with
+    * the matched left labels passed through UNCHANGED — Prometheus never
+    * rewrites labels on vector math, so no `type:ratios` injection and no
+    * series_id rehash (that label surgery is M3's DivideStage.transformLabels,
+    * which has no PromQL analogue). Division by zero keeps the engine-wide
+    * NaN convention. */
+  def vectorDivide(left: DataFrame, right: DataFrame): DataFrame =
+    binaryInner(left, right, Nil, "divide", None)((l, r) =>
+      when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
+
+  /** PromQL vector `*` — see [[vectorDivide]]. */
+  def vectorMultiply(left: DataFrame, right: DataFrame): DataFrame =
+    binaryInner(left, right, Nil, "multiply", None)((l, r) => l * r)
 
   /** `diff <ref> [keepNans] [tags]` — left minus right over the UNION of the
     * matched pair's timestamps (ref: SubtractStage.processSampleValues:120-143
@@ -277,17 +301,23 @@ object SeriesSet {
       .agg(first(col(S.LabelsCol)).as(S.LabelsCol))
     val rExp = lSeries.join(r, Seq("_jk"))
       .select(col(S.SeriesId), col("_jk"), col(S.LabelsCol).as("_rlab"),
-        col(S.Ts), col("_rv"))
-    val lSub = l.join(r.select("_jk").distinct(), Seq("_jk"), "left_semi")
-      .select(col(S.SeriesId), col("_jk"), col(S.LabelsCol), col(S.Ts), col(S.Value))
-    val joined = lSub.join(rExp, Seq(S.SeriesId, "_jk", S.Ts), "full_outer")
+        col(S.Ts), col("_rv"), lit(1).as("_rm"))
+    val joined = l.select(col(S.SeriesId), col("_jk"), col(S.LabelsCol), col(S.Ts), col(S.Value))
+      .join(rExp, Seq(S.SeriesId, "_jk", S.Ts), "full_outer")
+    // left series with no matching right group emit nothing (ref process()
+    // :389-392). A matched series has ≥1 rExp row — every right group has at
+    // least one sample — so one unbounded max over the series partition
+    // detects it; this replaces a former left-semi join that re-evaluated the
+    // whole keyed-right subtree a third time (the diff plan's cost ceiling).
+    val matched = max(col("_rm")).over(Window.partitionBy(S.SeriesId)) === 1
     val lv = when(isnan(col(S.Value)), lit(null)).otherwise(col(S.Value))
     val rv = when(isnan(col("_rv")), lit(null)).otherwise(col("_rv"))
     val keep = if (keepNans) lv.isNotNull && rv.isNotNull
                else lv.isNotNull || rv.isNotNull
     joined
+      .withColumn("_matched", matched)
       .withColumn(S.LabelsCol, coalesce(col(S.LabelsCol), col("_rlab")))
-      .where(keep)
+      .where(col("_matched") && keep)
       .withColumn(S.Value, coalesce(lv, lit(0.0)) - coalesce(rv, lit(0.0)))
       .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
   }

@@ -92,6 +92,18 @@ object Ingest {
     writer(withIngestSemantics(readJsonStream(spark, sourcePath), oooToleranceMs),
       tablePath, checkpoint).start()
 
+  /** One-shot ingest of everything currently in `sourcePath`
+    * (Trigger.AvailableNow), blocking until the sink commits — the batch face
+    * of [[start]], used by the verify harness to drive the full parse →
+    * watermark → dedup → partitioned-parquet path deterministically. */
+  def runOnce(spark: SparkSession, sourcePath: String, tablePath: String,
+              checkpoint: String, oooToleranceMs: Long = 60000L): Unit =
+    writer(withIngestSemantics(readJsonStream(spark, sourcePath), oooToleranceMs),
+      tablePath, checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Retention: drop whole day partitions older than the horizon — the
     * TimeBasedRetention equivalent, metadata-only at scale. */
   def retentionSweep(spark: SparkSession, tablePath: String, keepDays: Int,

@@ -67,10 +67,28 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("vector / vector division (single right series projects onto all)") {
-    // right side is one series → M3 binary rule: match everything, tag ratios
+    // right side is one series → match everything; Prometheus vector math
+    // NEVER rewrites labels (no M3 type:ratios injection)
     val out = toGolden(run("""req{dc="a"} / mem{dc="a"}"""))
-    assert(out.keySet == Set("dc:a,name:req,type:ratios"))
-    assert(out("dc:a,name:req,type:ratios").head.contains(0.2))
+    assert(out.keySet == Set("dc:a,name:req"))
+    assert(out("dc:a,name:req").head.contains(0.2))
+  }
+
+  test("vector * vector keeps the matched input labels untouched") {
+    val out = toGolden(run("""req{dc="a"} * mem{dc="a"}"""))
+    assert(out.keySet == Set("dc:a,name:req"))
+    assert(out("dc:a,name:req").head.contains(5.0))   // 1 * 5
+    assert(out("dc:a,name:req")(4).contains(5.0))     // 5 * 1
+  }
+
+  test("trailing input after a complete expression raises") {
+    intercept[PromQL.PromParseError](PromQL.parse("""req{dc="a"} extra"""))
+    intercept[PromQL.PromParseError](PromQL.parse("""req{dc="a"} ) extra"""))
+  }
+
+  test("without grouping modifier raises like the reference") {
+    // ref: PromSourceBuilderVisitor.java:258-259
+    intercept[UnsupportedOperationException](PromQL.parse("""sum without (mode) (req)"""))
   }
 
   test("vector subtraction emits points only where both sides exist") {
