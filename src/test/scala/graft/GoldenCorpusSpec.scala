@@ -77,11 +77,6 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
   /** Queries exercising semantics we intentionally don't reproduce yet; each
     * exclusion carries the reason. */
   private val excluded: Map[String, String] = Map(
-    "metric_with_migration_moving_sum__pushdown" ->
-      ("cross-cluster federation artifact: with resolved_partitions pushdown the " +
-        "reference evaluates the moving window PER PARTITION and merges, losing " +
-        "cross-partition lookback; out of scope v1 (SURVEY §3.4). Our global " +
-        "answer matches the reference's own no-pushdown variant, which passes."),
     "fetch with non-existing partition returns error" ->
       ("expects the storage catalog's 404 index_not_found_exception — an index " +
         "existence check, not query semantics; the corpus replay reads one " +
@@ -161,7 +156,28 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
       isoToMs(tc("min_timestamp").str),
       isoToMs(tc("max_timestamp").str),
       graft.lang.m3.Duration.parse(tc("step").str).get)
-    val result = M3QL.query(spark, fixtureFor(q), grid, q("query").str)
+    // resolved_partitions with ONE fetch entry spanning several known-index
+    // windows routes through the federation evaluator (pushdown when the
+    // windows are disjoint — serve.Federation); per-fetch entries (one window
+    // each) and unknown partition formats keep the global path, which is also
+    // what the reference does for a single partition
+    val fedParts: Seq[(graft.serve.Federation.PartitionWindow, org.apache.spark.sql.DataFrame)] =
+      q.get("resolved_partitions").map(_.list) match {
+        case Some(Seq(entry)) =>
+          val ws = entry.get("windows").map(_.list).getOrElse(Nil).map { w =>
+            (w("partition").str.split(":").last, isoToMs(w("start").str), isoToMs(w("end").str))
+          }
+          if (ws.sizeIs > 1 && ws.forall(w => knownIndices(w._1)))
+            ws.map { case (p, s, e) =>
+              graft.serve.Federation.PartitionWindow(p, s, e) ->
+                samplesDF(fixtureRows.collect { case (idx, r) if idx == p => r })
+            }
+          else Nil
+        case _ => Nil
+      }
+    val result =
+      if (fedParts.nonEmpty) graft.serve.Federation.query(spark, fedParts, grid, q("query").str)
+      else M3QL.query(spark, fixtureFor(q), grid, q("query").str)
     // position-based collect: index = (ts - start)/step, allowing points past
     // the aligned end (mockFetch series extend to their own last value)
     val rows = result.select(

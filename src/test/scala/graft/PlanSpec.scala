@@ -60,4 +60,22 @@ class PlanSpec extends AnyFunSuite {
   check("m3_diff_series") { p =>
     assert(!p.contains("CartesianProduct"), s"no cartesian product in diff:\n$p")
   }
+
+  private def count(p: String, re: String): Int = re.r.findAllIn(p).length
+
+  check("m3_is_non_null") { p =>
+    // densify = ONE full-outer join of grid points against samples (labels
+    // ride along both sides); the old union+distinct+2-join shape would show
+    // 3 joins and 2 more exchanges
+    assert(count(p, "Join ") == 1, s"densify must be a single join:\n$p")
+    assert(count(p, "Exchange ") <= 8, s"densify exchange count regressed:\n$p")
+  }
+
+  check("m3_diff_keepnans") { p =>
+    // the keyed right subtree is evaluated for rStats + the group reduction +
+    // one join into rExp; the former left-semi pass is gone (window flag on
+    // the full-outer join instead). Bounds lock the round-4 plan shape.
+    assert(count(p, "Join ") <= 5, s"diff join count regressed:\n$p")
+    assert(count(p, "Scan |FileScan") <= 18, s"diff scan count regressed:\n$p")
+  }
 }
