@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.core.{Tables, TsSchema}
+import graft.lang.prom.PromQL
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the round-4 PromQL surface expansion: `offset`,
+  * comparison filters + set operators, per-instant `topk`, the `quantile`
+  * aggregation, `predict_linear` (least-squares over a trailing window),
+  * `absent`, and `label_replace`. Every query goes through the full PromQL
+  * parse→compile path over the gridded event samples; the DuckDB oracle
+  * mirrors the math on the same parquet.
+  */
+object PromX extends QueryPack {
+  private val S = TsSchema
+  private val grid = Tables.EventsGrid6h
+
+  private def g(s: SparkSession, sf: String): DataFrame = Tables.griddedEventSamples(s, sf)
+  private def run(s: SparkSession, sf: String, q: String): DataFrame =
+    PromQL.query(s, g(s, sf), grid, q)
+
+  private def flat(df: DataFrame): DataFrame =
+    df.select(
+        S.seriesKey(col(S.LabelsCol)).as("series"),
+        col(S.Ts).as("ts"), col(S.Value).as("value"))
+      .where(col("value").isNotNull)
+      .orderBy("series", "ts", "value")
+
+  private val sCte =
+    "s AS (SELECT event_type AS etype, CAST(user_id % 10 AS VARCHAR) AS usr, " +
+      "epoch_ms(ts) AS t, value FROM events)"
+  private val gCte =
+    "g AS (SELECT etype, usr, 1704067200000 + ((t - 1704067200000) // 21600000) * 21600000 AS ts, " +
+      "CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) / count(value) AS value " +
+      "FROM s GROUP BY 1, 2, 3)"
+  private def withSG(body: String) = s"WITH $sCte, $gCte $body"
+  private val ord = "ORDER BY series, ts, value"
+  private def dsum(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,9))) AS DOUBLE)"
+
+  // ---- topk: per-instant rank (unlike M3 topK's per-series rank) -----------
+  private def qTopk(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "topk(2, click)"))
+  private val qTopkSql = withSG(
+    s""", v AS (
+       |  SELECT usr, ts, value,
+       |    row_number() OVER (PARTITION BY ts ORDER BY value DESC, 'name:click,user:' || usr) AS rn
+       |  FROM g WHERE etype = 'click')
+       |SELECT 'name:click,user:' || usr AS series, ts, value FROM v WHERE rn <= 2 $ord""".stripMargin)
+
+  // ---- offset modifier through an aggregation ------------------------------
+  private def qOffsetSum(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """sum(view{user="4"} offset 12h)"""))
+  private val qOffsetSumSql = withSG(
+    s"""SELECT '' AS series, ts + 43200000 AS ts, ${dsum("value")} AS value
+       |FROM g WHERE etype = 'view' AND usr = '4' AND ts <= ${grid.endMs - 43200000L}
+       |GROUP BY ts $ord""".stripMargin)
+
+  // ---- comparison filters joined with `and` --------------------------------
+  private def qCompareAnd(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "(click > 30) and (click < 60)"))
+  private val qCompareAndSql = withSG(
+    s"""SELECT 'name:click,user:' || usr AS series, ts, value
+       |FROM g WHERE etype = 'click' AND value > 30 AND value < 60 $ord""".stripMargin)
+
+  // ---- quantile aggregation (linear interpolation across series) -----------
+  private def qQuantile(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "quantile(0.9, click)"))
+  private val qQuantileSql = withSG(
+    s"""SELECT '' AS series, ts, quantile_cont(value, 0.9) AS value
+       |FROM g WHERE etype = 'click' GROUP BY ts $ord""".stripMargin)
+
+  // ---- predict_linear: least-squares line over [t-2d, t], +1h --------------
+  // covar_pop/var_pop are stable one-pass co-moments on BOTH engines; the
+  // 6-decimal round absorbs the ~1e-12 summation-order noise between them
+  private def qPredict(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """predict_linear(view{user="4"}[2d], 3600)"""))
+      .withColumn("value", round(col("value"), 6))
+  private val qPredictSql = withSG(
+    s""", v AS (
+       |  SELECT usr, ts, value, ts / 1000.0 AS x,
+       |    count(value)  OVER w AS n,
+       |    covar_pop(value, ts / 1000.0) OVER w AS cxy,
+       |    var_pop(ts / 1000.0) OVER w AS vx,
+       |    avg(value)    OVER w AS my,
+       |    avg(ts / 1000.0) OVER w AS mx
+       |  FROM g WHERE etype = 'view' AND usr = '4'
+       |  WINDOW w AS (ORDER BY ts RANGE BETWEEN 172800000 PRECEDING AND CURRENT ROW))
+       |SELECT 'name:view,user:4' AS series, ts,
+       |       round(my + (cxy / vx) * (x + 3600 - mx), 6) AS value
+       |FROM v WHERE n >= 2 $ord""".stripMargin)
+
+  // ---- absent over an empty selection --------------------------------------
+  private def qAbsent(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """absent(click{user="77"})"""))
+  private val qAbsentSql =
+    s"""SELECT 'name:click,user:77' AS series,
+       |  unnest(generate_series(${grid.startMs}, ${grid.alignedEndMs}, ${grid.stepMs})) AS ts,
+       |  1.0 AS value ORDER BY series, ts, value""".stripMargin
+
+  // ---- label_replace with a backref ----------------------------------------
+  private def qLabelReplace(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """label_replace(error, "env", "env-$1", "user", "(4|5)")"""))
+  private val qLabelReplaceSql = withSG(
+    s"""SELECT CASE WHEN usr IN ('4','5')
+       |         THEN 'env:env-' || usr || ',name:error,user:' || usr
+       |         ELSE 'name:error,user:' || usr END AS series, ts, value
+       |FROM g WHERE etype = 'error' $ord""".stripMargin)
+
+  override def all: Seq[QueryDef] = Seq(
+    QueryDef("promql_topk_instant", qTopk, Some(qTopkSql)),
+    QueryDef("promql_offset_sum", qOffsetSum, Some(qOffsetSumSql)),
+    QueryDef("promql_compare_and", qCompareAnd, Some(qCompareAndSql)),
+    QueryDef("promql_quantile_agg", qQuantile, Some(qQuantileSql)),
+    QueryDef("promql_predict_linear", qPredict, Some(qPredictSql)),
+    QueryDef("promql_absent", qAbsent, Some(qAbsentSql)),
+    QueryDef("promql_label_replace", qLabelReplace, Some(qLabelReplaceSql)))
+}

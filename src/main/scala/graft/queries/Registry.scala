@@ -17,7 +17,7 @@ trait QueryPack {
 }
 
 object Registry {
-  def packs: Seq[QueryPack] = Seq(Tpch, M3, M3b, Pipeline, StreamingQ)
+  def packs: Seq[QueryPack] = Seq(Tpch, M3, M3b, PromX, Pipeline, StreamingQ)
 
   lazy val all: Seq[QueryDef] = packs.flatMap(_.all)
 

@@ -92,6 +92,45 @@ object Grouping {
   def range(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
     run(df, groupKeys)(c => functions_max(c) - functions_min(c))
 
+  /** Prometheus `stddev` aggregation — POPULATION stddev across the group's
+    * series at each timestamp (Prometheus aggregates are population-based,
+    * unlike M3's sample stddev). */
+  def stddevPop(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
+    run(df, groupKeys)(functions.stddev_pop)
+
+  /** Prometheus `stdvar` aggregation — population variance per timestamp. */
+  def varPop(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
+    run(df, groupKeys)(functions.var_pop)
+
+  /** Prometheus `group` aggregation — constant 1 for every group that has at
+    * least one sample at the timestamp. */
+  def groupConst(df: DataFrame, groupKeys: Seq[String] = Nil): DataFrame =
+    run(df, groupKeys)(c => functions.count(c) * lit(0.0) + lit(1.0))
+
+  /** Prometheus `count_values("label", v)` — per timestamp, count the series
+    * having each distinct value; the stringified value becomes a new label.
+    * The value renders like Go's strconv.FormatFloat(g): integral doubles
+    * print without a decimal point. */
+  def countValues(df: DataFrame, labelName: String, groupKeys: Seq[String] = Nil): DataFrame = {
+    val (withKeys, gCols) = grouped(df, groupKeys)
+    val vStr = when(col(TsSchema.Value) === col(TsSchema.Value).cast("long").cast(DoubleType),
+        col(TsSchema.Value).cast("long").cast(StringType))
+      .otherwise(col(TsSchema.Value).cast(StringType))
+    val agg = withKeys
+      .withColumn("_vstr", vStr)
+      .groupBy(gCols :+ col("_vstr"): _*)
+      .agg(functions.count(lit(1)).cast(DoubleType).as(TsSchema.Value))
+    // labels = retained group keys plus the stringified value under labelName
+    agg.withColumn(TsSchema.LabelsCol, map_concat(
+        if (groupKeys.isEmpty) map().cast(MapType(StringType, StringType, valueContainsNull = false))
+        else map_filter(
+          map(groupKeys.flatMap(k => Seq(lit(k), col(s"_g_$k"))): _*),
+          (_, v) => v.isNotNull),
+        map(lit(labelName), col("_vstr"))))
+      .withColumn(TsSchema.SeriesId, TsSchema.seriesId(col(TsSchema.LabelsCol)))
+      .select(TsSchema.SeriesId, TsSchema.LabelsCol, TsSchema.Ts, TsSchema.Value)
+  }
+
   /** `multiply` — per-ts product (ref: MultiplyStage.java:20-41). No Spark
     * builtin product; exact over integer-valued doubles while partial products
     * stay < 2^53 (each FP multiply of exact integers is exact). */

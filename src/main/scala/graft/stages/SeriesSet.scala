@@ -268,19 +268,74 @@ object SeriesSet {
     binaryInner(left, right, keys, "asPercent/ratio", Some("ratios"))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l * lit(100.0) / r))
 
-  /** PromQL vector arithmetic `/` and `*`: the divide matching machinery with
-    * the matched left labels passed through UNCHANGED — Prometheus never
-    * rewrites labels on vector math, so no `type:ratios` injection and no
-    * series_id rehash (that label surgery is M3's DivideStage.transformLabels,
-    * which has no PromQL analogue). Division by zero keeps the engine-wide
-    * NaN convention. */
+  /** PromQL vector arithmetic: the divide matching machinery with the matched
+    * left labels passed through UNCHANGED — Prometheus never rewrites labels
+    * on vector math, so no `type:ratios` injection and no series_id rehash
+    * (that label surgery is M3's DivideStage.transformLabels, which has no
+    * PromQL analogue). A point is emitted only where BOTH operands have one
+    * (inner timestamp join = Prometheus one-to-one vector matching). */
+  def vectorOp(left: DataFrame, right: DataFrame)(f: (Column, Column) => Column): DataFrame =
+    binaryInner(left, right, Nil, "binop", None)(f)
+
+  /** PromQL vector `/` — 0 denominator keeps the engine-wide NaN convention. */
   def vectorDivide(left: DataFrame, right: DataFrame): DataFrame =
-    binaryInner(left, right, Nil, "divide", None)((l, r) =>
-      when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
+    vectorOp(left, right)((l, r) => when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
   /** PromQL vector `*` — see [[vectorDivide]]. */
   def vectorMultiply(left: DataFrame, right: DataFrame): DataFrame =
-    binaryInner(left, right, Nil, "multiply", None)((l, r) => l * r)
+    vectorOp(left, right)((l, r) => l * r)
+
+  // ------------------------------------------------------------------------
+  // PromQL set operators — match on the FULL label set at each timestamp
+  // (an instant vector is a set of (labelset -> point) entries; `and`/`or`/
+  // `unless` operate on labelset identity per evaluation timestamp)
+  // ------------------------------------------------------------------------
+
+  private def withVKey(df: DataFrame): DataFrame =
+    df.withColumn("_vk", TsSchema.seriesKey(col(S.LabelsCol)))
+
+  /** `l and r` — left points whose label set also has a right point at the
+    * same timestamp. Semi join: no right values ever shuffle. */
+  def vectorAnd(left: DataFrame, right: DataFrame): DataFrame =
+    withVKey(left)
+      .join(withVKey(right).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_semi")
+      .drop("_vk")
+
+  /** `l unless r` — left points whose label set has NO right point at the
+    * same timestamp (anti join). */
+  def vectorUnless(left: DataFrame, right: DataFrame): DataFrame =
+    withVKey(left)
+      .join(withVKey(right).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_anti")
+      .drop("_vk")
+
+  /** `l or r` — all left points plus right points whose label set is absent
+    * from the left vector at that timestamp. */
+  def vectorOr(left: DataFrame, right: DataFrame): DataFrame = {
+    val sel = Seq(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    val rOnly = withVKey(right)
+      .join(withVKey(left).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_anti")
+      .drop("_vk")
+    left.select(sel.head, sel.tail: _*).unionByName(rOnly.select(sel.head, sel.tail: _*))
+  }
+
+  /** Prometheus `topk(k, v)` / `bottomk` — the k largest/smallest SAMPLES per
+    * (by-group, timestamp), labels untouched. Unlike M3's topK (a per-SERIES
+    * rank over the whole range), this ranks within each instant vector; the
+    * per-(group, ts) row_number shuffles once on the group hash — no global
+    * ordering bottleneck. Ties break on the series key for determinism; NaN
+    * samples rank below every number (Prometheus sorts NaN last). */
+  def topKAtTimestamp(df: DataFrame, k: Int, by: Seq[String] = Nil,
+                      bottom: Boolean = false): DataFrame = {
+    val grpCols = by.map(kk => coalesce(col(S.LabelsCol).getItem(kk), lit(MissingV))) :+ col(S.Ts)
+    val key = when(isnan(col(S.Value)), lit(null)).otherwise(col(S.Value))
+    val ord =
+      if (bottom) Seq(key.asc_nulls_last, TsSchema.seriesKey(col(S.LabelsCol)).asc)
+      else Seq(key.desc_nulls_last, TsSchema.seriesKey(col(S.LabelsCol)).asc)
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(grpCols: _*).orderBy(ord: _*)))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
 
   /** `diff <ref> [keepNans] [tags]` — left minus right over the UNION of the
     * matched pair's timestamps (ref: SubtractStage.processSampleValues:120-143

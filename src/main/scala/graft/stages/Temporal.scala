@@ -110,6 +110,61 @@ object Temporal {
     df.withColumn(S.Value, movingAgg(fn, frame))
   }
 
+  /** Least-squares line over the trailing window `[t-w, t]` per series —
+    * Prometheus `deriv` (slope, per second) and `predict_linear` (value of the
+    * line at t + aheadSec). Uses `covar_pop`/`var_pop` window aggregates
+    * (stable one-pass co-moments) rather than the sum-of-squares identity:
+    * epoch-millis x-values are ~1.7e12, so n·Σx² − (Σx)² would cancel
+    * catastrophically in doubles. Windows with <2 points emit nothing, and a
+    * constant-x window (var 0) cannot occur since timestamps are distinct. */
+  def linearFit(df: DataFrame, windowMs: Long, aheadSec: Option[Double]): DataFrame = {
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-windowMs, 0)
+    val x = col(S.Ts) / lit(1000.0)
+    val slope = covar_pop(x, col(S.Value)).over(frame) / var_pop(x).over(frame)
+    val fit = aheadSec match {
+      case None => slope
+      case Some(a) =>
+        // intercept at x=0 is enormous; evaluate the line at (x_now + a)
+        // relative to the window means instead: ŷ = ȳ + slope·(x_now + a − x̄)
+        val my = avg(col(S.Value)).over(frame)
+        val mx = avg(x).over(frame)
+        my + slope * (x + lit(a) - mx)
+    }
+    df.withColumn("_n", count(S.Value).over(frame))
+      .withColumn(S.Value, fit)
+      .where(col("_n") >= 2)
+      .drop("_n")
+  }
+
+  /** Prometheus `holt_winters(v[d], sf, tf)` — double exponential smoothing of
+    * the trailing window, emitted at each sample point. The recursion
+    * (s₀ = x₀, b₀ = x₁−x₀; sᵢ = sf·xᵢ + (1−sf)(sᵢ₋₁+bᵢ₋₁),
+    * bᵢ = tf·(sᵢ−sᵢ₋₁) + (1−tf)·bᵢ₋₁) is inherently sequential, so the window
+    * is gathered with collect_list (bounded by the window's sample count) and
+    * folded with `aggregate` — still whole-stage-codegen'd, no UDF. */
+  def holtWinters(df: DataFrame, windowMs: Long, sf: Double, tf: Double): DataFrame = {
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-windowMs, 0)
+    val arr0 = collect_list(col(S.Value)).over(frame)
+    val arr = filter(arr0, v => !isnan(v))
+    val n = size(arr)
+    val x0 = element_at(arr, 1)
+    val x1 = element_at(arr, 2)
+    val folded = aggregate(
+      slice(arr, lit(2), greatest(n - 1, lit(0))),
+      struct(x0.as("s"), (x1 - x0).as("b")),
+      (st, v) => {
+        val sNew = lit(sf) * v + (lit(1.0) - lit(sf)) * (st.getField("s") + st.getField("b"))
+        struct(sNew.as("s"),
+          (lit(tf) * (sNew - st.getField("s")) +
+            (lit(1.0) - lit(tf)) * st.getField("b")).as("b"))
+      },
+      st => st.getField("s"))
+    df.withColumn("_hw_n", n)
+      .withColumn(S.Value, folded)
+      .where(col("_hw_n") >= 2)
+      .drop("_hw_n")
+  }
+
   private def movingAgg(fn: String,
                         frame: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val v = col(S.Value)
@@ -126,6 +181,8 @@ object Temporal {
         val s1 = sum(v.cast(Dec)).over(frame).cast(DoubleType)
         val s2 = sum((v * v).cast(Dec)).over(frame).cast(DoubleType)
         when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+      case "stddev_pop" => stddev_pop(v).over(frame)
+      case "var_pop"    => var_pop(v).over(frame)
       case other    => throw new IllegalArgumentException(s"moving fn: $other")
     }
   }

@@ -102,6 +102,135 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("unimplemented prom function throws") {
-    intercept[UnsupportedOperationException](run("""holt_winters(req[2m])"""))
+    intercept[UnsupportedOperationException](run("""idelta(req[2m])"""))
+  }
+
+  // ---- round-4 surface -----------------------------------------------------
+
+  test("offset modifier re-stamps a shifted scan") {
+    assertSeries(run("""req{dc="a"} offset 2m"""),
+      Map("dc:a,name:req" -> Seq(N, N, S(1), S(2), S(3), S(4), S(5), S(6), S(7), S(8))))
+  }
+
+  test("comparison filter drops failing samples") {
+    assertSeries(run("""req > 10"""),
+      Map("dc:b,name:req" -> Seq(N, N, N, N, N, S(12), S(14), S(16), S(18), S(20))))
+  }
+
+  test("comparison with bool yields 0/1") {
+    assertSeries(run("""req{dc="b"} >= bool 10"""),
+      Map("dc:b,name:req" -> Seq(S(0), S(0), S(0), S(0), S(1), S(1), S(1), S(1), S(1), S(1))))
+  }
+
+  test("and keeps left points with a matching right label set at the ts") {
+    assertSeries(run("""req{dc="a"} and (req{dc="a"} > 4)"""),
+      Map("dc:a,name:req" -> Seq(N, N, N, N, S(5), S(6), S(7), S(8), S(9), S(10))))
+  }
+
+  test("unless drops left points matched on the right") {
+    assertSeries(run("""req{dc="a"} unless (req{dc="a"} > 4)"""),
+      Map("dc:a,name:req" -> Seq(S(1), S(2), S(3), S(4), N, N, N, N, N, N)))
+  }
+
+  test("or unions right points absent from the left vector") {
+    assertSeries(run("""(req{dc="a"} > 6) or (req{dc="a"} > 4)"""),
+      Map("dc:a,name:req" -> Seq(N, N, N, N, S(5), S(6), S(7), S(8), S(9), S(10))))
+  }
+
+  test("topk/bottomk rank per instant") {
+    assertSeries(run("""topk(1, req)"""),
+      Map("dc:b,name:req" -> Seq(S(2), S(4), S(6), S(8), S(10), S(12), S(14), S(16), S(18), S(20))))
+    assertSeries(run("""bottomk(1, req)"""),
+      Map("dc:a,name:req" -> Seq(S(1), S(2), S(3), S(4), S(5), S(6), S(7), S(8), S(9), S(10))))
+  }
+
+  test("quantile aggregation interpolates across series") {
+    assertSeries(run("""quantile(0.5, req)"""),
+      Map("" -> (1 to 10).map(i => S(1.5 * i))))
+  }
+
+  test("stdvar aggregation is population variance") {
+    assertSeries(run("""stdvar(req)"""),
+      Map("" -> (1 to 10).map(i => S(0.25 * i * i))))
+  }
+
+  test("count_values buckets by stringified value") {
+    val out = toGolden(run("""count_values("v", mem)"""))
+    assert(out("v:5") == Seq(S(1), N, N, N, N, N, N, N, S(1), N))
+    assert(out("v:2") == Seq(N, N, N, S(1), N, S(1), N, N, N, N))
+  }
+
+  test("calendar functions read the value as epoch seconds") {
+    assertSeries(run("""minute(timestamp(req{dc="a"}))"""),
+      Map("dc:a,name:req" -> (1 to 10).map(i => S(i.toDouble))))
+  }
+
+  test("predict_linear extrapolates the window's least-squares line") {
+    assertSeries(run("""predict_linear(req{dc="a"}[5m], 60)"""),
+      Map("dc:a,name:req" -> (Seq(N) ++ (3 to 11).map(i => S(i.toDouble)))), tol = 1e-6)
+  }
+
+  test("deriv is the least-squares slope per second") {
+    val out = toGolden(run("""deriv(req{dc="a"}[5m])"""))
+    val vals = out("dc:a,name:req").flatten
+    assert(vals.size == 9 && vals.forall(v => math.abs(v - 1.0 / 60) < 1e-9))
+  }
+
+  test("holt_winters tracks a linear series exactly") {
+    assertSeries(run("""holt_winters(req{dc="a"}[5m], 0.5, 0.5)"""),
+      Map("dc:a,name:req" -> (Seq(N) ++ (2 to 10).map(i => S(i.toDouble)))), tol = 1e-9)
+  }
+
+  test("label_replace rewrites on full regex match with backrefs") {
+    val out = toGolden(run("""label_replace(req{dc="a"}, "svc", "$1-x", "name", "(re)q")"""))
+    assert(out.keySet == Set("dc:a,name:req,svc:re-x"))
+  }
+
+  test("label_join concatenates source labels") {
+    val out = toGolden(run("""label_join(req{dc="a"}, "combo", "-", "name", "dc")"""))
+    assert(out.keySet == Set("combo:req-a,dc:a,name:req"))
+  }
+
+  test("absent emits 1 on the grid only for empty vectors") {
+    assertSeries(run("""absent(nothere{x="y"})"""),
+      Map("name:nothere,x:y" -> Seq.fill(10)(S(1))))
+    assert(toGolden(run("""absent(req)""")).isEmpty)
+  }
+
+  test("absent_over_time respects the presence window") {
+    val holes = samplesDF(
+      series("name:a,dc:x", Seq(S(10), S(20), N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "absent_over_time(a[2m])"))
+    assert(out == Map("name:a" -> Seq(N, N, N, N, S(1), S(1), S(1), S(1), S(1), S(1))))
+  }
+
+  test("vector modulo and power") {
+    assertSeries(run("""req{dc="b"} % 3"""),
+      Map("dc:b,name:req" -> Seq(S(2), S(1), S(0), S(2), S(1), S(0), S(2), S(1), S(0), S(2))))
+    assertSeries(run("""req{dc="a"} ^ 2"""),
+      Map("dc:a,name:req" -> (1 to 10).map(i => S(i.toDouble * i))))
+  }
+
+  test("operator precedence: * binds tighter than +") {
+    assertSeries(run("""req{dc="a"} + req{dc="a"} * 2"""),
+      Map("dc:a,name:req" -> (1 to 10).map(i => S(3.0 * i))))
+    assertSeries(run("""(req{dc="a"} + req{dc="a"}) * 2"""),
+      Map("dc:a,name:req" -> (1 to 10).map(i => S(4.0 * i))))
+  }
+
+  test("scalar subtrees constant-fold") {
+    assertSeries(run("""req{dc="a"} * (2 + 3)"""),
+      Map("dc:a,name:req" -> (1 to 10).map(i => S(5.0 * i))))
+  }
+
+  test("vector() and time() build label-less grid vectors") {
+    assertSeries(run("""vector(7)"""), Map("" -> Seq.fill(10)(S(7))))
+    assertSeries(run("""time()"""), Map("" -> (1 to 10).map(i => S(i * 60.0))))
+  }
+
+  test("stddev_over_time is population-based") {
+    // window [t-2m, t] over dc:a at position 2 holds {1,2,3}: σ_pop = √(2/3)
+    val out = toGolden(run("""stddev_over_time(req{dc="a"}[2m])"""))
+    assert(math.abs(out("dc:a,name:req")(2).get - math.sqrt(2.0 / 3)) < 1e-9)
   }
 }
