@@ -107,7 +107,31 @@ object PromX extends QueryPack {
        |         ELSE 'name:error,user:' || usr END AS series, ts, value
        |FROM g WHERE etype = 'error' $ord""".stripMargin)
 
+  // ---- on() one-to-one matching against an aggregated divisor --------------
+  private def qOnDivide(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "click / on(user) (sum by (user) (view))"))
+  private val qOnDivideSql = withSG(
+    s""", r AS (SELECT usr, ts, ${dsum("value")} AS rv
+       |        FROM g WHERE etype = 'view' GROUP BY usr, ts)
+       |SELECT 'name:click,user:' || g.usr AS series, g.ts AS ts,
+       |       CASE WHEN r.rv = 0 THEN CAST('NaN' AS DOUBLE) ELSE g.value / r.rv END AS value
+       |FROM g JOIN r ON g.usr = r.usr AND g.ts = r.ts
+       |WHERE g.etype = 'click' $ord""".stripMargin)
+
+  // ---- group_left: many left series fan onto one aggregated right ----------
+  private def qGroupLeft(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "(click or view) * on(user) group_left (sum by (user) (error))"))
+  private val qGroupLeftSql = withSG(
+    s""", r AS (SELECT usr, ts, ${dsum("value")} AS rv
+       |        FROM g WHERE etype = 'error' GROUP BY usr, ts)
+       |SELECT 'name:' || g.etype || ',user:' || g.usr AS series, g.ts AS ts,
+       |       g.value * r.rv AS value
+       |FROM g JOIN r ON g.usr = r.usr AND g.ts = r.ts
+       |WHERE g.etype IN ('click', 'view') $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("promql_on_divide", qOnDivide, Some(qOnDivideSql)),
+    QueryDef("promql_group_left", qGroupLeft, Some(qGroupLeftSql)),
     QueryDef("promql_topk_instant", qTopk, Some(qTopkSql)),
     QueryDef("promql_offset_sum", qOffsetSum, Some(qOffsetSumSql)),
     QueryDef("promql_compare_and", qCompareAnd, Some(qCompareAndSql)),

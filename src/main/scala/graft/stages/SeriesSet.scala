@@ -286,34 +286,104 @@ object SeriesSet {
     vectorOp(left, right)((l, r) => l * r)
 
   // ------------------------------------------------------------------------
-  // PromQL set operators — match on the FULL label set at each timestamp
-  // (an instant vector is a set of (labelset -> point) entries; `and`/`or`/
-  // `unless` operate on labelset identity per evaluation timestamp)
+  // PromQL vector matching — `on(…)` / `ignoring(…)` with optional
+  // `group_left` / `group_right` many-to-one expansion
   // ------------------------------------------------------------------------
 
-  private def withVKey(df: DataFrame): DataFrame =
-    df.withColumn("_vk", TsSchema.seriesKey(col(S.LabelsCol)))
+  /** How a PromQL binary op pairs the two vectors: match on exactly `labels`
+    * (on=true) or on all labels except `labels` (on=false); groupLeft/
+    * groupRight allow many-to-one with the many side on that flank, `include`
+    * copies extra labels from the one side onto the output. */
+  final case class VectorMatching(on: Boolean, labels: Seq[String],
+                                  groupLeft: Boolean = false, groupRight: Boolean = false,
+                                  include: Seq[String] = Nil)
+
+  /** Match-key column for a VectorMatching over the labels map. */
+  private def promMatchKey(m: VectorMatching): Column =
+    if (m.on)
+      concat_ws(Sep, m.labels.map(k => coalesce(col(S.LabelsCol).getItem(k), lit(MissingV))): _*)
+    else
+      TsSchema.seriesKey(map_filter(col(S.LabelsCol),
+        (k, _) => m.labels.map(ig => k =!= lit(ig)).reduceOption(_ && _).getOrElse(lit(true))))
+
+  /** Prometheus-exact binary-op matching: inner join on (match key, ts); the
+    * "one" side must be unique per key (duplicate → runtime error, like
+    * Prometheus's "found duplicate series"), and without group_left/right the
+    * many side must be unique too ("many-to-one matching must use group_…").
+    * Output labels are the many side's, plus `include` labels copied from the
+    * one side. All cardinality checks are window flags folded into the lazy
+    * plan — no driver-side probe. */
+  def promMatch(left: DataFrame, right: DataFrame, m: VectorMatching)
+               (f: (Column, Column) => Column): DataFrame = {
+    val manyIsLeft = !m.groupRight
+    val (manySide, oneSide) = if (manyIsLeft) (left, right) else (right, left)
+    val w = Window.partitionBy("_mk", S.Ts)
+    val oneG = oneSide.withColumn("_mk", promMatchKey(m))
+      .withColumn("_ov",
+        when(count(lit(1)).over(w) > 1,
+          raise_error(lit("vector matching: found duplicate series on the one side"))
+            .cast(DoubleType))
+          .otherwise(col(S.Value)))
+      .select(col("_mk"), col(S.Ts), col("_ov"), col(S.LabelsCol).as("_olab"))
+    val manyKeyed = manySide.withColumn("_mk", promMatchKey(m))
+    val manyChecked =
+      if (m.groupLeft || m.groupRight) manyKeyed
+      else manyKeyed.withColumn(S.Value,
+        when(count(lit(1)).over(w) > 1,
+          raise_error(lit("many-to-one matching must use group_left/group_right"))
+            .cast(DoubleType))
+          .otherwise(col(S.Value)))
+    val joined = manyChecked.join(oneG, Seq("_mk", S.Ts), "inner")
+    val (lv, rv) =
+      if (manyIsLeft) (col(S.Value), col("_ov")) else (col("_ov"), col(S.Value))
+    val out = joined.withColumn(S.Value, f(lv, rv))
+    val withInc =
+      if (m.include.isEmpty) out
+      else out.withColumn(S.LabelsCol, map_concat(
+          map_filter(col(S.LabelsCol),
+            (k, _) => m.include.map(inc => k =!= lit(inc)).reduce(_ && _)),
+          map_filter(
+            map(m.include.flatMap(inc =>
+              Seq(lit(inc), element_at(col("_olab"), inc))): _*),
+            (_, v) => v.isNotNull)))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+    withInc.select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+  }
+
+  // ------------------------------------------------------------------------
+  // PromQL set operators — match on the FULL label set at each timestamp
+  // (an instant vector is a set of (labelset -> point) entries; `and`/`or`/
+  // `unless` operate on labelset identity per evaluation timestamp), or on
+  // the on/ignoring projection when a matching clause is given
+  // ------------------------------------------------------------------------
+
+  private def withVKey(df: DataFrame, m: Option[VectorMatching] = None): DataFrame =
+    df.withColumn("_vk",
+      m.map(promMatchKey).getOrElse(TsSchema.seriesKey(col(S.LabelsCol))))
 
   /** `l and r` — left points whose label set also has a right point at the
     * same timestamp. Semi join: no right values ever shuffle. */
-  def vectorAnd(left: DataFrame, right: DataFrame): DataFrame =
-    withVKey(left)
-      .join(withVKey(right).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_semi")
+  def vectorAnd(left: DataFrame, right: DataFrame,
+                m: Option[VectorMatching] = None): DataFrame =
+    withVKey(left, m)
+      .join(withVKey(right, m).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_semi")
       .drop("_vk")
 
   /** `l unless r` — left points whose label set has NO right point at the
     * same timestamp (anti join). */
-  def vectorUnless(left: DataFrame, right: DataFrame): DataFrame =
-    withVKey(left)
-      .join(withVKey(right).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_anti")
+  def vectorUnless(left: DataFrame, right: DataFrame,
+                   m: Option[VectorMatching] = None): DataFrame =
+    withVKey(left, m)
+      .join(withVKey(right, m).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_anti")
       .drop("_vk")
 
   /** `l or r` — all left points plus right points whose label set is absent
     * from the left vector at that timestamp. */
-  def vectorOr(left: DataFrame, right: DataFrame): DataFrame = {
+  def vectorOr(left: DataFrame, right: DataFrame,
+               m: Option[VectorMatching] = None): DataFrame = {
     val sel = Seq(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
-    val rOnly = withVKey(right)
-      .join(withVKey(left).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_anti")
+    val rOnly = withVKey(right, m)
+      .join(withVKey(left, m).select(col("_vk"), col(S.Ts)).distinct(), Seq("_vk", S.Ts), "left_anti")
       .drop("_vk")
     left.select(sel.head, sel.tail: _*).unionByName(rOnly.select(sel.head, sel.tail: _*))
   }

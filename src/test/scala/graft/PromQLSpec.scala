@@ -233,4 +233,47 @@ class PromQLSpec extends SparkTestBase {
     val out = toGolden(run("""stddev_over_time(req{dc="a"}[2m])"""))
     assert(math.abs(out("dc:a,name:req")(2).get - math.sqrt(2.0 / 3)) < 1e-9)
   }
+
+  // ---- vector matching modifiers -------------------------------------------
+
+  private def fxMatch = samplesDF(
+    series("name:q,dc:a,inst:1", Seq(S(1), S(2), S(3), S(4), S(5), S(6), S(7), S(8), S(9), S(10))) ++
+    series("name:q,dc:a,inst:2", Seq(S(10), S(20), S(30), S(40), S(50), S(60), S(70), S(80), S(90), S(100))) ++
+    series("name:lim,dc:a,cap:hi", Seq.fill(10)(S(2.0))))
+
+  test("on() restricts the match key") {
+    assertSeries(PromQL.query(spark, fx, g, """req{dc="a"} / on(dc) mem{dc="a"}"""),
+      Map("dc:a,name:req" -> Seq(S(0.2), S(0.5), S(1), S(2), S(5), S(3), S(7.0 / 3), S(2), S(1.8), S(10.0 / 6))))
+  }
+
+  test("ignoring() drops listed labels from the match key") {
+    assertSeries(PromQL.query(spark, fx, g, """req{dc="a"} * ignoring(name) mem{dc="a"}"""),
+      Map("dc:a,name:req" -> Seq(S(5), S(8), S(9), S(8), S(5), S(12), S(21), S(32), S(45), S(60))))
+  }
+
+  test("group_left fans one right series onto many left series") {
+    val out = toGolden(PromQL.query(spark, fxMatch, g, """q * on(dc) group_left lim"""))
+    assert(out == Map(
+      "dc:a,inst:1,name:q" -> (1 to 10).map(i => S(2.0 * i)),
+      "dc:a,inst:2,name:q" -> (1 to 10).map(i => S(20.0 * i))))
+  }
+
+  test("group_left(include) copies labels from the one side") {
+    val out = toGolden(PromQL.query(spark, fxMatch, g, """q * on(dc) group_left(cap) lim"""))
+    assert(out.keySet == Set("cap:hi,dc:a,inst:1,name:q", "cap:hi,dc:a,inst:2,name:q"))
+  }
+
+  test("many-to-one without group_left raises") {
+    val ex = intercept[Exception] {
+      PromQL.query(spark, fxMatch, g, """q * on(dc) lim""").collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("group_left") || ex.getCause != null))
+  }
+
+  test("set op with on() matches the projected key") {
+    // q{inst=1} and on(dc) lim: every q point has a lim point sharing dc:a
+    val out = toGolden(PromQL.query(spark, fxMatch, g, """q{inst="1"} and on(dc) lim"""))
+    assert(out == Map("dc:a,inst:1,name:q" -> (1 to 10).map(i => S(i.toDouble))))
+  }
 }
