@@ -659,4 +659,17 @@ object PromQL {
 
   def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String): DataFrame =
     new Compiler(spark, samples, grid).compile(parse(q))
+
+  /** `query_range` entry point mirroring the reference REST surface: date-math
+    * start/end and step resolve to the evaluation grid
+    * (ref: query/rest/RestPromQLAction.java:150-158 via serve.QueryParams). */
+  def query(spark: SparkSession, samples: DataFrame, params: graft.serve.QueryParams,
+            nowMs: Long): DataFrame =
+    query(spark, samples, params.grid(nowMs), params.query)
+
+  /** Instant query: a single-point grid at the evaluation time
+    * (ref: RestPromQLAction.java:103-104 — instant = range with one step). */
+  def instant(spark: SparkSession, samples: DataFrame, q: String, time: String = "now",
+              nowMs: Long = System.currentTimeMillis()): DataFrame =
+    query(spark, samples, graft.serve.QueryParams.instant(q, time, nowMs), q)
 }

@@ -78,4 +78,28 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Join ") <= 5, s"diff join count regressed:\n$p")
     assert(count(p, "Scan |FileScan") <= 18, s"diff scan count regressed:\n$p")
   }
+
+  check("promql_topk_instant") { p =>
+    // per-instant rank: ONE hash shuffle on the (group, ts) key feeding a
+    // partitioned Window, with the rank limit pushed below the shuffle
+    // (WindowGroupLimit = per-partition partial top-k, the shard-local-topK
+    // analogue); the only global sort is the verify harness's output orderBy
+    assert(p.contains("Window"), s"topk must rank via a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in topk:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank limit must push below the shuffle:\n$p")
+  }
+
+  check("promql_group_left") { p =>
+    // many-to-one matching = equi-join on (match key, ts) + window cardinality
+    // flags; the one side must never expand via a cartesian product
+    assert(!p.contains("CartesianProduct"), s"no cartesian in group_left:\n$p")
+    assert(count(p, "Join ") <= 2, s"group_left join count regressed:\n$p")
+  }
+
+  check("ann_brute_force") { p =>
+    // brute-force ANN: codegen'd dot product + distributed top-k merge — the
+    // scan must not funnel into a global sort before the limit
+    assert(p.contains("TakeOrderedAndProject"), s"ANN top-k must be TakeOrdered:\n$p")
+  }
 }

@@ -276,4 +276,12 @@ class PromQLSpec extends SparkTestBase {
     val out = toGolden(PromQL.query(spark, fxMatch, g, """q{inst="1"} and on(dc) lim"""))
     assert(out == Map("dc:a,inst:1,name:q" -> (1 to 10).map(i => S(i.toDouble))))
   }
+
+  test("instant query evaluates a single-point grid") {
+    // evaluation time = epoch anchor of the 3rd grid point (date-math ms anchor)
+    val t = g.startMs + 2 * g.stepMs
+    val rows = PromQL.instant(spark, fx, """req{dc="a"}""", time = t.toString, nowMs = t)
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("value") == 3.0)
+  }
 }
