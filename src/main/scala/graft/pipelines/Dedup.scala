@@ -142,6 +142,73 @@ object Dedup {
 
   private def pow2(b: Int): Column = lit(if (b == 63) Long.MinValue else 1L << b)
 
+  /** Near-dup CLUSTERING: fold candidate pairs into connected components —
+    * the final step of a training-data dedup pipeline, turning pairwise
+    * matches into groups so all-but-one member can be dropped.
+    *
+    * Distributed min-label propagation with POINTER JUMPING: each round every
+    * node takes the smallest cluster id among itself and its direct
+    * neighbors, then follows its cluster pointer one hop
+    * (cluster := cluster(cluster)). The jump halves pointer chains, so a
+    * path component of length L converges in O(log L) rounds, not O(L) —
+    * the property that makes this viable on a 100TB pair graph (each round
+    * is a bounded set of hash joins on node id; nothing is ever collected).
+    * Per-round `localCheckpoint` truncates the growing lineage (at cluster
+    * scale you would checkpoint to reliable storage instead); the
+    * convergence probe is one tiny `limit(1).count()` per round — the
+    * standard Pregel-style driver loop, NOT a per-row driver operation.
+    *
+    * Returns (node, cluster) for every node that appears in a pair; cluster
+    * is the component's minimum node id. */
+  def clusterPairs(pairs: DataFrame, aCol: String = "doc_id_a", bCol: String = "doc_id_b",
+                   maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("cluster")), Seq("b"))
+        .groupBy("a").agg(min("cluster").as("_nmin"))
+        .withColumnRenamed("a", "node")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+      val jumped = stepped
+        .join(stepped.select(col("node").as("cluster"), col("cluster").as("_c2")),
+          Seq("cluster"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("_c2"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.withColumnRenamed("cluster", "_old"), Seq("node"))
+        .where(col("cluster") =!= col("_old"))
+        .limit(1).count()
+      labels = jumped
+      done = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Keep one canonical document per near-dup cluster (the minimum id) plus
+    * every document not involved in any pair — `docs` minus the non-canonical
+    * cluster members. The anti join never moves document payloads for the
+    * dropped side. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val nonCanonical = clusterPairs(pairs)
+      .where(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    docs.join(nonCanonical, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: BANDED sign-LSH — `numBands` independent
     * signatures of `planesPerBand` hyperplanes each (distinct seeds), a
     * candidate pair is any two vectors sharing ANY band's bucket, then exact

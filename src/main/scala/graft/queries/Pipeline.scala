@@ -96,6 +96,65 @@ object Pipeline extends QueryPack {
       threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** Shared language-id CTE for the clustering oracles (same math as
+    * text_langid, which is oracle-verified). */
+  private val langCte = {
+    val hits = TextAnalysis.LangMarkersSql.map { case (lang, words) =>
+      s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> list_contains([$words], t))) AS INT) AS h_$lang"
+    }.mkString(", ")
+    s"""h AS (SELECT doc_id, $hits FROM documents),
+       |q AS (SELECT doc_id,
+       |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+       |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+       |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+       |       ELSE 'de' END AS lang_guess
+       |  FROM h),
+       |grp AS (SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY lang_guess) AS cluster_id,
+       |  count(*) OVER (PARTITION BY lang_guess) AS n FROM q)""".stripMargin
+  }
+
+  /** Deterministic multi-hop component graph: docs of one detected language
+    * are chained consecutively by doc_id, so each language group is a single
+    * PATH component — the engine must converge via pointer jumping over
+    * ~log(len) rounds while the oracle knows cluster = the group minimum. */
+  private def chainEdges(s: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_guess").orderBy("doc_id")
+    TextAnalysis.languageId(Tables.documents(s, sf))
+      .select("doc_id", "lang_guess")
+      .withColumn("_nxt", lead("doc_id", 1).over(w))
+      .where(col("_nxt").isNotNull)
+      .select(col("doc_id").as("doc_id_a"), col("_nxt").as("doc_id_b"))
+  }
+
+  private def qClusterChain(s: SparkSession, sf: String): DataFrame =
+    Dedup.clusterPairs(chainEdges(s, sf))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+  private val qClusterChainSql =
+    s"""WITH $langCte
+       |SELECT doc_id, cluster_id FROM grp WHERE n > 1 ORDER BY doc_id""".stripMargin
+
+  private def qKeepCanonical(s: SparkSession, sf: String): DataFrame =
+    Dedup.keepCanonical(Tables.documents(s, sf), chainEdges(s, sf))
+      .select("doc_id")
+      .orderBy("doc_id")
+  private val qKeepCanonicalSql =
+    s"""WITH $langCte
+       |SELECT doc_id FROM grp WHERE n = 1 OR doc_id = cluster_id ORDER BY doc_id""".stripMargin
+
+  /** Realistic end-to-end near-dup removal: LSH candidate pairs → connected
+    * components → canonical survivor per cluster (rows-only; the LSH pair set
+    * is approximate by design). */
+  private def qClusterLsh(s: SparkSession, sf: String): DataFrame =
+    Dedup.keepCanonical(Tables.documents(s, sf),
+        Dedup.minhashLshPairs(Tables.documents(s, sf), shingleN = 3, numHashes = 32,
+          bands = 8, threshold = 0.5))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   private def qDedupSimhash(s: SparkSession, sf: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, sf))
       .select("doc_id", "simhash")
@@ -172,5 +231,8 @@ object Pipeline extends QueryPack {
     QueryDef("ann_lsh", qAnnLsh, None),
     QueryDef("ann_ivf", qAnnIvf, None),
     QueryDef("multimodal_features", qMultimodal, None),
-    QueryDef("dedup_minhash_sig", qMinhashSig, None))
+    QueryDef("dedup_minhash_sig", qMinhashSig, None),
+    QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
+    QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
+    QueryDef("dedup_cluster_lsh", qClusterLsh, None))
 }

@@ -35,6 +35,25 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("connected components fold a path and pick the min label") {
+    // path 1-2-3-4-5 (diameter 4: exercises multi-round pointer jumping),
+    // pair 10-11, and an isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 21L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepCanonical drops all but one doc per cluster") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val kept = Dedup.keepCanonical(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("simhash identical docs share signature") {
     val sigs = Dedup.simhashBuckets(docs).select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap
