@@ -50,4 +50,40 @@ class DifferentialSpec extends SparkTestBase {
       assert(base(i) == noCodegen(i), s"codegen mode changed result of: ${queries(i)}")
     }
   }
+
+  private val promQueries = Seq(
+    "topk(1, m)",
+    """m{dc="a"} / on(dc) x""",
+    "m * on(dc) group_left x",
+    "(m > 3) or x",
+    "predict_linear(m[3m], 60)",
+    "holt_winters(m[5m], 0.5, 0.5)",
+    "quantile(0.5, m)",
+    """count_values("v", m)""")
+
+  private def runProm(partitions: Int): Seq[Map[String, Seq[Option[Double]]]] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try promQueries.map { q =>
+      toGolden(graft.lang.prom.PromQL.query(spark, fx.repartition(partitions), g, q)
+        .drop("_rank"), g)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+  }
+
+  test("PromQL results identical across partitionings") {
+    val base = runProm(1)
+    val many = runProm(7)
+    promQueries.indices.foreach { i =>
+      assert(base(i) == many(i), s"partitioning changed result of: ${promQueries(i)}")
+    }
+  }
+
+  test("connected components identical across partitionings") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("doc_id_a", "doc_id_b")
+    def cl(n: Int): Set[(Long, Long)] =
+      graft.pipelines.Dedup.clusterPairs(pairs.repartition(n))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cl(1) == cl(7), "partitioning changed cluster assignment")
+  }
 }
