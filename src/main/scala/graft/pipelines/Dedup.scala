@@ -177,19 +177,20 @@ object Dedup {
         .groupBy("a").agg(min("cluster").as("_nmin"))
         .withColumnRenamed("a", "node")
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+      // the convergence flag rides INSIDE the checkpointed frame, so the
+      // probe below is a short-circuit scan of local blocks — not a per-round
+      // shuffle join against the previous labels
       val jumped = stepped
         .join(stepped.select(col("node").as("cluster"), col("cluster").as("_c2")),
           Seq("cluster"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("_c2"), col("cluster"))).as("cluster"))
+        .withColumn("_new", least(col("cluster"), coalesce(col("_c2"), col("cluster"))))
+        .select(col("node"), col("_new").as("cluster"),
+          (col("_new") =!= col("_old")).as("_chg"))
         .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.withColumnRenamed("cluster", "_old"), Seq("node"))
-        .where(col("cluster") =!= col("_old"))
-        .limit(1).count()
-      labels = jumped
+      val changed = jumped.where(col("_chg")).limit(1).count()
+      labels = jumped.select("node", "cluster")
       done = changed == 0
       it += 1
     }

@@ -119,15 +119,22 @@ object Pipeline extends QueryPack {
     * are chained consecutively by doc_id, so each language group is a single
     * PATH component — the engine must converge via pointer jumping over
     * ~log(len) rounds while the oracle knows cluster = the group minimum. */
-  private def chainEdges(s: SparkSession, sf: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang_guess").orderBy("doc_id")
-    TextAnalysis.languageId(Tables.documents(s, sf))
-      .select("doc_id", "lang_guess")
-      .withColumn("_nxt", lead("doc_id", 1).over(w))
-      .where(col("_nxt").isNotNull)
-      .select(col("doc_id").as("doc_id_a"), col("_nxt").as("doc_id_b"))
-  }
+  private val chainMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def chainEdges(s: SparkSession, sf: String): DataFrame =
+    chainMemo.getOrElseUpdate((s, sf), {
+      // shared derived INPUT of the two clustering queries (the operator
+      // under test — clusterPairs — still runs per query); persisted like
+      // Tables' gridded samples so neither query re-derives langid
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang_guess").orderBy("doc_id")
+      TextAnalysis.languageId(Tables.documents(s, sf))
+        .select("doc_id", "lang_guess")
+        .withColumn("_nxt", lead("doc_id", 1).over(w))
+        .where(col("_nxt").isNotNull)
+        .select(col("doc_id").as("doc_id_a"), col("_nxt").as("doc_id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def qClusterChain(s: SparkSession, sf: String): DataFrame =
     Dedup.clusterPairs(chainEdges(s, sf))

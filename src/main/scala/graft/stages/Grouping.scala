@@ -113,9 +113,12 @@ object Grouping {
     * print without a decimal point. */
   def countValues(df: DataFrame, labelName: String, groupKeys: Seq[String] = Nil): DataFrame = {
     val (withKeys, gCols) = grouped(df, groupKeys)
-    val vStr = when(col(TsSchema.Value) === col(TsSchema.Value).cast("long").cast(DoubleType),
-        col(TsSchema.Value).cast("long").cast(StringType))
-      .otherwise(col(TsSchema.Value).cast(StringType))
+    // integrality test BEFORE any long cast: ANSI mode throws on casting NaN
+    // or out-of-range doubles, so the cast must be unreachable for them
+    val v = col(TsSchema.Value)
+    val integral = !isnan(v) && v >= -9.2e18 && v <= 9.2e18 && floor(v) === v
+    val vStr = when(integral, v.cast("long").cast(StringType))
+      .otherwise(v.cast(StringType))
     val agg = withKeys
       .withColumn("_vstr", vStr)
       .groupBy(gCols :+ col("_vstr"): _*)

@@ -21,6 +21,15 @@ object RunOne {
     mode match {
       case "explain" => df.explain("formatted")
       case "count"   => println(s"rows=${df.count()}")
+      case "time"    =>
+        // two timed evaluations after a warmup, mirroring Bench's min-of-N
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val times = Seq(once(), once())
+        println(f"secs_min=${times.min}%.2f secs=${times.mkString(",")}")
       case _         => df.show(30, truncate = false); println(s"rows=${df.count()}")
     }
     spark.stop()
