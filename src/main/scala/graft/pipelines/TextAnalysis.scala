@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,6 +26,42 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all(text, '${BpeIsh.replace("\\", "\\\\")}', 0)")).cast(LongType))
       .withColumn("avg_word_len",
         length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+  }
+
+  /** Sequence packing: assign documents (ordered by `idCol`) to training
+    * shards of ~`budgetTokens` whitespace tokens — each doc lands in the shard
+    * containing its START offset (shard = floor(startOffset / budget)), the
+    * deterministic fill-to-crossing packing.
+    *
+    * The start offset is a GLOBAL prefix sum, which must never become a
+    * single-partition `Window.orderBy` (the classic driver-funnel mistake —
+    * Spark warns "No Partition Defined"). Two-phase instead: range-partition
+    * by id, per-partition local cumsum, then broadcast the tiny per-partition
+    * totals back as offsets — the standard distributed scan; result is
+    * byte-identical to a serial pass regardless of partition count
+    * (DifferentialSpec holds it to that). */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+                    idCol: String = "doc_id"): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val withTok = tokenStats(docs).select(col(idCol), col("n_tokens"))
+    val parts = withTok
+      .repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("_pid").orderBy(idCol)
+    val local = parts.withColumn("_lsum",
+      sum(col("n_tokens").cast(Dec)).over(wLocal))
+    // per-partition totals are one row each — tiny, windowed on one partition
+    // by construction (== the reference coordinator's merge-sized object)
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("_pid")
+      .agg(max(col("_lsum")).as("_ptot"))
+      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0).cast(Dec)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_start", (col("_off") + col("_lsum") - col("n_tokens")).cast(LongType))
+      .withColumn("shard_id", floor(col("_start") / budgetTokens))
+      .select(col(idCol), col("n_tokens"), col("_start").as("start_offset"), col("shard_id"))
   }
 
   val Stopwords = Seq(

@@ -162,6 +162,24 @@ object Pipeline extends QueryPack {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Sequence packing into ~4096-token shards: the distributed two-phase
+    * prefix sum must reproduce the serial oracle exactly. */
+  private def qPackShards(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, sf), budgetTokens = 4096L)
+      .orderBy("doc_id")
+  private val qPackShardsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+      |      AS start_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_offset, start_offset // 4096 AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
   private def qDedupSimhash(s: SparkSession, sf: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, sf))
       .select("doc_id", "simhash")
@@ -241,5 +259,6 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
-    QueryDef("dedup_cluster_lsh", qClusterLsh, None))
+    QueryDef("dedup_cluster_lsh", qClusterLsh, None),
+    QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)))
 }

@@ -77,6 +77,22 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing prefix sum identical across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, ("tok " * (i % 17 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    def pack(n: Int): Seq[(Long, Long, Long)] =
+      graft.pipelines.TextAnalysis.packSequences(docs.repartition(n), budgetTokens = 64L)
+        .select("doc_id", "start_offset", "shard_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val serial = pack(1)
+    assert(serial == pack(7), "partitioning changed the packing prefix sum")
+    // spot-check the serial semantics: doc 1 starts at 0, shard boundaries
+    // at multiples of 64
+    assert(serial.head == ((1L, 0L, 0L)))
+    assert(serial.forall { case (_, off, shard) => shard == off / 64 })
+  }
+
   test("connected components identical across partitionings") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
