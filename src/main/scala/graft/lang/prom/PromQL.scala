@@ -442,12 +442,34 @@ object PromQL {
         case "increase" =>
           val Range(s, d) = requireRange(args)
           mapValue(Temporal.perSecondRate(selectorDF(s, g), d))(_ * (d / 1000.0))
-        case "irate" | "delta" =>
-          val Range(s, _) = requireRange(args)
-          fn match {
-            case "irate" => Temporal.perSecond(selectorDF(s, g))
-            case _       => mapValue(Temporal.perSecond(selectorDF(s, g)))(_ * (grid.stepMs / 1000.0))
-          }
+        case "irate" =>
+          // rate between the last two samples, but ONLY when the previous
+          // sample falls inside the window (Prometheus needs two points in
+          // [t-d, t]; a gap wider than d yields no output)
+          val Range(s, d) = requireRange(args)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(S.SeriesId).orderBy(S.Ts)
+          selectorDF(s, g)
+            .withColumn("_pv", lag(S.Value, 1).over(w))
+            .withColumn("_pt", lag(S.Ts, 1).over(w))
+            .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= d &&
+              col(S.Value) >= col("_pv"))
+            .withColumn(S.Value,
+              (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
+            .drop("_pv", "_pt")
+        case "delta" =>
+          // last minus first sample of the window (gauge difference);
+          // Prometheus's range-boundary extrapolation is not reproduced
+          val Range(s, d) = requireRange(args)
+          val frame = org.apache.spark.sql.expressions.Window
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+          selectorDF(s, g)
+            .withColumn("_n", count(S.Value).over(frame))
+            .withColumn(S.Value,
+              expr(s"max_by(${S.Value}, ${S.Ts})").over(frame) -
+                expr(s"min_by(${S.Value}, ${S.Ts})").over(frame))
+            .where(col("_n") >= 2)
+            .drop("_n")
         case "deriv" =>
           val Range(s, d) = requireRange(args)
           Temporal.linearFit(selectorDF(s, g), d, None)

@@ -277,6 +277,25 @@ class PromQLSpec extends SparkTestBase {
     assert(out == Map("dc:a,inst:1,name:q" -> (1 to 10).map(i => S(i.toDouble))))
   }
 
+  test("irate needs both samples inside the window") {
+    // series with a 3m gap: irate[2m] emits nothing across the gap
+    val gappy = samplesDF(
+      series("name:c,dc:x", Seq(S(1), S(2), N, N, S(5), S(6), N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, gappy, g, "irate(c[2m])"))
+    // position 1: (2-1)/60s; position 4: gap 3m > 2m window → dropped;
+    // position 5: (6-5)/60s
+    assert(out("dc:x,name:c") == Seq(N, S(1.0 / 60), N, N, N, S(1.0 / 60), N, N, N, N))
+  }
+
+  test("delta is last minus first over the window") {
+    val out = toGolden(run("""delta(mem{dc="a"}[3m])"""))
+    // mem dc:a = 5,4,3,2,1,2,3,4,5,6; window [t-3m, t] holds up to 4 points
+    // delta at position 3 = v(3) - v(0) = 2 - 5 = -3
+    assert(out("dc:a,name:mem")(3) == S(-3.0))
+    // position 0 has a single point → no output
+    assert(out("dc:a,name:mem").head == N)
+  }
+
   test("instant query evaluates a single-point grid") {
     // evaluation time = epoch anchor of the 3rd grid point (date-math ms anchor)
     val t = g.startMs + 2 * g.stepMs
