@@ -427,7 +427,10 @@ object M3 extends QueryPack {
 
   // diff default (keepNans=false): UNION of the matched pair's timestamps with
   // the absent side as 0 (ref: SubtractStage.processSampleValues:120-143 —
-  // null→0.0); matched series only (usr present on both sides)
+  // null→0.0); matched series only (usr present on both sides). The engine's
+  // right-side group merge (MergeSum) sums through DECIMAL(38,9), which
+  // quantizes even a lone value at 1e-9 — the oracle mirrors that cast or the
+  // two sides drift by ~5e-10 and the hash compare fails.
   private def qDiffSeries(s: SparkSession, sf: String): DataFrame = {
     val (l, r) = binPair(s, sf)
     flat(SeriesSet.diff(l, r, Seq("user")))
@@ -440,7 +443,8 @@ object M3 extends QueryPack {
        |SELECT * FROM (
        |  SELECT 'name:click,user:' || COALESCE(lm.usr, rm.usr) AS series,
        |         COALESCE(lm.ts, rm.ts) AS ts,
-       |         COALESCE(lm.value, 0) - COALESCE(rm.value, 0) AS value
+       |         COALESCE(lm.value, 0) -
+       |           COALESCE(CAST(CAST(rm.value AS DECIMAL(38,9)) AS DOUBLE), 0) AS value
        |  FROM lm FULL JOIN rm ON lm.usr = rm.usr AND lm.ts = rm.ts) $ord""".stripMargin)
 
   // diff keepNans=true: a point exists only where BOTH sides have one
@@ -452,7 +456,8 @@ object M3 extends QueryPack {
   private val qDiffKeepNansSql = withSG(
     s"""$binCte
        |SELECT * FROM (
-       |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts, l.value - r.value AS value
+       |  SELECT 'name:click,user:' || l.usr AS series, l.ts AS ts,
+       |         l.value - CAST(CAST(r.value AS DECIMAL(38,9)) AS DOUBLE) AS value
        |  FROM l JOIN r ON l.usr = r.usr AND l.ts = r.ts) $ord""".stripMargin)
 
   private def qAsPercent(s: SparkSession, sf: String): DataFrame = {
