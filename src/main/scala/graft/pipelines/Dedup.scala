@@ -210,6 +210,24 @@ object Dedup {
     docs.join(nonCanonical, Seq(idCol), "left_anti")
   }
 
+  /** EXACT all-pairs embedding near-dup — the correctness baseline the banded
+    * LSH variant approximates. Deliberately O(n²): one side broadcasts and
+    * the codegen'd float dot product runs inside the nested-loop join, so it
+    * is usable as an oracle anchor up to ~10⁵ vectors; beyond that use
+    * [[embeddingNearDupPairs]] (the scale path). Emits pair ids only — the
+    * cosine itself stays float on the engine side and would not byte-match a
+    * double-precision oracle. */
+  def embeddingExactPairs(emb: DataFrame, cosineThreshold: Double,
+                          idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("vec_id_a"), col("embedding").as("ea"))
+    val b = emb.select(col(idCol).as("vec_id_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("ea", "eb"))
+      .where(col("cosine") >= cosineThreshold)
+      .select("vec_id_a", "vec_id_b")
+  }
+
   /** Embedding near-dup pairs: BANDED sign-LSH — `numBands` independent
     * signatures of `planesPerBand` hyperplanes each (distinct seeds), a
     * candidate pair is any two vectors sharing ANY band's bucket, then exact

@@ -90,6 +90,30 @@ object Pipeline extends QueryPack {
   private def qDedupNgram(s: SparkSession, sf: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, sf), n = 3, threshold = 0.6)
       .orderBy("doc_id_a", "doc_id_b")
+  /** Exact SQL mirror of the inverted-index Jaccard: same 3-word shingles
+    * (short docs collapse to one whole-text shingle), same 2..maxDf document-
+    * frequency band, integer intersection/union → identical doubles. */
+  private val qDedupNgramSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) ix
+      |  WHERE len(array_to_string(t[i:i+2], ' ')) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000),
+      |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+      |common AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+      |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_id_a
+      |JOIN sizes sb ON sb.doc_id = doc_id_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   private def qDedupMinhash(s: SparkSession, sf: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, sf), shingleN = 3, numHashes = 32, bands = 8,
@@ -185,9 +209,28 @@ object Pipeline extends QueryPack {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** Banded sign-LSH candidates at the loose 0.2 threshold — the only regime
+    * the near-random synthetic embeddings populate (no pair reaches 0.5+).
+    * Sign-LSH is engineered for the HIGH-similarity regime (true near-dups,
+    * cosine ≥ 0.9), where PipelineSpec measures ≥80% recall on planted
+    * duplicates; at 0.2 its per-band collision rate s¹² is intentionally
+    * tiny, so this query demonstrates the bucketing machinery, while
+    * dedup_embedding_exact is the oracle-checked ground truth here. */
   private def qDedupEmbed(s: SparkSession, sf: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, sf), cosineThreshold = 0.2)
       .orderBy("vec_id_a", "vec_id_b")
+
+  /** Exact all-pairs anchor for the banded variant: pair ids only, so the
+    * float-dot engine and DuckDB's double cosine agree unless a pair sits
+    * within float noise of the threshold (none does in the synthetic data). */
+  private def qDedupEmbedExact(s: SparkSession, sf: String): DataFrame =
+    Dedup.embeddingExactPairs(Tables.embeddings(s, sf), cosineThreshold = 0.2)
+      .orderBy("vec_id_a", "vec_id_b")
+  private val qDedupEmbedExactSql =
+    """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.2
+      |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
   // ---- similarity search ---------------------------------------------------
   private def qAnnBrute(s: SparkSession, sf: String): DataFrame =
@@ -248,10 +291,11 @@ object Pipeline extends QueryPack {
     QueryDef("text_langid", qLangId, Some(qLangIdSql)),
     QueryDef("text_fingerprint", qFingerprint, Some(qFingerprintSql)),
     QueryDef("dedup_exact", qDedupExact, Some(qDedupExactSql)),
-    QueryDef("dedup_ngram_jaccard", qDedupNgram, None),
+    QueryDef("dedup_ngram_jaccard", qDedupNgram, Some(qDedupNgramSql)),
     QueryDef("dedup_minhash_lsh", qDedupMinhash, None),
     QueryDef("dedup_simhash", qDedupSimhash, None),
     QueryDef("dedup_embedding", qDedupEmbed, None),
+    QueryDef("dedup_embedding_exact", qDedupEmbedExact, Some(qDedupEmbedExactSql)),
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
     QueryDef("ann_lsh", qAnnLsh, None),
     QueryDef("ann_ivf", qAnnIvf, None),

@@ -35,6 +35,26 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("banded sign-LSH recovers planted near-duplicates") {
+    // 40 random base vectors plus a jittered copy of each (cosine ≥ ~0.98):
+    // the regime sign-LSH is built for. With 4 bands × 12 planes the
+    // per-pair candidate probability is ~1-(1-s^12)^4 ≈ 0.9 at s≈0.94;
+    // fixed data + fixed plane seeds make the outcome deterministic.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val base = vec()
+      val jitter = base.map(v => v + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i.toLong + 1000L, jitter))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, cosineThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i.toLong, i.toLong + 1000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"planted near-dup recall $recall below 0.8: found ${pairs.size}")
+  }
+
   test("connected components fold a path and pick the min label") {
     // path 1-2-3-4-5 (diameter 4: exercises multi-round pointer jumping),
     // pair 10-11, and an isolated edge 20-21
