@@ -37,6 +37,10 @@ object PromQL {
                             matchers: List[(String, String, String)],
                             offsetMs: Long = 0L) extends Expr
   final case class Range(sel: Selector, durMs: Long) extends Expr
+  /** `expr[range:step]` — a subquery: the inner expression evaluated at
+    * `step` instants over the trailing `range` (step 0 = the outer grid's
+    * step). */
+  final case class Subquery(e: Expr, rangeMs: Long, stepMs: Long) extends Expr
   final case class Call(fn: String, args: List[Expr]) extends Expr
   final case class Agg(op: String, by: List[String], param: Option[Expr], arg: Expr) extends Expr
   final case class BinOp(op: String, l: Expr, r: Expr, boolMod: Boolean = false,
@@ -172,9 +176,22 @@ object PromQL {
       Some(SeriesSet.VectorMatching(on, ls, gl, gr, include))
     }
 
+    /** `[range:step]` after a non-selector expression (call or parens) —
+      * only the subquery form is legal there. */
+    private def postfixSubquery(e: Expr): Expr = {
+      ws()
+      if (peek != '[') return e
+      i += 1
+      bracketRange() match {
+        case (d, Some(step)) => Subquery(e, d, step)
+        case (_, None) =>
+          throw PromParseError(s"range selector requires a plain metric; use [d:s] at $i")
+      }
+    }
+
     def primary(): Expr = {
       ws()
-      if (peek == '(') { i += 1; val e = expr(); eat(')'); return e }
+      if (peek == '(') { i += 1; val e = expr(); eat(')'); return postfixSubquery(e) }
       if (peek == '"' || peek == '\'') return StrLit(quoted())
       if (peek.isDigit || ((peek == '-' || peek == '+') && i + 1 < in.length &&
           (in(i + 1).isDigit || in(i + 1) == '.')) || peek == '.')
@@ -208,17 +225,39 @@ object PromQL {
           first = false
           args += expr()
         }
-        Call(name, args.toList)
+        postfixSubquery(Call(name, args.toList))
       } else {
-        // selector, optionally [range] and `offset <dur>`
+        // selector, optionally [range] / [range:step] and `offset <dur>`
         val sel0 = selectorTail(Some(name))
         ws()
-        val ranged: Option[Long] =
-          if (tryEat('[')) { val d = bracketDuration(); eat(']'); Some(d) } else None
+        val ranged: Option[(Long, Option[Long])] =
+          if (tryEat('[')) Some(bracketRange()) else None
         val ofs = if (tryWord("offset")) bareDuration() else 0L
         val sel = sel0.copy(offsetMs = ofs)
-        ranged match { case Some(d) => Range(sel, d); case None => sel }
+        ranged match {
+          case Some((d, None))       => Range(sel, d)
+          case Some((d, Some(step))) => Subquery(sel, d, step)
+          case None                  => sel
+        }
       }
+    }
+
+    /** `[dur]` or `[dur:step]` (subquery; empty step = outer grid step). */
+    private def bracketRange(): (Long, Option[Long]) = {
+      val d = bracketDurationUntil(Set(']', ':'))
+      ws()
+      if (tryEat(':')) {
+        ws()
+        val s = if (peek == ']') 0L else bracketDurationUntil(Set(']'))
+        eat(']')
+        (d, Some(s))
+      } else { eat(']'); (d, None) }
+    }
+    private def bracketDurationUntil(stops: Set[Char]): Long = {
+      ws(); val s = i
+      while (i < in.length && !stops(in(i))) i += 1
+      graft.lang.m3.Duration.parse(in.substring(s, i).trim)
+        .getOrElse(throw PromParseError(s"bad duration '${in.substring(s, i)}'"))
     }
 
     private def followsWord(w: String): Boolean = {
@@ -283,6 +322,7 @@ object PromQL {
     /** extra scan lookback needed below `e` (range selectors widen the scan). */
     private def lookback(e: Expr): Long = e match {
       case Range(_, d)       => d
+      case Subquery(inner, d, _) => d + lookback(inner)
       case Call(_, args)     => if (args.isEmpty) 0L else args.map(lookback).max
       case Agg(_, _, _, a)   => lookback(a)
       case BinOp(_, l, r, _, _) => math.max(lookback(l), lookback(r))
@@ -435,21 +475,26 @@ object PromQL {
       case ScalarLit(_) | StrLit(_) =>
         throw PromParseError("bare scalar is not a vector expression")
 
+      case sq: Subquery =>
+        // a bare subquery result: the inner expression at step instants
+        val (df, _) = rangeInput(sq, g)
+        df
+
       case Call(fn, args) => fn match {
         case "rate" =>
-          val Range(s, d) = requireRange(args)
-          Temporal.perSecondRate(selectorDF(s, g), d)
+          val (in, d) = rangeInput(args.head, g)
+          Temporal.perSecondRate(in, d)
         case "increase" =>
-          val Range(s, d) = requireRange(args)
-          mapValue(Temporal.perSecondRate(selectorDF(s, g), d))(_ * (d / 1000.0))
+          val (in, d) = rangeInput(args.head, g)
+          mapValue(Temporal.perSecondRate(in, d))(_ * (d / 1000.0))
         case "irate" =>
           // rate between the last two samples, but ONLY when the previous
           // sample falls inside the window (Prometheus needs two points in
           // [t-d, t]; a gap wider than d yields no output)
-          val Range(s, d) = requireRange(args)
+          val (in, d) = rangeInput(args.head, g)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(S.SeriesId).orderBy(S.Ts)
-          selectorDF(s, g)
+          in
             .withColumn("_pv", lag(S.Value, 1).over(w))
             .withColumn("_pt", lag(S.Ts, 1).over(w))
             .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= d &&
@@ -460,10 +505,10 @@ object PromQL {
         case "delta" =>
           // last minus first sample of the window (gauge difference);
           // Prometheus's range-boundary extrapolation is not reproduced
-          val Range(s, d) = requireRange(args)
+          val (in, d) = rangeInput(args.head, g)
           val frame = org.apache.spark.sql.expressions.Window
             .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
-          selectorDF(s, g)
+          in
             .withColumn("_n", count(S.Value).over(frame))
             .withColumn(S.Value,
               expr(s"max_by(${S.Value}, ${S.Ts})").over(frame) -
@@ -471,40 +516,38 @@ object PromQL {
             .where(col("_n") >= 2)
             .drop("_n")
         case "deriv" =>
-          val Range(s, d) = requireRange(args)
-          Temporal.linearFit(selectorDF(s, g), d, None)
+          val (in, d) = rangeInput(args.head, g)
+          Temporal.linearFit(in, d, None)
         case "predict_linear" =>
-          val Range(s, d) = requireRange(args.take(1))
-          Temporal.linearFit(selectorDF(s, g), d,
+          val (in, d) = rangeInput(args.head, g)
+          Temporal.linearFit(in, d,
             Some(requireScalar(args.lift(1), "predict_linear t")))
         case "holt_winters" =>
-          val Range(s, d) = requireRange(args.take(1))
-          Temporal.holtWinters(selectorDF(s, g), d,
+          val (in, d) = rangeInput(args.head, g)
+          Temporal.holtWinters(in, d,
             requireScalar(args.lift(1), "holt_winters sf"),
             requireScalar(args.lift(2), "holt_winters tf"))
         case "quantile_over_time" =>
           // φ comes FIRST: quantile_over_time(φ, m[d])
-          val Range(s, d) = args.lift(1) match {
-            case Some(r: Range) => r
-            case _ => throw PromParseError("expected quantile_over_time(φ, m[d])")
-          }
+          val (in, d) = rangeInput(args.lift(1).getOrElse(
+            throw PromParseError("expected quantile_over_time(φ, m[d])")), g)
           val phi = requireScalar(args.headOption, "quantile_over_time φ")
           val frame = org.apache.spark.sql.expressions.Window
             .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
-          selectorDF(s, g).withColumn(S.Value,
+          in.withColumn(S.Value,
             expr(s"percentile(${S.Value}, $phi)").over(frame))
         case overTime(sub) =>
-          val Range(s, d) = requireRange(args)
+          val (in, d) = rangeInput(args.head, g)
           // Prometheus stddev/stdvar_over_time are POPULATION moments
           val fn = sub match {
             case "stddev" => "stddev_pop"
             case "stdvar" => "var_pop"
             case f        => f
           }
-          Temporal.movingInclusive(selectorDF(s, g), d, fn)
+          Temporal.movingInclusive(in, d, fn)
         case "present_over_time" =>
-          val Range(s, d) = requireRange(args)
-          val dense = GridOps.densify(selectorDF(s, g), g)
+          val (in, d) = rangeInput(args.head, g)
+          val dense = GridOps.densify(in, g)
           val frame = org.apache.spark.sql.expressions.Window
             .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
           dense.withColumn("_n", count(S.Value).over(frame))
@@ -551,11 +594,10 @@ object PromQL {
           Grouping.histogramQuantile(eval(args(1), g),
             requireScalar(args.headOption, "histogram_quantile φ"))
         case "changes" =>
-          val Range(s, d) = requireRange(args)
-          Temporal.movingInclusive(Temporal.changed(selectorDF(s, g), g), d, "sum")
+          val (in, d) = rangeInput(args.head, g)
+          Temporal.movingInclusive(Temporal.changed(in, g), d, "sum")
         case "resets" =>
-          val Range(s, d) = requireRange(args)
-          val in = selectorDF(s, g)
+          val (in, d) = rangeInput(args.head, g)
           val flagged = in.withColumn(S.Value,
             when(col(S.Value) < lag(col(S.Value), 1).over(
               org.apache.spark.sql.expressions.Window
@@ -677,6 +719,28 @@ object PromQL {
       case r: Range => r
       case _        => throw PromParseError("expected range selector m[d]")
     }
+
+    /** Range-vector input for window functions: a plain range selector, or a
+      * subquery whose inner expression is re-gridded onto the subquery step
+      * (last sample per step instant — Prometheus's step-instant evaluation
+      * with lookback). */
+    private def rangeInput(arg: Expr, g: QueryGrid): (DataFrame, Long) = arg match {
+      case Range(s, d) => (selectorDF(s, g), d)
+      case Subquery(inner, d, step) =>
+        val stepMs = if (step <= 0) grid.stepMs else step
+        (resample(eval(inner, g), stepMs), d)
+      case _ => throw PromParseError("expected range selector m[d] or subquery expr[d:s]")
+    }
+
+    /** Last value per (series, step instant), instants aligned to absolute
+      * epoch multiples of the step like Prometheus subquery evaluation. */
+    private def resample(df: DataFrame, stepMs: Long): DataFrame =
+      df.withColumn("_b",
+          floor(col(S.Ts) / lit(stepMs.toDouble)).cast("long") * stepMs)
+        .groupBy(col(S.SeriesId), col("_b"))
+        .agg(expr(s"max_by(${S.Value}, ${S.Ts})").as(S.Value),
+          first(col(S.LabelsCol)).as(S.LabelsCol))
+        .select(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts), col(S.Value))
   }
 
   def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String): DataFrame =

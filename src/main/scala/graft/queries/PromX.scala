@@ -129,9 +129,24 @@ object PromX extends QueryPack {
        |FROM g JOIN r ON g.usr = r.usr AND g.ts = r.ts
        |WHERE g.etype IN ('click', 'view') $ord""".stripMargin)
 
+  // ---- subquery: inner expression re-gridded to 12h instants, 1d window ----
+  private def qSubquery(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "max_over_time((click * 2)[1d:12h])"))
+  private val qSubquerySql = withSG(
+    s""", i AS (
+       |  SELECT usr, (ts // 43200000) * 43200000 AS ti, arg_max(value * 2, ts) AS v
+       |  FROM g WHERE etype = 'click' GROUP BY 1, 2)
+       |SELECT series, ts, value FROM (
+       |  SELECT 'name:click,user:' || usr AS series, ti AS ts,
+       |    max(v) OVER (PARTITION BY usr ORDER BY ti
+       |                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
+       |  FROM i)
+       |WHERE ts >= ${grid.startMs} AND ts < ${grid.endMs} $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_on_divide", qOnDivide, Some(qOnDivideSql)),
     QueryDef("promql_group_left", qGroupLeft, Some(qGroupLeftSql)),
+    QueryDef("promql_subquery", qSubquery, Some(qSubquerySql)),
     QueryDef("promql_topk_instant", qTopk, Some(qTopkSql)),
     QueryDef("promql_offset_sum", qOffsetSum, Some(qOffsetSumSql)),
     QueryDef("promql_compare_and", qCompareAnd, Some(qCompareAndSql)),

@@ -296,6 +296,32 @@ class PromQLSpec extends SparkTestBase {
     assert(out("dc:a,name:mem").head == N)
   }
 
+  test("subquery re-grids an inner expression for an outer window") {
+    // max_over_time((mem*2)[3m:1m]): inner doubles mem{dc:a}, subquery step
+    // equals the sample step, outer window takes the trailing 3m max
+    val out = toGolden(run("""max_over_time((mem{dc="a"} * 2)[3m:1m])"""))
+    // mem dc:a = 5,4,3,2,1,2,3,4,5,6 → doubled; window [t-3m,t] max of 4 pts
+    assert(out("dc:a,name:mem") ==
+      Seq(S(10), S(10), S(10), S(10), S(8), S(6), S(6), S(8), S(10), S(12)))
+  }
+
+  test("subquery with coarser step keeps last sample per instant") {
+    // [4m:2m]: step instants at absolute 2m multiples keep the LAST sample
+    // of each bucket — samples at minutes 1..10 (values 1..10) become
+    // instants 0m→1, 2m→3, 4m→5, 6m→7, 8m→9, 10m→10; sum_over_time then
+    // sums instants in the trailing 4m window; the 0m instant is clipped by
+    // the outer grid [1m, 11m)
+    assertSeries(run("""sum_over_time(req{dc="a"}[4m:2m])"""),
+      Map("dc:a,name:req" -> Seq(N, S(4), N, S(9), N, S(15), N, S(21), N, S(26))))
+  }
+
+  test("rate over a subquery of a transformed counter") {
+    // rate((req{dc="a"} * 1)[5m:1m]) ≈ rate of the raw counter
+    val out = toGolden(run("""rate((req{dc="a"} * 1)[5m:1m])"""))
+    val vals = out("dc:a,name:req").flatten
+    assert(vals.nonEmpty && vals.forall(v => math.abs(v - 1.0 / 60) < 1e-6))
+  }
+
   test("instant query evaluates a single-point grid") {
     // evaluation time = epoch anchor of the 3rd grid point (date-math ms anchor)
     val t = g.startMs + 2 * g.stepMs
