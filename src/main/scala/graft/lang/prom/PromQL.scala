@@ -214,7 +214,7 @@ object PromQL {
         if (tryWord("without"))
           throw new UnsupportedOperationException("WITHOUT modifier not yet supported")
         if (tryWord("by")) by = labelList()
-        Agg(name, by, param, a)
+        postfixSubquery(Agg(name, by, param, a))
       } else if (peek == '(') {
         if (name == "pi") { eat('('); eat(')'); return ScalarLit(math.Pi) }
         i += 1

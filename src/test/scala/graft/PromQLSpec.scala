@@ -315,6 +315,12 @@ class PromQLSpec extends SparkTestBase {
       Map("dc:a,name:req" -> Seq(N, S(4), N, S(9), N, S(15), N, S(21), N, S(26))))
   }
 
+  test("subquery over an aggregation") {
+    // sum(req) = 3,6,…,30; min_over_time over trailing 2m of 1m instants
+    assertSeries(run("""min_over_time(sum(req)[2m:1m])"""),
+      Map("" -> Seq(S(3), S(3), S(3), S(6), S(9), S(12), S(15), S(18), S(21), S(24))))
+  }
+
   test("rate over a subquery of a transformed counter") {
     // rate((req{dc="a"} * 1)[5m:1m]) ≈ rate of the raw counter
     val out = toGolden(run("""rate((req{dc="a"} * 1)[5m:1m])"""))
