@@ -28,6 +28,22 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
   }
 
+  /** Corpus vocabulary: the `topK` tokens by total term frequency with their
+    * document frequency and stopword flag — the first thing a corpus audit
+    * looks at. One explode + one hash aggregation; the top-k is a
+    * TakeOrdered over the (tiny) per-token aggregate, never a global sort of
+    * the token stream. */
+  def vocabulary(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .withColumn("is_stopword", col("token").isin(Stopwords: _*))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Sequence packing: assign documents (ordered by `idCol`) to training
     * shards of ~`budgetTokens` whitespace tokens — each doc lands in the shard
     * containing its START offset (shard = floor(startOffset / budget)), the

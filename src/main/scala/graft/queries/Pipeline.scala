@@ -204,6 +204,70 @@ object Pipeline extends QueryPack {
       |SELECT doc_id, n_tokens, start_offset, start_offset // 4096 AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The composed cleaning job a training-data team actually runs: exact
+    * dedup → quality floor → per-language corpus stats. Every stage is an
+    * operator verified on its own; this pins their composition end-to-end. */
+  private def qCleanStats(s: SparkSession, sf: String): DataFrame = {
+    val surv = Dedup.exact(Tables.documents(s, sf), Seq("text"))
+    val scored = TextAnalysis.qualityScore(surv).where(col("quality") >= 0.5)
+    TextAnalysis.languageId(scored)
+      .groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.core.OracleSafe.dAvg(col("quality")).as("avg_quality"))
+      .orderBy("lang_guess")
+  }
+  private val qCleanStatsSql = {
+    val stop = TextAnalysis.StopwordsSql
+    val hits = TextAnalysis.LangMarkersSql.map { case (lang, words) =>
+      s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> list_contains([$words], t))) AS INT) AS h_$lang"
+    }.mkString(", ")
+    s"""WITH surv AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |q AS (SELECT doc_id, text,
+       |  CAST(len(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> list_contains([$stop], t))) AS DOUBLE) AS stop_hits,
+       |  CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |FROM surv),
+       |sc AS (SELECT doc_id, text,
+       |  CASE WHEN n_chars_m < 10 THEN 0.0 ELSE
+       |    least(1.0, n_chars_m / 500.0) * 0.4
+       |    + least(1.0, (stop_hits / n_tok) * 5.0) * 0.4
+       |    + (1.0 - least(1.0, (punct / CAST(len(text) AS DOUBLE)) * 4.0)) * 0.2 END AS quality
+       |  FROM q),
+       |kept AS (SELECT doc_id, text, quality FROM sc WHERE quality >= 0.5),
+       |h AS (SELECT doc_id, quality, $hits FROM kept),
+       |lg AS (SELECT doc_id, quality,
+       |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+       |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+       |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+       |       ELSE 'de' END AS lang_guess
+       |  FROM h)
+       |SELECT lang_guess, count(*) AS n_docs,
+       |  CAST(sum(CAST(quality AS DECIMAL(38,9))) AS DOUBLE) / count(quality) AS avg_quality
+       |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def qVocabulary(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, sf), topK = 50)
+      .orderBy(col("tf").desc, col("token"))
+  private val qVocabularySql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |v AS (
+      |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |  FROM toks WHERE len(token) > 0 GROUP BY token)
+      |SELECT token, tf, df,
+      |  list_contains(['the','a','an','of','to','in','and','or','is','are','was','for',
+      |                 'on','with','as','by','at','it','this','that','be','from'], token)
+      |    AS is_stopword
+      |FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin
+
   private def qDedupSimhash(s: SparkSession, sf: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, sf))
       .select("doc_id", "simhash")
@@ -304,5 +368,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
     QueryDef("dedup_cluster_lsh", qClusterLsh, None),
-    QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)))
+    QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)),
+    QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
+    QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)))
 }
