@@ -19,7 +19,10 @@ import scala.collection.mutable.ListBuffer
   *  - full operator precedence (`or` < `and`/`unless` < comparisons < `+ -`
   *    < `* / %` < `^`), comparison filters with the `bool` modifier, and the
   *    set operators `and`/`or`/`unless` (label-set × timestamp joins)
-  *  - the `offset` modifier on instant and range selectors
+  *  - vector matching `on`/`ignoring` with `group_left`/`group_right`
+  *  - the `offset` modifier on instant and range selectors; `@ t` on instant
+  *    selectors (fixed-instant vector, 5m lookback delta)
+  *  - subqueries `expr[range:step]` feeding every range-taking function
   *  - aggregations `topk`/`bottomk` (per-instant rank), `quantile`, `stddev`/
   *    `stdvar` (population), `group`, `count_values`
   *  - `*_over_time`, `predict_linear`/`deriv` (least-squares over the window),
@@ -27,7 +30,8 @@ import scala.collection.mutable.ListBuffer
   *  - math/trig/time functions and `label_replace`/`label_join`
   *
   * `without` grouping raises UnsupportedOperationException — parity with the
-  * reference (PromSourceBuilderVisitor.java:258-259).
+  * reference (PromSourceBuilderVisitor.java:258-259); `@` on range selectors
+  * and idelta raise; irate/delta skip range-boundary extrapolation.
   */
 object PromQL {
 
@@ -35,7 +39,8 @@ object PromQL {
   sealed trait Expr
   final case class Selector(metric: Option[String],
                             matchers: List[(String, String, String)],
-                            offsetMs: Long = 0L) extends Expr
+                            offsetMs: Long = 0L,
+                            atMs: Option[Long] = None) extends Expr
   final case class Range(sel: Selector, durMs: Long) extends Expr
   /** `expr[range:step]` — a subquery: the inner expression evaluated at
     * `step` instants over the trailing `range` (step 0 = the outer grid's
@@ -227,13 +232,24 @@ object PromQL {
         }
         postfixSubquery(Call(name, args.toList))
       } else {
-        // selector, optionally [range] / [range:step] and `offset <dur>`
+        // selector, optionally [range] / [range:step], then any mix of
+        // `offset <dur>` and `@ <unix-seconds>`
         val sel0 = selectorTail(Some(name))
         ws()
         val ranged: Option[(Long, Option[Long])] =
           if (tryEat('[')) Some(bracketRange()) else None
-        val ofs = if (tryWord("offset")) bareDuration() else 0L
-        val sel = sel0.copy(offsetMs = ofs)
+        var ofs = 0L
+        var atMs: Option[Long] = None
+        var more = true
+        while (more) {
+          if (tryWord("offset")) ofs = bareDuration()
+          else if (tryEat('@')) { ws(); atMs = Some((number() * 1000).round) }
+          else more = false
+        }
+        if (atMs.isDefined && ranged.isDefined)
+          throw new UnsupportedOperationException(
+            "@ modifier on range selectors/subqueries not supported")
+        val sel = sel0.copy(offsetMs = ofs, atMs = atMs)
         ranged match {
           case Some((d, None))       => Range(sel, d)
           case Some((d, Some(step))) => Subquery(sel, d, step)
@@ -335,16 +351,37 @@ object PromQL {
       if (buf > 0) Temporal.truncate(out, grid) else out
     }
 
-    private def selectorDF(s: Selector, g: QueryGrid): DataFrame = {
-      // `offset` reads a shifted window and re-stamps results onto the query
-      // range — the scan filter shifts, so partition pruning still applies
-      val base = samples.where(
-        col(S.Ts) >= g.startMs - s.offsetMs && col(S.Ts) <= g.endMs - s.offsetMs)
+    /** Prometheus's default instant-vector staleness window (the
+      * --query.lookback-delta default) — how far back `@ t` looks for each
+      * series' latest sample. */
+    private val LookbackDeltaMs = 5 * 60 * 1000L
+
+    private def selectorDF(s: Selector, g: QueryGrid): DataFrame = s.atMs match {
+      case Some(at) =>
+        // `@ t`: the vector AS OF a fixed instant, constant across the grid —
+        // latest sample per series in [t-lookback, t], stamped on every grid
+        // point. The scan is a fixed absolute window: pruning still applies.
+        val t = at - s.offsetMs
+        val pinned = applyMatchers(s,
+          samples.where(col(S.Ts) >= t - LookbackDeltaMs && col(S.Ts) <= t))
+        pinned.groupBy(col(S.SeriesId))
+          .agg(expr(s"max_by(${S.Value}, ${S.Ts})").as(S.Value),
+            first(col(S.LabelsCol)).as(S.LabelsCol))
+          .crossJoin(g.gridDF(spark))
+          .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+      case None =>
+        val filtered = applyMatchers(s, samples.where(
+          col(S.Ts) >= g.startMs - s.offsetMs && col(S.Ts) <= g.endMs - s.offsetMs))
+        if (s.offsetMs != 0) filtered.withColumn(S.Ts, col(S.Ts) + s.offsetMs)
+        else filtered
+    }
+
+    private def applyMatchers(s: Selector, base: DataFrame): DataFrame = {
       val withMetric = s.metric match {
         case Some(m) => base.where(col(S.LabelsCol).getItem("name") === m)
         case None    => base
       }
-      val filtered = s.matchers.foldLeft(withMetric) { case (df, (k, op, v)) =>
+      s.matchers.foldLeft(withMetric) { case (df, (k, op, v)) =>
         val tag = col(S.LabelsCol).getItem(k)
         op match {
           case "="  => df.where(tag === v)
@@ -353,7 +390,6 @@ object PromQL {
           case "!~" => df.where(tag.isNull || !tag.rlike(s"^(?:$v)$$"))
         }
       }
-      if (s.offsetMs != 0) filtered.withColumn(S.Ts, col(S.Ts) + s.offsetMs) else filtered
     }
 
     /** Fold scalar-only subtrees (literals and arithmetic over them) so
@@ -665,9 +701,9 @@ object PromQL {
     private def absentDF(in: DataFrame, arg: Expr, g: QueryGrid,
                          windowMs: Option[Long]): DataFrame = {
       val eqLabels: Seq[(String, String)] = arg match {
-        case Selector(m, ms, _) =>
+        case Selector(m, ms, _, _) =>
           m.map("name" -> _).toSeq ++ ms.collect { case (k, "=", v) => (k, v) }
-        case Range(Selector(m, ms, _), _) =>
+        case Range(Selector(m, ms, _, _), _) =>
           m.map("name" -> _).toSeq ++ ms.collect { case (k, "=", v) => (k, v) }
         case _ => Nil
       }

@@ -328,6 +328,19 @@ class PromQLSpec extends SparkTestBase {
     assert(vals.nonEmpty && vals.forall(v => math.abs(v - 1.0 / 60) < 1e-6))
   }
 
+  test("@ modifier pins the vector to a fixed instant") {
+    // @ 300 (unix seconds): latest dc:a sample ≤ 300s is v5 — constant
+    assertSeries(run("""req{dc="a"} @ 300"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(5))))
+    // offset composes: t = 360s - 1m = 300s
+    assertSeries(run("""req{dc="a"} @ 360 offset 1m"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(5))))
+  }
+
+  test("@ on a range selector raises") {
+    intercept[UnsupportedOperationException](PromQL.parse("""rate(req[2m] @ 300)"""))
+  }
+
   test("instant query evaluates a single-point grid") {
     // evaluation time = epoch anchor of the 3rd grid point (date-math ms anchor)
     val t = g.startMs + 2 * g.stepMs
