@@ -417,6 +417,7 @@ object PromQL {
       "sin" -> sin _, "cos" -> cos _, "tan" -> tan _,
       "asin" -> asin _, "acos" -> acos _, "atan" -> atan _,
       "sinh" -> sinh _, "cosh" -> cosh _, "tanh" -> tanh _,
+      "asinh" -> asinh _, "acosh" -> acosh _, "atanh" -> atanh _,
       "deg" -> degrees _, "rad" -> radians _)
     /** Calendar functions interpret the VALUE as epoch seconds (UTC), matching
       * Prometheus (whose default argument is vector(time())). */
@@ -523,21 +524,25 @@ object PromQL {
         case "increase" =>
           val (in, d) = rangeInput(args.head, g)
           mapValue(Temporal.perSecondRate(in, d))(_ * (d / 1000.0))
-        case "irate" =>
-          // rate between the last two samples, but ONLY when the previous
-          // sample falls inside the window (Prometheus needs two points in
-          // [t-d, t]; a gap wider than d yields no output)
+        case "irate" | "idelta" =>
+          // last two samples, both inside the window (Prometheus needs two
+          // points in [t-d, t]; a gap wider than d yields no output). irate
+          // divides by elapsed seconds and skips counter resets; idelta is
+          // the raw difference.
           val (in, d) = rangeInput(args.head, g)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(S.SeriesId).orderBy(S.Ts)
-          in
+          val base = in
             .withColumn("_pv", lag(S.Value, 1).over(w))
             .withColumn("_pt", lag(S.Ts, 1).over(w))
             .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= d &&
-              col(S.Value) >= col("_pv"))
-            .withColumn(S.Value,
-              (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
-            .drop("_pv", "_pt")
+              (if (fn == "irate") col(S.Value) >= col("_pv") else lit(true)))
+          val out =
+            if (fn == "irate")
+              base.withColumn(S.Value,
+                (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
+            else base.withColumn(S.Value, col(S.Value) - col("_pv"))
+          out.drop("_pv", "_pt")
         case "delta" =>
           // last minus first sample of the window (gauge difference);
           // Prometheus's range-boundary extrapolation is not reproduced

@@ -102,7 +102,14 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("unimplemented prom function throws") {
-    intercept[UnsupportedOperationException](run("""idelta(req[2m])"""))
+    intercept[UnsupportedOperationException](run("""mad_over_time(req[2m])"""))
+  }
+
+  test("idelta is the raw last-sample difference inside the window") {
+    assertSeries(run("""idelta(mem{dc="a"}[2m])"""),
+      // mem dc:a = 5,4,3,2,1,2,3,4,5,6 → consecutive diffs from position 1
+      Map("dc:a,name:mem" ->
+        (Seq(N) ++ Seq(-1.0, -1, -1, -1, 1, 1, 1, 1, 1).map(S(_)))))
   }
 
   // ---- round-4 surface -----------------------------------------------------
