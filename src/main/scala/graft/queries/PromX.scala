@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** Oracle-checked queries for the round-4 PromQL surface expansion: `offset`,
   * comparison filters + set operators, per-instant `topk`, the `quantile`
   * aggregation, `predict_linear` (least-squares over a trailing window),
-  * `absent`, and `label_replace`. Every query goes through the full PromQL
-  * parse→compile path over the gridded event samples; the DuckDB oracle
-  * mirrors the math on the same parquet.
+  * `absent`, `label_replace`, `on`/`group_left` vector matching, and
+  * subqueries. Every query goes through the full PromQL parse→compile path
+  * over the gridded event samples; the DuckDB oracle mirrors the math on the
+  * same parquet.
   */
 object PromX extends QueryPack {
   private val S = TsSchema
