@@ -142,6 +142,47 @@ object Dedup {
 
   private def pow2(b: Int): Column = lit(if (b == 63) Long.MinValue else 1L << b)
 
+  /** Persist the shingle inverted index as a BUCKETED table — the offline
+    * form of the in-session `persist` the pair generators use. Bucketing by
+    * `shingle` means the candidate self-join (and any doc↔shingle probe)
+    * co-locates: both sides arrive pre-hashed into the same buckets, so the
+    * join plan has NO Exchange — at 100TB that deletes the single biggest
+    * shuffle of the dedup pipeline and makes the index reusable across jobs.
+    * Works with the built-in catalog (no Hive); `BucketedIndexSpec` pins the
+    * exchange-free plan. */
+  def writeShingleIndex(docs: DataFrame, n: Int, table: String,
+                        idCol: String = "doc_id", buckets: Int = 64): Unit =
+    shingles(docs, n, idCol)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "shingle")
+      .sortBy("shingle")
+      .saveAsTable(table)
+
+  /** Candidate pairs + exact Jaccard from a persisted bucketed index (the
+    * offline two-job form of [[ngramJaccardPairs]]): same math, but the
+    * shingle-keyed joins read co-located buckets. */
+  def ngramJaccardPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, threshold: Double,
+                                 idCol: String = "doc_id", maxDf: Int = 1000): DataFrame = {
+    val sh = spark.table(table)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf && col("df") >= 2),
+      Seq("shingle"), "left_semi")
+    val a = filtered.select(col(idCol).as("doc_id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("doc_id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .join(sizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")), Seq("doc_id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
   /** Near-dup CLUSTERING: fold candidate pairs into connected components —
     * the final step of a training-data dedup pipeline, turning pairwise
     * matches into groups so all-but-one member can be dropped.
