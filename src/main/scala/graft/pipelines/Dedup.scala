@@ -194,10 +194,17 @@ object Dedup {
     * path component of length L converges in O(log L) rounds, not O(L) —
     * the property that makes this viable on a 100TB pair graph (each round
     * is a bounded set of hash joins on node id; nothing is ever collected).
-    * Per-round `localCheckpoint` truncates the growing lineage (at cluster
-    * scale you would checkpoint to reliable storage instead); the
-    * convergence probe is one tiny `limit(1).count()` per round — the
-    * standard Pregel-style driver loop, NOT a per-row driver operation.
+    * Cost controls (the loop's price is rounds × materializations, not the
+    * join math): labels are SEEDED with the neighborhood minimum
+    * (min of self and direct neighbors — one aggregate over the edge set),
+    * which collapses clique-shaped components (the typical LSH bucket
+    * output) to their final label before the loop even starts; the
+    * convergence probe (a tiny `limit(1).count()`) runs every SECOND round,
+    * and only probe rounds checkpoint eagerly — off-rounds take a lazy
+    * `localCheckpoint` that materializes as a by-product of the next probe,
+    * so two rounds cost one full pass. At cluster scale you would
+    * checkpoint to reliable storage instead; the driver loop is the
+    * standard Pregel shape, NOT a per-row driver operation.
     *
     * Returns (node, cluster) for every node that appears in a pair; cluster
     * is the component's minimum node id. */
@@ -207,12 +214,17 @@ object Dedup {
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+    // neighborhood-min seed: every node of sym appears on the `a` side
+    // (sym is symmetric), so one aggregate covers the whole node set
+    var labels = sym.groupBy("a").agg(min("b").as("_nmin"))
+      .select(col("a").as("node"), least(col("a"), col("_nmin")).as("cluster"))
       .localCheckpoint(true)
     var it = 0
     var done = false
     while (!done && it < maxIters) {
+      // probe on every 2nd round: a fixed point reached in an off-round is
+      // simply confirmed (at the cost of one no-op round) by the next probe
+      val probe = it % 2 == 1 || it == maxIters - 1
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("cluster")), Seq("b"))
         .groupBy("a").agg(min("cluster").as("_nmin"))
@@ -221,7 +233,7 @@ object Dedup {
         .select(col("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
       // the convergence flag rides INSIDE the checkpointed frame, so the
-      // probe below is a short-circuit scan of local blocks — not a per-round
+      // probe below is a short-circuit scan of local blocks — not a
       // shuffle join against the previous labels
       val jumped = stepped
         .join(stepped.select(col("node").as("cluster"), col("cluster").as("_c2")),
@@ -229,10 +241,9 @@ object Dedup {
         .withColumn("_new", least(col("cluster"), coalesce(col("_c2"), col("cluster"))))
         .select(col("node"), col("_new").as("cluster"),
           (col("_new") =!= col("_old")).as("_chg"))
-        .localCheckpoint(true)
-      val changed = jumped.where(col("_chg")).limit(1).count()
+        .localCheckpoint(eager = probe)
+      if (probe) done = jumped.where(col("_chg")).limit(1).count() == 0
       labels = jumped.select("node", "cluster")
-      done = changed == 0
       it += 1
     }
     sym.unpersist()

@@ -51,8 +51,20 @@ object Federation {
   def query(spark: SparkSession, parts: Seq[(PartitionWindow, DataFrame)],
             grid: QueryGrid, q: String): DataFrame =
     if (parts.sizeIs <= 1 || hasOverlappingPartitions(parts.map(_._1))) {
-      val merged = parts.map(_._2).reduce(_ unionByName _)
-        .dropDuplicates(S.SeriesId, S.Ts)
+      // FIRST-partition dedup must be DETERMINISTIC: dropDuplicates keeps an
+      // arbitrary survivor, so a sample duplicated across partitions with
+      // CONFLICTING values would flip between runs. Tag each scan with its
+      // partition rank (earliest start first) and take min_by — the mirror of
+      // the disjoint path's max_by merge, honoring the unfold FIRST policy
+      // (TimeSeriesUnfoldAggregator.java:270-276).
+      val tagged = parts.sortBy(_._1.startMs).zipWithIndex.map { case ((_, df), i) =>
+        df.withColumn("_pord", lit(i))
+      }
+      val merged = tagged.reduce(_ unionByName _)
+        .groupBy(col(S.SeriesId), col(S.Ts))
+        .agg(first(col(S.LabelsCol)).as(S.LabelsCol),
+          expr(s"min_by(${S.Value}, _pord)").as(S.Value))
+        .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
       M3QL.query(spark, merged, grid, q)
     } else {
       val results = parts.sortBy(_._1.startMs).zipWithIndex.map { case ((w, df), i) =>
