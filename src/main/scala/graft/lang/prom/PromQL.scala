@@ -19,19 +19,35 @@ import scala.collection.mutable.ListBuffer
   *  - full operator precedence (`or` < `and`/`unless` < comparisons < `+ -`
   *    < `* / %` < `^`), comparison filters with the `bool` modifier, and the
   *    set operators `and`/`or`/`unless` (label-set × timestamp joins)
-  *  - vector matching `on`/`ignoring` with `group_left`/`group_right`
+  *  - vector matching `on`/`ignoring` with `group_left`/`group_right`;
+  *    Prometheus label hygiene on vector-vector ops: `__name__` is excluded
+  *    from every matching signature, arithmetic (and `bool` comparison)
+  *    results drop the metric name, one-to-one `on(…)` keeps only the
+  *    on-labels, one-to-one `ignoring(…)` deletes the ignored labels
   *  - the `offset` modifier on instant and range selectors; `@ t` on instant
-  *    selectors (fixed-instant vector, 5m lookback delta)
+  *    selectors (fixed-instant vector, 5m lookback delta), on range
+  *    selectors, and on `m[d:s]` subqueries (the windowed value pinned at t,
+  *    stamped across the grid)
   *  - subqueries `expr[range:step]` feeding every range-taking function
+  *    (each step instant takes the newest inner sample at-or-before it)
   *  - aggregations `topk`/`bottomk` (per-instant rank), `quantile`, `stddev`/
   *    `stdvar` (population), `group`, `count_values`
   *  - `*_over_time`, `predict_linear`/`deriv` (least-squares over the window),
   *    `holt_winters`, `absent`/`absent_over_time`/`present_over_time`
+  *  - `increase`/`delta` with Prometheus's window-edge extrapolation;
+  *    `irate` emits the post-reset rate (value/elapsed) across counter resets
   *  - math/trig/time functions and `label_replace`/`label_join`
   *
   * `without` grouping raises UnsupportedOperationException — parity with the
-  * reference (PromSourceBuilderVisitor.java:258-259); `@` on range selectors
-  * and idelta raise; irate/delta skip range-boundary extrapolation.
+  * reference (PromSourceBuilderVisitor.java:258-259).
+  *
+  * Documented divergences from upstream Prometheus (each mirrored by the
+  * conformance oracles): `rate` keeps the reference engine's smoothed
+  * reset-segment semantics (PerSecondRateStage) rather than Prometheus
+  * extrapolation; scalar-vector arithmetic (`m * 2`) and value-rewriting
+  * functions keep the metric name; range windows are closed `[t-d, t]`
+  * rather than left-open; subquery instants use step-bounded lookback (no
+  * 5m staleness carry).
   */
 object PromQL {
 
@@ -246,9 +262,6 @@ object PromQL {
           else if (tryEat('@')) { ws(); atMs = Some((number() * 1000).round) }
           else more = false
         }
-        if (atMs.isDefined && ranged.isDefined)
-          throw new UnsupportedOperationException(
-            "@ modifier on range selectors/subqueries not supported")
         val sel = sel0.copy(offsetMs = ofs, atMs = atMs)
         ranged match {
           case Some((d, None))       => Range(sel, d)
@@ -469,10 +482,10 @@ object PromQL {
             val f: (Column, Column) => Column = (lv, rv) =>
               if (boolMod) when(cmpCol(op, lv, rv), 1.0).otherwise(0.0)
               else when(cmpCol(op, lv, rv), lv)
-            val out = m match {
-              case Some(vm) => SeriesSet.promMatch(eval(l, g), eval(r, g), vm)(f)
-              case None     => SeriesSet.vectorOp(eval(l, g), eval(r, g))(f)
-            }
+            // filter comparisons keep the metric name; `bool` rewrites the
+            // value and therefore drops it (Prometheus shouldDropMetricName)
+            val out = SeriesSet.promMatch(eval(l, g), eval(r, g),
+              m.getOrElse(SeriesSet.DefaultMatching), dropName = boolMod)(f)
             if (boolMod) out else out.where(col(S.Value).isNotNull)
           case (Some(_), Some(_)) =>
             throw PromParseError("scalar-to-scalar comparison needs bool and a vector context")
@@ -491,22 +504,13 @@ object PromQL {
           case (Some(a), None) => mapValue(eval(r, g))(c => binCol(op, lit(a), c))
           case (None, Some(v)) => mapValue(eval(l, g))(c => binCol(op, c, lit(v)))
           case (None, None) =>
-            val (lf, rf) = (eval(l, g), eval(r, g))
-            m match {
-              case Some(vm) =>
-                SeriesSet.promMatch(lf, rf, vm)((lv, rv) => op match {
-                  case "/" => when(rv === 0.0, lit(Double.NaN)).otherwise(lv / rv)
-                  case _   => binCol(op, lv, rv)
-                })
-              case None => op match {
-                case "/" => SeriesSet.vectorDivide(lf, rf)
-                case "*" => SeriesSet.vectorMultiply(lf, rf)
-                case "+" => SeriesSet.vectorOp(lf, rf)(_ + _)
-                case "-" => SeriesSet.vectorOp(lf, rf)(_ - _)
-                case "%" => SeriesSet.vectorOp(lf, rf)(_ % _)
-                case "^" => SeriesSet.vectorOp(lf, rf)(pow)
-              }
-            }
+            // arithmetic always rewrites the value → metric name dropped;
+            // `/` by 0 keeps the engine-wide NaN convention
+            SeriesSet.promMatch(eval(l, g), eval(r, g),
+              m.getOrElse(SeriesSet.DefaultMatching))((lv, rv) => op match {
+              case "/" => when(rv === 0.0, lit(Double.NaN)).otherwise(lv / rv)
+              case _   => binCol(op, lv, rv)
+            })
         }
 
       case ScalarLit(_) | StrLit(_) =>
@@ -517,17 +521,40 @@ object PromQL {
         val (df, _) = rangeInput(sq, g)
         df
 
+      // `@` on a range argument — rate(m[5m] @ t), avg_over_time(m[1h:5m] @ t):
+      // the whole call is evaluated once with the scan pinned to the fixed
+      // window ending at t, then the value AT t (newest function output
+      // within the instant-vector lookback, mirroring the instant-`@` path)
+      // is stamped onto every grid point. The pinned scan is a fixed
+      // absolute range, so partition pruning still applies.
+      case Call(fn, args) if args.exists(a => rangeAt(a).isDefined) =>
+        val t = args.collectFirst { case a if rangeAt(a).isDefined => rangeAt(a).get }.get
+        val stripped = Call(fn, args.map(stripRangeAt))
+        val buf = lookback(stripped) + LookbackDeltaMs
+        val pinned = eval(stripped, QueryGrid(t - buf, t + 1, g.stepMs))
+        pinned
+          .where(col(S.Ts) >= t - LookbackDeltaMs && col(S.Ts) <= t)
+          .groupBy(col(S.SeriesId))
+          .agg(expr(s"max_by(${S.Value}, ${S.Ts})").as(S.Value),
+            first(col(S.LabelsCol)).as(S.LabelsCol))
+          .crossJoin(g.gridDF(spark))
+          .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+
       case Call(fn, args) => fn match {
         case "rate" =>
           val (in, d) = rangeInput(args.head, g)
           Temporal.perSecondRate(in, d)
         case "increase" =>
+          // Prometheus-exact: counter delta with window-edge extrapolation
+          // (the M3QL perSecondRate keeps the reference's smoothed semantics)
           val (in, d) = rangeInput(args.head, g)
-          mapValue(Temporal.perSecondRate(in, d))(_ * (d / 1000.0))
+          Temporal.extrapolatedRate(in, d, isCounter = true, isRate = false)
         case "irate" | "idelta" =>
           // last two samples, both inside the window (Prometheus needs two
           // points in [t-d, t]; a gap wider than d yields no output). irate
-          // divides by elapsed seconds and skips counter resets; idelta is
+          // divides by elapsed seconds; a counter reset (v < prev) means the
+          // counter restarted, so the increase since the reset is the raw
+          // value (Prometheus instant rate, no extrapolation). idelta is
           // the raw difference.
           val (in, d) = rangeInput(args.head, g)
           val w = org.apache.spark.sql.expressions.Window
@@ -535,27 +562,19 @@ object PromQL {
           val base = in
             .withColumn("_pv", lag(S.Value, 1).over(w))
             .withColumn("_pt", lag(S.Ts, 1).over(w))
-            .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= d &&
-              (if (fn == "irate") col(S.Value) >= col("_pv") else lit(true)))
+            .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= d)
           val out =
             if (fn == "irate")
               base.withColumn(S.Value,
-                (col(S.Value) - col("_pv")) / ((col(S.Ts) - col("_pt")) / lit(1000.0)))
+                when(col(S.Value) >= col("_pv"), col(S.Value) - col("_pv"))
+                  .otherwise(col(S.Value)) /
+                  ((col(S.Ts) - col("_pt")) / lit(1000.0)))
             else base.withColumn(S.Value, col(S.Value) - col("_pv"))
           out.drop("_pv", "_pt")
         case "delta" =>
-          // last minus first sample of the window (gauge difference);
-          // Prometheus's range-boundary extrapolation is not reproduced
+          // gauge difference over the window, Prometheus-extrapolated
           val (in, d) = rangeInput(args.head, g)
-          val frame = org.apache.spark.sql.expressions.Window
-            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
-          in
-            .withColumn("_n", count(S.Value).over(frame))
-            .withColumn(S.Value,
-              expr(s"max_by(${S.Value}, ${S.Ts})").over(frame) -
-                expr(s"min_by(${S.Value}, ${S.Ts})").over(frame))
-            .where(col("_n") >= 2)
-            .drop("_n")
+          Temporal.extrapolatedRate(in, d, isCounter = false, isRate = false)
         case "deriv" =>
           val (in, d) = rangeInput(args.head, g)
           Temporal.linearFit(in, d, None)
@@ -755,6 +774,19 @@ object PromQL {
         .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
         .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
 
+    /** The fixed instant of a range-vector argument carrying `@` (`m[d] @ t`,
+      * `m[d:s] @ t`), if any. */
+    private def rangeAt(e: Expr): Option[Long] = e match {
+      case Range(s, _)                   => s.atMs
+      case Subquery(s: Selector, _, _)   => s.atMs
+      case _                             => None
+    }
+    private def stripRangeAt(e: Expr): Expr = e match {
+      case Range(s, d)                   => Range(s.copy(atMs = None), d)
+      case Subquery(s: Selector, d, st)  => Subquery(s.copy(atMs = None), d, st)
+      case other                         => other
+    }
+
     private def one(args: List[Expr], g: QueryGrid): DataFrame = eval(args.head, g)
     private def requireRange(args: List[Expr]): Range = args.head match {
       case r: Range => r
@@ -773,11 +805,15 @@ object PromQL {
       case _ => throw PromParseError("expected range selector m[d] or subquery expr[d:s]")
     }
 
-    /** Last value per (series, step instant), instants aligned to absolute
-      * epoch multiples of the step like Prometheus subquery evaluation. */
+    /** Newest value at-or-before each (series, step instant), instants
+      * aligned to absolute epoch multiples of the step like Prometheus
+      * subquery evaluation: a sample at ts is visible from the FIRST step
+      * instant >= ts (ceiling bucket), so no instant ever reads the future.
+      * Lookback is step-bounded — a series gap longer than one step leaves
+      * that instant empty (no 5m staleness carry; header divergence list). */
     private def resample(df: DataFrame, stepMs: Long): DataFrame =
       df.withColumn("_b",
-          floor(col(S.Ts) / lit(stepMs.toDouble)).cast("long") * stepMs)
+          floor((col(S.Ts) + lit(stepMs - 1)) / lit(stepMs.toDouble)).cast("long") * stepMs)
         .groupBy(col(S.SeriesId), col("_b"))
         .agg(expr(s"max_by(${S.Value}, ${S.Ts})").as(S.Value),
           first(col(S.LabelsCol)).as(S.LabelsCol))

@@ -109,33 +109,47 @@ object PromX extends QueryPack {
        |FROM g WHERE etype = 'error' $ord""".stripMargin)
 
   // ---- on() one-to-one matching against an aggregated divisor --------------
+  // Prometheus label hygiene: a one-to-one `on(user)` match projects the
+  // result onto the on-labels only (resultMetric Keep), so the series key is
+  // just `user:N` — no metric name survives an arithmetic op.
   private def qOnDivide(s: SparkSession, sf: String): DataFrame =
     flat(run(s, sf, "click / on(user) (sum by (user) (view))"))
   private val qOnDivideSql = withSG(
     s""", r AS (SELECT usr, ts, ${dsum("value")} AS rv
        |        FROM g WHERE etype = 'view' GROUP BY usr, ts)
-       |SELECT 'name:click,user:' || g.usr AS series, g.ts AS ts,
+       |SELECT 'user:' || g.usr AS series, g.ts AS ts,
        |       CASE WHEN r.rv = 0 THEN CAST('NaN' AS DOUBLE) ELSE g.value / r.rv END AS value
        |FROM g JOIN r ON g.usr = r.usr AND g.ts = r.ts
        |WHERE g.etype = 'click' $ord""".stripMargin)
 
   // ---- group_left: many left series fan onto one aggregated right ----------
+  // The left branches carry a distinguishing `op` label (copied in via
+  // label_replace) because `or` matches on all labels EXCLUDING the metric
+  // name — without it the view branch would collapse into click's label
+  // sets — and because group_left output drops the name, which would
+  // otherwise leave duplicate result label sets.
   private def qGroupLeft(s: SparkSession, sf: String): DataFrame =
-    flat(run(s, sf, "(click or view) * on(user) group_left (sum by (user) (error))"))
+    flat(run(s, sf,
+      """(label_replace(click, "op", "c", "", "") or label_replace(view, "op", "v", "", ""))""" +
+        " * on(user) group_left (sum by (user) (error))"))
   private val qGroupLeftSql = withSG(
     s""", r AS (SELECT usr, ts, ${dsum("value")} AS rv
        |        FROM g WHERE etype = 'error' GROUP BY usr, ts)
-       |SELECT 'name:' || g.etype || ',user:' || g.usr AS series, g.ts AS ts,
+       |SELECT 'op:' || (CASE WHEN g.etype = 'click' THEN 'c' ELSE 'v' END)
+       |         || ',user:' || g.usr AS series, g.ts AS ts,
        |       g.value * r.rv AS value
        |FROM g JOIN r ON g.usr = r.usr AND g.ts = r.ts
        |WHERE g.etype IN ('click', 'view') $ord""".stripMargin)
 
   // ---- subquery: inner expression re-gridded to 12h instants, 1d window ----
+  // Step instants take the newest sample AT-OR-BEFORE them (ceiling bucket):
+  // a sample only becomes visible from the next step multiple >= its ts, so
+  // no instant reads the future.
   private def qSubquery(s: SparkSession, sf: String): DataFrame =
     flat(run(s, sf, "max_over_time((click * 2)[1d:12h])"))
   private val qSubquerySql = withSG(
     s""", i AS (
-       |  SELECT usr, (ts // 43200000) * 43200000 AS ti, arg_max(value * 2, ts) AS v
+       |  SELECT usr, ((ts + 43199999) // 43200000) * 43200000 AS ti, arg_max(value * 2, ts) AS v
        |  FROM g WHERE etype = 'click' GROUP BY 1, 2)
        |SELECT series, ts, value FROM (
        |  SELECT 'name:click,user:' || usr AS series, ti AS ts,
@@ -143,6 +157,96 @@ object PromX extends QueryPack {
        |                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
        |  FROM i)
        |WHERE ts >= ${grid.startMs} AND ts < ${grid.endMs} $ord""".stripMargin)
+
+  // ---- irate with counter-reset handling -----------------------------------
+  // A reset (v < prev) emits the post-reset rate value/elapsed — Prometheus
+  // restarts the counter at 0, it does not drop the point.
+  private def qIrate(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "irate(click[12h])"))
+  private val qIrateSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts, value,
+       |    lag(value) OVER pw AS pv, lag(ts) OVER pw AS pt
+       |  FROM g WHERE etype = 'click' WINDOW pw AS (PARTITION BY usr ORDER BY ts))
+       |SELECT 'name:click,user:' || usr AS series, ts,
+       |  (CASE WHEN value >= pv THEN value - pv ELSE value END) / ((ts - pt) / 1000.0) AS value
+       |FROM l WHERE pt IS NOT NULL AND ts - pt <= 43200000 $ord""".stripMargin)
+
+  // ---- increase with Prometheus window-edge extrapolation ------------------
+  // Full promql extrapolatedRate: raw counter delta (monotonic correction
+  // for resets) scaled by extrapolatedInterval/sampledInterval, with the
+  // counter-zero clamp on the start edge; the end gap is 0 because the
+  // engine evaluates at sample points. round(…,6) absorbs cross-engine
+  // double-summation noise (same convention as promql_predict_linear).
+  private def qIncrease(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "increase(view[18h])"))
+      .withColumn("value", round(col("value"), 6))
+  private val qIncreaseSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts, value,
+       |    CASE WHEN lag(value) OVER pw IS NOT NULL AND value < lag(value) OVER pw
+       |         THEN lag(value) OVER pw ELSE 0.0 END AS radd
+       |  FROM g WHERE etype = 'view' WINDOW pw AS (PARTITION BY usr ORDER BY ts)),
+       |v AS (
+       |  SELECT usr, ts, value, radd,
+       |    count(value) OVER fw AS n,
+       |    min(ts) OVER fw AS tsf,
+       |    arg_min(value, ts) OVER fw AS vf,
+       |    sum(radd) OVER fw - arg_min(radd, ts) OVER fw AS corr
+       |  FROM l WINDOW fw AS (PARTITION BY usr ORDER BY ts
+       |                       RANGE BETWEEN 64800000 PRECEDING AND CURRENT ROW)),
+       |e AS (
+       |  SELECT usr, ts, n, vf,
+       |    value - vf + corr AS rv,
+       |    CAST(ts - tsf AS DOUBLE) AS si,
+       |    CAST(tsf - (ts - 64800000) AS DOUBLE) AS ds0,
+       |    CAST(ts - tsf AS DOUBLE) / (n - 1) AS ai
+       |  FROM v),
+       |x AS (
+       |  SELECT usr, ts, n, rv, si, ai,
+       |    CASE WHEN rv > 0 AND vf >= 0 AND si * vf / rv < ds0
+       |         THEN si * vf / rv ELSE ds0 END AS ds
+       |  FROM e)
+       |SELECT 'name:view,user:' || usr AS series, ts,
+       |  round(rv * ((si + CASE WHEN ds < ai * 1.1 THEN ds ELSE ai / 2 END) / si), 6) AS value
+       |FROM x WHERE n >= 2 $ord""".stripMargin)
+
+  // ---- @ on a range selector: rate pinned at a fixed instant ---------------
+  // rate(view[12h] @ t): the reference-semantics smoothed rate evaluated
+  // with the scan pinned to [t-12h-5m, t], its value at t stamped onto every
+  // grid instant. The oracle mirrors the same pinned scan bounds. t is a
+  // data-bearing instant at every SF (several users carry adjacent view
+  // buckets there even at sf0.001).
+  private val atT = grid.startMs + 7 * grid.stepMs
+  private def qAtRate(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, s"rate(view[12h] @ ${atT / 1000})"))
+  private val qAtRateSql = withSG(
+    s""", c AS (SELECT usr, ts, value FROM g
+       |        WHERE etype = 'view' AND ts >= ${atT - 43200000 - 300000} AND ts <= $atT),
+       |rf AS (
+       |  SELECT usr, ts, value,
+       |    CASE WHEN lag(value) OVER pw IS NOT NULL AND value < lag(value) OVER pw
+       |         THEN 1 ELSE 0 END AS reset
+       |  FROM c WINDOW pw AS (PARTITION BY usr ORDER BY ts)),
+       |seg AS (
+       |  SELECT usr, ts, value,
+       |    sum(reset) OVER (PARTITION BY usr ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sg
+       |  FROM rf),
+       |rated AS (
+       |  SELECT usr, ts,
+       |    (value - lag(value) OVER sw) / ((ts - lag(ts) OVER sw) / 1000.0) AS rate
+       |  FROM seg WINDOW sw AS (PARTITION BY usr, sg ORDER BY ts)
+       |  QUALIFY rate IS NOT NULL),
+       |sm AS (
+       |  SELECT usr, ts,
+       |    CAST(sum(CAST(rate AS DECIMAL(38,9))) OVER fw AS DOUBLE)
+       |      / count(rate) OVER fw AS value
+       |  FROM rated WINDOW fw AS (PARTITION BY usr ORDER BY ts
+       |                           RANGE BETWEEN 43200000 PRECEDING AND CURRENT ROW))
+       |SELECT 'name:view,user:' || sm.usr AS series, gs.ts AS ts, sm.value AS value
+       |FROM sm CROSS JOIN (SELECT unnest(generate_series(${grid.startMs},
+       |  ${grid.alignedEndMs}, ${grid.stepMs})) AS ts) gs
+       |WHERE sm.ts = $atT $ord""".stripMargin)
 
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_on_divide", qOnDivide, Some(qOnDivideSql)),
@@ -154,5 +258,8 @@ object PromX extends QueryPack {
     QueryDef("promql_quantile_agg", qQuantile, Some(qQuantileSql)),
     QueryDef("promql_predict_linear", qPredict, Some(qPredictSql)),
     QueryDef("promql_absent", qAbsent, Some(qAbsentSql)),
-    QueryDef("promql_label_replace", qLabelReplace, Some(qLabelReplaceSql)))
+    QueryDef("promql_label_replace", qLabelReplace, Some(qLabelReplaceSql)),
+    QueryDef("promql_irate", qIrate, Some(qIrateSql)),
+    QueryDef("promql_increase", qIncrease, Some(qIncreaseSql)),
+    QueryDef("promql_at_rate", qAtRate, Some(qAtRateSql)))
 }

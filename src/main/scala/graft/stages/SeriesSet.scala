@@ -268,26 +268,11 @@ object SeriesSet {
     binaryInner(left, right, keys, "asPercent/ratio", Some("ratios"))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l * lit(100.0) / r))
 
-  /** PromQL vector arithmetic: the divide matching machinery with the matched
-    * left labels passed through UNCHANGED — Prometheus never rewrites labels
-    * on vector math, so no `type:ratios` injection and no series_id rehash
-    * (that label surgery is M3's DivideStage.transformLabels, which has no
-    * PromQL analogue). A point is emitted only where BOTH operands have one
-    * (inner timestamp join = Prometheus one-to-one vector matching). */
-  def vectorOp(left: DataFrame, right: DataFrame)(f: (Column, Column) => Column): DataFrame =
-    binaryInner(left, right, Nil, "binop", None)(f)
-
-  /** PromQL vector `/` — 0 denominator keeps the engine-wide NaN convention. */
-  def vectorDivide(left: DataFrame, right: DataFrame): DataFrame =
-    vectorOp(left, right)((l, r) => when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
-
-  /** PromQL vector `*` — see [[vectorDivide]]. */
-  def vectorMultiply(left: DataFrame, right: DataFrame): DataFrame =
-    vectorOp(left, right)((l, r) => l * r)
-
   // ------------------------------------------------------------------------
   // PromQL vector matching — `on(…)` / `ignoring(…)` with optional
-  // `group_left` / `group_right` many-to-one expansion
+  // `group_left` / `group_right` many-to-one expansion. The default (no
+  // clause) matching of `a <op> b` is `ignoring()` — all labels except the
+  // metric name, which Prometheus excludes from every matching signature.
   // ------------------------------------------------------------------------
 
   /** How a PromQL binary op pairs the two vectors: match on exactly `labels`
@@ -298,45 +283,80 @@ object SeriesSet {
                                   groupLeft: Boolean = false, groupRight: Boolean = false,
                                   include: Seq[String] = Nil)
 
-  /** Match-key column for a VectorMatching over the labels map. */
+  /** Prometheus's default matching for `a <op> b` with no clause: all labels
+    * except the metric name. */
+  val DefaultMatching: VectorMatching = VectorMatching(on = false, Nil)
+
+  /** Match-key column for a VectorMatching over the labels map. Prometheus
+    * appends `__name__` to the excluded set of every ignoring-mode signature
+    * (promql signatureFunc), so `a / b` and `a and b` pair across metric
+    * names; an `on(…)` list matches exactly what it names (including `name`
+    * when written). */
   private def promMatchKey(m: VectorMatching): Column =
     if (m.on)
       concat_ws(Sep, m.labels.map(k => coalesce(col(S.LabelsCol).getItem(k), lit(MissingV))): _*)
-    else
+    else {
+      val excluded = m.labels :+ "name"
       TsSchema.seriesKey(map_filter(col(S.LabelsCol),
-        (k, _) => m.labels.map(ig => k =!= lit(ig)).reduceOption(_ && _).getOrElse(lit(true))))
+        (k, _) => excluded.map(ex => k =!= lit(ex)).reduce(_ && _)))
+    }
+
+  /** Output labels of a matched binary op — Prometheus's resultMetric
+    * (promql engine): start from the many side's labels; drop the metric
+    * name when the op rewrites the value (`dropName` — arithmetic and `bool`
+    * comparisons; plain filter comparisons keep it); one-to-one `on(…)`
+    * keeps ONLY the on-labels, one-to-one `ignoring(…)` deletes the ignored
+    * labels; `include` labels copy from the one side afterwards. */
+  private def promResultLabels(m: VectorMatching, dropName: Boolean): Column = {
+    val oneToOne = !m.groupLeft && !m.groupRight
+    val base =
+      if (dropName) map_filter(col(S.LabelsCol), (k, _) => k =!= "name")
+      else col(S.LabelsCol)
+    if (oneToOne && m.on)
+      map_filter(base, (k, _) =>
+        m.labels.map(k === lit(_)).reduceOption(_ || _).getOrElse(lit(false)))
+    else if (oneToOne && m.labels.nonEmpty)
+      map_filter(base, (k, _) => m.labels.map(k =!= lit(_)).reduce(_ && _))
+    else base
+  }
 
   /** Prometheus-exact binary-op matching: inner join on (match key, ts); the
     * "one" side must be unique per key (duplicate → runtime error, like
     * Prometheus's "found duplicate series"), and without group_left/right the
     * many side must be unique too ("many-to-one matching must use group_…").
-    * Output labels are the many side's, plus `include` labels copied from the
-    * one side. All cardinality checks are window flags folded into the lazy
-    * plan — no driver-side probe. */
-  def promMatch(left: DataFrame, right: DataFrame, m: VectorMatching)
+    * Both duplicate checks are counted per side BEFORE the join but RAISED
+    * only on joined rows — a duplicate key that never matches anything is
+    * harmless, exactly like Prometheus, which only errors inside a populated
+    * match group. Output labels follow [[promResultLabels]]. All cardinality
+    * checks are window flags folded into the lazy plan — no driver-side
+    * probe. */
+  def promMatch(left: DataFrame, right: DataFrame, m: VectorMatching,
+                dropName: Boolean = true)
                (f: (Column, Column) => Column): DataFrame = {
     val manyIsLeft = !m.groupRight
     val (manySide, oneSide) = if (manyIsLeft) (left, right) else (right, left)
     val w = Window.partitionBy("_mk", S.Ts)
     val oneG = oneSide.withColumn("_mk", promMatchKey(m))
-      .withColumn("_ov",
-        when(count(lit(1)).over(w) > 1,
-          raise_error(lit("vector matching: found duplicate series on the one side"))
-            .cast(DoubleType))
-          .otherwise(col(S.Value)))
-      .select(col("_mk"), col(S.Ts), col("_ov"), col(S.LabelsCol).as("_olab"))
+      .withColumn("_nOne", count(lit(1)).over(w))
+      .select(col("_mk"), col(S.Ts), col(S.Value).as("_ov"),
+        col(S.LabelsCol).as("_olab"), col("_nOne"))
     val manyKeyed = manySide.withColumn("_mk", promMatchKey(m))
     val manyChecked =
-      if (m.groupLeft || m.groupRight) manyKeyed
-      else manyKeyed.withColumn(S.Value,
-        when(count(lit(1)).over(w) > 1,
+      if (m.groupLeft || m.groupRight) manyKeyed.withColumn("_nMany", lit(1L))
+      else manyKeyed.withColumn("_nMany", count(lit(1)).over(w))
+    val joined = manyChecked.join(oneG, Seq("_mk", S.Ts), "inner")
+      .withColumn("_ov",
+        when(col("_nOne") > 1,
+          raise_error(lit("vector matching: found duplicate series on the one side"))
+            .cast(DoubleType))
+        .when(col("_nMany") > 1,
           raise_error(lit("many-to-one matching must use group_left/group_right"))
             .cast(DoubleType))
-          .otherwise(col(S.Value)))
-    val joined = manyChecked.join(oneG, Seq("_mk", S.Ts), "inner")
+        .otherwise(col("_ov")))
     val (lv, rv) =
       if (manyIsLeft) (col(S.Value), col("_ov")) else (col("_ov"), col(S.Value))
     val out = joined.withColumn(S.Value, f(lv, rv))
+      .withColumn(S.LabelsCol, promResultLabels(m, dropName))
     val withInc =
       if (m.include.isEmpty) out
       else out.withColumn(S.LabelsCol, map_concat(
@@ -346,20 +366,23 @@ object SeriesSet {
             map(m.include.flatMap(inc =>
               Seq(lit(inc), element_at(col("_olab"), inc))): _*),
             (_, v) => v.isNotNull)))
-        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
-    withInc.select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    withInc
+      .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
   }
 
   // ------------------------------------------------------------------------
-  // PromQL set operators — match on the FULL label set at each timestamp
-  // (an instant vector is a set of (labelset -> point) entries; `and`/`or`/
-  // `unless` operate on labelset identity per evaluation timestamp), or on
-  // the on/ignoring projection when a matching clause is given
+  // PromQL set operators — match on the full label set EXCLUDING the metric
+  // name at each timestamp (an instant vector is a set of (labelset → point)
+  // entries; `and`/`or`/`unless` operate on labelset identity per evaluation
+  // timestamp, and Prometheus's matching signature never includes
+  // `__name__` — so `a and b` pairs across metric names), or on the
+  // on/ignoring projection when a matching clause is given. Result labels
+  // are the inputs' own, untouched (set ops never rewrite labels).
   // ------------------------------------------------------------------------
 
   private def withVKey(df: DataFrame, m: Option[VectorMatching] = None): DataFrame =
-    df.withColumn("_vk",
-      m.map(promMatchKey).getOrElse(TsSchema.seriesKey(col(S.LabelsCol))))
+    df.withColumn("_vk", promMatchKey(m.getOrElse(DefaultMatching)))
 
   /** `l and r` — left points whose label set also has a right point at the
     * same timestamp. Semi join: no right values ever shuffle. */

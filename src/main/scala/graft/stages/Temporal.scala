@@ -291,4 +291,50 @@ object Temporal {
         (sum(col("_rate").cast(Dec)).over(smooth).cast(DoubleType) / count("_rate").over(smooth)))
       .drop("_pv", "_reset", "_seg", "_spv", "_spt", "_rate")
   }
+
+  /** Prometheus `increase`/`delta` (`rate` when isRate): the value change
+    * over the trailing window `[t-d, t]` with Prometheus's window-edge
+    * extrapolation (promql extrapolatedRate): the raw change is scaled by
+    * `extrapolatedInterval / sampledInterval`, where each window edge not
+    * covered by samples contributes its uncovered gap when smaller than 1.1×
+    * the average sample spacing, else half an average spacing; counters also
+    * clamp the start extrapolation at the interpolated zero crossing.
+    * Evaluated at sample points, so the end gap is 0 by construction, and
+    * counter resets inside the window add the pre-reset value (the standard
+    * monotonic correction). Windows with <2 samples emit nothing. One window
+    * pass, pure builtins. */
+  def extrapolatedRate(df: DataFrame, windowMs: Long,
+                       isCounter: Boolean, isRate: Boolean): DataFrame = {
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-windowMs, 0)
+    val prev = lag(col(S.Value), 1).over(w)
+    // per-row monotonic correction against the in-series predecessor; window
+    // sums subtract the FIRST row's correction, whose pair precedes the window
+    val base = df.withColumn("_radd",
+      when(prev.isNotNull && col(S.Value) < prev, prev).otherwise(lit(0.0)))
+    val n = count(col(S.Value)).over(frame)
+    val tsF = min(col(S.Ts)).over(frame)
+    val vF = expr(s"min_by(${S.Value}, ${S.Ts})").over(frame)
+    val corr =
+      sum(col("_radd")).over(frame) - expr(s"min_by(_radd, ${S.Ts})").over(frame)
+    val rv = if (isCounter) col(S.Value) - vF + corr else col(S.Value) - vF
+    val sampledMs = (col(S.Ts) - tsF).cast(DoubleType)
+    val dStart0 = (tsF - (col(S.Ts) - windowMs)).cast(DoubleType)
+    val avgIv = sampledMs / (n - 1).cast(DoubleType)
+    // a counter cannot have been negative: never extrapolate back past the
+    // interpolated zero crossing
+    val dStart =
+      if (isCounter)
+        when(rv > 0 && vF >= 0 && sampledMs * vF / rv < dStart0, sampledMs * vF / rv)
+          .otherwise(dStart0)
+      else dStart0
+    val extended = sampledMs + when(dStart < avgIv * 1.1, dStart).otherwise(avgIv / 2)
+    val factor =
+      if (isRate) extended / sampledMs / lit(windowMs / 1000.0)
+      else extended / sampledMs
+    base
+      .withColumn("_n", n)
+      .withColumn(S.Value, rv * factor)
+      .where(col("_n") >= 2)
+      .drop("_radd", "_n")
+  }
 }

@@ -110,9 +110,10 @@ object Ingest {
                      nowMs: Long): Seq[String] = {
     val cutoff = java.time.Instant.ofEpochMilli(nowMs)
       .minus(java.time.Duration.ofDays(keepDays))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(tablePath)
+    // resolve the FS from the table path itself — FileSystem.get(conf) would
+    // return the DEFAULT filesystem, wrong whenever the table lives elsewhere
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
     val dropped = fs.listStatus(base).toSeq
       .filter(_.isDirectory)
@@ -129,39 +130,116 @@ object Ingest {
     dropped.map(_.toString)
   }
 
+  /** Name of the per-partition compaction commit marker. The leading dot
+    * keeps it invisible to parquet readers (Spark skips `.`/`_` files). */
+  private val PendingMarker = ".compact-pending"
+
   /** Compaction: rewrite day partitions whose parquet file count exceeds
     * `maxFiles` into `targetFiles` files — the reference's size-tiered
     * compaction (core/compaction/SizeTieredCompaction.java) re-expressed as a
     * partition rewrite job. Micro-batch ingest accretes a file per trigger;
-    * periodic compaction keeps scan task counts bounded. The rewrite goes
-    * through a sibling temp dir + two renames, so a concurrent reader sees
-    * either the old or the new file set, never a partial one; driver-side
-    * work is one directory listing per partition (metadata-scale only).
-    * Returns the rewritten partition paths. */
+    * periodic compaction keeps scan task counts bounded; driver-side work is
+    * one directory listing per partition (metadata-scale only).
+    *
+    * Swap protocol (single compactor assumed; readers may list at any time —
+    * a raw filesystem has no atomic multi-file commit, so the guarantees are
+    * made explicit instead of claimed away):
+    *  1. compacted files are written to a `_compact_` sibling temp dir
+    *  2. a `.compact-pending` marker naming the NEW files is committed into
+    *     the partition (temp-write + atomic rename)
+    *  3. the new files MOVE INTO the live partition, then the old files are
+    *     deleted — the partition is never empty; a concurrent listing sees
+    *     the old set, or briefly old+new (a bounded transient over-count
+    *     during the swap), never neither
+    *  4. the marker is removed
+    * Every rename's boolean is checked; a failure rolls that partition back
+    * (new files out, old set intact). [[recoverPartition]] runs first each
+    * sweep: a marker whose new files all exist rolls FORWARD (finish the
+    * deletes), anything else rolls BACK — so a crash at ANY step leaves every
+    * row present exactly once after the next sweep. Returns the rewritten
+    * partition paths. */
   def compactionSweep(spark: SparkSession, tablePath: String,
                       maxFiles: Int = 8, targetFiles: Int = 1): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val base = new org.apache.hadoop.fs.Path(tablePath)
+    import org.apache.hadoop.fs.Path
+    val base = new Path(tablePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
-    val rewritten = fs.listStatus(base).toSeq
+
+    def parquets(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+
+    // ---- recovery + stale-state cleanup from a previous dead run -----------
+    val parts = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
-      .filter { s =>
-        fs.listStatus(s.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
-      }
-      .map { s =>
-        val part = s.getPath
-        val tmp = new org.apache.hadoop.fs.Path(base, s"_compact_${part.getName}")
+      .map(_.getPath)
+    parts.foreach(p => recoverPartition(fs, p))
+    fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("_compact_"))
+      .foreach(fs.delete(_, true))
+
+    parts
+      .filter(p => parquets(p).size > maxFiles)
+      .flatMap { part =>
+        val tmp = new Path(base, s"_compact_${part.getName}")
         spark.read.parquet(part.toString)
           .repartition(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
-        val old = new org.apache.hadoop.fs.Path(base, s"_old_${part.getName}")
-        fs.rename(part, old)
-        fs.rename(tmp, part)
-        fs.delete(old, true)
-        part.toString
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val tmpFiles = parquets(tmp)
+        val newNames = tmpFiles.indices.map(i => f"compacted-$runId-$i%05d.parquet")
+        val olds = parquets(part)
+        // commit point: the marker names the incoming files (temp + rename —
+        // readers never see a half-written marker)
+        val markerTmp = new Path(part, s"$PendingMarker.tmp")
+        val out = fs.create(markerTmp, true)
+        out.write(newNames.mkString("\n").getBytes("UTF-8"))
+        out.close()
+        val marker = new Path(part, PendingMarker)
+        if (!fs.rename(markerTmp, marker)) {
+          fs.delete(markerTmp, false); fs.delete(tmp, true)
+          None
+        } else {
+          val movedAll = tmpFiles.zip(newNames).forall { case (src, name) =>
+            fs.rename(src, new Path(part, name))
+          }
+          if (!movedAll) {
+            // roll back: old set is still complete (olds are only deleted
+            // after every new file arrived)
+            newNames.foreach(n => fs.delete(new Path(part, n), false))
+            fs.delete(marker, false); fs.delete(tmp, true)
+            None
+          } else {
+            olds.foreach(fs.delete(_, false))
+            fs.delete(marker, false)
+            fs.delete(tmp, true)
+            Some(part.toString)
+          }
+        }
       }
-    rewritten
+  }
+
+  /** Finish or undo a compaction swap that died mid-flight. With the pending
+    * marker present: all named new files on disk → roll forward (delete every
+    * unnamed parquet, then the marker); any named file missing → roll back
+    * (delete the named files that did arrive — the old set is still
+    * complete). No marker → nothing to do (committed `compacted-` files are
+    * real data). */
+  private def recoverPartition(fs: org.apache.hadoop.fs.FileSystem,
+                               part: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(part, PendingMarker)
+    fs.delete(new Path(part, s"$PendingMarker.tmp"), false)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val newNames = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+    in.close()
+    val present = fs.listStatus(part).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (newNames.subsetOf(present.map(_.getName).toSet))
+      present.filterNot(p => newNames(p.getName)).foreach(fs.delete(_, false))
+    else
+      present.filter(p => newNames(p.getName)).foreach(fs.delete(_, false))
+    fs.delete(marker, false)
   }
 
   /** Streaming windowed aggregation (query-over-stream): per label-key tumbling

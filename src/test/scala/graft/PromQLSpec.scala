@@ -66,19 +66,20 @@ class PromQLSpec extends SparkTestBase {
         Seq(2.0, 4, 6, 8, 10, 12, 14, 16, 18, 20).map(v => S(math.sqrt(v)))))
   }
 
-  test("vector / vector division (single right series projects onto all)") {
-    // right side is one series → match everything; Prometheus vector math
-    // NEVER rewrites labels (no M3 type:ratios injection)
+  test("vector / vector matches across metric names and drops the name label") {
+    // default matching = all labels except __name__, so req/mem pair on
+    // {dc:a}; arithmetic results carry NO metric name (Prometheus
+    // shouldDropMetricName)
     val out = toGolden(run("""req{dc="a"} / mem{dc="a"}"""))
-    assert(out.keySet == Set("dc:a,name:req"))
-    assert(out("dc:a,name:req").head.contains(0.2))
+    assert(out.keySet == Set("dc:a"), "a / b output must not carry the name label")
+    assert(out("dc:a").head.contains(0.2))
   }
 
-  test("vector * vector keeps the matched input labels untouched") {
+  test("vector * vector keeps non-name labels and drops the name") {
     val out = toGolden(run("""req{dc="a"} * mem{dc="a"}"""))
-    assert(out.keySet == Set("dc:a,name:req"))
-    assert(out("dc:a,name:req").head.contains(5.0))   // 1 * 5
-    assert(out("dc:a,name:req")(4).contains(5.0))     // 5 * 1
+    assert(out.keySet == Set("dc:a"))
+    assert(out("dc:a").head.contains(5.0))   // 1 * 5
+    assert(out("dc:a")(4).contains(5.0))     // 5 * 1
   }
 
   test("trailing input after a complete expression raises") {
@@ -219,10 +220,11 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("operator precedence: * binds tighter than +") {
+    // vector+vector drops the name label; scalar * keeps labels untouched
     assertSeries(run("""req{dc="a"} + req{dc="a"} * 2"""),
-      Map("dc:a,name:req" -> (1 to 10).map(i => S(3.0 * i))))
+      Map("dc:a" -> (1 to 10).map(i => S(3.0 * i))))
     assertSeries(run("""(req{dc="a"} + req{dc="a"}) * 2"""),
-      Map("dc:a,name:req" -> (1 to 10).map(i => S(4.0 * i))))
+      Map("dc:a" -> (1 to 10).map(i => S(4.0 * i))))
   }
 
   test("scalar subtrees constant-fold") {
@@ -248,26 +250,26 @@ class PromQLSpec extends SparkTestBase {
     series("name:q,dc:a,inst:2", Seq(S(10), S(20), S(30), S(40), S(50), S(60), S(70), S(80), S(90), S(100))) ++
     series("name:lim,dc:a,cap:hi", Seq.fill(10)(S(2.0))))
 
-  test("on() restricts the match key") {
+  test("on() one-to-one projects the result onto the on-labels") {
     assertSeries(PromQL.query(spark, fx, g, """req{dc="a"} / on(dc) mem{dc="a"}"""),
-      Map("dc:a,name:req" -> Seq(S(0.2), S(0.5), S(1), S(2), S(5), S(3), S(7.0 / 3), S(2), S(1.8), S(10.0 / 6))))
+      Map("dc:a" -> Seq(S(0.2), S(0.5), S(1), S(2), S(5), S(3), S(7.0 / 3), S(2), S(1.8), S(10.0 / 6))))
   }
 
-  test("ignoring() drops listed labels from the match key") {
+  test("ignoring() drops listed labels from the match key and the result") {
     assertSeries(PromQL.query(spark, fx, g, """req{dc="a"} * ignoring(name) mem{dc="a"}"""),
-      Map("dc:a,name:req" -> Seq(S(5), S(8), S(9), S(8), S(5), S(12), S(21), S(32), S(45), S(60))))
+      Map("dc:a" -> Seq(S(5), S(8), S(9), S(8), S(5), S(12), S(21), S(32), S(45), S(60))))
   }
 
-  test("group_left fans one right series onto many left series") {
+  test("group_left fans one right series onto many left series (name dropped)") {
     val out = toGolden(PromQL.query(spark, fxMatch, g, """q * on(dc) group_left lim"""))
     assert(out == Map(
-      "dc:a,inst:1,name:q" -> (1 to 10).map(i => S(2.0 * i)),
-      "dc:a,inst:2,name:q" -> (1 to 10).map(i => S(20.0 * i))))
+      "dc:a,inst:1" -> (1 to 10).map(i => S(2.0 * i)),
+      "dc:a,inst:2" -> (1 to 10).map(i => S(20.0 * i))))
   }
 
   test("group_left(include) copies labels from the one side") {
     val out = toGolden(PromQL.query(spark, fxMatch, g, """q * on(dc) group_left(cap) lim"""))
-    assert(out.keySet == Set("cap:hi,dc:a,inst:1,name:q", "cap:hi,dc:a,inst:2,name:q"))
+    assert(out.keySet == Set("cap:hi,dc:a,inst:1", "cap:hi,dc:a,inst:2"))
   }
 
   test("many-to-one without group_left raises") {
@@ -312,14 +314,13 @@ class PromQLSpec extends SparkTestBase {
       Seq(S(10), S(10), S(10), S(10), S(8), S(6), S(6), S(8), S(10), S(12)))
   }
 
-  test("subquery with coarser step keeps last sample per instant") {
-    // [4m:2m]: step instants at absolute 2m multiples keep the LAST sample
-    // of each bucket — samples at minutes 1..10 (values 1..10) become
-    // instants 0m→1, 2m→3, 4m→5, 6m→7, 8m→9, 10m→10; sum_over_time then
-    // sums instants in the trailing 4m window; the 0m instant is clipped by
-    // the outer grid [1m, 11m)
+  test("subquery with coarser step keeps the newest sample at-or-before each instant") {
+    // [4m:2m]: step instants at absolute 2m multiples read the newest sample
+    // <= the instant (ceiling bucket — never the future): samples at minutes
+    // 1..10 (values 1..10) become instants 2m→2, 4m→4, 6m→6, 8m→8, 10m→10;
+    // sum_over_time then sums instants in the trailing 4m window
     assertSeries(run("""sum_over_time(req{dc="a"}[4m:2m])"""),
-      Map("dc:a,name:req" -> Seq(N, S(4), N, S(9), N, S(15), N, S(21), N, S(26))))
+      Map("dc:a,name:req" -> Seq(N, S(2), N, S(6), N, S(12), N, S(18), N, S(24))))
   }
 
   test("subquery over an aggregation") {
@@ -344,8 +345,43 @@ class PromQLSpec extends SparkTestBase {
       Map("dc:a,name:req" -> Seq.fill(10)(S(5))))
   }
 
-  test("@ on a range selector raises") {
-    intercept[UnsupportedOperationException](PromQL.parse("""rate(req[2m] @ 300)"""))
+  test("@ on a range selector pins the window and stamps the grid") {
+    // sum_over_time(req{dc="a"}[3m] @ 300): window [2m, 5m] holds samples
+    // 2,3,4,5 → 14, constant across the grid
+    assertSeries(run("""sum_over_time(req{dc="a"}[3m] @ 300)"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(14))))
+    // and through a rate: req dc:a rises 1/min → 1/60 per second at t=300s
+    val out = toGolden(run("""rate(req{dc="a"}[3m] @ 300)"""))
+    assert(out("dc:a,name:req").flatten.forall(v => math.abs(v - 1.0 / 60) < 1e-8))
+  }
+
+  test("irate emits the post-reset rate across counter resets") {
+    // counter resets at position 3 (8 → 2): Prometheus treats the counter as
+    // restarted, so the instant rate is value/elapsed = 2/60, not a drop
+    val resetting = samplesDF(
+      series("name:c,dc:x", Seq(S(1), S(4), S(8), S(2), S(5), N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, resetting, g, "irate(c[2m])"))
+    assert(out("dc:x,name:c") == Seq(N, S(3.0 / 60), S(4.0 / 60), S(2.0 / 60), S(3.0 / 60), N, N, N, N, N))
+  }
+
+  test("increase extrapolates a partial window to the window edges") {
+    // increase(req{dc="a"}[2m]) at position 1: window [t-2m, t] holds only
+    // samples 1,2 (sampledInterval 1m, raw delta 1). durationToStart is 1m,
+    // avg spacing 1m → threshold 1.1m, and the counter-zero clamp keeps 1m
+    // (zero crossing = 1m·(1/1) = 1m): extrapolated = (1m+1m)/1m → 2.0
+    val out = toGolden(run("""increase(req{dc="a"}[2m])"""))
+    assert(math.abs(out("dc:a,name:req")(1).get - 2.0) < 1e-9)
+    // full window at position 3: samples 2,3,4 span the whole window → raw 2
+    assert(math.abs(out("dc:a,name:req")(3).get - 2.0) < 1e-9)
+  }
+
+  test("delta extrapolates the gauge difference") {
+    // delta(mem{dc="a"}[3m]) at position 1: samples 5,4 → raw -1, sampled
+    // 1m, durationToStart 2m >= 1.1m threshold → extend by avg/2 = 0.5m:
+    // -1 × 1.5m/1m = -1.5; full window at position 3 → exact -3
+    val out = toGolden(run("""delta(mem{dc="a"}[3m])"""))
+    assert(math.abs(out("dc:a,name:mem")(1).get - (-1.5)) < 1e-9)
+    assert(math.abs(out("dc:a,name:mem")(3).get - (-3.0)) < 1e-9)
   }
 
   test("instant query evaluates a single-point grid") {

@@ -103,5 +103,62 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(fileCounts.forall(_ <= 4), s"file counts after compaction: ${fileCounts.toSeq}")
     val after = spark.read.parquet(s"$dir/tbl").select("x").collect().map(_.getLong(0)).sorted
     assert(after.toSeq == before.toSeq, "compaction must be lossless")
+    // the partition was live through the whole swap: no pending marker left,
+    // and a reader listing NOW sees exactly the committed file set
+    val p2024 = parts.find(_.getPath.getName.contains("2024-01-01")).get.getPath
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p2024, ".compact-pending")))
+  }
+
+  test("compaction recovery rolls a died-mid-delete swap forward") {
+    val dir = Files.createTempDirectory("graft_cmp_fwd").toFile.getAbsolutePath
+    import spark.implicits._
+    (1L to 60L).map(i => (i, "2024-01-01 00:00:00")).toDF("x", "day_s")
+      .withColumn("day", col("day_s").cast("timestamp"))
+      .repartition(6)
+      .write.partitionBy("day").parquet(s"$dir/tbl")
+    val base = new org.apache.hadoop.fs.Path(s"$dir/tbl")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(base).map(_.getPath).find(_.getName.startsWith("day=")).get
+    // simulate a run that moved its new files in and wrote the marker, then
+    // died BEFORE deleting the old files: duplicate "compacted" copy + marker
+    val olds = fs.listStatus(part).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+    spark.read.parquet(part.toString).repartition(1)
+      .write.parquet(s"$dir/stage")
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+    val newName = "compacted-deadrun-00000.parquet"
+    assert(fs.rename(staged.head, new org.apache.hadoop.fs.Path(part, newName)))
+    val out = fs.create(new org.apache.hadoop.fs.Path(part, ".compact-pending"), true)
+    out.write(newName.getBytes("UTF-8")); out.close()
+    // next sweep rolls forward: old files deleted, rows present exactly once
+    Ingest.compactionSweep(spark, s"$dir/tbl", maxFiles = 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(part, ".compact-pending")))
+    val names = fs.listStatus(part).map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(names == Seq(newName), s"roll-forward keeps only the new set: $names")
+    assert(spark.read.parquet(s"$dir/tbl").count() == 60L)
+    assert(olds.forall(!fs.exists(_)))
+  }
+
+  test("compaction recovery rolls a died-mid-move swap back") {
+    val dir = Files.createTempDirectory("graft_cmp_back").toFile.getAbsolutePath
+    import spark.implicits._
+    (1L to 60L).map(i => (i, "2024-01-01 00:00:00")).toDF("x", "day_s")
+      .withColumn("day", col("day_s").cast("timestamp"))
+      .repartition(6)
+      .write.partitionBy("day").parquet(s"$dir/tbl")
+    val base = new org.apache.hadoop.fs.Path(s"$dir/tbl")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(base).map(_.getPath).find(_.getName.startsWith("day=")).get
+    // simulate a run that committed a 2-file marker but moved only ONE new
+    // file in before dying: the old set is still complete → roll back
+    val bogus = new org.apache.hadoop.fs.Path(part, "compacted-deadrun-00000.parquet")
+    val bo = fs.create(bogus, true); bo.write(Array[Byte](0, 1, 2)); bo.close()
+    val mk = fs.create(new org.apache.hadoop.fs.Path(part, ".compact-pending"), true)
+    mk.write("compacted-deadrun-00000.parquet\ncompacted-deadrun-00001.parquet"
+      .getBytes("UTF-8")); mk.close()
+    Ingest.compactionSweep(spark, s"$dir/tbl", maxFiles = 100)
+    assert(!fs.exists(bogus), "partial new files must be rolled back")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(part, ".compact-pending")))
+    assert(spark.read.parquet(s"$dir/tbl").count() == 60L, "old set intact after rollback")
   }
 }
