@@ -232,15 +232,21 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+      // TWO pointer jumps per round: each jump is one more hash join inside
+      // the same materialization, far cheaper than another round (which pays
+      // a checkpoint + scheduling), and it halves the round count on
+      // path-shaped components — the label-propagation worst case
+      def jump(df: DataFrame): DataFrame = df
+        .join(df.select(col("node").as("cluster"), col("cluster").as("_c2")),
+          Seq("cluster"), "left")
+        .select(col("node"), col("_old"),
+          least(col("cluster"), coalesce(col("_c2"), col("cluster"))).as("cluster"))
       // the convergence flag rides INSIDE the checkpointed frame, so the
       // probe below is a short-circuit scan of local blocks — not a
       // shuffle join against the previous labels
-      val jumped = stepped
-        .join(stepped.select(col("node").as("cluster"), col("cluster").as("_c2")),
-          Seq("cluster"), "left")
-        .withColumn("_new", least(col("cluster"), coalesce(col("_c2"), col("cluster"))))
-        .select(col("node"), col("_new").as("cluster"),
-          (col("_new") =!= col("_old")).as("_chg"))
+      val jumped = jump(jump(stepped))
+        .select(col("node"), col("cluster"),
+          (col("cluster") =!= col("_old")).as("_chg"))
         .localCheckpoint(eager = probe)
       if (probe) done = jumped.where(col("_chg")).limit(1).count() == 0
       labels = jumped.select("node", "cluster")
