@@ -135,12 +135,12 @@ object PromQL {
 
     private val cmpOps = Set("==", "!=", ">=", "<=", ">", "<")
     private def prec(op: String): Int = op match {
-      case "or"             => 1
-      case "and" | "unless" => 2
-      case o if cmpOps(o)   => 3
-      case "+" | "-"        => 4
-      case "*" | "/" | "%"  => 5
-      case "^"              => 6
+      case "or"                      => 1
+      case "and" | "unless"          => 2
+      case o if cmpOps(o)            => 3
+      case "+" | "-"                 => 4
+      case "*" | "/" | "%" | "atan2" => 5
+      case "^"                       => 6
     }
 
     /** Peek the next binary operator without consuming it. */
@@ -150,6 +150,7 @@ object PromQL {
       val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
       if (Set("==", "!=", ">=", "<=")(two)) Some(two)
       else if ("+-*/%^><".contains(peek)) Some(peek.toString)
+      else if (in.startsWith("atan2", i) && wordEndsAt(i + 5)) Some("atan2")
       else if (in.startsWith("and", i) && wordEndsAt(i + 3)) Some("and")
       else if (in.startsWith("unless", i) && wordEndsAt(i + 6)) Some("unless")
       else if (in.startsWith("or", i) && wordEndsAt(i + 2)) Some("or")
@@ -414,6 +415,7 @@ object PromQL {
           case "+" => a + b;  case "-" => a - b
           case "*" => a * b;  case "/" => a / b
           case "%" => a % b;  case "^" => math.pow(a, b)
+          case "atan2" => math.atan2(a, b)
           case _   => throw PromParseError(s"scalar comparison not supported: $op")
         }
       case _ => None
@@ -711,12 +713,13 @@ object PromQL {
     }
 
     private def binCol(op: String, l: Column, r: Column): Column = op match {
-      case "+" => l + r
-      case "-" => l - r
-      case "*" => l * r
-      case "/" => l / r
-      case "%" => l % r
-      case "^" => pow(l, r)
+      case "+"     => l + r
+      case "-"     => l - r
+      case "*"     => l * r
+      case "/"     => l / r
+      case "%"     => l % r
+      case "^"     => pow(l, r)
+      case "atan2" => atan2(l, r)
     }
 
     /** A labels-from-equality-matchers constant-1 vector on the grid points

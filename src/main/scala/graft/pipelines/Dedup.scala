@@ -268,6 +268,28 @@ object Dedup {
     docs.join(nonCanonical, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark DECONTAMINATION: drop every training document sharing at
+    * least `minHits` word n-grams with the benchmark corpus — the standard
+    * eval-leakage guard of a training-data pipeline (the n-gram-overlap
+    * method popularized by GPT-3 appendix C / Dolma's decontamination pass).
+    *
+    * Scale design: the benchmark side is the small one (eval sets are
+    * thousands of docs, the corpus is billions), so its distinct shingle set
+    * broadcast-joins against the training shingle index; the contaminated-id
+    * set is smaller still, and the final anti join moves ids only — document
+    * payloads never shuffle. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    minHits: Int = 1, idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = broadcast(
+      shingles(benchmark, n, idCol).select(col("shingle")).distinct())
+    val contaminated = shingles(docs, n, idCol)
+      .join(benchGrams, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("_hits"))
+      .where(col("_hits") >= minHits)
+      .select(idCol)
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** EXACT all-pairs embedding near-dup — the correctness baseline the banded
     * LSH variant approximates. Deliberately O(n²): one side broadcasts and
     * the codegen'd float dot product runs inside the nested-loop join, so it

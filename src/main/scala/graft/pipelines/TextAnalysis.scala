@@ -80,6 +80,58 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("_start").as("start_offset"), col("shard_id"))
   }
 
+  /** Weighted SOURCE MIXING: compose a training corpus with per-source
+    * document quotas — keep the first `quotas(source)` documents of each
+    * source in ascending `idCol` order (deterministic and resumable; sources
+    * absent from `quotas` are dropped). The domain-reweighting step of
+    * corpus construction (the DoReMi/Pile-style mixture), exact rather than
+    * rate-sampled.
+    *
+    * The per-source rank is the same two-phase distributed scan as
+    * [[packSequences]]: range-partition by id, per-(partition, source) local
+    * row_number, then broadcast the tiny per-source partition offsets back —
+    * never a single-partition global window, so the quota cut scales to any
+    * corpus size. */
+  def mixSources(docs: DataFrame, quotas: Map[String, Long],
+                 sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(quotas.toSeq.toDF(sourceCol, "_quota"))
+    val parts = docs.repartitionByRange(col(idCol)).withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid"), col(sourceCol)).orderBy(col(idCol))
+    val local = parts.withColumn("_lrn", row_number().over(wLocal))
+    // one row per (partition, source): merge-sized, windowed per source only
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_pid"), col(sourceCol))
+      .agg(count(lit(1)).as("_pcnt"))
+      .withColumn("_off", coalesce(sum(col("_pcnt")).over(wOff), lit(0L)))
+      .select(col("_pid"), col(sourceCol), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid", sourceCol))
+      .join(qdf, Seq(sourceCol))
+      .where(col("_off") + col("_lrn") <= col("_quota"))
+      .drop("_pid", "_lrn", "_off", "_quota")
+  }
+
+  /** Within-document repetition stats — the Gopher/C4 boilerplate filters:
+    * the fraction of duplicated word n-grams and of duplicated words. High
+    * values flag spam/boilerplate for the quality gate. Pure per-row
+    * builtins (the n-gram list is built and folded inside one projection) —
+    * zero shuffle at any corpus size. */
+  def repetitionStats(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(lower(trim(col("text"))))
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val grams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    def dupFrac(arr: Column): Column =
+      (lit(1.0) - size(array_distinct(arr)).cast(DoubleType)
+        / size(arr).cast(DoubleType))
+    docs.select(col(idCol),
+      size(grams).as("n_grams"),
+      dupFrac(grams).as("dup_gram_frac"),
+      dupFrac(toks).as("dup_word_frac"))
+  }
+
   val Stopwords = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was", "for",
     "on", "with", "as", "by", "at", "it", "this", "that", "be", "from")

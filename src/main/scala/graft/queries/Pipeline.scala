@@ -348,6 +348,62 @@ object Pipeline extends QueryPack {
       .select("doc_id", "h0", "h1", "h2", "h3")
       .orderBy("doc_id")
 
+  private def qRepetition(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, sf))
+      .orderBy("doc_id")
+  private val qRepetitionSql =
+    """WITH q AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |gr AS (
+      |  SELECT doc_id, t,
+      |    list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+      |      i -> array_to_string(t[i:i+2], ' ')) AS grams
+      |  FROM q)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS INT) AS n_grams,
+      |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_gram_frac,
+      |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac
+      |FROM gr ORDER BY doc_id""".stripMargin
+
+  // ---- corpus composition --------------------------------------------------
+  /** Decontamination: src0 plays the benchmark/eval set, everything else is
+    * the training corpus; any 5-gram shared with src0 disqualifies a doc. */
+  private def qDecontaminate(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    Dedup.decontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"), n = 5)
+      .select("doc_id").orderBy("doc_id")
+  }
+  private val qDecontaminateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i) ix
+      |  WHERE len(array_to_string(t[i:i+4], ' ')) > 0),
+      |bg AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bg USING (shingle)
+      |        WHERE s.source <> 'src0')
+      |SELECT d.doc_id FROM documents d
+      |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
+    * at its size), one source absent from the map (dropped entirely). */
+  private def qMixSources(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.mixSources(Tables.documents(s, sf),
+        Map("src0" -> 7L, "src1" -> 999999L, "src2" -> 1L))
+      .select("doc_id", "source").orderBy("doc_id")
+  private val qMixSourcesSql =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+      |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 999999 ELSE 1 END
+      |ORDER BY doc_id""".stripMargin
+
   // ---- /_tsdb/stats equivalent --------------------------------------------
   /** seriesCountByLabelValuePair over the events-as-samples view (ref:
     * RestTSDBStatsAction flat format) — series identity = (name, user). */
@@ -386,5 +442,8 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_cluster_lsh", qClusterLsh, None),
     QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)),
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
-    QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)))
+    QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
+    QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
+    QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
+    QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)))
 }

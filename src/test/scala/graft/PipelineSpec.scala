@@ -74,6 +74,33 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("decontaminate drops docs sharing an n-gram with the benchmark") {
+    // benchmark = doc 0; docs 1 and 2 share 5-grams with it, 3 and 4 do not
+    val bench = docs.where(col("doc_id") === 0L)
+    val train = docs.where(col("doc_id") =!= 0L)
+    val kept = Dedup.decontaminate(train, bench, n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L))
+    // a stricter hit threshold lets light overlap through: doc 1 shares
+    // exactly 4 of its 5-grams with doc 0 (one word differs at the tail)
+    val keptLoose = Dedup.decontaminate(train, bench, n = 5, minHits = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptLoose.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("mixSources takes exact per-source quotas in id order") {
+    val many = (0L until 30L).map(i =>
+        (i, s"text $i", "en", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(7) // quota cut must not depend on physical layout
+    val mixed = TextAnalysis.mixSources(many, Map("a" -> 3L, "b" -> 99L))
+      .select("doc_id", "source").as[(Long, String)].collect().sortBy(_._1)
+    // source a: first 3 ids (0,3,6); b: all 10; c absent from the quota map
+    assert(mixed.filter(_._2 == "a").map(_._1).toSeq == Seq(0L, 3L, 6L))
+    assert(mixed.count(_._2 == "b") == 10)
+    assert(!mixed.exists(_._2 == "c"))
+  }
+
   test("simhash identical docs share signature") {
     val sigs = Dedup.simhashBuckets(docs).select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap

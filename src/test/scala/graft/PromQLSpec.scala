@@ -272,6 +272,22 @@ class PromQLSpec extends SparkTestBase {
     assert(out.keySet == Set("cap:hi,dc:a,inst:1", "cap:hi,dc:a,inst:2"))
   }
 
+  test("group_right mirrors group_left with the many side on the right") {
+    val out = toGolden(PromQL.query(spark, fxMatch, g, """lim * on(dc) group_right q"""))
+    assert(out == Map(
+      "dc:a,inst:1" -> (1 to 10).map(i => S(2.0 * i)),
+      "dc:a,inst:2" -> (1 to 10).map(i => S(20.0 * i))))
+  }
+
+  test("atan2 is a binary operator at product precedence") {
+    // req{dc:a} atan2 req{dc:a} = atan2(v, v) = π/4 everywhere; name dropped
+    assertSeries(run("""req{dc="a"} atan2 req{dc="a"}"""),
+      Map("dc:a" -> Seq.fill(10)(S(math.Pi / 4))))
+    // scalar form keeps labels untouched
+    assertSeries(run("""req{dc="a"} atan2 0"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(math.Pi / 2))))
+  }
+
   test("many-to-one without group_left raises") {
     val ex = intercept[Exception] {
       PromQL.query(spark, fxMatch, g, """q * on(dc) lim""").collect()
