@@ -607,6 +607,29 @@ object PromQL {
             case f        => f
           }
           Temporal.movingInclusive(in, d, fn)
+        case "mad_over_time" =>
+          // median absolute deviation over the trailing window: the window's
+          // samples are gathered once (collect_list, bounded by the window
+          // sample count) and both medians fold over the array — no UDF.
+          // Median of an even count is the midpoint, matching Prometheus's
+          // linear-interpolated q=0.5.
+          val (in, d) = rangeInput(args.head, g)
+          val frame = org.apache.spark.sql.expressions.Window
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+          def medianOf(a: Column): Column = {
+            val s = array_sort(a)
+            val n = size(a)
+            def at(i: Column) = element_at(s, i.cast(org.apache.spark.sql.types.IntegerType))
+            when(n % 2 === 1, at((n + 1) / 2))
+              .otherwise((at(n / 2) + at(n / 2 + 1)) / 2.0)
+          }
+          in.withColumn("_arr",
+              filter(collect_list(col(S.Value)).over(frame), v => !isnan(v)))
+            .withColumn("_med", medianOf(col("_arr")))
+            .withColumn(S.Value,
+              medianOf(transform(col("_arr"), v => abs(v - col("_med")))))
+            .where(size(col("_arr")) > 0)
+            .drop("_arr", "_med")
         case "present_over_time" =>
           val (in, d) = rangeInput(args.head, g)
           val dense = GridOps.densify(in, g)

@@ -211,6 +211,24 @@ object PromX extends QueryPack {
        |  round(rv * ((si + CASE WHEN ds < ai * 1.1 THEN ds ELSE ai / 2 END) / si), 6) AS value
        |FROM x WHERE n >= 2 $ord""".stripMargin)
 
+  // ---- mad_over_time: median absolute deviation of the trailing window ----
+  // round(…,9) absorbs the midpoint-vs-interpolation 1-ulp difference
+  // between the engines' even-count medians.
+  private def qMad(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "mad_over_time(click[1d])"))
+      .withColumn("value", round(col("value"), 9))
+  private val qMadSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts, value,
+       |    list(value) OVER (PARTITION BY usr ORDER BY ts
+       |                      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS lv
+       |  FROM g WHERE etype = 'click')
+       |SELECT 'name:click,user:' || usr AS series, ts,
+       |  round(list_aggregate(
+       |    list_transform(lv, x -> abs(x - list_aggregate(lv, 'median'))),
+       |    'median'), 9) AS value
+       |FROM l $ord""".stripMargin)
+
   // ---- @ on a range selector: rate pinned at a fixed instant ---------------
   // rate(view[12h] @ t): the reference-semantics smoothed rate evaluated
   // with the scan pinned to [t-12h-5m, t], its value at t stamped onto every
@@ -261,5 +279,6 @@ object PromX extends QueryPack {
     QueryDef("promql_label_replace", qLabelReplace, Some(qLabelReplaceSql)),
     QueryDef("promql_irate", qIrate, Some(qIrateSql)),
     QueryDef("promql_increase", qIncrease, Some(qIncreaseSql)),
-    QueryDef("promql_at_rate", qAtRate, Some(qAtRateSql)))
+    QueryDef("promql_at_rate", qAtRate, Some(qAtRateSql)),
+    QueryDef("promql_mad", qMad, Some(qMadSql)))
 }

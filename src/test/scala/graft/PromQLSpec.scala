@@ -103,7 +103,16 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("unimplemented prom function throws") {
-    intercept[UnsupportedOperationException](run("""mad_over_time(req[2m])"""))
+    intercept[UnsupportedOperationException](run("""frobnicate_over_time(req[2m])"""))
+  }
+
+  test("mad_over_time is the median absolute deviation of the window") {
+    // mem dc:a = 5,4,3,2,1,…; window [t-3m,t] at position 3 holds {5,4,3,2}:
+    // median 3.5, deviations {1.5,0.5,0.5,1.5} → MAD 1.0
+    val out = toGolden(run("""mad_over_time(mem{dc="a"}[3m])"""))
+    assert(math.abs(out("dc:a,name:mem")(3).get - 1.0) < 1e-12)
+    // single-sample window: MAD 0
+    assert(out("dc:a,name:mem").head == S(0))
   }
 
   test("idelta is the raw last-sample difference inside the window") {
