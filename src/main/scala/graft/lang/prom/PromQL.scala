@@ -71,6 +71,11 @@ object PromQL {
 
   final case class PromParseError(msg: String) extends RuntimeException(msg)
 
+  /** Parse-time sentinels for `@ start()` / `@ end()` — the parser has no
+    * grid, so the compiler resolves them against the query range. */
+  val AtStart: Long = Long.MinValue
+  val AtEnd: Long = Long.MaxValue
+
   // ---- parser --------------------------------------------------------------
   private final class P(in: String) {
     private var i = 0
@@ -260,7 +265,14 @@ object PromQL {
         var more = true
         while (more) {
           if (tryWord("offset")) ofs = bareDuration()
-          else if (tryEat('@')) { ws(); atMs = Some((number() * 1000).round) }
+          else if (tryEat('@')) {
+            ws()
+            // start()/end() resolve to the query range bounds at compile
+            // time (sentinels here — the parser has no grid)
+            if (tryWord("start")) { eat('('); eat(')'); atMs = Some(AtStart) }
+            else if (tryWord("end")) { eat('('); eat(')'); atMs = Some(AtEnd) }
+            else atMs = Some((number() * 1000).round)
+          }
           else more = false
         }
         val sel = sel0.copy(offsetMs = ofs, atMs = atMs)
@@ -370,12 +382,19 @@ object PromQL {
       * series' latest sample. */
     private val LookbackDeltaMs = 5 * 60 * 1000L
 
+    /** Resolve the `@` instant — `start()`/`end()` sentinels bind to the
+      * ORIGINAL query range (not a lookback-widened scan grid). */
+    private def resolveAt(at: Long): Long =
+      if (at == AtStart) grid.startMs
+      else if (at == AtEnd) grid.alignedEndMs
+      else at
+
     private def selectorDF(s: Selector, g: QueryGrid): DataFrame = s.atMs match {
-      case Some(at) =>
+      case Some(at0) =>
         // `@ t`: the vector AS OF a fixed instant, constant across the grid —
         // latest sample per series in [t-lookback, t], stamped on every grid
         // point. The scan is a fixed absolute window: pruning still applies.
-        val t = at - s.offsetMs
+        val t = resolveAt(at0) - s.offsetMs
         val pinned = applyMatchers(s,
           samples.where(col(S.Ts) >= t - LookbackDeltaMs && col(S.Ts) <= t))
         pinned.groupBy(col(S.SeriesId))
@@ -530,7 +549,8 @@ object PromQL {
       // is stamped onto every grid point. The pinned scan is a fixed
       // absolute range, so partition pruning still applies.
       case Call(fn, args) if args.exists(a => rangeAt(a).isDefined) =>
-        val t = args.collectFirst { case a if rangeAt(a).isDefined => rangeAt(a).get }.get
+        val t = resolveAt(
+          args.collectFirst { case a if rangeAt(a).isDefined => rangeAt(a).get }.get)
         val stripped = Call(fn, args.map(stripRangeAt))
         val buf = lookback(stripped) + LookbackDeltaMs
         val pinned = eval(stripped, QueryGrid(t - buf, t + 1, g.stepMs))

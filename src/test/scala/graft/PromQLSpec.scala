@@ -370,6 +370,17 @@ class PromQLSpec extends SparkTestBase {
       Map("dc:a,name:req" -> Seq.fill(10)(S(5))))
   }
 
+  test("@ start() and @ end() resolve to the query range bounds") {
+    // @ start(): latest sample ≤ 1m is v1; @ end(): last grid instant 10m → v10
+    assertSeries(run("""req{dc="a"} @ start()"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(1))))
+    assertSeries(run("""req{dc="a"} @ end()"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(10))))
+    // on a range selector: sum_over_time of [start-2m, start] holds only v1
+    assertSeries(run("""sum_over_time(req{dc="a"}[2m] @ start())"""),
+      Map("dc:a,name:req" -> Seq.fill(10)(S(1))))
+  }
+
   test("@ on a range selector pins the window and stamps the grid") {
     // sum_over_time(req{dc="a"}[3m] @ 300): window [2m, 5m] holds samples
     // 2,3,4,5 → 14, constant across the grid
