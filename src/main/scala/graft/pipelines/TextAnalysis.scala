@@ -113,6 +113,26 @@ object TextAnalysis {
       .drop("_pid", "_lrn", "_off", "_quota")
   }
 
+  /** PII scrubbing — regex redaction of emails, IPv4 addresses and phone-like
+    * digit runs, with per-document redaction counts (the rule-based privacy
+    * pass of a pre-training pipeline, C4/Dolma-style). Redactions apply
+    * sequentially (email → ip → phone) so an earlier placeholder is never
+    * re-matched; counts are per class over the ORIGINAL text. Pure per-row
+    * regex builtins — zero shuffle, codegen'd; the patterns stay in the
+    * RE2-compatible subset so the DuckDB oracle matches byte-for-byte. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d\\- ]{7,}\\d"
+    val t = col("text")
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>").as("clean_text"),
+      regexp_count(t, lit(email)).as("n_emails"),
+      regexp_count(t, lit(ipv4)).as("n_ips"),
+      regexp_count(t, lit(phone)).as("n_phones"))
+  }
+
   /** Within-document repetition stats — the Gopher/C4 boilerplate filters:
     * the fraction of duplicated word n-grams and of duplicated words. High
     * values flag spam/boilerplate for the quality gate. Pure per-row

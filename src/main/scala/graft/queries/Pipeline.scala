@@ -365,6 +365,19 @@ object Pipeline extends QueryPack {
       |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac
       |FROM gr ORDER BY doc_id""".stripMargin
 
+  private def qScrubPii(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.scrubPii(Tables.documents(s, sf)).orderBy("doc_id")
+  private val qScrubPiiSql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS INT) AS n_phones
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- corpus composition --------------------------------------------------
   /** Decontamination: src0 plays the benchmark/eval set, everything else is
     * the training corpus; any 5-gram shared with src0 disqualifies a doc. */
@@ -445,5 +458,6 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
-    QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)))
+    QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)),
+    QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)))
 }

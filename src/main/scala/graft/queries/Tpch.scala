@@ -158,12 +158,62 @@ object Tpch extends QueryPack {
       |FROM lineitem GROUP BY l_suppkey ORDER BY rank""".stripMargin.format(
       sqlSum("l_extendedprice"), sqlSum("l_extendedprice"))
 
+  /** Q10-style: top-20 customers by returned-item revenue in a quarter —
+    * fact-fact join on orderkey, dims broadcast, TakeOrdered top-N. */
+  private def q10(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf).where(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, c_acctbal, n_name, %s AS revenue
+      |FROM orders, lineitem, customer, nation
+      |WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.format(
+      sqlSum("l_extendedprice * (1.0 - l_discount)"))
+
+  /** Q18-style: large-volume orders (HAVING over a fact aggregate) joined
+    * back to orders + customer — the partial-agg-then-join shape. */
+  private def q18(spark: SparkSession, sf: String): DataFrame = {
+    val big = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(dSum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 250.0)
+    Tables.orders(spark, sf).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders, customer,
+      |  (SELECT l_orderkey, %s AS sum_qty FROM lineitem
+      |   GROUP BY l_orderkey HAVING %s > 250.0) big
+      |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin.format(
+      sqlSum("l_quantity"), sqlSum("l_quantity"))
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("tpch_q1_pricing", q1, Some(q1Sql)),
     QueryDef("tpch_q3_topn_join", q3, Some(q3Sql)),
     QueryDef("tpch_q5_multijoin", q5, Some(q5Sql)),
     QueryDef("tpch_q4_semijoin", q4, Some(q4Sql)),
     QueryDef("tpch_q6_scan_agg", q6, Some(q6Sql)),
+    QueryDef("tpch_q10_returns", q10, Some(q10Sql)),
+    QueryDef("tpch_q18_big_orders", q18, Some(q18Sql)),
     QueryDef("tpch_topk_parts", topParts, Some(topPartsSql)),
     QueryDef("tpch_supplier_rank", suppRank, Some(suppRankSql)))
 }

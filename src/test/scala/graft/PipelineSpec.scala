@@ -88,6 +88,23 @@ class PipelineSpec extends SparkTestBase {
     assert(keptLoose.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("scrubPii redacts emails, ips and phone runs with counts") {
+    val pii = Seq(
+      (0L, "contact bob@example.com or alice@corp.io thanks", "en", "s", 1L),
+      (1L, "server at 192.168.0.1 and call +1 555-123-4567 now", "en", "s", 1L),
+      (2L, "nothing sensitive here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.scrubPii(pii)
+      .select("doc_id", "clean_text", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1)
+    assert(out(0)._2 == "contact <EMAIL> or <EMAIL> thanks")
+    assert(out(0)._3 == 2 && out(0)._4 == 0 && out(0)._5 == 0)
+    assert(out(1)._2 == "server at <IP> and call <PHONE> now")
+    assert(out(1)._4 == 1 && out(1)._5 == 1)
+    assert(out(2) == ((2L, "nothing sensitive here", 0, 0, 0)))
+  }
+
   test("mixSources takes exact per-source quotas in id order") {
     val many = (0L until 30L).map(i =>
         (i, s"text $i", "en", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 6L))
