@@ -29,6 +29,19 @@ object Federation {
 
   final case class PartitionWindow(partition: String, startMs: Long, endMs: Long)
 
+  /** The storage catalog's index-existence failure (ref: the REST layer's
+    * 404 `index_not_found_exception` — resolved_partitions corpus test 6).
+    * Message mirrors the reference's "no such index [...]" reason. */
+  final case class PartitionNotFoundException(partition: String)
+    extends RuntimeException(s"no such index [$partition]")
+
+  /** Catalog existence check, raised BEFORE planning: every resolved
+    * partition must name a known index — a missing one is a request error,
+    * not an empty result (an empty result is what a known index without the
+    * metric yields; corpus test 7). */
+  def requirePartitions(known: Set[String], requested: Seq[String]): Unit =
+    requested.find(p => !known(p)).foreach(p => throw PartitionNotFoundException(p))
+
   /** True when any two windows overlap in time (ref: hasOverlappingPartitions). */
   def hasOverlappingPartitions(ws: Seq[PartitionWindow]): Boolean =
     ws.sortBy(_.startMs).sliding(2).exists {

@@ -28,6 +28,13 @@ class FederationSpec extends SparkTestBase {
     }
   }
 
+  test("unknown resolved partition raises the catalog 404 equivalent") {
+    val ex = intercept[Federation.PartitionNotFoundException](
+      Federation.requirePartitions(Set("idx_a", "idx_b"), Seq("idx_a", "nonexistent_index")))
+    assert(ex.getMessage == "no such index [nonexistent_index]")
+    Federation.requirePartitions(Set("idx_a"), Seq("idx_a", "idx_a")) // known: no raise
+  }
+
   test("overlap dedup: order of the parts seq does not change the survivor") {
     val p0 = samplesDF(series("name:m,dc:a", Seq(Some(7.0))))
     val p1 = samplesDF(series("name:m,dc:a", Seq(Some(13.0))))

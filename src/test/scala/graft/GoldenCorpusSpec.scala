@@ -74,16 +74,10 @@ class ResolvedPartitionsCorpusSpec extends GoldenCorpusBase(
 
 abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
 
-  /** Queries exercising semantics we intentionally don't reproduce yet; each
-    * exclusion carries the reason. */
-  private val excluded: Map[String, String] = Map(
-    "fetch with non-existing partition returns error" ->
-      ("expects the storage catalog's 404 index_not_found_exception — an index " +
-        "existence check, not query semantics; the corpus replay reads one " +
-        "fixture table, where a missing metric is an empty result (its " +
-        "companion test 7 covers that and passes). A catalog-backed deployment " +
-        "gets the equivalent AnalysisException from spark.read of a missing " +
-        "table path."))
+  /** Queries exercising semantics we intentionally don't reproduce; empty
+    * since round 5 (the storage-catalog 404 case now replays through
+    * Federation.requirePartitions). */
+  private val excluded: Map[String, String] = Map.empty
 
   /** Fixed reference instant for corpora using relative time expressions
     * ("now-50m"); any aligned value works since data layout and query grids
@@ -250,9 +244,16 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
             ignore(s"golden: $name") {}
           case None if expectedStatus != "success" =>
             test(s"golden: $name (expected failure)") {
-              intercept[Exception](
+              intercept[Exception] {
+                // the catalog existence check runs before planning, exactly
+                // like the reference's 404 on an unknown resolved partition
+                val requested = q.get("resolved_partitions").map(_.list).getOrElse(Nil)
+                  .flatMap(_.get("windows").map(_.list).getOrElse(Nil))
+                  .map(w => w("partition").str.split(":").last)
+                graft.serve.Federation.requirePartitions(knownIndices, requested)
                 M3QL.query(spark, fixtureFor(q),
-                  QueryGrid(0, 60000, 60000), q("query").str).collect())
+                  QueryGrid(0, 60000, 60000), q("query").str).collect()
+              }
             }
           case None =>
             test(s"golden: $name") { runCase(q) }
