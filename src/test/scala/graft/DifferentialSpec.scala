@@ -59,7 +59,12 @@ class DifferentialSpec extends SparkTestBase {
     "predict_linear(m[3m], 60)",
     "holt_winters(m[5m], 0.5, 0.5)",
     "quantile(0.5, m)",
-    """count_values("v", m)""")
+    """count_values("v", m)""",
+    "increase(m[3m])",
+    "delta(x[3m])",
+    "mad_over_time(x[2m])",
+    "irate(m[2m])",
+    """sum_over_time(x[2m] @ 300)""")
 
   private def runProm(partitions: Int): Seq[Map[String, Seq[Option[Double]]]] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
