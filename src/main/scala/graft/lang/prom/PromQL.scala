@@ -31,7 +31,15 @@ import scala.collection.mutable.ListBuffer
   *  - subqueries `expr[range:step]` feeding every range-taking function
   *    (each step instant takes the newest inner sample at-or-before it)
   *  - aggregations `topk`/`bottomk` (per-instant rank), `quantile`, `stddev`/
-  *    `stdvar` (population), `group`, `count_values`
+  *    `stdvar` (population), `group`, `count_values`; experimental `limitk`
+  *    (deterministic k smallest series keys per step — Prometheus picks an
+  *    arbitrary subset) and `limit_ratio` (md5-fraction series sample —
+  *    same complement law as Prometheus, different hash)
+  *  - dynamic scalars: `scalar(v)` (one series → its per-step value, else
+  *    NaN) and `time()` compose with literals and participate in arithmetic
+  *    and `bool` comparisons against vectors via a per-step broadcast join;
+  *    `vector(s)` accepts any scalar-typed argument
+  *  - `sort_by_label`/`sort_by_label_desc` (presentation order)
   *  - `*_over_time`, `predict_linear`/`deriv` (least-squares over the window),
   *    `holt_winters`, `absent`/`absent_over_time`/`present_over_time`
   *  - `increase`/`delta` with Prometheus's window-edge extrapolation;
@@ -135,7 +143,8 @@ object PromQL {
 
     private val simpleAggs = Set("sum", "avg", "min", "max", "count",
       "stddev", "stdvar", "group")
-    private val paramAggs = Set("topk", "bottomk", "quantile", "count_values")
+    private val paramAggs = Set("topk", "bottomk", "quantile", "count_values",
+      "limitk", "limit_ratio")
     private def isAgg(n: String) = simpleAggs(n) || paramAggs(n)
 
     private val cmpOps = Set("==", "!=", ">=", "<=", ">", "<")
@@ -441,6 +450,108 @@ object PromQL {
     }
     private def requireScalar(e: Option[Expr], what: String): Double =
       e.flatMap(scalarOf).getOrElse(throw PromParseError(s"expected scalar for $what"))
+
+    /** A Prometheus SCALAR-typed subtree whose value varies per evaluation
+      * step: either a closed-form column over the step timestamp (`time()`
+      * and literal math over it) or a per-step frame `(timestamp, _sv)`
+      * (`scalar(v)` and any arithmetic involving it). Binary ops broadcast
+      * the frame onto the vector side with a timestamp equi-join — the
+      * frame is one row per step, so the join never shuffles the vector. */
+    private sealed trait DynScalar
+    private final case class TsFn(f: Column => Column) extends DynScalar
+    private final case class TsFrame(df: DataFrame) extends DynScalar
+
+    /** Recognize dynamic-scalar subtrees. Pure-literal subtrees are NOT
+      * matched (scalarOf folds those at plan time); comparison subtrees are
+      * scalar-typed only with the `bool` modifier, as in Prometheus. */
+    private def dynScalar(e: Expr, g: QueryGrid): Option[DynScalar] = e match {
+      case Call("time", _) => Some(TsFn(ts => ts / 1000.0))
+      case Call("scalar", args) =>
+        val in = eval(args.headOption.getOrElse(
+          throw PromParseError("expected scalar(v)")), g)
+        // exactly one series at a step → its value, else NaN (Prometheus
+        // scalar()); count(value) skips null rows (dense-frame "absent")
+        val per = in.groupBy(col(S.Ts))
+          .agg(count(col(S.Value)).as("_n"), max(col(S.Value)).as("_v"))
+          .select(col(S.Ts),
+            when(col("_n") === 1, col("_v")).otherwise(lit(Double.NaN)).as("_sv"))
+        Some(TsFrame(per))
+      case BinOp(op, l, r, boolMod, _)
+          if (!cmpOps(op) || boolMod) && scalarOf(e).isEmpty &&
+            op != "and" && op != "or" && op != "unless" =>
+        val combine: (Column, Column) => Column =
+          if (cmpOps(op)) (a, b) =>
+            when(isnan(a) || isnan(b), 0.0)
+              .otherwise(when(cmpCol(op, a, b), 1.0).otherwise(0.0))
+          else (a, b) => dynBinCol(op, a, b)
+        def side(x: Expr): Option[DynScalar] =
+          scalarOf(x).map(v => TsFn(_ => lit(v)): DynScalar)
+            .orElse(dynScalar(x, g))
+        for (ls <- side(l); rs <- side(r)) yield (ls, rs) match {
+          case (TsFn(a), TsFn(b))  => TsFn(ts => combine(a(ts), b(ts)))
+          case (TsFn(a), TsFrame(d)) =>
+            TsFrame(d.select(col(S.Ts), combine(a(col(S.Ts)), col("_sv")).as("_sv")))
+          case (TsFrame(d), TsFn(b)) =>
+            TsFrame(d.select(col(S.Ts), combine(col("_sv"), b(col(S.Ts))).as("_sv")))
+          case (TsFrame(a), TsFrame(b)) =>
+            TsFrame(a.join(b.withColumnRenamed("_sv", "_sv2"), Seq(S.Ts))
+              .select(col(S.Ts), combine(col("_sv"), col("_sv2")).as("_sv")))
+        }
+      case _ => None
+    }
+
+    /** Arithmetic for dynamic scalars: the engine-wide NaN-on-/0 convention
+      * (matches the vector-vector path in promMatch). */
+    private def dynBinCol(op: String, l: Column, r: Column): Column = op match {
+      case "/" => when(r === 0.0, lit(Double.NaN)).otherwise(l / r)
+      case _   => binCol(op, l, r)
+    }
+
+    /** Attach a dynamic scalar to a vector frame; returns the augmented frame
+      * and the per-row scalar column. A step with no scalar value (inner
+      * vector empty there) reads NaN, like Prometheus. Callers must drop
+      * `_sv` from the result when the source was a TsFrame. */
+    private def withScalarCol(vec: DataFrame, s: DynScalar): (DataFrame, Column) =
+      s match {
+        case TsFn(f)     => (vec, f(col(S.Ts)))
+        case TsFrame(df) => (vec.join(broadcast(df), Seq(S.Ts), "left"),
+          coalesce(col("_sv"), lit(Double.NaN)))
+      }
+
+    private def applyDynArith(vec: DataFrame, s: DynScalar)
+                             (f: (Column, Column) => Column): DataFrame = {
+      val (aug, sv) = withScalarCol(vec, s)
+      aug.withColumn(S.Value, f(col(S.Value), sv))
+        .drop("_sv")
+        .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    }
+
+    /** Scalar-vector comparison: filters the VECTOR side (or rewrites to 0/1
+      * with `bool`), with IEEE NaN-compares-false semantics — Spark's own
+      * ordering treats NaN as the largest value, which is wrong here. */
+    private def applyDynCmp(vec: DataFrame, s: DynScalar,
+                            cond: (Column, Column) => Column,
+                            boolMod: Boolean): DataFrame = {
+      val (aug, sv) = withScalarCol(vec, s)
+      val ok = !isnan(sv) && !isnan(col(S.Value)) && cond(col(S.Value), sv)
+      val out =
+        if (boolMod) aug.withColumn(S.Value, when(ok, 1.0).otherwise(0.0))
+        else aug.where(ok)
+      out.drop("_sv").select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    }
+
+    /** A scalar-typed expression used in vector position (top level, or
+      * `vector(s)`): a label-less series over the query grid. */
+    private def scalarToVector(s: DynScalar, g: QueryGrid): DataFrame = s match {
+      case TsFn(f) => constVector(g, f(col(S.Ts)))
+      case TsFrame(df) =>
+        constVector(g, lit(null).cast("double"))
+          .drop(S.Value)
+          .join(broadcast(df), Seq(S.Ts), "left")
+          .withColumn(S.Value, coalesce(col("_sv"), lit(Double.NaN)))
+          .drop("_sv")
+          .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    }
     private def requireStr(e: Option[Expr], what: String): String = e match {
       case Some(StrLit(s)) => s
       case _ => throw PromParseError(s"expected string for $what")
@@ -490,24 +601,45 @@ object PromQL {
               bottom = true)
           case "count_values" =>
             Grouping.countValues(in, requireStr(param, "count_values label"), by)
+          case "limitk" =>
+            SeriesSet.limitKAtTimestamp(in, requireScalar(param, "limitk k").toInt, by)
+          case "limit_ratio" =>
+            SeriesSet.limitRatio(in, requireScalar(param, "limit_ratio r"))
         }
 
       // ---- comparisons: filter without `bool`, 0/1 vector with it ----------
       case BinOp(op, l, r, boolMod, m) if cmpOps(op) =>
         (scalarOf(l), scalarOf(r)) match {
-          case (Some(a), None) =>
+          case (Some(a), None) if dynScalar(r, g).isEmpty =>
             applyCmp(eval(r, g), c => cmpCol(op, lit(a), c), boolMod)
-          case (None, Some(b)) =>
+          case (None, Some(b)) if dynScalar(l, g).isEmpty =>
             applyCmp(eval(l, g), c => cmpCol(op, c, lit(b)), boolMod)
+          case (Some(_), None) | (None, Some(_)) =>
+            // literal vs dynamic scalar — scalar-typed like the (dyn, dyn) case
+            if (!boolMod)
+              throw PromParseError("scalar-to-scalar comparison requires bool")
+            scalarToVector(dynScalar(e, g).get, g)
           case (None, None) =>
-            val f: (Column, Column) => Column = (lv, rv) =>
-              if (boolMod) when(cmpCol(op, lv, rv), 1.0).otherwise(0.0)
-              else when(cmpCol(op, lv, rv), lv)
-            // filter comparisons keep the metric name; `bool` rewrites the
-            // value and therefore drops it (Prometheus shouldDropMetricName)
-            val out = SeriesSet.promMatch(eval(l, g), eval(r, g),
-              m.getOrElse(SeriesSet.DefaultMatching), dropName = boolMod)(f)
-            if (boolMod) out else out.where(col(S.Value).isNotNull)
+            (dynScalar(l, g), dynScalar(r, g)) match {
+              case (Some(ds), None) =>
+                // scalar OP vector: the vector side is filtered/rewritten
+                applyDynCmp(eval(r, g), ds, (vv, sv) => cmpCol(op, sv, vv), boolMod)
+              case (None, Some(ds)) =>
+                applyDynCmp(eval(l, g), ds, (vv, sv) => cmpCol(op, vv, sv), boolMod)
+              case (Some(_), Some(_)) =>
+                if (!boolMod)
+                  throw PromParseError("scalar-to-scalar comparison requires bool")
+                scalarToVector(dynScalar(e, g).get, g)
+              case (None, None) =>
+                val f: (Column, Column) => Column = (lv, rv) =>
+                  if (boolMod) when(cmpCol(op, lv, rv), 1.0).otherwise(0.0)
+                  else when(cmpCol(op, lv, rv), lv)
+                // filter comparisons keep the metric name; `bool` rewrites the
+                // value and therefore drops it (Prometheus shouldDropMetricName)
+                val out = SeriesSet.promMatch(eval(l, g), eval(r, g),
+                  m.getOrElse(SeriesSet.DefaultMatching), dropName = boolMod)(f)
+                if (boolMod) out else out.where(col(S.Value).isNotNull)
+            }
           case (Some(_), Some(_)) =>
             throw PromParseError("scalar-to-scalar comparison needs bool and a vector context")
         }
@@ -525,13 +657,22 @@ object PromQL {
           case (Some(a), None) => mapValue(eval(r, g))(c => binCol(op, lit(a), c))
           case (None, Some(v)) => mapValue(eval(l, g))(c => binCol(op, c, lit(v)))
           case (None, None) =>
-            // arithmetic always rewrites the value → metric name dropped;
-            // `/` by 0 keeps the engine-wide NaN convention
-            SeriesSet.promMatch(eval(l, g), eval(r, g),
-              m.getOrElse(SeriesSet.DefaultMatching))((lv, rv) => op match {
-              case "/" => when(rv === 0.0, lit(Double.NaN)).otherwise(lv / rv)
-              case _   => binCol(op, lv, rv)
-            })
+            (dynScalar(l, g), dynScalar(r, g)) match {
+              case (Some(ds), None) =>
+                // scalar OP vector — per-step scalar broadcast onto every
+                // series; label treatment matches the literal-scalar path
+                applyDynArith(eval(r, g), ds)((vv, sv) => dynBinCol(op, sv, vv))
+              case (None, Some(ds)) =>
+                applyDynArith(eval(l, g), ds)((vv, sv) => dynBinCol(op, vv, sv))
+              case (Some(_), Some(_)) =>
+                scalarToVector(dynScalar(e, g).get, g)
+              case (None, None) =>
+                // arithmetic always rewrites the value → metric name dropped;
+                // `/` by 0 keeps the engine-wide NaN convention
+                SeriesSet.promMatch(eval(l, g), eval(r, g),
+                  m.getOrElse(SeriesSet.DefaultMatching))((lv, rv) =>
+                  dynBinCol(op, lv, rv))
+            }
         }
 
       case ScalarLit(_) | StrLit(_) =>
@@ -665,8 +806,16 @@ object PromQL {
           val Range(s, d) = requireRange(args)
           absentDF(selectorDF(s, g), s, g, Some(d))
         case "vector" =>
-          val v = requireScalar(args.headOption, "vector(s)")
-          constVector(g, lit(v))
+          args.headOption.flatMap(scalarOf) match {
+            case Some(v) => constVector(g, lit(v))
+            case None => // vector(scalar(v)), vector(time()), math over them
+              val ds = args.headOption.flatMap(dynScalar(_, g))
+                .getOrElse(throw PromParseError("expected scalar for vector(s)"))
+              scalarToVector(ds, g)
+          }
+        case "scalar" =>
+          // scalar(v) in vector position: a label-less per-step series
+          scalarToVector(dynScalar(e, g).get, g)
         case "time" =>
           constVector(g, col(S.Ts) / 1000.0)
         case "abs"   => mapValue(one(args, g))(abs)
@@ -694,6 +843,13 @@ object PromQL {
         case t if timeFns.contains(t) => mapValue(one(args, g))(timeFns(t))
         case "sort"      => SeriesSet.sortSeries(one(args, g), "current", desc = false)
         case "sort_desc" => SeriesSet.sortSeries(one(args, g), "current", desc = true)
+        case "sort_by_label" | "sort_by_label_desc" =>
+          val lbls = args.tail.map {
+            case StrLit(s2) => s2
+            case _          => throw PromParseError(s"$fn expects label name strings")
+          }
+          if (lbls.isEmpty) throw PromParseError(s"$fn needs at least one label")
+          SeriesSet.sortByLabel(one(args, g), lbls, desc = fn.endsWith("_desc"))
         case "timestamp" => one(args, g).withColumn(S.Value, col(S.Ts) / 1000.0)
         case "histogram_quantile" =>
           Grouping.histogramQuantile(eval(args(1), g),

@@ -266,7 +266,50 @@ object PromX extends QueryPack {
        |  ${grid.alignedEndMs}, ${grid.stepMs})) AS ts) gs
        |WHERE sm.ts = $atT $ord""".stripMargin)
 
+  // ---- scalar(): per-step dynamic scalar broadcast onto a vector -----------
+  // scalar(sum(view)) is the all-series view total at each step (one series
+  // after the sum → defined wherever any view bucket exists). Steps where the
+  // inner vector is empty yield NaN; the projection drops those to keep the
+  // oracle an inner join.
+  private def qScalarBinop(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "click - scalar(sum(view))"))
+      .where(!isnan(col("value")))
+  private val qScalarBinopSql = withSG(
+    s""", sv AS (SELECT ts, ${dsum("value")} AS svv FROM g WHERE etype = 'view' GROUP BY ts)
+       |SELECT 'name:click,user:' || usr AS series, g.ts AS ts, g.value - sv.svv AS value
+       |FROM g JOIN sv ON g.ts = sv.ts WHERE etype = 'click' $ord""".stripMargin)
+
+  // ---- time() as a scalar operand ------------------------------------------
+  private def qTimeBinop(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "click / time()"))
+  private val qTimeBinopSql = withSG(
+    s"""SELECT 'name:click,user:' || usr AS series, ts, value / (ts / 1000.0) AS value
+       |FROM g WHERE etype = 'click' $ord""".stripMargin)
+
+  // ---- limitk: deterministic k-series-per-step subset ----------------------
+  private def qLimitk(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "limitk(3, click)"))
+  private val qLimitkSql = withSG(
+    s""", v AS (
+       |  SELECT usr, ts, value,
+       |    row_number() OVER (PARTITION BY ts ORDER BY 'name:click,user:' || usr) AS rn
+       |  FROM g WHERE etype = 'click')
+       |SELECT 'name:click,user:' || usr AS series, ts, value FROM v WHERE rn <= 3 $ord""".stripMargin)
+
+  // ---- limit_ratio: md5-fraction series sample, mirrored bit-for-bit -------
+  private def qLimitRatio(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "limit_ratio(0.4, click)"))
+  private val qLimitRatioSql = withSG(
+    s"""SELECT 'name:click,user:' || usr AS series, ts, value
+       |FROM g WHERE etype = 'click'
+       |  AND CAST(('0x' || substr(md5('name:click,user:' || usr), 1, 8)) AS BIGINT)
+       |      / 4294967296.0 < 0.4 $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
+    QueryDef("promql_time_binop", qTimeBinop, Some(qTimeBinopSql)),
+    QueryDef("promql_limitk", qLimitk, Some(qLimitkSql)),
+    QueryDef("promql_limit_ratio", qLimitRatio, Some(qLimitRatioSql)),
     QueryDef("promql_on_divide", qOnDivide, Some(qOnDivideSql)),
     QueryDef("promql_group_left", qGroupLeft, Some(qGroupLeftSql)),
     QueryDef("promql_subquery", qSubquery, Some(qSubquerySql)),

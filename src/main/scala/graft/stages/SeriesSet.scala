@@ -443,6 +443,47 @@ object SeriesSet {
       .drop("_rn")
   }
 
+  /** Prometheus experimental `limitk(k, v)` — at most k series per
+    * (by-group, timestamp). Prometheus keeps an arbitrary-but-stable subset;
+    * we keep the k smallest series keys, which is deterministic and therefore
+    * oracle-checkable (documented divergence: same cardinality contract,
+    * different member choice). One row_number per (group, ts) — shuffles once
+    * on the group hash, no global ordering. */
+  def limitKAtTimestamp(df: DataFrame, k: Int, by: Seq[String] = Nil): DataFrame = {
+    val grpCols = by.map(kk => coalesce(col(S.LabelsCol).getItem(kk), lit(MissingV))) :+ col(S.Ts)
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(grpCols: _*).orderBy(TsSchema.seriesKey(col(S.LabelsCol)).asc)))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Prometheus experimental `limit_ratio(r, v)` — a deterministic hash
+    * sample of SERIES (whole series survive or not; no per-sample flicker).
+    * The fraction is the first 8 hex chars of md5(series key) scaled to
+    * [0,1): reproducible in any engine, so the DuckDB oracle mirrors it
+    * verbatim. Prometheus hashes labels with its own function, so the chosen
+    * subset differs engine-to-engine, but the complement law holds here as
+    * there: limit_ratio(r, v) ∪ limit_ratio(r-1, v) == v for r in (0,1).
+    * Pure per-row predicate — no shuffle at all. */
+  def limitRatio(df: DataFrame, r: Double): DataFrame = {
+    val frac = conv(substring(md5(TsSchema.seriesKey(col(S.LabelsCol))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    if (r >= 0) df.where(frac < lit(r))
+    else df.where(frac >= lit(1.0 + r))
+  }
+
+  /** Prometheus experimental `sort_by_label(v, "l1", ...)` /
+    * `sort_by_label_desc` — presentation order only, values untouched.
+    * A missing label sorts first (Prometheus treats it as ""). */
+  def sortByLabel(df: DataFrame, labels: Seq[String], desc: Boolean): DataFrame = {
+    val keys = labels.map { l =>
+      val c = coalesce(col(S.LabelsCol).getItem(l), lit(""))
+      if (desc) c.desc else c.asc
+    } :+ (if (desc) TsSchema.seriesKey(col(S.LabelsCol)).desc
+          else TsSchema.seriesKey(col(S.LabelsCol)).asc)
+    df.orderBy(keys :+ col(S.Ts).asc: _*)
+  }
+
   /** `diff <ref> [keepNans] [tags]` — left minus right over the UNION of the
     * matched pair's timestamps (ref: SubtractStage.processSampleValues:120-143
     * + alignTimestampsAndProcess :140-176):

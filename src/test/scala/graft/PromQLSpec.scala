@@ -427,4 +427,46 @@ class PromQLSpec extends SparkTestBase {
       .collect()
     assert(rows.length == 1 && rows.head.getAs[Double]("value") == 3.0)
   }
+
+  // ---- dynamic scalars: scalar(), time() in binary ops ----------------------
+
+  test("scalar() broadcasts a per-step value onto a vector") {
+    // mem{dc="a"} is a single series → scalar() is its value at each step
+    assertSeries(run("""req{dc="a"} - scalar(mem{dc="a"})"""),
+      Map("dc:a,name:req" ->
+        Seq(S(-4), S(-2), S(0), S(2), S(4), S(4), S(4), S(4), S(4), S(4))))
+  }
+
+  test("scalar() of a multi-series vector is NaN") {
+    // req has two series → Prometheus scalar() yields NaN at every step
+    val nan = S(Double.NaN)
+    assertSeries(run("""mem{dc="a"} * scalar(req)"""),
+      Map("dc:a,name:mem" -> Seq.fill(10)(nan)))
+  }
+
+  test("time() participates in arithmetic as a per-step scalar") {
+    // grid instants are 60s..600s; req{dc="a"} value at point i is i+1
+    assertSeries(run("""req{dc="a"} - time()"""),
+      Map("dc:a,name:req" -> (1 to 10).map(i => S(i - 60.0 * i))))
+  }
+
+  test("vector() accepts dynamic scalar expressions") {
+    assertSeries(run("""vector(scalar(mem{dc="a"}) + 1)"""),
+      Map("" -> Seq(S(6), S(5), S(4), S(3), S(2), S(3), S(4), S(5), S(6), S(7))))
+  }
+
+  test("vector compared against a dynamic scalar filters the vector side") {
+    // req > scalar(mem{dc="a"}): per-step threshold 5,4,3,2,1,2,3,4,5,6
+    assertSeries(run("""req > scalar(mem{dc="a"})"""),
+      Map("dc:a,name:req" ->
+        Seq(N, N, N, S(4), S(5), S(6), S(7), S(8), S(9), S(10)),
+        "dc:b,name:req" ->
+        Seq(N, N, S(6), S(8), S(10), S(12), S(14), S(16), S(18), S(20))))
+  }
+
+  test("scalar-to-scalar comparison requires bool and yields 0/1") {
+    intercept[PromQL.PromParseError](run("""scalar(req) > 3""").collect())
+    assertSeries(run("""scalar(mem{dc="a"}) >= bool 3"""),
+      Map("" -> Seq(S(1), S(1), S(1), S(0), S(0), S(0), S(1), S(1), S(1), S(1))))
+  }
 }
