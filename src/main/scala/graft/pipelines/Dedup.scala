@@ -211,8 +211,13 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, aCol: String = "doc_id_a", bCol: String = "doc_id_b",
                    maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    // persisted HASH-PARTITIONED on the per-round join key: the cached scan
+    // reports hashpartitioning(b), so every round's sym⋈labels join reuses it
+    // and only the (small) label frame shuffles — at 100TB the edge set is
+    // the big side and would otherwise re-exchange once per round
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // neighborhood-min seed: every node of sym appears on the `a` side
     // (sym is symmetric), so one aggregate covers the whole node set
