@@ -64,7 +64,14 @@ class DifferentialSpec extends SparkTestBase {
     "delta(x[3m])",
     "mad_over_time(x[2m])",
     "irate(m[2m])",
-    """sum_over_time(x[2m] @ 300)""")
+    """sum_over_time(x[2m] @ 300)""",
+    "m - scalar(x)",
+    "m / time()",
+    "vector(scalar(x) * 2)",
+    "m > bool scalar(x)",
+    "limitk(1, m)",
+    "limit_ratio(0.5, m)",
+    """sort_by_label(m, "dc")""")
 
   private def runProm(partitions: Int): Seq[Map[String, Seq[Option[Double]]]] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
