@@ -745,11 +745,13 @@ object PromQL {
           val (in, d) = rangeInput(args.head, g)
           Temporal.linearFit(in, d,
             Some(requireScalar(args.lift(1), "predict_linear t")))
-        case "holt_winters" =>
+        // double_exponential_smoothing is the Prometheus 3.x name for the
+        // (now experimental) holt_winters — same math, both accepted
+        case "holt_winters" | "double_exponential_smoothing" =>
           val (in, d) = rangeInput(args.head, g)
           Temporal.holtWinters(in, d,
-            requireScalar(args.lift(1), "holt_winters sf"),
-            requireScalar(args.lift(2), "holt_winters tf"))
+            requireScalar(args.lift(1), s"$fn sf"),
+            requireScalar(args.lift(2), s"$fn tf"))
         case "quantile_over_time" =>
           // φ comes FIRST: quantile_over_time(φ, m[d])
           val (in, d) = rangeInput(args.lift(1).getOrElse(

@@ -273,6 +273,25 @@ object Dedup {
     docs.join(nonCanonical, Seq(idCol), "left_anti")
   }
 
+  /** Keep the highest-scoring document per near-dup cluster (ties → lowest
+    * id), plus every document not involved in any pair — the quality-aware
+    * variant of [[keepCanonical]]: a real pipeline keeps the longest or
+    * cleanest member of a duplicate cluster, not the smallest id. Scores
+    * travel as an (id, score) projection, so document payloads never enter
+    * the cluster loop; the per-cluster rank windows over clusters (small,
+    * skew-bounded by cluster size), and the final anti join moves ids only. */
+  def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    val scores = docs.select(col(idCol).as("node"), col(scoreCol).as("_score"))
+    val losers = clusterPairs(pairs)
+      .join(scores, Seq("node"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("_score").desc, col("node").asc)))
+      .where(col("_rn") =!= 1)
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION: drop every training document sharing at
     * least `minHits` word n-grams with the benchmark corpus — the standard
     * eval-leakage guard of a training-data pipeline (the n-gram-overlap

@@ -113,6 +113,23 @@ object TextAnalysis {
       .drop("_pid", "_lrn", "_off", "_quota")
   }
 
+  /** Deterministic train/validation/test split: each document's fraction is
+    * the first 8 hex chars of md5(seed ":" id) scaled to [0,1) — stable
+    * across engines, partitionings and reruns (a resumed pipeline must never
+    * reassign a document), and mirrored verbatim by the SQL oracle. Pure
+    * per-row expression: zero shuffle at any corpus size, and the split is
+    * reproducible from (seed, id) alone — no stored assignment table. */
+  def assignSplit(docs: DataFrame, trainFrac: Double, valFrac: Double,
+                  seed: String = "graft", idCol: String = "doc_id"): DataFrame = {
+    val frac = conv(substring(
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    docs.withColumn("split",
+      when(frac < trainFrac, "train")
+        .when(frac < trainFrac + valFrac, "validation")
+        .otherwise("test"))
+  }
+
   /** PII scrubbing — regex redaction of emails, IPv4 addresses and phone-like
     * digit runs, with per-document redaction counts (the rule-based privacy
     * pass of a pre-training pipeline, C4/Dolma-style). Redactions apply

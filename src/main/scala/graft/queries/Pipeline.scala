@@ -411,6 +411,38 @@ object Pipeline extends QueryPack {
       |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware survivor selection on the chain clusters: keep the
+    * LONGEST member of each near-dup cluster (ties → lowest id) instead of
+    * the minimum id — the realistic keep policy of a cleaning pipeline. */
+  private def qKeepBest(s: SparkSession, sf: String): DataFrame =
+    Dedup.keepBest(Tables.documents(s, sf), chainEdges(s, sf), "n_chars")
+      .select("doc_id")
+      .orderBy("doc_id")
+  private val qKeepBestSql =
+    s"""WITH $langCte
+       |SELECT doc_id FROM (
+       |  SELECT g.doc_id, g.n,
+       |    row_number() OVER (PARTITION BY g.cluster_id
+       |                       ORDER BY d.n_chars DESC, g.doc_id) AS rn
+       |  FROM grp g JOIN documents d ON g.doc_id = d.doc_id)
+       |WHERE n = 1 OR rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash split — assignment is a pure function of
+    * (seed, doc_id), mirrored bit-for-bit by the oracle. */
+  private def qSplit(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.assignSplit(Tables.documents(s, sf), trainFrac = 0.8, valFrac = 0.1)
+      .select("doc_id", "split").orderBy("doc_id")
+  private val qSplitSql =
+    """SELECT doc_id,
+      |  CASE WHEN f < 0.8 THEN 'train'
+      |       WHEN f < 0.9 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          / 4294967296.0 AS f
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -467,5 +499,7 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
     QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)),
-    QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)))
+    QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)),
+    QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
+    QueryDef("corpus_split", qSplit, Some(qSplitSql)))
 }

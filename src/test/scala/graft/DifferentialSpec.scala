@@ -71,7 +71,8 @@ class DifferentialSpec extends SparkTestBase {
     "m > bool scalar(x)",
     "limitk(1, m)",
     "limit_ratio(0.5, m)",
-    """sort_by_label(m, "dc")""")
+    """sort_by_label(m, "dc")""",
+    "double_exponential_smoothing(m[5m], 0.5, 0.5)")
 
   private def runProm(partitions: Int): Seq[Map[String, Seq[Option[Double]]]] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
