@@ -770,6 +770,23 @@ object PromQL {
             case f        => f
           }
           Temporal.movingInclusive(in, d, fn)
+        case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
+          // Prometheus 3.5 experimental: the timestamp (epoch seconds) of the
+          // last/largest/smallest sample in the trailing window. max_by/min_by
+          // window aggregates; ties on value resolve to the latest timestamp
+          // like Prometheus (scan order there, max ts here for determinism).
+          val (in, d) = rangeInput(args.head, g)
+          val frame = org.apache.spark.sql.expressions.Window
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+          val tsOf = fn match {
+            case "ts_of_last_over_time" => max(col(S.Ts)).over(frame)
+            case "ts_of_max_over_time" =>
+              expr(s"max_by(${S.Ts}, struct(${S.Value}, ${S.Ts}))").over(frame)
+            case _ =>
+              // min_by on (value, -ts): smallest value, latest ts among ties
+              expr(s"min_by(${S.Ts}, struct(${S.Value}, -${S.Ts}))").over(frame)
+          }
+          in.withColumn(S.Value, tsOf / lit(1000.0))
         case "mad_over_time" =>
           // median absolute deviation over the trailing window: the window's
           // samples are gathered once (collect_list, bounded by the window

@@ -305,7 +305,26 @@ object PromX extends QueryPack {
        |  AND CAST(('0x' || substr(md5('name:click,user:' || usr), 1, 8)) AS BIGINT)
        |      / 4294967296.0 < 0.4 $ord""".stripMargin)
 
+  // ---- ts_of_max_over_time: timestamp of the window maximum ----------------
+  // DuckDB's window arg_max has no composite tie-break key, so the oracle is
+  // a bounded range self-join: window rows per instant, max value, then the
+  // latest timestamp among the maxima (the engine's struct(value, ts) order).
+  private def qTsOfMax(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "ts_of_max_over_time(click[12h])"))
+  private val qTsOfMaxSql = withSG(
+    s""", j AS (
+       |  SELECT a.usr, a.ts AS ats, b.ts AS bts, b.value AS bv
+       |  FROM g a JOIN g b ON a.usr = b.usr AND a.etype = b.etype
+       |    AND b.ts BETWEEN a.ts - 43200000 AND a.ts
+       |  WHERE a.etype = 'click'),
+       |m AS (SELECT usr, ats, max(bv) AS mv FROM j GROUP BY usr, ats)
+       |SELECT 'name:click,user:' || j.usr AS series, j.ats AS ts,
+       |  max(j.bts) / 1000.0 AS value
+       |FROM j JOIN m ON j.usr = m.usr AND j.ats = m.ats AND j.bv = m.mv
+       |GROUP BY j.usr, j.ats $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
     QueryDef("promql_time_binop", qTimeBinop, Some(qTimeBinopSql)),
     QueryDef("promql_limitk", qLimitk, Some(qLimitkSql)),

@@ -464,6 +464,16 @@ class PromQLSpec extends SparkTestBase {
         Seq(N, N, S(6), S(8), S(10), S(12), S(14), S(16), S(18), S(20))))
   }
 
+  test("ts_of_max/last_over_time emit window-sample timestamps in seconds") {
+    // mem{dc="a"} = 5,4,3,2,1,2,3,4,5,6 at 60s..600s; [2m] window holds the
+    // trailing 3 samples; max ties (2 @ 240s and 360s) pick the latest ts
+    assertSeries(run("""ts_of_max_over_time(mem{dc="a"}[2m])"""),
+      Map("dc:a,name:mem" ->
+        Seq(S(60), S(60), S(60), S(120), S(180), S(360), S(420), S(480), S(540), S(600))))
+    assertSeries(run("""ts_of_last_over_time(mem{dc="a"}[2m])"""),
+      Map("dc:a,name:mem" -> (1 to 10).map(i => S(60.0 * i))))
+  }
+
   test("scalar-to-scalar comparison requires bool and yields 0/1") {
     intercept[PromQL.PromParseError](run("""scalar(req) > 3""").collect())
     assertSeries(run("""scalar(mem{dc="a"}) >= bool 3"""),
