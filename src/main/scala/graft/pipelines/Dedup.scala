@@ -198,13 +198,13 @@ object Dedup {
     * join math): labels are SEEDED with the neighborhood minimum
     * (min of self and direct neighbors — one aggregate over the edge set),
     * which collapses clique-shaped components (the typical LSH bucket
-    * output) to their final label before the loop even starts; the
-    * convergence probe (a tiny `limit(1).count()`) runs every SECOND round,
-    * and only probe rounds checkpoint eagerly — off-rounds take a lazy
-    * `localCheckpoint` that materializes as a by-product of the next probe,
-    * so two rounds cost one full pass. At cluster scale you would
-    * checkpoint to reliable storage instead; the driver loop is the
-    * standard Pregel shape, NOT a per-row driver operation.
+    * output) to their final label before the loop even starts; every round
+    * checkpoints eagerly and probes convergence with a `limit(1).count()`
+    * over the convergence flag checkpointed WITH the frame — a local-block
+    * scan, not a recomputation — so a clique graph exits after the single
+    * round that confirms the seed. At cluster scale you would checkpoint to
+    * reliable storage instead; the driver loop is the standard Pregel
+    * shape, NOT a per-row driver operation.
     *
     * Returns (node, cluster) for every node that appears in a pair; cluster
     * is the component's minimum node id. */
@@ -227,9 +227,6 @@ object Dedup {
     var it = 0
     var done = false
     while (!done && it < maxIters) {
-      // probe on every 2nd round: a fixed point reached in an off-round is
-      // simply confirmed (at the cost of one no-op round) by the next probe
-      val probe = it % 2 == 1 || it == maxIters - 1
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("cluster")), Seq("b"))
         .groupBy("a").agg(min("cluster").as("_nmin"))
@@ -252,8 +249,8 @@ object Dedup {
       val jumped = jump(jump(stepped))
         .select(col("node"), col("cluster"),
           (col("cluster") =!= col("_old")).as("_chg"))
-        .localCheckpoint(eager = probe)
-      if (probe) done = jumped.where(col("_chg")).limit(1).count() == 0
+        .localCheckpoint(eager = true)
+      done = jumped.where(col("_chg")).limit(1).count() == 0
       labels = jumped.select("node", "cluster")
       it += 1
     }
