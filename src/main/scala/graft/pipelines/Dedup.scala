@@ -301,6 +301,41 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental snapshot dedup: the survivors of `incoming` against an
+    * already-clean `existing` corpus — the snapshot-over-snapshot reality of
+    * corpus construction, where each new crawl is deduplicated against
+    * everything previously kept. One shingle index over existing ∪ incoming
+    * feeds one candidate join; an incoming document is dropped when it
+    * near-matches ANY existing document (existing always wins) or a
+    * smaller-id incoming document (pairwise first-wins — use
+    * [[clusterPairs]] + [[keepCanonicalLabeled]]/[[keepBestLabeled]] when a
+    * component-level survivor policy is wanted instead). Only ids travel in
+    * the drop set; incoming payloads move once, in the final anti join. */
+  def dedupIncremental(existing: DataFrame, incoming: DataFrame, n: Int,
+                       threshold: Double, idCol: String = "doc_id",
+                       maxDf: Int = 1000): DataFrame = {
+    val all = existing.select(col(idCol), col("text"))
+      .unionByName(incoming.select(col(idCol), col("text")))
+    val pairs = ngramJaccardPairs(all, n, threshold, idCol, maxDf)
+    val flags = existing.select(col(idCol), lit(true).as("_old"))
+    val withFlags = pairs
+      .join(flags.select(col(idCol).as("doc_id_a"), col("_old").as("_oa")),
+        Seq("doc_id_a"), "left")
+      .join(flags.select(col(idCol).as("doc_id_b"), col("_old").as("_ob")),
+        Seq("doc_id_b"), "left")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        coalesce(col("_oa"), lit(false)).as("_oa"),
+        coalesce(col("_ob"), lit(false)).as("_ob"))
+    val dropped = withFlags
+      .where(!(col("_oa") && col("_ob")))   // existing-existing pairs are inert
+      .select(when(col("_oa"), col("doc_id_b"))
+        .when(col("_ob"), col("doc_id_a"))
+        .otherwise(col("doc_id_b"))         // within incoming: a < b, first wins
+        .as(idCol))
+      .distinct()
+    incoming.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION: drop every training document sharing at
     * least `minHits` word n-grams with the benchmark corpus — the standard
     * eval-leakage guard of a training-data pipeline (the n-gram-overlap

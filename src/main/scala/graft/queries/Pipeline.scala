@@ -113,11 +113,13 @@ object Pipeline extends QueryPack {
     Dedup.ngramJaccardPairsFromIndex(s, table, threshold = 0.6)
       .orderBy("doc_id_a", "doc_id_b")
   }
-  /** Exact SQL mirror of the inverted-index Jaccard: same 3-word shingles
-    * (short docs collapse to one whole-text shingle), same 2..maxDf document-
-    * frequency band, integer intersection/union → identical doubles. */
-  private val qDedupNgramSql =
-    """WITH toks AS (
+  /** Exact SQL mirror of the inverted-index Jaccard pair CTE chain: same
+    * 3-word shingles (short docs collapse to one whole-text shingle), same
+    * 2..maxDf document-frequency band, integer intersection/union →
+    * identical doubles. `pr` = pairs at threshold 0.6; shared by the pair
+    * queries and the incremental-dedup oracle. */
+  private val ngramPairCtes =
+    """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -129,14 +131,19 @@ object Pipeline extends QueryPack {
       |common AS (
       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_id_a, doc_id_b,
-      |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-      |FROM common
-      |JOIN sizes sa ON sa.doc_id = doc_id_a
-      |JOIN sizes sb ON sb.doc_id = doc_id_b
-      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
-      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT doc_id_a, doc_id_b,
+      |         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |  FROM common
+      |  JOIN sizes sa ON sa.doc_id = doc_id_a
+      |  JOIN sizes sb ON sb.doc_id = doc_id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6)""".stripMargin
+
+  private val qDedupNgramSql =
+    s"""WITH $ngramPairCtes
+       |SELECT doc_id_a, doc_id_b, jaccard FROM pr
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   private def qDedupMinhash(s: SparkSession, sf: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, sf), shingleN = 3, numHashes = 32, bands = 8,
@@ -422,6 +429,34 @@ object Pipeline extends QueryPack {
       |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental snapshot dedup: sources src0-src4 are the already-clean
+    * corpus, everything else is the incoming crawl; existing always wins,
+    * within-incoming pairs resolve first-wins. */
+  private val existingSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+  private def qDedupIncremental(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    Dedup.dedupIncremental(
+        docs.where(col("source").isin(existingSrcs: _*)),
+        docs.where(!col("source").isin(existingSrcs: _*)),
+        n = 3, threshold = 0.6)
+      .select("doc_id").orderBy("doc_id")
+  }
+  private val qDedupIncrementalSql = {
+    val srcs = existingSrcs.map(s0 => s"'$s0'").mkString(", ")
+    s"""WITH $ngramPairCtes,
+       |ex AS (SELECT doc_id FROM documents WHERE source IN ($srcs)),
+       |fl AS (SELECT doc_id_a, doc_id_b,
+       |    doc_id_a IN (SELECT doc_id FROM ex) AS oa,
+       |    doc_id_b IN (SELECT doc_id FROM ex) AS ob FROM pr),
+       |drp AS (SELECT DISTINCT CASE WHEN oa THEN doc_id_b
+       |                             WHEN ob THEN doc_id_a
+       |                             ELSE doc_id_b END AS doc_id
+       |        FROM fl WHERE NOT (oa AND ob))
+       |SELECT doc_id FROM documents
+       |WHERE source NOT IN ($srcs) AND doc_id NOT IN (SELECT doc_id FROM drp)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality-aware survivor selection on the chain clusters: keep the
     * LONGEST member of each near-dup cluster (ties → lowest id) instead of
     * the minimum id — the realistic keep policy of a cleaning pipeline. */
@@ -512,5 +547,6 @@ object Pipeline extends QueryPack {
     QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
-    QueryDef("corpus_split", qSplit, Some(qSplitSql)))
+    QueryDef("corpus_split", qSplit, Some(qSplitSql)),
+    QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
 }
