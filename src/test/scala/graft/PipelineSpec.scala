@@ -74,6 +74,20 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("dedupIncremental: existing wins, within-incoming resolves first-wins") {
+    // existing = {0}; incoming = {1 (near-dup of 0), 2 (exact dup of 0),
+    // 3, 4 (unrelated)} → 1 and 2 drop against the existing corpus
+    val existing = docs.where(col("doc_id") === 0L)
+    val incoming = docs.where(col("doc_id") =!= 0L)
+    val kept = Dedup.dedupIncremental(existing, incoming, n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L))
+    // no existing corpus → within-incoming first-wins keeps the smallest id
+    val keptAll = Dedup.dedupIncremental(docs.limit(0), docs, n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptAll.toSeq == Seq(0L, 3L, 4L))
+  }
+
   test("decontaminate drops docs sharing an n-gram with the benchmark") {
     // benchmark = doc 0; docs 1 and 2 share 5-grams with it, 3 and 4 do not
     val bench = docs.where(col("doc_id") === 0L)
