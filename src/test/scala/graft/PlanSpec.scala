@@ -102,4 +102,18 @@ class PlanSpec extends AnyFunSuite {
     // scan must not funnel into a global sort before the limit
     assert(p.contains("TakeOrderedAndProject"), s"ANN top-k must be TakeOrdered:\n$p")
   }
+
+  check("dedup_incremental") { p =>
+    // the inverted-index candidate join must stay an equi-join — no
+    // cross product anywhere in the snapshot-over-snapshot dedup
+    assert(!p.contains("CartesianProduct"), s"no cartesian in incremental dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in incremental dedup:\n$p")
+  }
+
+  check("promql_limit_ratio") { p =>
+    // the md5-fraction sample is a pure per-row predicate — the only
+    // exchange allowed is the verify harness's output ordering
+    assert(!p.contains("Window"), s"limit_ratio must not rank or window:\n$p")
+  }
 }

@@ -474,6 +474,16 @@ class PromQLSpec extends SparkTestBase {
       Map("dc:a,name:mem" -> (1 to 10).map(i => S(60.0 * i))))
   }
 
+  test("limitk keeps k series per step; limit_ratio obeys the complement law") {
+    val limited = toGolden(run("""limitk(1, req)"""))
+    assert(limited.keySet == Set("dc:a,name:req"), "k smallest series keys survive")
+    // limit_ratio(r) ∪ limit_ratio(r-1) must partition the input exactly
+    val kept = toGolden(run("""limit_ratio(0.5, req)""")).keySet
+    val complement = toGolden(run("""limit_ratio(-0.5, req)""")).keySet
+    assert((kept ++ complement) == toGolden(run("req")).keySet)
+    assert(kept.intersect(complement).isEmpty)
+  }
+
   test("scalar-to-scalar comparison requires bool and yields 0/1") {
     intercept[PromQL.PromParseError](run("""scalar(req) > 3""").collect())
     assertSeries(run("""scalar(mem{dc="a"}) >= bool 3"""),
