@@ -218,6 +218,26 @@ object Ingest {
       }
   }
 
+  /** Offline OPTIMIZE tier: rewrite the streamed day-partitioned table as a
+    * catalog table BUCKETED by series_id and sorted within buckets by
+    * (series_id, timestamp). Structured Streaming sinks cannot write
+    * bucketed output, so the layout upgrade is the natural second stage of
+    * the compaction story: the hot path appends small day-partition files
+    * (1s visibility), this pass rewrites cold days into the layout every
+    * per-series temporal stage wants — a window over series_id then reads
+    * co-located buckets with NO exchange (the same co-location trick as the
+    * shingle index; `BucketedSamplesSpec` pins the exchange-free plan).
+    * Bucket count ≈ cluster parallelism at the target scale; each bucket
+    * holds |series|/buckets series regardless of corpus size, so the layout
+    * survives any scale-up that hash partitioning itself survives. */
+  def optimizeToBucketed(spark: SparkSession, tablePath: String, table: String,
+                         buckets: Int = 64): Unit =
+    spark.read.parquet(tablePath)
+      .write.mode("overwrite")
+      .bucketBy(buckets, TsSchema.SeriesId)
+      .sortBy(TsSchema.SeriesId, TsSchema.Ts)
+      .saveAsTable(table)
+
   /** Finish or undo a compaction swap that died mid-flight. With the pending
     * marker present: all named new files on disk → roll forward (delete every
     * unnamed parquet, then the marker); any named file missing → roll back
