@@ -232,8 +232,11 @@ object Ingest {
     * survives any scale-up that hash partitioning itself survives. */
   def optimizeToBucketed(spark: SparkSession, tablePath: String, table: String,
                          buckets: Int = 64): Unit =
-    spark.read.parquet(tablePath)
-      .write.mode("overwrite")
+    optimizeToBucketed(spark.read.parquet(tablePath), table, buckets)
+
+  /** [[optimizeToBucketed]] from an in-session frame (same layout contract). */
+  def optimizeToBucketed(samples: DataFrame, table: String, buckets: Int): Unit =
+    samples.write.mode("overwrite")
       .bucketBy(buckets, TsSchema.SeriesId)
       .sortBy(TsSchema.SeriesId, TsSchema.Ts)
       .saveAsTable(table)
