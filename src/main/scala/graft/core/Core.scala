@@ -97,6 +97,15 @@ object OracleSafe {
     s"CAST(sum(CAST(($expr) AS DECIMAL(38,9))) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(38,9))) AS DOUBLE) / count($expr)"
+
+  /** Deterministic [0,1) fraction of a string key: first 8 hex chars of its
+    * md5, scaled by 2^32 — reproducible in any engine (DuckDB mirror:
+    * `CAST(('0x' || substr(md5(k),1,8)) AS BIGINT) / 4294967296.0`). The
+    * one hash-fraction used by every sampling operator (limit_ratio,
+    * train/val/test splits), so engine and oracles can never drift apart
+    * one copy at a time. */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType) / lit(4294967296.0)
 }
 
 /** Test-data table loaders (driver-provided parquet, TESTDATA.md). */

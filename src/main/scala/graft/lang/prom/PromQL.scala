@@ -381,7 +381,14 @@ object PromQL {
     }
 
     def compile(e: Expr): DataFrame = {
-      val buf = lookback(e)
+      // the scan-widening buffer is rounded UP to a step multiple so the
+      // widened grid's instants stay congruent with the query grid — a
+      // 90s range under a 60s step must not shift every gridDF-derived
+      // frame (constVector, scalar frames, @-pinned stamps) off-grid
+      val raw = lookback(e)
+      val buf =
+        if (raw == 0) 0L
+        else ((raw + grid.stepMs - 1) / grid.stepMs) * grid.stepMs
       val out = eval(e, QueryGrid(grid.startMs - buf, grid.endMs, grid.stepMs))
       if (buf > 0) Temporal.truncate(out, grid) else out
     }
@@ -480,9 +487,7 @@ object PromQL {
           if (!cmpOps(op) || boolMod) && scalarOf(e).isEmpty &&
             op != "and" && op != "or" && op != "unless" =>
         val combine: (Column, Column) => Column =
-          if (cmpOps(op)) (a, b) =>
-            when(isnan(a) || isnan(b), 0.0)
-              .otherwise(when(cmpCol(op, a, b), 1.0).otherwise(0.0))
+          if (cmpOps(op)) (a, b) => when(ieeeCmp(op, a, b), 1.0).otherwise(0.0)
           else (a, b) => dynBinCol(op, a, b)
         def side(x: Expr): Option[DynScalar] =
           scalarOf(x).map(v => TsFn(_ => lit(v)): DynScalar)
@@ -527,13 +532,12 @@ object PromQL {
     }
 
     /** Scalar-vector comparison: filters the VECTOR side (or rewrites to 0/1
-      * with `bool`), with IEEE NaN-compares-false semantics — Spark's own
-      * ordering treats NaN as the largest value, which is wrong here. */
+      * with `bool`). `cond` is expected to carry [[ieeeCmp]] semantics. */
     private def applyDynCmp(vec: DataFrame, s: DynScalar,
                             cond: (Column, Column) => Column,
                             boolMod: Boolean): DataFrame = {
       val (aug, sv) = withScalarCol(vec, s)
-      val ok = !isnan(sv) && !isnan(col(S.Value)) && cond(col(S.Value), sv)
+      val ok = cond(col(S.Value), sv)
       val out =
         if (boolMod) aug.withColumn(S.Value, when(ok, 1.0).otherwise(0.0))
         else aug.where(ok)
@@ -611,9 +615,9 @@ object PromQL {
       case BinOp(op, l, r, boolMod, m) if cmpOps(op) =>
         (scalarOf(l), scalarOf(r)) match {
           case (Some(a), None) if dynScalar(r, g).isEmpty =>
-            applyCmp(eval(r, g), c => cmpCol(op, lit(a), c), boolMod)
+            applyCmp(eval(r, g), c => ieeeCmp(op, lit(a), c), boolMod)
           case (None, Some(b)) if dynScalar(l, g).isEmpty =>
-            applyCmp(eval(l, g), c => cmpCol(op, c, lit(b)), boolMod)
+            applyCmp(eval(l, g), c => ieeeCmp(op, c, lit(b)), boolMod)
           case (Some(_), None) | (None, Some(_)) =>
             // literal vs dynamic scalar — scalar-typed like the (dyn, dyn) case
             if (!boolMod)
@@ -623,17 +627,17 @@ object PromQL {
             (dynScalar(l, g), dynScalar(r, g)) match {
               case (Some(ds), None) =>
                 // scalar OP vector: the vector side is filtered/rewritten
-                applyDynCmp(eval(r, g), ds, (vv, sv) => cmpCol(op, sv, vv), boolMod)
+                applyDynCmp(eval(r, g), ds, (vv, sv) => ieeeCmp(op, sv, vv), boolMod)
               case (None, Some(ds)) =>
-                applyDynCmp(eval(l, g), ds, (vv, sv) => cmpCol(op, vv, sv), boolMod)
+                applyDynCmp(eval(l, g), ds, (vv, sv) => ieeeCmp(op, vv, sv), boolMod)
               case (Some(_), Some(_)) =>
                 if (!boolMod)
                   throw PromParseError("scalar-to-scalar comparison requires bool")
                 scalarToVector(dynScalar(e, g).get, g)
               case (None, None) =>
                 val f: (Column, Column) => Column = (lv, rv) =>
-                  if (boolMod) when(cmpCol(op, lv, rv), 1.0).otherwise(0.0)
-                  else when(cmpCol(op, lv, rv), lv)
+                  if (boolMod) when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0)
+                  else when(ieeeCmp(op, lv, rv), lv)
                 // filter comparisons keep the metric name; `bool` rewrites the
                 // value and therefore drops it (Prometheus shouldDropMetricName)
                 val out = SeriesSet.promMatch(eval(l, g), eval(r, g),
@@ -800,7 +804,11 @@ object PromQL {
             val s = array_sort(a)
             val n = size(a)
             def at(i: Column) = element_at(s, i.cast(org.apache.spark.sql.types.IntegerType))
-            when(n % 2 === 1, at((n + 1) / 2))
+            // the n==0 guard must live INSIDE the expression: the row filter
+            // below sits above the window projection, so an all-NaN window
+            // would otherwise evaluate element_at(s, 0) and abort the query
+            when(n === 0, lit(null).cast("double"))
+              .when(n % 2 === 1, at((n + 1) / 2))
               .otherwise((at(n / 2) + at(n / 2 + 1)) / 2.0)
           }
           in.withColumn("_arr",
@@ -928,6 +936,16 @@ object PromQL {
       case "<=" => l <= r
       case ">"  => l > r
       case "<"  => l < r
+    }
+
+    /** Comparison with IEEE NaN semantics (Prometheus): every comparison
+      * against NaN is false EXCEPT `!=`, which is true. Spark's own ordering
+      * treats NaN as the largest double and NaN == NaN as true — wrong
+      * here, so every PromQL comparison path routes through this. */
+    private def ieeeCmp(op: String, l: Column, r: Column): Column = {
+      val anyNaN = isnan(l) || isnan(r)
+      if (op == "!=") anyNaN || (l =!= r)
+      else !anyNaN && cmpCol(op, l, r)
     }
 
     private def binCol(op: String, l: Column, r: Column): Column = op match {

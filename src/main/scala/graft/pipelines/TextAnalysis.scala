@@ -121,9 +121,8 @@ object TextAnalysis {
     * reproducible from (seed, id) alone — no stored assignment table. */
   def assignSplit(docs: DataFrame, trainFrac: Double, valFrac: Double,
                   seed: String = "graft", idCol: String = "doc_id"): DataFrame = {
-    val frac = conv(substring(
-        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") / lit(4294967296.0)
+    val frac = graft.core.OracleSafe.hashFraction(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
     docs.withColumn("split",
       when(frac < trainFrac, "train")
         .when(frac < trainFrac + valFrac, "validation")

@@ -209,13 +209,7 @@ object M3 extends QueryPack {
     * upgrade must never change answers. */
   private def qMovingBucketed(s: SparkSession, sf: String): DataFrame = {
     val table = "graft_samples_bucketed_" + sf.replaceAll("[^A-Za-z0-9]", "_")
-    if (!s.catalog.tableExists(table)) {
-      // the in-memory catalog forgets tables across sessions but their
-      // warehouse locations survive — clear any stale one before rebuilding
-      val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))),
-        table)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    Registry.ensureTable(s, table) {
       graft.streaming.Ingest.optimizeToBucketed(g(s, sf), table, buckets = 8)
     }
     flat(Temporal.moving(s.table(table), grid, movWin, "avg"))

@@ -100,14 +100,7 @@ object Pipeline extends QueryPack {
   private def qDedupNgramIndex(s: SparkSession, sf: String): DataFrame = {
     val table = "graft_shingle_idx_" +
       sf.replaceAll("[^A-Za-z0-9]", "_")
-    if (!s.catalog.tableExists(table)) {
-      // the in-memory catalog forgets tables across sessions but their
-      // warehouse locations survive — CREATE refuses a non-empty location,
-      // so clear any stale one before rebuilding
-      val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))),
-        table)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    Registry.ensureTable(s, table) {
       Dedup.writeShingleIndex(Tables.documents(s, sf), n = 3, table = table)
     }
     Dedup.ngramJaccardPairsFromIndex(s, table, threshold = 0.6)

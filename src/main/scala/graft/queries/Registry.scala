@@ -19,6 +19,19 @@ trait QueryPack {
 object Registry {
   def packs: Seq[QueryPack] = Seq(Tpch, M3, M3b, PromX, Pipeline, StreamingQ)
 
+  /** Build-once catalog table for a query pack: the in-memory catalog
+    * forgets tables across sessions but their warehouse locations survive,
+    * and CREATE refuses a non-empty location — so clear any stale one
+    * before building. */
+  def ensureTable(s: SparkSession, table: String)(build: => Unit): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))), table)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      build
+    }
+
   lazy val all: Seq[QueryDef] = packs.flatMap(_.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

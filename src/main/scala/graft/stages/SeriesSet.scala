@@ -337,32 +337,39 @@ object SeriesSet {
     * "one" side must be unique per key (duplicate → runtime error, like
     * Prometheus's "found duplicate series"), and without group_left/right the
     * many side must be unique too ("many-to-one matching must use group_…").
-    * Both duplicate checks are counted per side BEFORE the join but RAISED
-    * only on joined rows — a duplicate key that never matches anything is
-    * harmless, exactly like Prometheus, which only errors inside a populated
-    * match group. Output labels follow [[promResultLabels]]. All cardinality
-    * checks are window flags folded into the lazy plan — no driver-side
-    * probe. */
+    * The one-side check raises as the side is scanned (matched or not —
+    * Prometheus errors on a signature collision while building the one-side
+    * map); the many-side check is raised only on joined rows (Prometheus
+    * reports many-to-one only for match groups that actually matched).
+    * Output labels follow [[promResultLabels]]. All cardinality checks are
+    * window flags folded into the lazy plan — no driver-side probe. */
   def promMatch(left: DataFrame, right: DataFrame, m: VectorMatching,
                 dropName: Boolean = true)
                (f: (Column, Column) => Column): DataFrame = {
     val manyIsLeft = !m.groupRight
     val (manySide, oneSide) = if (manyIsLeft) (left, right) else (right, left)
     val w = Window.partitionBy("_mk", S.Ts)
+    // the ONE-side duplicate check raises while the side is scanned,
+    // matched or not — Prometheus errors on a signature collision while
+    // building the one-side map, before any matching happens. The MANY-side
+    // check stays match-scoped (raised on joined rows only): Prometheus
+    // reports "many-to-one" only for groups that actually matched.
     val oneG = oneSide.withColumn("_mk", promMatchKey(m))
       .withColumn("_nOne", count(lit(1)).over(w))
+      .withColumn(S.Value,
+        when(col("_nOne") > 1,
+          raise_error(lit("vector matching: found duplicate series on the one side"))
+            .cast(DoubleType))
+        .otherwise(col(S.Value)))
       .select(col("_mk"), col(S.Ts), col(S.Value).as("_ov"),
-        col(S.LabelsCol).as("_olab"), col("_nOne"))
+        col(S.LabelsCol).as("_olab"))
     val manyKeyed = manySide.withColumn("_mk", promMatchKey(m))
     val manyChecked =
       if (m.groupLeft || m.groupRight) manyKeyed.withColumn("_nMany", lit(1L))
       else manyKeyed.withColumn("_nMany", count(lit(1)).over(w))
     val joined = manyChecked.join(oneG, Seq("_mk", S.Ts), "inner")
       .withColumn("_ov",
-        when(col("_nOne") > 1,
-          raise_error(lit("vector matching: found duplicate series on the one side"))
-            .cast(DoubleType))
-        .when(col("_nMany") > 1,
+        when(col("_nMany") > 1,
           raise_error(lit("many-to-one matching must use group_left/group_right"))
             .cast(DoubleType))
         .otherwise(col("_ov")))
@@ -466,8 +473,7 @@ object SeriesSet {
     * there: limit_ratio(r, v) ∪ limit_ratio(r-1, v) == v for r in (0,1).
     * Pure per-row predicate — no shuffle at all. */
   def limitRatio(df: DataFrame, r: Double): DataFrame = {
-    val frac = conv(substring(md5(TsSchema.seriesKey(col(S.LabelsCol))), 1, 8), 16, 10)
-      .cast("long") / lit(4294967296.0)
+    val frac = graft.core.OracleSafe.hashFraction(TsSchema.seriesKey(col(S.LabelsCol)))
     if (r >= 0) df.where(frac < lit(r))
     else df.where(frac >= lit(1.0 + r))
   }

@@ -141,23 +141,30 @@ object Ingest {
     * periodic compaction keeps scan task counts bounded; driver-side work is
     * one directory listing per partition (metadata-scale only).
     *
-    * Swap protocol (single compactor assumed; readers may list at any time —
-    * a raw filesystem has no atomic multi-file commit, so the guarantees are
-    * made explicit instead of claimed away):
-    *  1. compacted files are written to a `_compact_` sibling temp dir
-    *  2. a `.compact-pending` marker naming the NEW files is committed into
-    *     the partition (temp-write + atomic rename)
-    *  3. the new files MOVE INTO the live partition, then the old files are
-    *     deleted — the partition is never empty; a concurrent listing sees
-    *     the old set, or briefly old+new (a bounded transient over-count
-    *     during the swap), never neither
-    *  4. the marker is removed
+    * Swap protocol (single compactor assumed; readers — and the streaming
+    * ingest sink appending new trigger files — may act at any time. A raw
+    * filesystem has no atomic multi-file commit, so the guarantees are made
+    * explicit instead of claimed away):
+    *  1. the OLD file set is snapshotted first, and the rewrite reads
+    *     exactly that snapshot — a trigger file landing during the rewrite
+    *     is neither compacted nor deleted
+    *  2. compacted files are written to a `_compact_` sibling temp dir
+    *  3. a `.compact-pending` marker naming BOTH the new files (`+name`
+    *     lines) and the snapshotted old files (`-name` lines) is committed
+    *     into the partition (temp-write + atomic rename) — recovery must
+    *     never have to guess which files the swap owns
+    *  4. the new files MOVE INTO the live partition, then exactly the
+    *     snapshotted old files are deleted — the partition is never empty;
+    *     a concurrent listing sees the old set, or briefly old+new (a
+    *     bounded transient over-count during the swap), never neither
+    *  5. the marker is removed
     * Every rename's boolean is checked; a failure rolls that partition back
     * (new files out, old set intact). [[recoverPartition]] runs first each
-    * sweep: a marker whose new files all exist rolls FORWARD (finish the
-    * deletes), anything else rolls BACK — so a crash at ANY step leaves every
-    * row present exactly once after the next sweep. Returns the rewritten
-    * partition paths. */
+    * sweep: a marker whose `+` files all exist rolls FORWARD (delete the
+    * `-` files), anything else rolls BACK (delete the `+` files) — files in
+    * neither list (concurrent ingest output) are untouched in both
+    * directions, so a crash at ANY step leaves every row present exactly
+    * once after the next sweep. Returns the rewritten partition paths. */
   def compactionSweep(spark: SparkSession, tablePath: String,
                       maxFiles: Int = 8, targetFiles: Int = 1): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -181,18 +188,22 @@ object Ingest {
       .filter(p => parquets(p).size > maxFiles)
       .flatMap { part =>
         val tmp = new Path(base, s"_compact_${part.getName}")
-        spark.read.parquet(part.toString)
+        // snapshot the old set FIRST and rewrite exactly it — a streaming
+        // trigger file landing after this listing is neither compacted nor
+        // (since only snapshotted names are ever deleted) lost
+        val olds = parquets(part)
+        spark.read.parquet(olds.map(_.toString): _*)
           .repartition(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
         val runId = java.util.UUID.randomUUID().toString.take(8)
         val tmpFiles = parquets(tmp)
         val newNames = tmpFiles.indices.map(i => f"compacted-$runId-$i%05d.parquet")
-        val olds = parquets(part)
-        // commit point: the marker names the incoming files (temp + rename —
-        // readers never see a half-written marker)
+        // commit point: the marker names the incoming (+) AND outgoing (-)
+        // files (temp + rename — readers never see a half-written marker)
         val markerTmp = new Path(part, s"$PendingMarker.tmp")
         val out = fs.create(markerTmp, true)
-        out.write(newNames.mkString("\n").getBytes("UTF-8"))
+        out.write((newNames.map("+" + _) ++ olds.map("-" + _.getName))
+          .mkString("\n").getBytes("UTF-8"))
         out.close()
         val marker = new Path(part, PendingMarker)
         if (!fs.rename(markerTmp, marker)) {
@@ -242,11 +253,13 @@ object Ingest {
       .saveAsTable(table)
 
   /** Finish or undo a compaction swap that died mid-flight. With the pending
-    * marker present: all named new files on disk → roll forward (delete every
-    * unnamed parquet, then the marker); any named file missing → roll back
-    * (delete the named files that did arrive — the old set is still
-    * complete). No marker → nothing to do (committed `compacted-` files are
-    * real data). */
+    * marker present: all `+` files on disk → roll forward (delete exactly
+    * the marker's `-` files, then the marker); any `+` file missing → roll
+    * back (delete the `+` files that did arrive — the old set is still
+    * complete). Files named in NEITHER list — e.g. a trigger file the
+    * streaming sink appended while the swap was in flight — are never
+    * touched in either direction. No marker → nothing to do (committed
+    * `compacted-` files are real data). */
   private def recoverPartition(fs: org.apache.hadoop.fs.FileSystem,
                                part: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
@@ -254,12 +267,14 @@ object Ingest {
     fs.delete(new Path(part, s"$PendingMarker.tmp"), false)
     if (!fs.exists(marker)) return
     val in = fs.open(marker)
-    val newNames = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
     in.close()
+    val newNames = lines.collect { case l if l.startsWith("+") => l.substring(1) }.toSet
+    val oldNames = lines.collect { case l if l.startsWith("-") => l.substring(1) }.toSet
     val present = fs.listStatus(part).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     if (newNames.subsetOf(present.map(_.getName).toSet))
-      present.filterNot(p => newNames(p.getName)).foreach(fs.delete(_, false))
+      present.filter(p => oldNames(p.getName)).foreach(fs.delete(_, false))
     else
       present.filter(p => newNames(p.getName)).foreach(fs.delete(_, false))
     fs.delete(marker, false)

@@ -474,6 +474,44 @@ class PromQLSpec extends SparkTestBase {
       Map("dc:a,name:mem" -> (1 to 10).map(i => S(60.0 * i))))
   }
 
+  test("non-step-multiple range windows keep results on the query grid") {
+    // a 90s window under the 60s step widens the scan by 120s (rounded UP
+    // to a step multiple) — output instants must stay on the query grid
+    val out = toGolden(run("""sum_over_time(mem{dc="a"}[90s])"""))
+    assert(out.keySet == Set("dc:a,name:mem"))
+    // window [t-90s, t] at 60s spacing holds the trailing 2 samples
+    assert(out("dc:a,name:mem")(1).contains(9.0))   // 5 + 4
+    assert(out("dc:a,name:mem")(9).contains(11.0))  // 5 + 6
+  }
+
+  test("comparisons use IEEE NaN semantics: != keeps NaN, ordering drops it") {
+    // scalar(req) is NaN (two series): != keeps every sample, > keeps none
+    assertSeries(run("""mem{dc="a"} != scalar(req)"""),
+      Map("dc:a,name:mem" -> Seq(S(5), S(4), S(3), S(2), S(1), S(2), S(3), S(4), S(5), S(6))))
+    assert(toGolden(run("""mem{dc="a"} > scalar(req)""")).isEmpty)
+  }
+
+  test("duplicate one-side series raise even when nothing matches") {
+    // two b-series share the full match key; the a side never matches them
+    val dup = samplesDF(
+      series("name:a,dc:z", Seq(S(1), N, N, N, N, N, N, N, N, N)) ++
+      series("name:b,dc:x,extra:1", Seq(S(2), N, N, N, N, N, N, N, N, N)) ++
+      series("name:b,dc:x,extra:2", Seq(S(3), N, N, N, N, N, N, N, N, N)))
+    val ex = intercept[Exception] {
+      PromQL.query(spark, dup, g, """a / on(dc) b""").collect()
+    }
+    assert(ex.getMessage.contains("duplicate") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("duplicate")))
+  }
+
+  test("mad_over_time emits nothing for an all-NaN window instead of failing") {
+    // scalar(req) is NaN (two series) → every inner sample is NaN → every
+    // window's filtered array is empty; the query must return empty, not
+    // abort on element_at(array, 0)
+    val out = toGolden(run("""mad_over_time((mem{dc="a"} * scalar(req))[2m:1m])"""))
+    assert(out.isEmpty)
+  }
+
   test("limitk keeps k series per step; limit_ratio obeys the complement law") {
     val limited = toGolden(run("""limitk(1, req)"""))
     assert(limited.keySet == Set("dc:a,name:req"), "k smallest series keys survive")

@@ -128,13 +128,23 @@ class StreamingIngestSpec extends SparkTestBase {
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
     val newName = "compacted-deadrun-00000.parquet"
     assert(fs.rename(staged.head, new org.apache.hadoop.fs.Path(part, newName)))
+    // a streaming trigger file that landed AFTER the dead run snapshotted
+    // its olds: named in neither marker list → recovery must not touch it
+    val concurrent = new org.apache.hadoop.fs.Path(part, "part-concurrent.parquet")
+    spark.read.parquet(part.toString).limit(0)
+      .write.parquet(s"$dir/stage2")
+    val staged2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage2"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+    assert(fs.rename(staged2.head, concurrent))
     val out = fs.create(new org.apache.hadoop.fs.Path(part, ".compact-pending"), true)
-    out.write(newName.getBytes("UTF-8")); out.close()
+    out.write((Seq("+" + newName) ++ olds.map("-" + _.getName))
+      .mkString("\n").getBytes("UTF-8")); out.close()
     // next sweep rolls forward: old files deleted, rows present exactly once
     Ingest.compactionSweep(spark, s"$dir/tbl", maxFiles = 100)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(part, ".compact-pending")))
     val names = fs.listStatus(part).map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
-    assert(names == Seq(newName), s"roll-forward keeps only the new set: $names")
+    assert(names.sorted == Seq(newName, "part-concurrent.parquet").sorted,
+      s"roll-forward keeps the new set and the concurrent-ingest file: $names")
     assert(spark.read.parquet(s"$dir/tbl").count() == 60L)
     assert(olds.forall(!fs.exists(_)))
   }
@@ -154,7 +164,7 @@ class StreamingIngestSpec extends SparkTestBase {
     val bogus = new org.apache.hadoop.fs.Path(part, "compacted-deadrun-00000.parquet")
     val bo = fs.create(bogus, true); bo.write(Array[Byte](0, 1, 2)); bo.close()
     val mk = fs.create(new org.apache.hadoop.fs.Path(part, ".compact-pending"), true)
-    mk.write("compacted-deadrun-00000.parquet\ncompacted-deadrun-00001.parquet"
+    mk.write("+compacted-deadrun-00000.parquet\n+compacted-deadrun-00001.parquet"
       .getBytes("UTF-8")); mk.close()
     Ingest.compactionSweep(spark, s"$dir/tbl", maxFiles = 100)
     assert(!fs.exists(bogus), "partial new files must be rolled back")
