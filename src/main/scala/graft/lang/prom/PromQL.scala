@@ -715,7 +715,7 @@ object PromQL {
           // Prometheus-exact: counter delta with window-edge extrapolation
           // (the M3QL perSecondRate keeps the reference's smoothed semantics)
           val (in, d) = rangeInput(args.head, g)
-          Temporal.extrapolatedRate(in, d, isCounter = true, isRate = false)
+          Temporal.extrapolatedRate(in, d, isCounter = true)
         case "irate" | "idelta" =>
           // last two samples, both inside the window (Prometheus needs two
           // points in [t-d, t]; a gap wider than d yields no output). irate
@@ -741,7 +741,7 @@ object PromQL {
         case "delta" =>
           // gauge difference over the window, Prometheus-extrapolated
           val (in, d) = rangeInput(args.head, g)
-          Temporal.extrapolatedRate(in, d, isCounter = false, isRate = false)
+          Temporal.extrapolatedRate(in, d, isCounter = false)
         case "deriv" =>
           val (in, d) = rangeInput(args.head, g)
           Temporal.linearFit(in, d, None)

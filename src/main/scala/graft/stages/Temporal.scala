@@ -292,7 +292,7 @@ object Temporal {
       .drop("_pv", "_reset", "_seg", "_spv", "_spt", "_rate")
   }
 
-  /** Prometheus `increase`/`delta` (`rate` when isRate): the value change
+  /** Prometheus `increase`/`delta`: the value change
     * over the trailing window `[t-d, t]` with Prometheus's window-edge
     * extrapolation (promql extrapolatedRate): the raw change is scaled by
     * `extrapolatedInterval / sampledInterval`, where each window edge not
@@ -304,7 +304,9 @@ object Temporal {
     * monotonic correction). Windows with <2 samples emit nothing. One window
     * pass, pure builtins. */
   def extrapolatedRate(df: DataFrame, windowMs: Long,
-                       isCounter: Boolean, isRate: Boolean): DataFrame = {
+                       isCounter: Boolean): DataFrame = {
+    // (`rate` itself stays on PerSecondRateStage semantics — the documented
+    // reference-parity divergence — so no per-second variant exists here)
     val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-windowMs, 0)
     val prev = lag(col(S.Value), 1).over(w)
     // per-row monotonic correction against the in-series predecessor; window
@@ -328,9 +330,7 @@ object Temporal {
           .otherwise(dStart0)
       else dStart0
     val extended = sampledMs + when(dStart < avgIv * 1.1, dStart).otherwise(avgIv / 2)
-    val factor =
-      if (isRate) extended / sampledMs / lit(windowMs / 1000.0)
-      else extended / sampledMs
+    val factor = extended / sampledMs
     base
       .withColumn("_n", n)
       .withColumn(S.Value, rv * factor)

@@ -500,8 +500,11 @@ class PromQLSpec extends SparkTestBase {
     val ex = intercept[Exception] {
       PromQL.query(spark, dup, g, """a / on(dc) b""").collect()
     }
-    assert(ex.getMessage.contains("duplicate") ||
-      (ex.getCause != null && ex.getCause.getMessage.contains("duplicate")))
+    // the raise_error surfaces at varying depths of the SparkException
+    // cause chain depending on scheduling — walk the whole chain
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate"), s"unexpected failure: $msgs")
   }
 
   test("mad_over_time emits nothing for an all-NaN window instead of failing") {
