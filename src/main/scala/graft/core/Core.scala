@@ -108,6 +108,47 @@ object OracleSafe {
     conv(substring(md5(key), 1, 8), 16, 10).cast(LongType) / lit(4294967296.0)
 }
 
+/** Distributed-scan primitives shared across the engine. */
+object Dist {
+  import org.apache.spark.sql.expressions.Window
+
+  /** TWO-PHASE distributed prefix sum: the inclusive running total of
+    * `value` over the global order `rangeOrd ++ localOrd` (within each
+    * `keyNames` group), without ever funnelling the data through a
+    * single-partition `Window.orderBy`.
+    *
+    * Phase 1 range-partitions on `rangeOrd` and computes a per-partition
+    * local running sum; phase 2 aggregates one row per (partition × keys) —
+    * bounded by partition count, not row count — windows THAT tiny frame for
+    * the per-partition starting offsets, and broadcasts it back. The result
+    * is byte-identical to a serial pass regardless of partition count.
+    * Callers: series ranking (`sort`/`head`/`topk`), sequence packing,
+    * weighted source mixing.
+    *
+    * Returns the input plus `_scan` (the running total, in `value`'s summed
+    * type). `localOrd` must be a total order within each range partition ×
+    * key group (ties would share a frame otherwise). */
+  def prefixScan(df: DataFrame, rangeOrd: Seq[Column], value: Column,
+                 localOrd: Seq[Column], keyNames: Seq[String] = Nil): DataFrame = {
+    val keyCols = keyNames.map(col)
+    val parted = df.repartitionByRange(rangeOrd: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid") +: keyCols: _*)
+      .orderBy(localOrd: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_scan0", sum(value).over(wLocal))
+    val wOff = Window.partitionBy(keyCols: _*).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_pid") +: keyCols: _*)
+      .agg(max(col("_scan0")).as("_ptot"))
+      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0)))
+      .select(col("_pid") +: keyCols :+ col("_off"): _*)
+    local.join(broadcast(offsets), "_pid" +: keyNames)
+      .withColumn("_scan", col("_off") + col("_scan0"))
+      .drop("_pid", "_scan0", "_off")
+  }
+}
+
 /** Test-data table loaders (driver-provided parquet, TESTDATA.md). */
 object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -488,29 +488,35 @@ object PromQL {
             op != "and" && op != "or" && op != "unless" =>
         val combine: (Column, Column) => Column =
           if (cmpOps(op)) (a, b) => when(ieeeCmp(op, a, b), 1.0).otherwise(0.0)
-          else (a, b) => dynBinCol(op, a, b)
+          else (a, b) => binCol(op, a, b)
         def side(x: Expr): Option[DynScalar] =
           scalarOf(x).map(v => TsFn(_ => lit(v)): DynScalar)
             .orElse(dynScalar(x, g))
-        for (ls <- side(l); rs <- side(r)) yield (ls, rs) match {
-          case (TsFn(a), TsFn(b))  => TsFn(ts => combine(a(ts), b(ts)))
-          case (TsFn(a), TsFrame(d)) =>
-            TsFrame(d.select(col(S.Ts), combine(a(col(S.Ts)), col("_sv")).as("_sv")))
-          case (TsFrame(d), TsFn(b)) =>
-            TsFrame(d.select(col(S.Ts), combine(col("_sv"), b(col(S.Ts))).as("_sv")))
-          case (TsFrame(a), TsFrame(b)) =>
-            TsFrame(a.join(b.withColumnRenamed("_sv", "_sv2"), Seq(S.Ts))
-              .select(col(S.Ts), combine(col("_sv"), col("_sv2")).as("_sv")))
-        }
+        for (ls <- side(l); rs <- side(r)) yield combineDyn(ls, rs)(combine)
       case _ => None
     }
 
-    /** Arithmetic for dynamic scalars: the engine-wide NaN-on-/0 convention
-      * (matches the vector-vector path in promMatch). */
-    private def dynBinCol(op: String, l: Column, r: Column): Column = op match {
-      case "/" => when(r === 0.0, lit(Double.NaN)).otherwise(l / r)
-      case _   => binCol(op, l, r)
-    }
+    /** Combine two scalar-typed sides — shared by [[dynScalar]]'s BinOp case
+      * and [[eval]]'s scalar-to-scalar branches so each side's plan is built
+      * exactly once per operator. */
+    private def combineDyn(ls: DynScalar, rs: DynScalar)
+                          (combine: (Column, Column) => Column): DynScalar =
+      (ls, rs) match {
+        case (TsFn(a), TsFn(b)) => TsFn(ts => combine(a(ts), b(ts)))
+        case (TsFn(a), TsFrame(d)) =>
+          TsFrame(d.select(col(S.Ts), combine(a(col(S.Ts)), col("_sv")).as("_sv")))
+        case (TsFrame(d), TsFn(b)) =>
+          TsFrame(d.select(col(S.Ts), combine(col("_sv"), b(col(S.Ts))).as("_sv")))
+        case (TsFrame(a), TsFrame(b)) =>
+          TsFrame(a.join(b.withColumnRenamed("_sv", "_sv2"), Seq(S.Ts))
+            .select(col(S.Ts), combine(col("_sv"), col("_sv2")).as("_sv")))
+      }
+
+    /** A literal side folded to a constant, else its (already-built) dynamic
+      * plan. */
+    private def scalarSide(lit0: Option[Double],
+                           dyn: Option[DynScalar]): Option[DynScalar] =
+      lit0.map(v => TsFn((_: Column) => lit(v)): DynScalar).orElse(dyn)
 
     /** Attach a dynamic scalar to a vector frame; returns the augmented frame
       * and the per-row scalar column. A step with no scalar value (inner
@@ -613,39 +619,39 @@ object PromQL {
 
       // ---- comparisons: filter without `bool`, 0/1 vector with it ----------
       case BinOp(op, l, r, boolMod, m) if cmpOps(op) =>
-        (scalarOf(l), scalarOf(r)) match {
-          case (Some(a), None) if dynScalar(r, g).isEmpty =>
+        // each side's dynamic-scalar plan is built at most once — the guards
+        // previously rebuilt (and discarded) the inner subplans per branch
+        val (litL, litR) = (scalarOf(l), scalarOf(r))
+        val dynL = if (litL.isEmpty) dynScalar(l, g) else None
+        val dynR = if (litR.isEmpty) dynScalar(r, g) else None
+        (litL, dynL, litR, dynR) match {
+          case (Some(_), _, Some(_), _) =>
+            throw PromParseError("scalar-to-scalar comparison needs bool and a vector context")
+          case (Some(a), _, None, None) =>
             applyCmp(eval(r, g), c => ieeeCmp(op, lit(a), c), boolMod)
-          case (None, Some(b)) if dynScalar(l, g).isEmpty =>
+          case (None, None, Some(b), _) =>
             applyCmp(eval(l, g), c => ieeeCmp(op, c, lit(b)), boolMod)
-          case (Some(_), None) | (None, Some(_)) =>
-            // literal vs dynamic scalar — scalar-typed like the (dyn, dyn) case
+          case (None, Some(ds), None, None) =>
+            // scalar OP vector: the vector side is filtered/rewritten
+            applyDynCmp(eval(r, g), ds, (vv, sv) => ieeeCmp(op, sv, vv), boolMod)
+          case (None, None, None, Some(ds)) =>
+            applyDynCmp(eval(l, g), ds, (vv, sv) => ieeeCmp(op, vv, sv), boolMod)
+          case (None, None, None, None) =>
+            val f: (Column, Column) => Column = (lv, rv) =>
+              if (boolMod) when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0)
+              else when(ieeeCmp(op, lv, rv), lv)
+            // filter comparisons keep the metric name; `bool` rewrites the
+            // value and therefore drops it (Prometheus shouldDropMetricName)
+            val out = SeriesSet.promMatch(eval(l, g), eval(r, g),
+              m.getOrElse(SeriesSet.DefaultMatching), dropName = boolMod)(f)
+            if (boolMod) out else out.where(col(S.Value).isNotNull)
+          case _ =>
+            // both sides scalar-typed: literal-vs-dynamic or dynamic-vs-dynamic
             if (!boolMod)
               throw PromParseError("scalar-to-scalar comparison requires bool")
-            scalarToVector(dynScalar(e, g).get, g)
-          case (None, None) =>
-            (dynScalar(l, g), dynScalar(r, g)) match {
-              case (Some(ds), None) =>
-                // scalar OP vector: the vector side is filtered/rewritten
-                applyDynCmp(eval(r, g), ds, (vv, sv) => ieeeCmp(op, sv, vv), boolMod)
-              case (None, Some(ds)) =>
-                applyDynCmp(eval(l, g), ds, (vv, sv) => ieeeCmp(op, vv, sv), boolMod)
-              case (Some(_), Some(_)) =>
-                if (!boolMod)
-                  throw PromParseError("scalar-to-scalar comparison requires bool")
-                scalarToVector(dynScalar(e, g).get, g)
-              case (None, None) =>
-                val f: (Column, Column) => Column = (lv, rv) =>
-                  if (boolMod) when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0)
-                  else when(ieeeCmp(op, lv, rv), lv)
-                // filter comparisons keep the metric name; `bool` rewrites the
-                // value and therefore drops it (Prometheus shouldDropMetricName)
-                val out = SeriesSet.promMatch(eval(l, g), eval(r, g),
-                  m.getOrElse(SeriesSet.DefaultMatching), dropName = boolMod)(f)
-                if (boolMod) out else out.where(col(S.Value).isNotNull)
-            }
-          case (Some(_), Some(_)) =>
-            throw PromParseError("scalar-to-scalar comparison needs bool and a vector context")
+            scalarToVector(
+              combineDyn(scalarSide(litL, dynL).get, scalarSide(litR, dynR).get)(
+                (a, b) => when(ieeeCmp(op, a, b), 1.0).otherwise(0.0)), g)
         }
 
       // ---- set operators ---------------------------------------------------
@@ -655,28 +661,33 @@ object PromQL {
 
       // ---- arithmetic ------------------------------------------------------
       case BinOp(op, l, r, _, m) =>
-        (scalarOf(l), scalarOf(r)) match {
-          case (Some(_), Some(_)) =>
+        val (litL, litR) = (scalarOf(l), scalarOf(r))
+        val dynL = if (litL.isEmpty) dynScalar(l, g) else None
+        val dynR = if (litR.isEmpty) dynScalar(r, g) else None
+        (litL, dynL, litR, dynR) match {
+          case (Some(_), _, Some(_), _) =>
             throw PromParseError("bare scalar is not a vector expression")
-          case (Some(a), None) => mapValue(eval(r, g))(c => binCol(op, lit(a), c))
-          case (None, Some(v)) => mapValue(eval(l, g))(c => binCol(op, c, lit(v)))
-          case (None, None) =>
-            (dynScalar(l, g), dynScalar(r, g)) match {
-              case (Some(ds), None) =>
-                // scalar OP vector — per-step scalar broadcast onto every
-                // series; label treatment matches the literal-scalar path
-                applyDynArith(eval(r, g), ds)((vv, sv) => dynBinCol(op, sv, vv))
-              case (None, Some(ds)) =>
-                applyDynArith(eval(l, g), ds)((vv, sv) => dynBinCol(op, vv, sv))
-              case (Some(_), Some(_)) =>
-                scalarToVector(dynScalar(e, g).get, g)
-              case (None, None) =>
-                // arithmetic always rewrites the value → metric name dropped;
-                // `/` by 0 keeps the engine-wide NaN convention
-                SeriesSet.promMatch(eval(l, g), eval(r, g),
-                  m.getOrElse(SeriesSet.DefaultMatching))((lv, rv) =>
-                  dynBinCol(op, lv, rv))
-            }
+          case (Some(a), _, None, None) =>
+            mapValue(eval(r, g))(c => binCol(op, lit(a), c))
+          case (None, None, Some(v), _) =>
+            mapValue(eval(l, g))(c => binCol(op, c, lit(v)))
+          case (None, Some(ds), None, None) =>
+            // scalar OP vector — per-step scalar broadcast onto every
+            // series; label treatment matches the literal-scalar path
+            applyDynArith(eval(r, g), ds)((vv, sv) => binCol(op, sv, vv))
+          case (None, None, None, Some(ds)) =>
+            applyDynArith(eval(l, g), ds)((vv, sv) => binCol(op, vv, sv))
+          case (None, None, None, None) =>
+            // arithmetic always rewrites the value → metric name dropped;
+            // `/` by 0 keeps the engine-wide NaN convention
+            SeriesSet.promMatch(eval(l, g), eval(r, g),
+              m.getOrElse(SeriesSet.DefaultMatching))((lv, rv) =>
+              binCol(op, lv, rv))
+          case _ =>
+            // both sides scalar-typed: literal-vs-dynamic or dynamic-vs-dynamic
+            scalarToVector(
+              combineDyn(scalarSide(litL, dynL).get, scalarSide(litR, dynR).get)(
+                (a, b) => binCol(op, a, b)), g)
         }
 
       case ScalarLit(_) | StrLit(_) =>
@@ -782,13 +793,24 @@ object PromQL {
           val (in, d) = rangeInput(args.head, g)
           val frame = org.apache.spark.sql.expressions.Window
             .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+          // NaN samples must never win max/min (Prometheus comparison
+          // semantics; Spark's struct ordering would rank NaN above every
+          // number) — NULL-out their ordering key so max_by/min_by skip
+          // them, and fall back to the latest sample's ts when the whole
+          // window is NaN.
+          val nanSafeKey = (tsExpr: String) =>
+            s"if(isnan(${S.Value}), null, struct(${S.Value}, $tsExpr))"
           val tsOf = fn match {
             case "ts_of_last_over_time" => max(col(S.Ts)).over(frame)
             case "ts_of_max_over_time" =>
-              expr(s"max_by(${S.Ts}, struct(${S.Value}, ${S.Ts}))").over(frame)
+              coalesce(
+                expr(s"max_by(${S.Ts}, ${nanSafeKey(S.Ts)})").over(frame),
+                max(col(S.Ts)).over(frame))
             case _ =>
               // min_by on (value, -ts): smallest value, latest ts among ties
-              expr(s"min_by(${S.Ts}, struct(${S.Value}, -${S.Ts}))").over(frame)
+              coalesce(
+                expr(s"min_by(${S.Ts}, ${nanSafeKey(s"-${S.Ts}")})").over(frame),
+                max(col(S.Ts)).over(frame))
           }
           in.withColumn(S.Value, tsOf / lit(1000.0))
         case "mad_over_time" =>
@@ -952,8 +974,10 @@ object PromQL {
       case "+"     => l + r
       case "-"     => l - r
       case "*"     => l * r
-      case "/"     => l / r
-      case "%"     => l % r
+      // engine-wide NaN-on-zero-divisor convention (SeriesSet.divide); Spark's
+      // non-ANSI Divide/Remainder would return NULL and silently drop the point
+      case "/"     => when(r === 0.0, lit(Double.NaN)).otherwise(l / r)
+      case "%"     => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
       case "^"     => pow(l, r)
       case "atan2" => atan2(l, r)
     }

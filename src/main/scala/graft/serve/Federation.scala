@@ -70,9 +70,13 @@ object Federation {
       // partition rank (earliest start first) and take min_by — the mirror of
       // the disjoint path's max_by merge, honoring the unfold FIRST policy
       // (TimeSeriesUnfoldAggregator.java:270-276).
-      val tagged = parts.sortBy(_._1.startMs).zipWithIndex.map { case ((_, df), i) =>
-        df.withColumn("_pord", lit(i))
-      }
+      // The rank must be total-ordered on the WINDOWS, not the caller's Seq
+      // order: two windows sharing startMs tie-break on endMs then partition
+      // name, so the survivor is identical however the caller lists them.
+      val tagged = parts.sortBy(p => (p._1.startMs, p._1.endMs, p._1.partition))
+        .zipWithIndex.map { case ((_, df), i) =>
+          df.withColumn("_pord", lit(i))
+        }
       val merged = tagged.reduce(_ unionByName _)
         .groupBy(col(S.SeriesId), col(S.Ts))
         .agg(first(col(S.LabelsCol)).as(S.LabelsCol),
@@ -80,10 +84,11 @@ object Federation {
         .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
       M3QL.query(spark, merged, grid, q)
     } else {
-      val results = parts.sortBy(_._1.startMs).zipWithIndex.map { case ((w, df), i) =>
-        M3QL.query(spark, df.where(col(S.Ts) >= w.startMs && col(S.Ts) < w.endMs), grid, q)
-          .withColumn("_pord", lit(i))
-      }
+      val results = parts.sortBy(p => (p._1.startMs, p._1.endMs, p._1.partition))
+        .zipWithIndex.map { case ((w, df), i) =>
+          M3QL.query(spark, df.where(col(S.Ts) >= w.startMs && col(S.Ts) < w.endMs), grid, q)
+            .withColumn("_pord", lit(i))
+        }
       results.reduce(_ unionByName _)
         .groupBy(col(S.SeriesId), col(S.Ts))
         .agg(first(col(S.LabelsCol)).as(S.LabelsCol),

@@ -51,14 +51,13 @@ object SeriesSet {
     * string for determinism — the order is total, so the rank is
     * layout-independent).
     *
-    * Scale design: the rank is a TWO-PHASE distributed scan over the tiny
-    * per-series key frame — range-partition on the sort order, per-partition
-    * `row_number`, then offset by the broadcast per-partition counts (one
-    * row per partition). No single-partition `Window.orderBy` and no forced
-    * broadcast of the rank table (AQE picks a broadcast join while it fits),
-    * so sorting holds past the former ~1M-series coordinator ceiling; the
-    * reference's analogous structure is shard-local partials + coordinator
-    * merge (SortStage/TopKStage). */
+    * Scale design: the rank is [[graft.core.Dist.prefixScan]] (two-phase
+    * distributed scan — running count of 1) over the tiny per-series key
+    * frame. No single-partition `Window.orderBy` and no forced broadcast of
+    * the rank table (AQE picks a broadcast join while it fits), so sorting
+    * holds past the former ~1M-series coordinator ceiling; the reference's
+    * analogous structure is shard-local partials + coordinator merge
+    * (SortStage/TopKStage). */
   private def ranked(df0: DataFrame, by: String, desc: Boolean): DataFrame = {
     val df = df0.drop("_rank")
     val keys =
@@ -74,17 +73,9 @@ object SeriesSet {
     val ord =
       if (desc) Seq(col("_key").desc_nulls_last, col("_skey").asc)
       else Seq(col("_key").asc_nulls_first, col("_skey").asc)
-    val parted = keys.repartitionByRange(ord: _*).withColumn("_pid", spark_partition_id())
-    val local = parted.withColumn("_lrn",
-      row_number().over(Window.partitionBy("_pid").orderBy(ord: _*)))
-    // one row per range partition — bounded by partition count, not series
-    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_pcnt"))
-      .withColumn("_off", coalesce(sum("_pcnt").over(wOff), lit(0L)))
-      .select("_pid", "_off")
-    val rk = local.join(broadcast(offsets), Seq("_pid"))
+    val rk = graft.core.Dist.prefixScan(keys, ord, lit(1L), ord)
       // int like row_number() — the rank's public type across the engine
-      .withColumn("_rank", (col("_off") + col("_lrn")).cast(IntegerType))
+      .withColumn("_rank", col("_scan").cast(IntegerType))
       .select(S.SeriesId, "_rank")
     df.join(rk, Seq(S.SeriesId))
   }

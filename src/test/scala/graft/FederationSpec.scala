@@ -45,4 +45,17 @@ class FederationSpec extends SparkTestBase {
     assertSeries(Federation.query(spark, Seq(w0 -> p0, w1 -> p1), g, "fetch name:m"), want)
     assertSeries(Federation.query(spark, Seq(w1 -> p1, w0 -> p0), g, "fetch name:m"), want)
   }
+
+  test("overlap dedup: identical startMs ties break on window, not seq order") {
+    // two windows with the SAME start — the survivor must not depend on how
+    // the caller happens to list them; tie-break is (startMs, endMs, name)
+    val pa = samplesDF(series("name:m,dc:a", Seq(Some(7.0))))
+    val pb = samplesDF(series("name:m,dc:a", Seq(Some(13.0))))
+    val wa = PartitionWindow("pa", g.startMs, g.startMs + 3 * g.stepMs)
+    val wb = PartitionWindow("pb", g.startMs, g.startMs + 8 * g.stepMs)
+    // wa sorts first (same start, earlier end) → 7.0 survives both ways
+    val want = Map("dc:a,name:m" -> (Seq(Some(7.0)) ++ Seq.fill(9)(None)))
+    assertSeries(Federation.query(spark, Seq(wa -> pa, wb -> pb), g, "fetch name:m"), want)
+    assertSeries(Federation.query(spark, Seq(wb -> pb, wa -> pa), g, "fetch name:m"), want)
+  }
 }

@@ -244,15 +244,25 @@ abstract class GoldenCorpusBase(yamlPath: String) extends SparkTestBase {
             ignore(s"golden: $name") {}
           case None if expectedStatus != "success" =>
             test(s"golden: $name (expected failure)") {
-              intercept[Exception] {
-                // the catalog existence check runs before planning, exactly
-                // like the reference's 404 on an unknown resolved partition
-                val requested = q.get("resolved_partitions").map(_.list).getOrElse(Nil)
-                  .flatMap(_.get("windows").map(_.list).getOrElse(Nil))
-                  .map(w => w("partition").str.split(":").last)
+              // the catalog existence check runs before planning, exactly
+              // like the reference's 404 on an unknown resolved partition
+              val requested = q.get("resolved_partitions").map(_.list).getOrElse(Nil)
+                .flatMap(_.get("windows").map(_.list).getOrElse(Nil))
+                .map(w => w("partition").str.split(":").last)
+              if (requested.exists(!knownIndices(_))) {
+                // a 404 case must fail with the catalog error specifically —
+                // a query-semantics raise here would mean the 404 path broke
+                intercept[graft.serve.Federation.PartitionNotFoundException] {
+                  graft.serve.Federation.requirePartitions(knownIndices, requested)
+                }
+              } else {
+                // all partitions known: the failure must come from the QUERY,
+                // never masked by an (impossible here) catalog error
                 graft.serve.Federation.requirePartitions(knownIndices, requested)
-                M3QL.query(spark, fixtureFor(q),
-                  QueryGrid(0, 60000, 60000), q("query").str).collect()
+                intercept[Exception] {
+                  M3QL.query(spark, fixtureFor(q),
+                    QueryGrid(0, 60000, 60000), q("query").str).collect()
+                }
               }
             }
           case None =>

@@ -474,6 +474,29 @@ class PromQLSpec extends SparkTestBase {
       Map("dc:a,name:mem" -> (1 to 10).map(i => S(60.0 * i))))
   }
 
+  test("division and mod by a literal zero yield NaN, not a gap") {
+    // the engine-wide NaN-on-zero-divisor convention must hold on the
+    // literal path too — Spark's non-ANSI Divide/Remainder would return
+    // NULL and silently drop every point
+    val out = toGolden(run("""mem{dc="a"} / 0"""))
+    assert(out("dc:a,name:mem").forall(_.exists(_.isNaN)))
+    val outMod = toGolden(run("""mem{dc="a"} % 0"""))
+    assert(outMod("dc:a,name:mem").forall(_.exists(_.isNaN)))
+  }
+
+  test("ts_of_max/min_over_time never pick a NaN sample over a real number") {
+    val nanFx = samplesDF(
+      series("name:x", Seq(S(1), S(Double.NaN), S(3), S(2), N, N, N, N, N, N)))
+    // at 180s the [2m] window holds {1 @60, NaN @120, 3 @180}: the max is
+    // 3 @180 — Spark's struct ordering would rank the NaN above it
+    val outMax = toGolden(PromQL.query(spark, nanFx, g, "ts_of_max_over_time(x[2m])"))
+    assert(outMax("name:x")(2).contains(180.0))
+    // at 120s the window is {1 @60, NaN @120} → the real max is 1 @60
+    assert(outMax("name:x")(1).contains(60.0))
+    val outMin = toGolden(PromQL.query(spark, nanFx, g, "ts_of_min_over_time(x[2m])"))
+    assert(outMin("name:x")(2).contains(60.0))
+  }
+
   test("non-step-multiple range windows keep results on the query grid") {
     // a 90s window under the 60s step widens the scan by 120s (rounded UP
     // to a step multiple) — output instants must stay on the query grid
