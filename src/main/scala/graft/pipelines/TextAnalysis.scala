@@ -51,31 +51,17 @@ object TextAnalysis {
     *
     * The start offset is a GLOBAL prefix sum, which must never become a
     * single-partition `Window.orderBy` (the classic driver-funnel mistake —
-    * Spark warns "No Partition Defined"). Two-phase instead: range-partition
-    * by id, per-partition local cumsum, then broadcast the tiny per-partition
-    * totals back as offsets — the standard distributed scan; result is
-    * byte-identical to a serial pass regardless of partition count
-    * (DifferentialSpec holds it to that). */
+    * Spark warns "No Partition Defined"). [[graft.core.Dist.prefixScan]]
+    * computes it two-phase (decimal accumulate — no long overflow at corpus
+    * scale); result is byte-identical to a serial pass regardless of
+    * partition count (DifferentialSpec holds it to that). */
   def packSequences(docs: DataFrame, budgetTokens: Long,
                     idCol: String = "doc_id"): DataFrame = {
     val Dec = DecimalType(38, 0)
     val withTok = tokenStats(docs).select(col(idCol), col("n_tokens"))
-    val parts = withTok
-      .repartitionByRange(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy("_pid").orderBy(idCol)
-    val local = parts.withColumn("_lsum",
-      sum(col("n_tokens").cast(Dec)).over(wLocal))
-    // per-partition totals are one row each — tiny, windowed on one partition
-    // by construction (== the reference coordinator's merge-sized object)
-    val wOff = Window.orderBy("_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("_pid")
-      .agg(max(col("_lsum")).as("_ptot"))
-      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0).cast(Dec)))
-      .select("_pid", "_off")
-    local.join(broadcast(offsets), Seq("_pid"))
-      .withColumn("_start", (col("_off") + col("_lsum") - col("n_tokens")).cast(LongType))
+    graft.core.Dist.prefixScan(withTok, Seq(col(idCol)),
+        col("n_tokens").cast(Dec), Seq(col(idCol)))
+      .withColumn("_start", (col("_scan") - col("n_tokens")).cast(LongType))
       .withColumn("shard_id", floor(col("_start") / budgetTokens))
       .select(col(idCol), col("n_tokens"), col("_start").as("start_offset"), col("shard_id"))
   }
@@ -87,9 +73,8 @@ object TextAnalysis {
     * corpus construction (the DoReMi/Pile-style mixture), exact rather than
     * rate-sampled.
     *
-    * The per-source rank is the same two-phase distributed scan as
-    * [[packSequences]]: range-partition by id, per-(partition, source) local
-    * row_number, then broadcast the tiny per-source partition offsets back —
+    * The per-source rank is [[graft.core.Dist.prefixScan]] grouped by the
+    * source label (running count of 1 per source in ascending id order) —
     * never a single-partition global window, so the quota cut scales to any
     * corpus size. */
   def mixSources(docs: DataFrame, quotas: Map[String, Long],
@@ -97,20 +82,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val qdf = broadcast(quotas.toSeq.toDF(sourceCol, "_quota"))
-    val parts = docs.repartitionByRange(col(idCol)).withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("_pid"), col(sourceCol)).orderBy(col(idCol))
-    val local = parts.withColumn("_lrn", row_number().over(wLocal))
-    // one row per (partition, source): merge-sized, windowed per source only
-    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("_pid"), col(sourceCol))
-      .agg(count(lit(1)).as("_pcnt"))
-      .withColumn("_off", coalesce(sum(col("_pcnt")).over(wOff), lit(0L)))
-      .select(col("_pid"), col(sourceCol), col("_off"))
-    local.join(broadcast(offsets), Seq("_pid", sourceCol))
+    graft.core.Dist.prefixScan(docs, Seq(col(idCol)), lit(1L), Seq(col(idCol)),
+        keyNames = Seq(sourceCol))
       .join(qdf, Seq(sourceCol))
-      .where(col("_off") + col("_lrn") <= col("_quota"))
-      .drop("_pid", "_lrn", "_off", "_quota")
+      .where(col("_scan") <= col("_quota"))
+      .drop("_scan", "_quota")
   }
 
   /** Deterministic train/validation/test split: each document's fraction is
@@ -166,6 +142,69 @@ object TextAnalysis {
       size(grams).as("n_grams"),
       dupFrac(grams).as("dup_gram_frac"),
       dupFrac(toks).as("dup_word_frac"))
+  }
+
+  /** C4-style LINE-LEVEL cleaning: keep only lines that look like prose —
+    * at least `minWords` whitespace words, terminal punctuation, no
+    * boilerplate marker phrase (javascript/cookie/policy/lorem-ipsum), no
+    * curly brace (code). Returns the cleaned text plus line counts so the
+    * doc-level gate can drop documents that lost most of their lines.
+    * Pure per-row array builtins (split → filter → join) — zero shuffle,
+    * codegen'd; predicates stay in the RE2 subset for the DuckDB mirror. */
+  def cleanLines(docs: DataFrame, minWords: Int = 3,
+                 idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col("text"), "\n")
+    def keep(l: Column): Column =
+      (size(split(trim(l), "\\s+")) >= minWords) &&
+        rtrim(l).rlike("[.!?\"]$") &&
+        !lower(l).rlike(BoilerplateRe) &&
+        !l.contains("{")
+    val kept = filter(lines, keep _)
+    docs.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"))
+  }
+
+  /** Boilerplate marker phrases for [[cleanLines]] (C4's blocklist spirit). */
+  val BoilerplateRe: String =
+    "javascript|cookie|privacy policy|terms of use|lorem ipsum"
+
+  /** Corpus-trained BIGRAM language-model scoring — the CCNet-style
+    * perplexity/quality filter: P(w2|w1) with add-one smoothing estimated
+    * from the corpus itself, each document scored by its mean bigram
+    * log-likelihood (higher = more typical of the corpus; spam and
+    * boilerplate score low).
+    *
+    * Scale shape: two hash aggregations build the model (bigram + unigram
+    * counts — map-side partial combine, shuffle ∝ vocabulary size, not
+    * corpus size) and scoring is one hash join from the exploded bigram
+    * stream back to the model. The "model" is never collected — it stays a
+    * DataFrame joined distributively, so train-then-apply holds at 100 TB
+    * (the count tables are the small side and AQE broadcast-joins them
+    * while they fit). Only documents with ≥2 tokens appear in the output.
+    * The mean folds in decimal (OracleSafe) for cross-engine parity. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(col(idCol),
+        explode(zip_with(
+          slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val biCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+    val uniCounts = pairs.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    // the smoothing event space: distinct successor words
+    val vocab = pairs.agg(count_distinct(col("w2")).as("_v"))
+    pairs
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp",
+        log((col("_c2") + lit(1.0)) / (col("_c1") + col("_v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.core.OracleSafe.dAvg(col("_lp")).as("lm_score"))
   }
 
   val Stopwords = Seq(

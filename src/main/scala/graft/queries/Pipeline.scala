@@ -384,6 +384,57 @@ object Pipeline extends QueryPack {
       |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac
       |FROM gr ORDER BY doc_id""".stripMargin
 
+  private def qCleanLines(s: SparkSession, sf: String): DataFrame = {
+    // the synthetic corpus is single-line, punctuation-free word soup — give
+    // it deterministic line structure first (8-word lines, '.' terminating
+    // every even line) so both keep-rules actually discriminate; the SQL
+    // oracle runs the identical prep
+    val toks = split(trim(col("text")), "\\s+")
+    val nLines = ceil(size(toks) / lit(8.0)).cast(org.apache.spark.sql.types.IntegerType)
+    val lines = transform(sequence(lit(0), greatest(nLines - 1, lit(0))), i =>
+      concat(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))),
+        when(i % 2 === 0, ".").otherwise("")))
+    val prepped = Tables.documents(s, sf).withColumn("text", array_join(lines, "\n"))
+    TextAnalysis.cleanLines(prepped).orderBy("doc_id")
+  }
+  private val qCleanLinesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |pre AS (SELECT doc_id, array_to_string(
+      |  list_transform(generate_series(0, greatest(CAST(ceil(len(t) / 8.0) AS INT) - 1, 0)),
+      |    i -> array_to_string(t[i*8+1 : i*8+8], ' ')
+      |         || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END), chr(10)) AS text
+      |  FROM toks),
+      |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pre),
+      |k AS (SELECT doc_id, ls,
+      |  list_filter(ls, x ->
+      |    len(regexp_split_to_array(trim(x), '\s+')) >= 3
+      |    AND regexp_matches(rtrim(x), '[.!?"]$')
+      |    AND NOT regexp_matches(lower(x), 'javascript|cookie|privacy policy|terms of use|lorem ipsum')
+      |    AND NOT contains(x, '{')) AS ks
+      |FROM l)
+      |SELECT doc_id, coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
+      |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  private def qLmScore(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, sf)).orderBy("doc_id")
+  private val qLmScoreSql = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+       |bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+       |voc AS (SELECT count(DISTINCT w2) AS v FROM pairs)
+       |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  ${graft.core.OracleSafe.sqlAvg("ln((c2 + 1.0) / (c1 + v))")} AS lm_score
+       |FROM pairs p JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
+
   private def qScrubPii(s: SparkSession, sf: String): DataFrame =
     TextAnalysis.scrubPii(Tables.documents(s, sf)).orderBy("doc_id")
   private val qScrubPiiSql =
@@ -539,6 +590,8 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
     QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)),
+    QueryDef("text_clean_lines", qCleanLines, Some(qCleanLinesSql)),
+    QueryDef("text_lm_score", qLmScore, Some(qLmScoreSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
     QueryDef("corpus_split", qSplit, Some(qSplitSql)),
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))

@@ -119,6 +119,35 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2) == ((2L, "nothing sensitive here", 0, 0, 0)))
   }
 
+  test("cleanLines keeps prose lines and drops short/unpunctuated/boilerplate/code") {
+    val multi = Seq(
+      (0L, "This is a clean prose line.\nshort one\n" +
+        "This site uses cookie banners everywhere today.\n" +
+        "function f() { return 1; }\n" +
+        "no terminal punctuation on this line\n" +
+        "Another good sentence stays right here!", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.cleanLines(multi).collect().head
+    assert(out.getLong(2) == 6L, "n_lines")
+    assert(out.getLong(3) == 2L, "n_kept")
+    assert(out.getString(1) ==
+      "This is a clean prose line.\nAnother good sentence stays right here!")
+  }
+
+  test("lmScore ranks corpus-typical docs above out-of-distribution ones") {
+    val corpus = (0L until 20L).map(i => (i, "the cat sat on the mat", "en", "s", 1L)) ++
+      Seq((99L, "zq qx jw wv vk kp", "en", "s", 1L))
+    val out = TextAnalysis.lmScore(corpus.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "n_bigrams", "lm_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 21 && out.forall(_._2 == 5L))
+    // every "the cat..." doc shares one (typical) score; the gibberish doc
+    // has singleton bigrams only and must score strictly lower
+    val typical = out.filter(_._1 < 99L).map(_._3).distinct
+    assert(typical.size == 1)
+    assert(out.last._3 < typical.head)
+  }
+
   test("mixSources takes exact per-source quotas in id order") {
     val many = (0L until 30L).map(i =>
         (i, s"text $i", "en", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 6L))
