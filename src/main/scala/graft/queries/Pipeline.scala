@@ -435,6 +435,49 @@ object Pipeline extends QueryPack {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
   }
 
+  // ---- time-aware joins over the events stream ----------------------------
+  private def qAsofJoin(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf).withColumn("tm", expr("ts div 1000000"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tm").as("ts"), col("event_id"), col("value"))
+    // dedup right side per (key, ts): the as-of pick among same-instant
+    // duplicates would otherwise be layout-dependent
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tm").as("ts")).agg(max("value").as("value"))
+    graft.stages.TimeJoins.asofJoin(purchases, clicks, Seq("user_id"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+  private val qAsofJoinSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_id, event_type, value FROM events),
+      |p AS (SELECT user_id, tm AS ts, event_id, value FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, tm AS ts, max(value) AS value FROM e
+      |      WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.user_id, p.ts, p.event_id, p.value, c.ts AS r_ts, c.value AS r_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  private def qRangeJoin(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(s, sf).withColumn("tm", expr("ts div 1000000"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tm").as("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("tm").as("ts"), col("value"))
+    graft.stages.TimeJoins.rangeJoin(purchases, clicks, Seq("user_id"), 6L * 3600 * 1000)
+      .groupBy("user_id", "ts", "event_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        graft.core.OracleSafe.dSum(col("r_value")).as("click_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+  private val qRangeJoinSql =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_id, event_type, value FROM events),
+       |p AS (SELECT user_id, tm AS ts, event_id FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, tm AS ts, value FROM e WHERE event_type = 'click')
+       |SELECT p.user_id, p.ts, p.event_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       |  ${graft.core.OracleSafe.sqlSum("c.value")} AS click_value
+       |FROM p JOIN c ON p.user_id = c.user_id
+       |  AND c.ts BETWEEN p.ts - 21600000 AND p.ts
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private def qScrubPii(s: SparkSession, sf: String): DataFrame =
     TextAnalysis.scrubPii(Tables.documents(s, sf)).orderBy("doc_id")
   private val qScrubPiiSql =
@@ -592,6 +635,8 @@ object Pipeline extends QueryPack {
     QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)),
     QueryDef("text_clean_lines", qCleanLines, Some(qCleanLinesSql)),
     QueryDef("text_lm_score", qLmScore, Some(qLmScoreSql)),
+    QueryDef("events_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("events_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
     QueryDef("corpus_split", qSplit, Some(qSplitSql)),
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))

@@ -1,0 +1,97 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-aware joins for event/sample streams — the two classic operators a
+  * time-series engine needs that vanilla SQL joins express only as
+  * scale-killing inequality joins.
+  *
+  * Both are implemented shuffle-minimal:
+  *
+  *  - [[asofJoin]] never builds a join at all: both sides are unioned and a
+  *    single keyed window scan carries the most recent right-side payload
+  *    forward onto each left row ("last value at-or-before"). One shuffle on
+  *    the key, zero row amplification, linear at any scale — the standard
+  *    distributed as-of shape (a sort-merge as-of without the merge pass).
+  *  - [[rangeJoin]] buckets time to the window width and equi-joins on
+  *    (key, bucket): each left row probes exactly two candidate buckets, so
+  *    the shuffle is ∝ 2·|left| + |right| and the exact `[t-w, t]` predicate
+  *    filters inside the hash join — never a BroadcastNestedLoop/cartesian.
+  */
+object TimeJoins {
+
+  /** AS-OF JOIN (left semantics): each left row picks the latest right row
+    * with `rightTs <= leftTs` per `keys`, or nulls when none exists (or the
+    * match is older than `toleranceMs`). Right payload columns appear
+    * prefixed with `rightPrefix`; the matched right timestamp as
+    * `rightPrefix + rightTs`.
+    *
+    * Ordering is total: at equal timestamps the right row sorts first (so a
+    * same-instant sample IS visible, "at-or-before" inclusive), and right
+    * rows tie-break on timestamp only — callers wanting a deterministic pick
+    * among same-key-same-ts right duplicates should dedup first.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String = "ts", rightTs: String = "ts",
+               toleranceMs: Option[Long] = None,
+               rightPrefix: String = "r_"): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    // common shape: keys, _ats, _side, left payload (null on right rows),
+    // right payload (null on left rows), _rts (right rows' own ts)
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).cast("long").as("_ats"), lit(1).as("_side"),
+          lit(null).cast("long").as("_rts")) ++
+        leftCols.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).cast("long").as("_ats"), lit(0).as("_side"),
+          col(rightTs).cast("long").as("_rts")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ats").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("_m_ts", last(col("_rts"), ignoreNulls = true).over(w))
+    val withMatch = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"_m_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    val fresh = toleranceMs match {
+      case Some(t) => col("_m_ts").isNotNull && (col("_ats") - col("_m_ts") <= t)
+      case None    => col("_m_ts").isNotNull
+    }
+    withMatch.where(col("_side") === 1)
+      .select(
+        keys.map(col) ++ Seq(col("_ats").as(leftTs)) ++ leftCols.map(col) ++
+          Seq(when(fresh, col("_m_ts")).as(s"$rightPrefix$rightTs")) ++
+          payload.map(c => when(fresh, col(s"_m_$c")).as(s"$rightPrefix$c")): _*)
+  }
+
+  /** RANGE JOIN: every (left, right) pair per `keys` with
+    * `rightTs ∈ [leftTs - windowMs, leftTs]`, as a bucketed equi-join.
+    * Output = all left columns + prefixed right payload columns, one row per
+    * matching pair (inner semantics — lefts with no match drop out; wrap
+    * with a left join on the caller side if presence is needed). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                windowMs: Long, leftTs: String = "ts", rightTs: String = "ts",
+                rightPrefix: String = "r_"): DataFrame = {
+    require(windowMs > 0, "rangeJoin window must be positive")
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    // a [t-w, t] window spans at most two w-wide buckets: probe both
+    val lb = left.withColumn("_bkt",
+      explode(array(floor(col(leftTs) / windowMs) - 1, floor(col(leftTs) / windowMs))))
+    val rb = right.select(
+      keys.map(col) ++ Seq(floor(col(rightTs) / windowMs).as("_bkt"),
+        col(rightTs).as(s"$rightPrefix$rightTs")) ++
+        payload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+    lb.join(rb, keys :+ "_bkt")
+      .where(col(s"$rightPrefix$rightTs") >= col(leftTs) - windowMs &&
+        col(s"$rightPrefix$rightTs") <= col(leftTs))
+      .drop("_bkt")
+  }
+}

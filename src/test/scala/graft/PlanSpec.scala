@@ -116,4 +116,22 @@ class PlanSpec extends AnyFunSuite {
     // exchange allowed is the verify harness's output ordering
     assert(!p.contains("Window"), s"limit_ratio must not rank or window:\n$p")
   }
+
+  check("events_asof_join") { p =>
+    // the as-of is a union + ONE keyed window scan — there must be NO join
+    // operator at all (an inequality join would be a nested loop at scale);
+    // the right-side dedup agg is the only other exchange on the key
+    assert(!p.contains("Join"), s"asof must be join-free (union + window):\n$p")
+    assert(p.contains("Window"), s"asof must carry matches via a window:\n$p")
+  }
+
+  check("events_range_join") { p =>
+    // bucketed range join: the [t-w, t] predicate must ride INSIDE a hash
+    // equi-join on (key, bucket) — never a BroadcastNestedLoopJoin or
+    // cartesian over data rows
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not be a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in range join:\n$p")
+    assert(p.contains("HashJoin"), s"range join must be a hash equi-join:\n$p")
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.stages.TimeJoins
+import org.apache.spark.sql.functions._
+
+class TimeJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("a", 100L, "p1"), ("a", 200L, "p2"), ("a", 50L, "p0"),
+    ("b", 150L, "p3")).toDF("k", "ts", "tag")
+  private def right = Seq(
+    ("a", 90L, 1.0), ("a", 200L, 2.0), ("b", 160L, 3.0)).toDF("k", "ts", "v")
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val out = TimeJoins.asofJoin(left, right, Seq("k"))
+      .select("k", "ts", "tag", "r_ts", "r_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("a", 50L, "p0", None, None),                // nothing at-or-before 50
+      ("a", 100L, "p1", Some(90L), Some(1.0)),
+      ("a", 200L, "p2", Some(200L), Some(2.0)),    // same-instant match included
+      ("b", 150L, "p3", None, None)))              // b's only click is AFTER
+  }
+
+  test("asofJoin tolerance nulls out stale matches but keeps the left row") {
+    val out = TimeJoins.asofJoin(left, right, Seq("k"), toleranceMs = Some(5L))
+      .select("k", "ts", "r_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // only the exact-instant (a,200) match is within 5ms; all lefts survive
+    assert(out.map(_._3) == Seq(None, None, Some(200L), None))
+  }
+
+  test("asofJoin result does not depend on physical layout") {
+    val shuffled = TimeJoins.asofJoin(left.repartition(7), right.repartition(5), Seq("k"))
+      .select("k", "ts", "r_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).sortBy(t => (t._1, t._2)).toSeq
+    assert(shuffled.map(_._3) == Seq(None, Some(1.0), Some(2.0), None))
+  }
+
+  test("rangeJoin emits every pair inside [t-w, t], bucket edges included") {
+    // w=100. (a,50)→[-50,50]: none; (a,100)→[0,100]: a@90 (crosses the
+    // bucket edge); (a,200)→[100,200]: a@200 (right-boundary inclusive);
+    // (b,150)→[50,150]: b@160 is in the future — excluded.
+    val out = TimeJoins.rangeJoin(left, right, Seq("k"), windowMs = 100L)
+      .select("k", "ts", "tag", "r_ts", "r_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2, t._4)).toSeq
+    assert(out == Seq(
+      ("a", 100L, "p1", 90L, 1.0),
+      ("a", 200L, "p2", 200L, 2.0)))
+  }
+}
