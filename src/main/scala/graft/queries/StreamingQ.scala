@@ -64,6 +64,41 @@ object StreamingQ extends QueryPack {
        |GROUP BY series, 2
        |ORDER BY series, ts, value""".stripMargin
 
+  /** SESSION WINDOWS: per-user activity sessions with a 30-minute inactivity
+    * gap — Spark's native `session_window` (the same expression runs
+    * unchanged under `readStream` with a watermark; batch mode here so the
+    * DuckDB oracle can replay it as a gap-break window scan). A session ends
+    * `gap` after its LAST event; a new event at exactly that instant starts
+    * a new session. One shuffle on the user key; session merging is
+    * Spark-internal state, never a self-join. */
+  private def qSessionize(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .withColumn("tm", expr("ts div 1000000"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(col("tm")), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.OracleSafe.dSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start"),
+        unix_millis(col("sw.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  private val qSessionizeSql =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, value FROM events),
+       |o AS (SELECT user_id, tm, value,
+       |  CASE WHEN lag(tm) OVER w IS NULL
+       |       OR tm - lag(tm) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm)),
+       |s AS (SELECT user_id, tm, value,
+       |  sum(brk) OVER (PARTITION BY user_id ORDER BY tm ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o)
+       |SELECT user_id, min(tm) AS session_start, max(tm) + 1800000 AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  ${graft.core.OracleSafe.sqlSum("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
-    QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)))
+    QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
+    QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)))
 }

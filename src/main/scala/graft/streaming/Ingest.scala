@@ -295,4 +295,21 @@ object Ingest {
         count(col(TsSchema.Value)).as("n"),
         min(col(TsSchema.Value)).as("min_value"),
         max(col(TsSchema.Value)).as("max_value"))
+
+  /** Per-series activity sessions with an inactivity gap — Spark's native
+    * `session_window` over the watermarked stream (merging is Spark-managed
+    * state, one shuffle on the series key; the identical expression runs in
+    * batch mode, which is what the `events_sessionize` oracle replays). */
+  def streamingSessionize(samples: DataFrame, gapMs: Long, lateMs: Long): DataFrame =
+    samples
+      .withColumn("_event_time", timestamp_millis(col(TsSchema.Ts)))
+      .withWatermark("_event_time", s"${lateMs / 1000} seconds")
+      .groupBy(col(TsSchema.SeriesId),
+        session_window(col("_event_time"), s"${gapMs / 1000} seconds").as("sw"))
+      .agg(count(col(TsSchema.Value)).as("n"),
+        sum(col(TsSchema.Value)).as("sum_value"))
+      .select(col(TsSchema.SeriesId),
+        unix_millis(col("sw.start")).as("session_start"),
+        unix_millis(col("sw.end")).as("session_end"),
+        col("n"), col("sum_value"))
 }

@@ -67,6 +67,31 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(ns == Seq(5L, 5L))
   }
 
+  test("streaming sessionize merges events within the gap and splits across it") {
+    val dir = Files.createTempDirectory("graft_sess").toFile.getAbsolutePath
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val t0 = 1704067200000L
+    // three events 1min apart (one session), a 10-min silence, two more
+    // events (second session); gap = 5min
+    val lines = Seq(0L, 60000L, 120000L, 720000L, 780000L).zipWithIndex.map {
+      case (off, i) =>
+        s"""{"labels":"host a","timestamp":${t0 + off},"value":$i.0}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$src/b.json"), lines.mkString("\n").getBytes)
+    val sess = Ingest.streamingSessionize(
+      Ingest.readJsonStream(spark, src), gapMs = 300000L, lateMs = 60000L)
+    val q = sess.writeStream.format("memory").queryName("sessz")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessz").collect()
+      .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+        r.getAs[Long]("n"))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (t0, t0 + 120000L + 300000L, 3L),
+      (t0 + 720000L, t0 + 780000L + 300000L, 2L)))
+  }
+
   test("retention sweep drops old day partitions") {
     val dir = Files.createTempDirectory("graft_ret").toFile.getAbsolutePath
     import spark.implicits._
