@@ -115,4 +115,30 @@ class DifferentialSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cl(1) == cl(7), "partitioning changed cluster assignment")
   }
+
+  test("bigram LM scores identical across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+        (i, (1 to (i % 9 + 2).toInt).map(j => s"w${(i + j) % 13}").mkString(" "),
+          "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def score(n: Int): Seq[(Long, Long, Double)] =
+      graft.pipelines.TextAnalysis.lmScore(docs.repartition(n))
+        .select("doc_id", "n_bigrams", "lm_score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // the decimal-folded mean must be bit-identical however rows land
+    assert(score(1) == score(7), "partitioning changed an LM score")
+  }
+
+  test("asof join identical across partitionings") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => ("k" + i % 5, i * 10L, i)).toDF("k", "ts", "id")
+    val right = (1L to 40L).map(i => ("k" + i % 5, i * 23L, i * 1.5)).toDF("k", "ts", "v")
+    def run(n: Int): Seq[(String, Long, Option[Double])] =
+      graft.stages.TimeJoins.asofJoin(left.repartition(n), right.repartition(n), Seq("k"))
+        .select("k", "ts", "r_v").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(run(1) == run(9), "partitioning changed an as-of match")
+  }
 }
