@@ -98,7 +98,34 @@ object StreamingQ extends QueryPack {
        |  ${graft.core.OracleSafe.sqlSum("value")} AS sum_value
        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
 
+  /** ROLLUP tier roundtrip: raw samples → 1h rollup moments → a 6h avg
+    * answered from the rollup ONLY, compared against DuckDB aggregating the
+    * RAW events. Exactness across the two-level fold holds because the
+    * rollup keeps its sum in decimal (associative) — the moment it casts
+    * early, this entry hash-mismatches. */
+  private def qRollup(s: SparkSession, sf: String): DataFrame = {
+    val rolled = graft.streaming.Rollup.rollup(
+      Tables.eventSamples(s, sf), bucketMs = 3600 * 1000L)
+    graft.streaming.Rollup.summarizeFromRollup(rolled, 3600 * 1000L, grid, "avg")
+      .select(S.seriesKey(col(S.LabelsCol)).as("series"),
+        col(S.Ts).as("ts"), col(S.Value).as("value"))
+      .orderBy("series", "ts")
+  }
+  private val qRollupSql =
+    s"""WITH w AS (
+       |  SELECT 'name:' || event_type || ',user:' || CAST(user_id % 10 AS VARCHAR) AS series,
+       |         epoch_ms(ts) AS t, value
+       |  FROM events)
+       |SELECT series,
+       |       ${grid.startMs} + ((t - ${grid.startMs}) // ${grid.stepMs}) * ${grid.stepMs} AS ts,
+       |       ${graft.core.OracleSafe.sqlAvg("value")} AS value
+       |FROM w
+       |WHERE t >= ${grid.startMs} AND t < ${grid.endMs}
+       |GROUP BY series, 2
+       |ORDER BY series, ts""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
-    QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)))
+    QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)),
+    QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }

@@ -342,16 +342,21 @@ object SeriesSet {
     val w = Window.partitionBy("_mk", S.Ts)
     // the ONE-side duplicate check raises while the side is scanned,
     // matched or not — Prometheus errors on a signature collision while
-    // building the one-side map, before any matching happens. The MANY-side
-    // check stays match-scoped (raised on joined rows only): Prometheus
-    // reports "many-to-one" only for groups that actually matched.
+    // building the one-side map, before any matching happens. The raise
+    // rides the JOIN KEY, not the value: join codegen defers non-key
+    // columns until a probe row matches, so a value-embedded raise would
+    // silently vanish for unmatched duplicates (and did, depending on
+    // which side AQE picked for the hash build) — keys are hashed for
+    // EVERY row on either side. The MANY-side check stays match-scoped
+    // (raised on joined rows only): Prometheus reports "many-to-one" only
+    // for groups that actually matched.
     val oneG = oneSide.withColumn("_mk", promMatchKey(m))
       .withColumn("_nOne", count(lit(1)).over(w))
-      .withColumn(S.Value,
+      .withColumn("_mk",
         when(col("_nOne") > 1,
           raise_error(lit("vector matching: found duplicate series on the one side"))
-            .cast(DoubleType))
-        .otherwise(col(S.Value)))
+            .cast(StringType))
+        .otherwise(col("_mk")))
       .select(col("_mk"), col(S.Ts), col(S.Value).as("_ov"),
         col(S.LabelsCol).as("_olab"))
     val manyKeyed = manySide.withColumn("_mk", promMatchKey(m))

@@ -1,0 +1,74 @@
+package graft
+
+import graft.core.QueryGrid
+import graft.streaming.Rollup
+import org.apache.spark.sql.functions._
+
+/** The rollup tier must reconstruct every supported summarize flavor
+  * EXACTLY from bucket moments — same values as aggregating raw samples. */
+class RollupSpec extends SparkTestBase {
+
+  // 2 series × 10 points at 60s spacing (grid g), values 1..10 / 2..20
+  private def fx = samplesDF(
+    series("name:a", (1 to 10).map(i => Some(i.toDouble))) ++
+    series("name:b", (1 to 10).map(i => Some(i * 2.0))))
+
+  // rollup at 2m, query at 120s step (aligned: g.startMs = 60000 is NOT a
+  // multiple of 120000 — use a 60s-aligned grid starting at 120000)
+  private val g2 = QueryGrid(120000L, 600000L, 120000L)
+
+  private def direct(agg: String): Map[(String, Long), Double] = {
+    val in = fx.where(col("timestamp") >= g2.startMs && col("timestamp") < g2.endMs)
+      .withColumn("ts2", g2.bucket(col("timestamp")))
+    val v = agg match {
+      case "sum"   => sum("value")
+      case "avg"   => avg("value")
+      case "min"   => min("value")
+      case "max"   => max("value")
+      case "count" => count("value").cast("double")
+      case "last"  => expr("max_by(value, timestamp)")
+    }
+    in.groupBy(col("series_id"), col("labels"), col("ts2")).agg(v.as("v"))
+      .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"), col("ts2"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("every summarize flavor reconstructs exactly from rollup moments") {
+    val rolled = Rollup.rollup(fx, bucketMs = 120000L)
+    for (agg <- Seq("sum", "avg", "min", "max", "count", "last")) {
+      val fromRollup = Rollup.summarizeFromRollup(rolled, 120000L, g2, agg)
+        .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"),
+          col("timestamp"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(fromRollup == direct(agg), s"rollup mismatch for $agg")
+    }
+  }
+
+  test("misaligned grids raise instead of silently approximating") {
+    val rolled = Rollup.rollup(fx, bucketMs = 120000L)
+    // step not a multiple of the resolution
+    intercept[IllegalArgumentException] {
+      Rollup.summarizeFromRollup(rolled, 120000L, QueryGrid(120000L, 600000L, 90000L), "avg")
+    }
+    // start not bucket-aligned
+    intercept[IllegalArgumentException] {
+      Rollup.summarizeFromRollup(rolled, 120000L, QueryGrid(60000L, 600000L, 120000L), "avg")
+    }
+    intercept[IllegalArgumentException] {
+      Rollup.summarizeFromRollup(rolled, 120000L, g2, "stddev")
+    }
+  }
+
+  test("rollupSweep writes a day-partitioned rollup table that reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toFile.getAbsolutePath
+    fx.write.mode("overwrite").parquet(s"$dir/raw")
+    Rollup.rollupSweep(spark, s"$dir/raw", s"$dir/rollup", bucketMs = 120000L)
+    val back = spark.read.parquet(s"$dir/rollup")
+    assert(back.columns.contains("day"), "rollup table must be day-partitioned")
+    val out = Rollup.summarizeFromRollup(back, 120000L, g2, "sum")
+      .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"),
+        col("timestamp"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == direct("sum"))
+  }
+}
