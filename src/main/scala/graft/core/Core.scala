@@ -139,8 +139,11 @@ object Dist {
     val local = parted.withColumn("_scan0", sum(value).over(wLocal))
     val wOff = Window.partitionBy(keyCols: _*).orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // partition totals aggregate the VALUE directly — max of the running
+    // sum only equals the total for non-negative values, and this primitive
+    // must hold for signed scans too
     val offsets = local.groupBy(col("_pid") +: keyCols: _*)
-      .agg(max(col("_scan0")).as("_ptot"))
+      .agg(sum(value).as("_ptot"))
       .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0)))
       .select(col("_pid") +: keyCols :+ col("_off"): _*)
     local.join(broadcast(offsets), "_pid" +: keyNames)
@@ -185,6 +188,15 @@ object Tables {
   private def tsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => expr("ts div 1000000")   // nanos → millis, exact integer div
     case _        => unix_millis(col("ts"))
+  }
+
+  /** `events` with a canonical epoch-millis column — the ONE place that
+    * knows the ts column's physical representation (LONG nanos vs
+    * TIMESTAMP); query packs must use this instead of re-deriving millis. */
+  def eventsMillis(spark: SparkSession, sfDir: String,
+                   colName: String = "tm"): DataFrame = {
+    val ev = events(spark, sfDir)
+    ev.withColumn(colName, tsMillis(ev))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")

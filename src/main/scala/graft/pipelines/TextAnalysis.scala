@@ -176,14 +176,18 @@ object TextAnalysis {
     * log-likelihood (higher = more typical of the corpus; spam and
     * boilerplate score low).
     *
-    * Scale shape: two hash aggregations build the model (bigram + unigram
-    * counts — map-side partial combine, shuffle ∝ vocabulary size, not
-    * corpus size) and scoring is one hash join from the exploded bigram
-    * stream back to the model. The "model" is never collected — it stays a
-    * DataFrame joined distributively, so train-then-apply holds at 100 TB
-    * (the count tables are the small side and AQE broadcast-joins them
-    * while they fit). Only documents with ≥2 tokens appear in the output.
-    * The mean folds in decimal (OracleSafe) for cross-engine parity. */
+    * Scale shape: ONE hash aggregation over the exploded bigram stream
+    * builds the bigram counts (map-side partial combine, shuffle ∝
+    * vocabulary size, not corpus size); the unigram counts and the
+    * smoothing vocabulary derive from that already-aggregated frame
+    * (c1 = Σ c2 over w1; v = distinct w2) — the corpus is scanned exactly
+    * twice (model + probe), never once per statistic. Scoring is one hash
+    * join from the bigram stream back to the model; the "model" is never
+    * collected — it stays a DataFrame joined distributively, so
+    * train-then-apply holds at 100 TB (the count tables are the small side
+    * and AQE broadcast-joins them while they fit). Only documents with
+    * ≥2 tokens appear in the output. The mean folds in decimal
+    * (OracleSafe) for cross-engine parity. */
   def lmScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val nBi = greatest(size(toks) - 1, lit(0))
@@ -193,9 +197,9 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
     val biCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
-    val uniCounts = pairs.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val uniCounts = biCounts.groupBy("w1").agg(sum(col("_c2")).as("_c1"))
     // the smoothing event space: distinct successor words
-    val vocab = pairs.agg(count_distinct(col("w2")).as("_v"))
+    val vocab = biCounts.agg(count_distinct(col("w2")).as("_v"))
     pairs
       .join(biCounts, Seq("w1", "w2"))
       .join(uniCounts, Seq("w1"))

@@ -437,7 +437,7 @@ object Pipeline extends QueryPack {
 
   // ---- time-aware joins over the events stream ----------------------------
   private def qAsofJoin(s: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(s, sf).withColumn("tm", expr("ts div 1000000"))
+    val ev = Tables.eventsMillis(s, sf)
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("tm").as("ts"), col("event_id"), col("value"))
     // dedup right side per (key, ts): the as-of pick among same-instant
@@ -457,7 +457,7 @@ object Pipeline extends QueryPack {
       |ORDER BY 1, 2, 3""".stripMargin
 
   private def qRangeJoin(s: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(s, sf).withColumn("tm", expr("ts div 1000000"))
+    val ev = Tables.eventsMillis(s, sf)
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("tm").as("ts"), col("event_id"))
     val clicks = ev.where(col("event_type") === "click")

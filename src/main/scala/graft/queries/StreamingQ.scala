@@ -72,8 +72,7 @@ object StreamingQ extends QueryPack {
     * a new session. One shuffle on the user key; session merging is
     * Spark-internal state, never a self-join. */
   private def qSessionize(s: SparkSession, sf: String): DataFrame =
-    Tables.events(s, sf)
-      .withColumn("tm", expr("ts div 1000000"))
+    Tables.eventsMillis(s, sf)
       .groupBy(col("user_id"),
         session_window(timestamp_millis(col("tm")), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),

@@ -56,20 +56,23 @@ object TimeJoins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right row is carried as ONE struct (null on left rows) —
+    // per-column last(ignoreNulls) windows would backfill a NULL payload
+    // field from an OLDER right row, producing a row that never existed
+    val rrec = struct(
+      col("_rts").as("rts") +: payload.map(c => col(s"_r_$c").as(c)): _*)
     val carried = l.unionByName(r)
-      .withColumn("_m_ts", last(col("_rts"), ignoreNulls = true).over(w))
-    val withMatch = payload.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"_m_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("_m",
+        last(when(col("_side") === 0, rrec), ignoreNulls = true).over(w))
     val fresh = toleranceMs match {
-      case Some(t) => col("_m_ts").isNotNull && (col("_ats") - col("_m_ts") <= t)
-      case None    => col("_m_ts").isNotNull
+      case Some(t) => col("_m").isNotNull && (col("_ats") - col("_m.rts") <= t)
+      case None    => col("_m").isNotNull
     }
-    withMatch.where(col("_side") === 1)
+    carried.where(col("_side") === 1)
       .select(
         keys.map(col) ++ Seq(col("_ats").as(leftTs)) ++ leftCols.map(col) ++
-          Seq(when(fresh, col("_m_ts")).as(s"$rightPrefix$rightTs")) ++
-          payload.map(c => when(fresh, col(s"_m_$c")).as(s"$rightPrefix$c")): _*)
+          Seq(when(fresh, col("_m.rts")).as(s"$rightPrefix$rightTs")) ++
+          payload.map(c => when(fresh, col(s"_m.$c")).as(s"$rightPrefix$c")): _*)
   }
 
   /** RANGE JOIN: every (left, right) pair per `keys` with

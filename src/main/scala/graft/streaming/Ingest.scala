@@ -65,7 +65,7 @@ object Ingest {
                           dedup: Boolean = true): DataFrame = {
     val withEventTime = samples
       .withColumn("_event_time", timestamp_millis(col(TsSchema.Ts)))
-      .withWatermark("_event_time", s"${oooToleranceMs / 1000} seconds")
+      .withWatermark("_event_time", s"$oooToleranceMs milliseconds")
     val deduped =
       if (dedup) withEventTime.dropDuplicatesWithinWatermark(TsSchema.SeriesId, TsSchema.Ts)
       else withEventTime
@@ -286,9 +286,9 @@ object Ingest {
   def streamingSummarize(samples: DataFrame, windowMs: Long, lateMs: Long): DataFrame =
     samples
       .withColumn("_event_time", timestamp_millis(col(TsSchema.Ts)))
-      .withWatermark("_event_time", s"${lateMs / 1000} seconds")
+      .withWatermark("_event_time", s"$lateMs milliseconds")
       .groupBy(col(TsSchema.SeriesId),
-        window(col("_event_time"), s"${windowMs / 1000} seconds"))
+        window(col("_event_time"), s"$windowMs milliseconds"))
       .agg(
         first(col(TsSchema.LabelsCol)).as(TsSchema.LabelsCol),
         avg(col(TsSchema.Value)).as("avg_value"),
@@ -303,9 +303,9 @@ object Ingest {
   def streamingSessionize(samples: DataFrame, gapMs: Long, lateMs: Long): DataFrame =
     samples
       .withColumn("_event_time", timestamp_millis(col(TsSchema.Ts)))
-      .withWatermark("_event_time", s"${lateMs / 1000} seconds")
+      .withWatermark("_event_time", s"$lateMs milliseconds")
       .groupBy(col(TsSchema.SeriesId),
-        session_window(col("_event_time"), s"${gapMs / 1000} seconds").as("sw"))
+        session_window(col("_event_time"), s"$gapMs milliseconds").as("sw"))
       .agg(count(col(TsSchema.Value)).as("n"),
         sum(col(TsSchema.Value)).as("sum_value"))
       .select(col(TsSchema.SeriesId),

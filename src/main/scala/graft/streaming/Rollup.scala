@@ -31,8 +31,12 @@ object Rollup {
 
   /** Aggregate canonical samples (series_id, labels, timestamp, value) to
     * `bucketMs` resolution. Null values (dense-grid gaps) don't exist on
-    * the storage path; NaN samples propagate into sum/min/max like any
-    * double. */
+    * the storage path. NaN/Inf samples follow the ENGINE's summarize
+    * convention exactly (OracleSafe.dSum): the decimal cast nulls them out
+    * of the sum while count still counts them — so a rollup-answered
+    * sum/avg equals the raw `summarize` answer bit-for-bit, NaN data
+    * included; min/max/last keep Spark's NaN-is-largest ordering, also
+    * matching the raw path. */
   def rollup(samples: DataFrame, bucketMs: Long): DataFrame =
     samples
       .withColumn("bucket_ts", (col(S.Ts) / bucketMs).cast("long") * bucketMs)
@@ -63,9 +67,12 @@ object Rollup {
     * build, which this engine never does. */
   def summarizeFromRollup(rolled: DataFrame, bucketMs: Long, grid: QueryGrid,
                           agg: String): DataFrame = {
-    require(grid.stepMs % bucketMs == 0 && grid.startMs % bucketMs == 0,
-      s"grid (start=${grid.startMs}, step=${grid.stepMs}) is not aligned to " +
-        s"the rollup resolution $bucketMs — query raw samples instead")
+    // endMs must align too: a straddling trailing bucket would smuggle in
+    // samples at ts >= endMs (serve-path grids ending at "now" hit this)
+    require(grid.stepMs % bucketMs == 0 && grid.startMs % bucketMs == 0 &&
+      grid.endMs % bucketMs == 0,
+      s"grid (start=${grid.startMs}, end=${grid.endMs}, step=${grid.stepMs}) " +
+        s"is not aligned to the rollup resolution $bucketMs — query raw samples instead")
     val v = agg match {
       case "sum"   => sum(col("rsum")).cast(DoubleType)
       case "avg"   => sum(col("rsum")).cast(DoubleType) / sum(col("rcount"))

@@ -41,6 +41,18 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(shuffled.map(_._3) == Seq(None, Some(1.0), Some(2.0), None))
   }
 
+  test("asofJoin never backfills a NULL payload field from an older right row") {
+    val l = Seq(("a", 30L)).toDF("k", "ts")
+    val r = Seq(("a", 10L, Option(5.0)), ("a", 20L, Option.empty[Double]))
+      .toDF("k", "ts", "v")
+    // the match IS the ts=20 row; its v is NULL and must stay NULL — a
+    // per-column carry would resurrect 5.0 from ts=10, a row that never
+    // existed
+    val row = TimeJoins.asofJoin(l, r, Seq("k")).select("r_ts", "r_v").collect().head
+    assert(row.getLong(0) == 20L)
+    assert(row.isNullAt(1))
+  }
+
   test("rangeJoin emits every pair inside [t-w, t], bucket edges included") {
     // w=100. (a,50)→[-50,50]: none; (a,100)→[0,100]: a@90 (crosses the
     // bucket edge); (a,200)→[100,200]: a@200 (right-boundary inclusive);
