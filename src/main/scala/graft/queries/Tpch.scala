@@ -206,6 +206,70 @@ object Tpch extends QueryPack {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin.format(
       sqlSum("l_quantity"), sqlSum("l_quantity"))
 
+  /** Q7-style volume shipping: bilateral revenue between two nations by ship
+    * year. The nation dim is pre-filtered to the TWO relevant rows and
+    * broadcast into supplier/customer BEFORE the fact joins — the classic
+    * semi-join reduction that keeps the lineitem shuffle to rows that can
+    * still qualify. */
+  private def q7(spark: SparkSession, sf: String): DataFrame = {
+    val nat = Tables.nation(spark, sf)
+      .where(col("n_name").isin("NATION_18", "NATION_19"))
+    val sup = Tables.supplier(spark, sf)
+      .join(broadcast(nat.select(col("n_nationkey").as("_snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
+    val cus = Tables.customer(spark, sf)
+      .join(broadcast(nat.select(col("n_nationkey").as("_cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("_cnk"))
+    Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(cus), col("c_custkey") === col("o_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year, %s AS revenue FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         year(l_shipdate) AS l_year,
+      |         l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE o_orderkey = l_orderkey AND s_suppkey = l_suppkey
+      |    AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01') v
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin.format(
+      sqlSum("volume"))
+
+  /** Q14-style promo revenue share: conditional aggregation over the
+    * part-dim broadcast join (one month of lineitem; part is broadcast). */
+  private def q14(spark: SparkSession, sf: String): DataFrame = {
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(Tables.part(spark, sf)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0)
+        * dSum(when(col("p_type") === "PROMO", volume).otherwise(0.0))
+        / dSum(volume)).as("promo_revenue"))
+  }
+
+  private val q14Sql =
+    """SELECT 100.0 * %s / %s AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin.format(
+      sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"),
+      sqlSum("l_extendedprice * (1.0 - l_discount)"))
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("tpch_q1_pricing", q1, Some(q1Sql)),
     QueryDef("tpch_q3_topn_join", q3, Some(q3Sql)),
@@ -215,5 +279,7 @@ object Tpch extends QueryPack {
     QueryDef("tpch_q10_returns", q10, Some(q10Sql)),
     QueryDef("tpch_q18_big_orders", q18, Some(q18Sql)),
     QueryDef("tpch_topk_parts", topParts, Some(topPartsSql)),
-    QueryDef("tpch_supplier_rank", suppRank, Some(suppRankSql)))
+    QueryDef("tpch_supplier_rank", suppRank, Some(suppRankSql)),
+    QueryDef("tpch_q7_nation_volume", q7, Some(q7Sql)),
+    QueryDef("tpch_q14_promo_share", q14, Some(q14Sql)))
 }

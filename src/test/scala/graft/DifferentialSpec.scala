@@ -130,6 +130,22 @@ class DifferentialSpec extends SparkTestBase {
     assert(score(1) == score(7), "partitioning changed an LM score")
   }
 
+  test("prefixScan matches a serial fold on signed values, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 500L).map(i => (i, rnd.between(-50L, 50L)))
+    val df = rows.toDF("id", "delta")
+    val serial = rows.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, d)) =>
+      (id, acc + d) }.drop(1).toMap
+    for (n <- Seq(1, 7, 32)) {
+      val got = graft.core.Dist.prefixScan(
+          df.repartition(n), Seq(col("id")), col("delta"), Seq(col("id")))
+        .select("id", "_scan").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == serial, s"signed prefix scan diverged at $n partitions")
+    }
+  }
+
   test("asof join identical across partitionings") {
     import spark.implicits._
     val left = (1L to 100L).map(i => ("k" + i % 5, i * 10L, i)).toDF("k", "ts", "id")
