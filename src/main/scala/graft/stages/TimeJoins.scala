@@ -97,4 +97,32 @@ object TimeJoins {
         col(s"$rightPrefix$rightTs") <= col(leftTs))
       .drop("_bkt")
   }
+
+  /** STREAMING range join: the same `[t-w, t]` pairing over two live
+    * streams — Spark's stream-stream inner join with watermarks on BOTH
+    * sides, so join state is bounded: a buffered row is dropped as soon as
+    * the other stream's watermark passes the end of its match interval.
+    * Inner semantics; results emit as matches arrive (no output delay).
+    * Epoch-millis `ts` columns, like the batch form. */
+  def streamingRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         windowMs: Long, lateMs: Long,
+                         leftTs: String = "ts", rightTs: String = "ts",
+                         rightPrefix: String = "r_"): DataFrame = {
+    require(windowMs > 0, "rangeJoin window must be positive")
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val l = left
+      .withColumn("_lt", timestamp_millis(col(leftTs)))
+      .withWatermark("_lt", s"$lateMs milliseconds")
+    val r = right.select(
+        keys.map(c => col(c).as(s"_rk_$c")) ++
+          Seq(col(rightTs).as(s"$rightPrefix$rightTs")) ++
+          payload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+      .withColumn("_rt", timestamp_millis(col(s"$rightPrefix$rightTs")))
+      .withWatermark("_rt", s"$lateMs milliseconds")
+    val cond = keys.map(k => col(k) === col(s"_rk_$k")).reduce(_ && _) &&
+      col("_rt") >= col("_lt") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+      col("_rt") <= col("_lt")
+    l.join(r, cond, "inner")
+      .drop("_lt" +: "_rt" +: keys.map(k => s"_rk_$k"): _*)
+  }
 }

@@ -92,6 +92,39 @@ class StreamingIngestSpec extends SparkTestBase {
       (t0 + 720000L, t0 + 780000L + 300000L, 2L)))
   }
 
+  test("streaming range join pairs two live streams within [t-w, t]") {
+    val dir = Files.createTempDirectory("graft_ssjoin").toFile.getAbsolutePath
+    val (lsrc, rsrc) = (s"$dir/l", s"$dir/r")
+    new java.io.File(lsrc).mkdirs(); new java.io.File(rsrc).mkdirs()
+    val t0 = 1704067200000L
+    // left purchases at +10m and +40m; right clicks at +2m, +35m, +50m;
+    // w=15m → purchase@10m pairs with click@2m, purchase@40m with click@35m
+    // (click@50m is in the future for both)
+    Files.write(java.nio.file.Paths.get(s"$lsrc/a.json"), Seq(
+      s"""{"k":"u1","ts":${t0 + 600000},"tag":"p1"}""",
+      s"""{"k":"u1","ts":${t0 + 2400000},"tag":"p2"}""").mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$rsrc/b.json"), Seq(
+      s"""{"k":"u1","ts":${t0 + 120000},"v":1.0}""",
+      s"""{"k":"u1","ts":${t0 + 2100000},"v":2.0}""",
+      s"""{"k":"u1","ts":${t0 + 3000000},"v":3.0}""").mkString("\n").getBytes)
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", StringType), StructField("ts", LongType),
+      StructField("tag", StringType)))
+    val rSchema = StructType(Seq(StructField("k", StringType), StructField("ts", LongType),
+      StructField("v", DoubleType)))
+    val joined = graft.stages.TimeJoins.streamingRangeJoin(
+      spark.readStream.schema(lSchema).json(lsrc),
+      spark.readStream.schema(rSchema).json(rsrc),
+      keys = Seq("k"), windowMs = 900000L, lateMs = 60000L)
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin")
+      .select("k", "tag", "r_v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(_._2).toSeq
+    assert(rows == Seq(("u1", "p1", 1.0), ("u1", "p2", 2.0)))
+  }
+
   test("retention sweep drops old day partitions") {
     val dir = Files.createTempDirectory("graft_ret").toFile.getAbsolutePath
     import spark.implicits._
