@@ -22,6 +22,42 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** PARAGRAPH-level dedup (the Dolma/RefinedWeb pass): across the whole
+    * corpus, each distinct paragraph survives only at its FIRST occurrence
+    * — ordered by (doc id, paragraph position) — and every later copy is
+    * deleted in place; documents are reassembled from their surviving
+    * paragraphs in order. Kills boilerplate headers/footers shared by many
+    * pages without dropping whole documents.
+    *
+    * Scale shape: the winner election shuffles only (paragraph-hash,
+    * doc id, position) — never paragraph text; the one text-carrying
+    * operation is the per-document reassembly, whose collect_list is
+    * bounded by a single document's size. Two hash shuffles total.
+    * Returns (idCol, clean_text, n_paras, n_kept). */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                      sep: String = "\n\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_para")
+    // winner per distinct paragraph content: min (doc, position); only the
+    // hash and the coordinates shuffle
+    val winners = paras
+      .select(col(idCol), col("_idx"), md5(col("_para")).as("_h"))
+      .groupBy("_h")
+      .agg(expr(s"min_by(struct($idCol, _idx), struct($idCol, _idx))").as("_w"))
+      .select(col("_w").getField(idCol).as(idCol), col("_w._idx").as("_idx"))
+    val kept = paras.join(winners, Seq(idCol, "_idx"), "left_semi")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("_idx"), col("_para")))),
+          x => x.getField("_para")), sep).as("clean_text"))
+    docs.select(col(idCol),
+        size(split(col("text"), java.util.regex.Pattern.quote(sep))).cast(LongType).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Normalized word shingles of size n: (doc_id, shingle) distinct. */
   private def shingles(docs: DataFrame, n: Int, idCol: String): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")

@@ -435,6 +435,42 @@ object Pipeline extends QueryPack {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
   }
 
+  private def qDedupParagraphs(s: SparkSession, sf: String): DataFrame = {
+    // paragraph structure for the single-block corpus: 8-word chunks joined
+    // by blank lines (same prep in the SQL oracle); the repetitive synthetic
+    // vocabulary makes many chunks collide across documents — real work
+    val toks = split(trim(col("text")), "\\s+")
+    val nP = ceil(size(toks) / lit(8.0)).cast(org.apache.spark.sql.types.IntegerType)
+    val paras = transform(sequence(lit(0), greatest(nP - 1, lit(0))),
+      i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+    val prepped = Tables.documents(s, sf).withColumn("text", array_join(paras, "\n\n"))
+    Dedup.dedupParagraphs(prepped).orderBy("doc_id")
+  }
+  private val qDedupParagraphsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |pre AS (SELECT doc_id,
+      |  list_transform(generate_series(0, greatest(CAST(ceil(len(t) / 8.0) AS INT) - 1, 0)),
+      |    i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS ps
+      |  FROM toks),
+      |paras AS (
+      |  SELECT doc_id, i - 1 AS idx, ps[i] AS para
+      |  FROM pre, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i)),
+      |kept AS (
+      |  SELECT doc_id, idx, para FROM (
+      |    SELECT doc_id, idx, para,
+      |      row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+      |    FROM paras) WHERE rn = 1),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(para, chr(10) || chr(10) ORDER BY idx) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT p.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |  CAST(len(p.ps) AS BIGINT) AS n_paras,
+      |  coalesce(r.n_kept, 0) AS n_kept
+      |FROM pre p LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   // ---- time-aware joins over the events stream ----------------------------
   private def qAsofJoin(s: SparkSession, sf: String): DataFrame = {
     val ev = Tables.eventsMillis(s, sf)
@@ -637,6 +673,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_lm_score", qLmScore, Some(qLmScoreSql)),
     QueryDef("events_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("events_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    QueryDef("dedup_paragraphs", qDedupParagraphs, Some(qDedupParagraphsSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
     QueryDef("corpus_split", qSplit, Some(qSplitSql)),
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))

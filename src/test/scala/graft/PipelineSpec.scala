@@ -119,6 +119,22 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2) == ((2L, "nothing sensitive here", 0, 0, 0)))
   }
 
+  test("dedupParagraphs keeps only the first occurrence of each paragraph") {
+    val pd = Seq(
+      (0L, "alpha beta\n\nshared footer", "en", "s", 1L),
+      (1L, "shared footer\n\ngamma delta", "en", "s", 1L),
+      (2L, "shared footer", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dedupParagraphs(pd).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // doc 0 owns both its paragraphs (first occurrence of "shared footer");
+    // docs 1 and 2 lose their copies
+    assert(out(0) == ((0L, "alpha beta\n\nshared footer", 2L, 2L)))
+    assert(out(1) == ((1L, "gamma delta", 2L, 1L)))
+    assert(out(2) == ((2L, "", 1L, 0L)))
+  }
+
   test("cleanLines keeps prose lines and drops short/unpunctuated/boilerplate/code") {
     val multi = Seq(
       (0L, "This is a clean prose line.\nshort one\n" +
