@@ -125,6 +125,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"asof must carry matches via a window:\n$p")
   }
 
+  check("rollup_summarize_avg") { p =>
+    // the rollup read path is PURE aggregation — two hash aggs (rollup +
+    // re-merge), no join anywhere
+    assert(!p.contains("Join"), s"rollup summarize must be join-free:\n$p")
+  }
+
+  check("dedup_paragraphs") { p =>
+    // winner election + reassembly are hash equi-joins on ids only — never
+    // a cross product, and paragraph text must not ride the winner shuffle
+    assert(!p.contains("CartesianProduct"), s"no cartesian in paragraph dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested loop in paragraph dedup:\n$p")
+  }
+
   check("events_range_join") { p =>
     // bucketed range join: the [t-w, t] predicate must ride INSIDE a hash
     // equi-join on (key, bucket) — never a BroadcastNestedLoopJoin or
