@@ -471,6 +471,29 @@ object Pipeline extends QueryPack {
       |FROM pre p LEFT JOIN rebuilt r USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---- label-metadata (discovery) endpoints --------------------------------
+  private def qMetaLabels(s: SparkSession, sf: String): DataFrame = {
+    val samples = Tables.eventSamples(s, sf)
+    graft.serve.Metadata.labelNames(samples)
+  }
+  private val qMetaLabelsSql =
+    """SELECT DISTINCT label FROM (
+      |  SELECT 'name' AS label FROM events
+      |  UNION ALL SELECT 'user' AS label FROM events)
+      |ORDER BY label""".stripMargin
+
+  private def qMetaValues(s: SparkSession, sf: String): DataFrame =
+    graft.serve.Metadata.labelValues(Tables.eventSamples(s, sf), "name")
+  private val qMetaValuesSql =
+    "SELECT DISTINCT event_type AS value FROM events ORDER BY value"
+
+  private def qMetaSeries(s: SparkSession, sf: String): DataFrame =
+    graft.serve.Metadata.series(Tables.eventSamples(s, sf), Map("name" -> "click"))
+      .select("series")
+  private val qMetaSeriesSql =
+    """SELECT DISTINCT 'name:click,user:' || CAST(user_id % 10 AS VARCHAR) AS series
+      |FROM events WHERE event_type = 'click' ORDER BY series""".stripMargin
+
   // ---- time-aware joins over the events stream ----------------------------
   private def qAsofJoin(s: SparkSession, sf: String): DataFrame = {
     val ev = Tables.eventsMillis(s, sf)
@@ -674,6 +697,9 @@ object Pipeline extends QueryPack {
     QueryDef("events_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("events_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("dedup_paragraphs", qDedupParagraphs, Some(qDedupParagraphsSql)),
+    QueryDef("meta_label_names", qMetaLabels, Some(qMetaLabelsSql)),
+    QueryDef("meta_label_values", qMetaValues, Some(qMetaValuesSql)),
+    QueryDef("meta_series", qMetaSeries, Some(qMetaSeriesSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
     QueryDef("corpus_split", qSplit, Some(qSplitSql)),
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
