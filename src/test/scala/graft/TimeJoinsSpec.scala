@@ -53,6 +53,24 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(row.isNullAt(1))
   }
 
+  test("rangeJoin equals the naive inequality join on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 300).map(_ => ("k" + rnd.nextInt(4), rnd.nextLong(5000L), rnd.nextInt(1000)))
+      .toDF("k", "ts", "id")
+    val r = (1 to 300).map(_ => ("k" + rnd.nextInt(4), rnd.nextLong(5000L), rnd.nextDouble()))
+      .toDF("k", "ts", "v")
+    val w = 700L
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "id", "r_ts", "r_v").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getInt(2), x.getLong(3), x.getDouble(4)))
+        .toSeq.sorted
+    val bucketed = canon(TimeJoins.rangeJoin(l, r, Seq("k"), w))
+    val naive = canon(l.join(
+      r.select(col("k"), col("ts").as("r_ts"), col("v").as("r_v")), Seq("k"))
+      .where(col("r_ts") >= col("ts") - w && col("r_ts") <= col("ts")))
+    assert(bucketed.nonEmpty && bucketed == naive)
+  }
+
   test("rangeJoin emits every pair inside [t-w, t], bucket edges included") {
     // w=100. (a,50)→[-50,50]: none; (a,100)→[0,100]: a@90 (crosses the
     // bucket edge); (a,200)→[100,200]: a@200 (right-boundary inclusive);
