@@ -89,4 +89,22 @@ object Rollup {
       .groupBy(col(S.SeriesId), col(S.LabelsCol), col(S.Ts))
       .agg(v.as(S.Value))
   }
+
+  /** The aggregates [[summarizeFromRollup]] can reconstruct exactly. */
+  val Reconstructable: Set[String] = Set("sum", "avg", "min", "max", "count", "last")
+
+  /** TIER ROUTING: answer a summarize from the rollup when the grid aligns
+    * and the aggregate is reconstructable, else from raw samples. The
+    * decision is plan-time (pure arithmetic on the grid — no driver job),
+    * so a dashboard's aligned long-range queries hit the small rollup scan
+    * and everything else silently falls back to raw. */
+  def summarizeRouted(raw: DataFrame, rolled: DataFrame, bucketMs: Long,
+                      grid: QueryGrid, agg: String): DataFrame =
+    if (Reconstructable(agg) && grid.stepMs % bucketMs == 0 &&
+        grid.startMs % bucketMs == 0 && grid.endMs % bucketMs == 0)
+      summarizeFromRollup(rolled, bucketMs, grid, agg)
+    else
+      graft.stages.Temporal.summarize(
+        raw.where(col(S.Ts) >= grid.startMs && col(S.Ts) < grid.endMs),
+        grid.stepMs, agg, alignMs = grid.startMs)
 }
