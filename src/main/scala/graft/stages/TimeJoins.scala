@@ -23,20 +23,24 @@ import org.apache.spark.sql.functions._
 object TimeJoins {
 
   /** AS-OF JOIN (left semantics): each left row picks the latest right row
-    * with `rightTs <= leftTs` per `keys`, or nulls when none exists (or the
-    * match is older than `toleranceMs`). Right payload columns appear
-    * prefixed with `rightPrefix`; the matched right timestamp as
+    * with `rightTs <= leftTs` per `keys` — or, with `forward = true`, the
+    * EARLIEST right row with `rightTs >= leftTs` (pandas merge_asof's
+    * direction="forward") — or nulls when none exists (or the match is
+    * further than `toleranceMs`). Right payload columns appear prefixed
+    * with `rightPrefix`; the matched right timestamp as
     * `rightPrefix + rightTs`.
     *
     * Ordering is total: at equal timestamps the right row sorts first (so a
-    * same-instant sample IS visible, "at-or-before" inclusive), and right
-    * rows tie-break on timestamp only — callers wanting a deterministic pick
-    * among same-key-same-ts right duplicates should dedup first.
+    * same-instant sample IS visible, inclusive in both directions), and
+    * right rows tie-break on timestamp only — callers wanting a
+    * deterministic pick among same-key-same-ts right duplicates should
+    * dedup first.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String = "ts", rightTs: String = "ts",
                toleranceMs: Option[Long] = None,
-               rightPrefix: String = "r_"): DataFrame = {
+               rightPrefix: String = "r_",
+               forward: Boolean = false): DataFrame = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
     // common shape: keys, _ats, _side, left payload (null on right rows),
@@ -53,8 +57,11 @@ object TimeJoins {
           col(rightTs).cast("long").as("_rts")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(c => col(c).as(s"_r_$c")): _*)
+    // forward = scan the timeline in reverse: the nearest right AT-OR-AFTER
+    // each left row is the last right seen in descending-ts order
+    val tsOrd = if (forward) col("_ats").desc else col("_ats").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ats").asc, col("_side").asc)
+      .orderBy(tsOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the matched right row is carried as ONE struct (null on left rows) —
     // per-column last(ignoreNulls) windows would backfill a NULL payload
@@ -64,8 +71,9 @@ object TimeJoins {
     val carried = l.unionByName(r)
       .withColumn("_m",
         last(when(col("_side") === 0, rrec), ignoreNulls = true).over(w))
+    val gap = if (forward) col("_m.rts") - col("_ats") else col("_ats") - col("_m.rts")
     val fresh = toleranceMs match {
-      case Some(t) => col("_m").isNotNull && (col("_ats") - col("_m.rts") <= t)
+      case Some(t) => col("_m").isNotNull && (gap <= t)
       case None    => col("_m").isNotNull
     }
     carried.where(col("_side") === 1)

@@ -29,25 +29,32 @@ class DifferentialSpec extends SparkTestBase {
     "fetch name:m | topK 1 sum",
     "fetch name:m | summarize 2m avg true | derivative")
 
-  private def runAll(partitions: Int, codegen: Boolean): Seq[Map[String, Seq[Option[Double]]]] = {
+  private def runAll(partitions: Int, codegen: Boolean,
+                     aqe: Boolean = true): Seq[Map[String, Seq[Option[Double]]]] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
     try queries.map { q =>
       val df = M3QL.query(spark, fx.repartition(partitions), g, q)
       toGolden(df.drop("_rank"), g)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", 4)
       spark.conf.set("spark.sql.codegen.wholeStage", true)
+      spark.conf.set("spark.sql.adaptive.enabled", true)
     }
   }
 
-  test("results identical across partitioning and codegen configurations") {
+  test("results identical across partitioning, codegen, and AQE configurations") {
     val base = runAll(partitions = 1, codegen = true)
     val manyParts = runAll(partitions = 7, codegen = true)
     val noCodegen = runAll(partitions = 4, codegen = false)
+    // AQE re-plans joins at runtime (broadcast/build-side flips) — results
+    // must not depend on which physical strategy it lands on
+    val noAqe = runAll(partitions = 4, codegen = true, aqe = false)
     queries.indices.foreach { i =>
       assert(base(i) == manyParts(i), s"partitioning changed result of: ${queries(i)}")
       assert(base(i) == noCodegen(i), s"codegen mode changed result of: ${queries(i)}")
+      assert(base(i) == noAqe(i), s"AQE mode changed result of: ${queries(i)}")
     }
   }
 

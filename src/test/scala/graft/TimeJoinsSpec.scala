@@ -41,6 +41,26 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(shuffled.map(_._3) == Seq(None, Some(1.0), Some(2.0), None))
   }
 
+  test("asofJoin forward direction picks the earliest right at-or-after") {
+    val out = TimeJoins.asofJoin(left, right, Seq("k"), forward = true)
+      .select("k", "ts", "tag", "r_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("a", 50L, "p0", Some(90L)),     // nearest future right
+      ("a", 100L, "p1", Some(200L)),
+      ("a", 200L, "p2", Some(200L)),   // same-instant inclusive
+      ("b", 150L, "p3", Some(160L))))
+    // forward tolerance: only matches within 10ms survive
+    val tol = TimeJoins.asofJoin(left, right, Seq("k"),
+        toleranceMs = Some(10L), forward = true)
+      .select("k", "ts", "r_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(tol.map(_._3) == Seq(None, None, Some(200L), Some(160L)))
+  }
+
   test("asofJoin never backfills a NULL payload field from an older right row") {
     val l = Seq(("a", 30L)).toDF("k", "ts")
     val r = Seq(("a", 10L, Option(5.0)), ("a", 20L, Option.empty[Double]))
