@@ -81,19 +81,28 @@ class DifferentialSpec extends SparkTestBase {
     """sort_by_label(m, "dc")""",
     "double_exponential_smoothing(m[5m], 0.5, 0.5)")
 
-  private def runProm(partitions: Int): Seq[Map[String, Seq[Option[Double]]]] = {
+  private def runProm(partitions: Int,
+                      aqe: Boolean = true): Seq[Map[String, Seq[Option[Double]]]] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
     try promQueries.map { q =>
       toGolden(graft.lang.prom.PromQL.query(spark, fx.repartition(partitions), g, q)
         .drop("_rank"), g)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      spark.conf.set("spark.sql.adaptive.enabled", true)
+    }
   }
 
-  test("PromQL results identical across partitionings") {
+  test("PromQL results identical across partitionings and AQE modes") {
     val base = runProm(1)
     val many = runProm(7)
+    // vector matching is the path where AQE's build-side choice once
+    // changed observable behavior — pin result invariance
+    val noAqe = runProm(4, aqe = false)
     promQueries.indices.foreach { i =>
       assert(base(i) == many(i), s"partitioning changed result of: ${promQueries(i)}")
+      assert(base(i) == noAqe(i), s"AQE mode changed result of: ${promQueries(i)}")
     }
   }
 
