@@ -84,6 +84,7 @@ object Bench {
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","value_single_pass":${f2(singlePass)},""" +
         s""""queries":$compactQs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     Console.out.flush()
+    graft.core.Memo.clearSession(spark)
     spark.stop()
   }
 }

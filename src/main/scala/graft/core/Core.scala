@@ -152,6 +152,28 @@ object Dist {
   }
 }
 
+/** Session-scoped memo of persisted derived DataFrames. Every instance
+  * registers itself process-wide so [[Memo.clearSession]] can evict all the
+  * cached plans one session accumulated — without the hook these maps pin
+  * MEMORY_AND_DISK blocks for the JVM lifetime across sessions and scale
+  * factors (long-lived test JVMs, multi-SF harness runs). */
+final class Memo[K] {
+  private val m = scala.collection.concurrent.TrieMap.empty[(SparkSession, K), DataFrame]
+  Memo.register(this)
+  def apply(spark: SparkSession, key: K)(build: => DataFrame): DataFrame =
+    m.getOrElseUpdate((spark, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private[core] def evict(spark: SparkSession): Unit =
+    m.keys.filter(_._1 eq spark).foreach(k =>
+      m.remove(k).foreach(_.unpersist(blocking = false)))
+}
+object Memo {
+  private val all = new java.util.concurrent.ConcurrentLinkedQueue[Memo[_]]()
+  private def register(memo: Memo[_]): Unit = all.add(memo)
+  /** Unpersist and forget every memoized DataFrame built under `spark`. */
+  def clearSession(spark: SparkSession): Unit = all.forEach(_.evict(spark))
+}
+
 /** Test-data table loaders (driver-provided parquet, TESTDATA.md). */
 object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -163,12 +185,10 @@ object Tables {
     * instead of being silently recomputed from the 6h-bucket decimal
     * aggregation — repeated recomputation is exactly what skews a long bench
     * run (and a 100× production run). */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val memo = new Memo[(String, String)]
   private def cached(spark: SparkSession, sfDir: String, key: String)
                     (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, sfDir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo(spark, (sfDir, key))(build)
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")

@@ -115,18 +115,60 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         compilePipeline(gp, macroDF, buf, shift, clip = false)
       case MacroSource(n) => macroDF(n)
     }
+    // ROLLUP TIER ROUTING: `fetch … | summarize …` whose grid aligns to a
+    // session-registered rollup tier (streaming.Rollup.registerTier) reads
+    // the pre-aggregated moments scan instead of raw samples — plan-time
+    // arithmetic only, with fallback to the raw path on any misalignment
+    // or non-reconstructable aggregate
+    val (src2, stages2) = (p.source, p.stages) match {
+      case (FetchSource(filters), st :: rest) if st.name == "summarize" =>
+        routedSummarize(filters, st, widened) match {
+          case Some(branch) => (Seq(branch), rest)
+          case None         => (src, p.stages)
+        }
+      case _ => (src, p.stages)
+    }
     // stages run against the WIDENED grid; a union-group at position k inherits
     // the buffers of the stages AFTER it (its branch feeds the same tail); the
     // final truncate clips back (ref: SourceBuilderVisitor.java:329-339)
-    val out = p.stages.zipWithIndex.foldLeft(src) {
+    val out = stages2.zipWithIndex.foldLeft(src2) {
       case (bs, (StageCall("__group", List(PipeArg(inner))), k)) =>
-        val (sb, ss) = buffers(p.stages.drop(k + 1))
+        val (sb, ss) = buffers(stages2.drop(k + 1))
         bs ++ compilePipeline(inner, macroDF, sb + extraBuf, ss + extraShift, clip = false)
       case (bs, (st, _)) => applyStage(bs, st, widened, macroDF)
     }
     if (clip && (buf > 0 || shift > 0))
       out.map { case (df, m) => (Temporal.truncate(df, grid), m) }
     else out
+  }
+
+  /** The rollup-tier branch for `fetch … | summarize interval agg`, when a
+    * tier is registered for this session AND the routing is exact: the
+    * interval is a multiple of the rollup resolution, the (widened) scan
+    * bounds are interval multiples (so epoch-floored buckets equal
+    * origin-aligned ones and no partial bucket straddles an edge), buckets
+    * are epoch-aligned (no alignToFrom), and the aggregate reconstructs
+    * losslessly from the stored moments. Label filters push onto the rollup
+    * scan the same way fetch pushes them onto the raw scan. */
+  private def routedSummarize(filters: Seq[Fetch.LabelFilter], st: StageCall,
+                              widened: QueryGrid): Option[(DataFrame, StepMeta)] = {
+    import graft.streaming.Rollup
+    Rollup.tier(spark).flatMap { case (rolled, bucketMs) =>
+      val interval = st.args.headOption.collect {
+        case DurArg(ms) => ms
+        case NumArg(v)  => v.toLong
+      }.getOrElse(-1L)
+      val agg = if (st.args.length > 1) str(st.args(1)) else "avg"
+      val alignToFrom = st.args.length > 2 && str(st.args(2)) == "true"
+      val aligned = interval > 0 && interval % bucketMs == 0 &&
+        widened.startMs % interval == 0 && widened.endMs % interval == 0
+      if (!alignToFrom && aligned && Rollup.Reconstructable.contains(agg)) {
+        val filtered = filters.foldLeft(rolled)((df, f) => df.where(f.predicate))
+        Some((Rollup.summarizeFromRollup(filtered, bucketMs,
+          QueryGrid(widened.startMs, widened.endMs, interval), agg),
+          StepMeta(interval, widened.startMs)))
+      } else None
+    }
   }
 
   private def str(a: Arg): String = a match {
@@ -361,9 +403,14 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
           // is exact. Common keys still come from the FULL operand sets
           // (ref: extractCommonTagKeys runs over all series, :376-403), so
           // one shared 1-row aggregate is passed into every branch.
-          val ck = if (keys.isEmpty) Some(SeriesSet.commonKeysDF(df, rdf)) else None
+          // every branch re-plans the right subtree (its own alignOperands
+          // resample + divide's keyed() stats) — cache it once so B branches
+          // read the computed right operand instead of executing it ~2B times
+          // (same cache-on-reuse policy as multi-reference macros above)
+          val rdfC = if (bs.lengthCompare(1) > 0) rdf.cache() else rdf
+          val ck = if (keys.isEmpty) Some(SeriesSet.commonKeysDF(df, rdfC)) else None
           bs.map { case (ldf, lm) =>
-            val (l2, r2, m2) = Normalizer.alignOperands(ldf, lm, rdf, rmeta, grid.endMs)
+            val (l2, r2, m2) = Normalizer.alignOperands(ldf, lm, rdfC, rmeta, grid.endMs)
             (SeriesSet.divide(l2, r2, keys, ck), m2)
           }
         }

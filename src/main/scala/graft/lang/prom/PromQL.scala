@@ -52,10 +52,15 @@ import scala.collection.mutable.ListBuffer
   * Documented divergences from upstream Prometheus (each mirrored by the
   * conformance oracles): `rate` keeps the reference engine's smoothed
   * reset-segment semantics (PerSecondRateStage) rather than Prometheus
-  * extrapolation; scalar-vector arithmetic (`m * 2`) and value-rewriting
-  * functions keep the metric name; range windows are closed `[t-d, t]`
-  * rather than left-open; subquery instants use step-bounded lookback (no
-  * 5m staleness carry).
+  * extrapolation BY DEFAULT — `query(..., exactRate = true)` switches it to
+  * the Prometheus-exact extrapolated rate (extrapolatedRate / window
+  * seconds, oracle `promql_rate_extrapolated`); range-window functions
+  * (`rate`/`increase`/`*_over_time`/
+  * `ts_of_*`) keep the metric name (scalar arithmetic, math/calendar
+  * functions and `bool` comparisons DO drop it, matching
+  * shouldDropMetricName); range windows are closed `[t-d, t]` rather than
+  * left-open; subquery instants use step-bounded lookback (no 5m staleness
+  * carry).
   */
 object PromQL {
 
@@ -363,12 +368,21 @@ object PromQL {
   def parse(q: String): Expr = new P(q).parseAll()
 
   // ---- compiler ------------------------------------------------------------
-  final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
+  final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid,
+                       exactRate: Boolean = false) {
     private val S = TsSchema
     private val cmpOps = Set("==", "!=", ">=", "<=", ">", "<")
 
+    /** Strip the metric name and re-derive series identity — Prometheus's
+      * shouldDropMetricName: an operation that rewrites the sample value
+      * (scalar arithmetic, math/calendar functions, `bool` comparisons)
+      * drops `__name__` from its result. */
+    private def dropMetricName(df: DataFrame): DataFrame =
+      df.withColumn(S.LabelsCol, map_filter(col(S.LabelsCol), (k, _) => k =!= "name"))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+
     private def mapValue(df: DataFrame)(f: Column => Column): DataFrame =
-      df.withColumn(S.Value, f(col(S.Value)))
+      dropMetricName(df.withColumn(S.Value, f(col(S.Value))))
 
     /** extra scan lookback needed below `e` (range selectors widen the scan). */
     private def lookback(e: Expr): Long = e match {
@@ -532,7 +546,7 @@ object PromQL {
     private def applyDynArith(vec: DataFrame, s: DynScalar)
                              (f: (Column, Column) => Column): DataFrame = {
       val (aug, sv) = withScalarCol(vec, s)
-      aug.withColumn(S.Value, f(col(S.Value), sv))
+      dropMetricName(aug.withColumn(S.Value, f(col(S.Value), sv)))
         .drop("_sv")
         .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
     }
@@ -545,7 +559,7 @@ object PromQL {
       val (aug, sv) = withScalarCol(vec, s)
       val ok = cond(col(S.Value), sv)
       val out =
-        if (boolMod) aug.withColumn(S.Value, when(ok, 1.0).otherwise(0.0))
+        if (boolMod) dropMetricName(aug.withColumn(S.Value, when(ok, 1.0).otherwise(0.0)))
         else aug.where(ok)
       out.drop("_sv").select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
     }
@@ -721,7 +735,15 @@ object PromQL {
       case Call(fn, args) => fn match {
         case "rate" =>
           val (in, d) = rangeInput(args.head, g)
-          Temporal.perSecondRate(in, d)
+          if (exactRate)
+            // Prometheus-exact: the extrapolated counter increase per second
+            // (promql extrapolatedRate) — opt-in via the query() flag; the
+            // default keeps reference parity (rate → PerSecondRateStage,
+            // PromSourceBuilderVisitor.java:155-163)
+            Temporal.extrapolatedRate(in, d, isCounter = true)
+              .withColumn(S.Value, col(S.Value) / lit(d / 1000.0))
+          else
+            Temporal.perSecondRate(in, d)
         case "increase" =>
           // Prometheus-exact: counter delta with window-edge extrapolation
           // (the M3QL perSecondRate keeps the reference's smoothed semantics)
@@ -899,20 +921,21 @@ object PromQL {
           }
           if (lbls.isEmpty) throw PromParseError(s"$fn needs at least one label")
           SeriesSet.sortByLabel(one(args, g), lbls, desc = fn.endsWith("_desc"))
-        case "timestamp" => one(args, g).withColumn(S.Value, col(S.Ts) / 1000.0)
+        case "timestamp" => mapValue(one(args, g))(_ => col(S.Ts) / 1000.0)
         case "histogram_quantile" =>
           Grouping.histogramQuantile(eval(args(1), g),
             requireScalar(args.headOption, "histogram_quantile φ"))
         case "changes" =>
+          // sample-to-sample pairs INSIDE the window only (promql changes);
+          // Spark NaN equality (NaN = NaN) matches Prometheus's both-NaN =
+          // unchanged special case
           val (in, d) = rangeInput(args.head, g)
-          Temporal.movingInclusive(Temporal.changed(in, g), d, "sum")
+          Temporal.pairCount(in, d)((v, p) => v =!= p)
         case "resets" =>
+          // a reset whose pair straddles the window start does not count
+          // (promql resets: both samples must be inside [t-d, t])
           val (in, d) = rangeInput(args.head, g)
-          val flagged = in.withColumn(S.Value,
-            when(col(S.Value) < lag(col(S.Value), 1).over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(S.SeriesId).orderBy(S.Ts)), 1.0).otherwise(0.0))
-          Temporal.movingInclusive(flagged, d, "sum")
+          Temporal.pairCount(in, d)((v, p) => v < p)
         case "label_replace" =>
           val in = one(args, g)
           val dst = requireStr(args.lift(1), "label_replace dst")
@@ -948,7 +971,7 @@ object PromQL {
 
     private def applyCmp(df: DataFrame, cond: Column => Column, boolMod: Boolean): DataFrame =
       if (boolMod)
-        df.withColumn(S.Value, when(cond(col(S.Value)), 1.0).otherwise(0.0))
+        dropMetricName(df.withColumn(S.Value, when(cond(col(S.Value)), 1.0).otherwise(0.0)))
       else df.where(cond(col(S.Value)))
 
     private def cmpCol(op: String, l: Column, r: Column): Column = op match {
@@ -1001,23 +1024,27 @@ object PromQL {
             org.apache.spark.sql.types.StringType, valueContainsNull = false))
         else map(eqLabels.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
       val gridTs = g.gridDF(spark)
-      val present = in.select(col(S.Ts)).distinct().withColumn("_p", lit(1))
+      val present = in.select(col(S.Ts)).distinct()
       val marked = windowMs match {
         case None =>
           gridTs.join(present, Seq(S.Ts), "left_anti")
         case Some(w) =>
-          // absent at t iff no sample anywhere in [t-w, t]: last present ts
-          // up to t must be missing or older than w
-          val all = gridTs.withColumn("_p", lit(null).cast("int"))
-            .unionByName(present.select(col(S.Ts), col("_p")))
-          // RANGE frame: a grid row and a presence row share the timestamp,
-          // and the presence peer must be visible to its own grid row
-          val win = org.apache.spark.sql.expressions.Window.orderBy(S.Ts)
-            .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-          all
-            .withColumn("_lastp", max(when(col("_p") === 1, col(S.Ts))).over(win))
-            .where(col("_p").isNull &&
-              (col("_lastp").isNull || col(S.Ts) - col("_lastp") > w))
+          // absent at t iff no presence ts anywhere in [t-w, t]. Bucketed
+          // ANTI range-join: at bucket width w a presence ts can only cover
+          // grid instants in its own floor-bucket or the next one, so each
+          // presence row probes exactly 2 equi-buckets with the range check
+          // as a residual predicate — a distributed hash join, not the old
+          // single-partition Window.orderBy over grid ∪ presence (which put
+          // a year-at-10s grid on one core).
+          val bw = math.max(w, 1L)
+          def b(c: Column) = floor(c / lit(bw.toDouble)).cast("long")
+          val pb = present.select(col(S.Ts).as("_pts")).withColumn("_pb", b(col("_pts")))
+          val pexp = pb.unionByName(pb.withColumn("_pb", col("_pb") + lit(1L)))
+          gridTs.withColumn("_gb", b(col(S.Ts)))
+            .join(pexp,
+              col("_gb") === col("_pb") &&
+                col("_pts") >= col(S.Ts) - w && col("_pts") <= col(S.Ts),
+              "left_anti")
             .select(col(S.Ts))
       }
       marked
@@ -1083,8 +1110,9 @@ object PromQL {
         .select(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts), col(S.Value))
   }
 
-  def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String): DataFrame =
-    new Compiler(spark, samples, grid).compile(parse(q))
+  def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String,
+            exactRate: Boolean = false): DataFrame =
+    new Compiler(spark, samples, grid, exactRate).compile(parse(q))
 
   /** `query_range` entry point mirroring the reference REST surface: date-math
     * start/end and step resolve to the evaluation grid

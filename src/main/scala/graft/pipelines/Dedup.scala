@@ -267,22 +267,29 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("cluster")), Seq("b"))
         .groupBy("a").agg(min("cluster").as("_nmin"))
         .withColumnRenamed("a", "node")
+      // jump() self-joins its input, and the two sides exchange on DIFFERENT
+      // keys (node vs cluster) so Spark cannot reuse the exchange — an
+      // unmaterialized input would re-run the whole round's join tree once
+      // per side (4× for two nested jumps, the round-5 chain regression).
+      // Materialize each stage once; every join then reads local blocks.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
-      // TWO pointer jumps per round: each jump is one more hash join inside
-      // the same materialization, far cheaper than another round (which pays
-      // a checkpoint + scheduling), and it halves the round count on
-      // path-shaped components — the label-propagation worst case
+        .localCheckpoint(eager = true)
+      // TWO pointer jumps per round: each jump is one more hash join, far
+      // cheaper than another round (which pays the nbrMin join + scheduling),
+      // and it halves the round count on path-shaped components — the
+      // label-propagation worst case
       def jump(df: DataFrame): DataFrame = df
         .join(df.select(col("node").as("cluster"), col("cluster").as("_c2")),
           Seq("cluster"), "left")
         .select(col("node"), col("_old"),
           least(col("cluster"), coalesce(col("_c2"), col("cluster"))).as("cluster"))
+      val j1 = jump(stepped).localCheckpoint(eager = true)
       // the convergence flag rides INSIDE the checkpointed frame, so the
       // probe below is a short-circuit scan of local blocks — not a
       // shuffle join against the previous labels
-      val jumped = jump(jump(stepped))
+      val jumped = jump(j1)
         .select(col("node"), col("cluster"),
           (col("cluster") =!= col("_old")).as("_chg"))
         .localCheckpoint(eager = true)

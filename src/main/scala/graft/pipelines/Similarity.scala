@@ -48,6 +48,33 @@ object Vectors {
     withPlanes.withColumn("lsh_sig", sig)
       .drop((0 until numPlanes).map(i => s"_lshpl$i"): _*)
   }
+
+  /** Append `bkeys` — ARRAY<INT> of `bands` band keys, each the sign bitmask
+    * of `planesPerBand` hyperplanes (bands × planesPerBand distinct planes).
+    * The banded form drives the multiprobe LSH top-k: a neighbor is a
+    * candidate when ANY band key matches one of the query's probed keys
+    * (OR-amplification), which reaches high recall without the single-band
+    * form's huge hamming radius. Same codegen'd float_dot hot loop. */
+  def withBandedKeys(emb: DataFrame, vecCol: String, bands: Int, planesPerBand: Int,
+                     seed: Int, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val ps = planes(bands * planesPerBand, dim, seed)
+    val planeCols = ps.zipWithIndex.map { case (p, i) =>
+      typedlit(p.map(_.toFloat)).as(s"_lshpl$i")
+    }
+    val withPlanes = emb.crossJoin(
+      broadcast(spark.range(1).select(planeCols: _*)))
+    val keys = (0 until bands).map { bi =>
+      (0 until planesPerBand).map { pi =>
+        val idx = bi * planesPerBand + pi
+        when(expr(s"float_dot($vecCol, _lshpl$idx)") >= 0, lit(1 << pi)).otherwise(0)
+      }.reduce(_ + _)
+    }
+    withPlanes.withColumn("bkeys", array(keys: _*))
+      .drop((0 until bands * planesPerBand).map(i => s"_lshpl$i"): _*)
+  }
 }
 
 /** Similarity search over an embedding column: brute-force cosine top-k as the
@@ -69,28 +96,69 @@ object Similarity {
     scored
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
+      // rnk runs over the <= k rows the TakeOrdered limit kept, partitioned
+      // by the query id (one group per probe — generalizes to batched probes)
+      .withColumn("_q", lit(queryId))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
       .select(col(idCol), col("cosine"), col("rnk"))
   }
 
-  /** Approximate top-k: sign-LSH signature buckets; candidates = vectors whose
-    * signature is within `maxHamming` bits of the query's; exact cosine re-rank
-    * of candidates. Recall tunes via numPlanes/maxHamming. */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int = 8,
-              maxHamming: Int = 2, idCol: String = "vec_id"): DataFrame = {
+  /** Banded-signature LSH index for one corpus — (id, embedding, bkeys),
+    * built ONCE and persisted like [[ivfIndex]]: the bands×planes plane dots
+    * run corpus-wide exactly once, every probe reuses them. */
+  private val lshCache = new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+  private def lshIndex(emb: DataFrame, idCol: String, bands: Int,
+                       planesPerBand: Int): DataFrame = {
+    val key = (emb.queryExecution.analyzed.semanticHash(), idCol, bands,
+      planesPerBand).hashCode()
+    lshCache.computeIfAbsent(key, _ =>
+      Vectors.withBandedKeys(emb, "embedding", bands, planesPerBand, seed = 7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Approximate top-k via MULTIPROBE banded sign-LSH: `bands` bands of
+    * `planesPerBand` planes each; a corpus vector is a candidate when any of
+    * its band keys equals one of the query's probed keys — the query probes,
+    * per band, its own key plus every key within `probeHamming` bits (the
+    * standard multiprobe trick: near-miss buckets are probed on the QUERY
+    * side only, so the index stays one key per band per vector). Candidates
+    * then get an exact cosine re-rank.
+    *
+    * Scale path: the bucket probe is an ids-only equi-join on (band, key)
+    * against a broadcast ~bands·C(planes,≤h) probe-key set — embeddings are
+    * joined back by id only for the candidate fraction. Defaults measured on
+    * the UNIFORM sf0.1 corpus (the structure-free worst case — see
+    * tools/AnnSweep, curve in OPERATORS.md): recall@10 = 0.92 at 0.42
+    * candidate fraction; real clustered corpora recall the same neighbors
+    * at a far smaller fraction. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, bands: Int = 16,
+              planesPerBand: Int = 8, probeHamming: Int = 1,
+              idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val withSig = Vectors.withLshSignature(emb, "embedding", numPlanes, seed = 7)
-    val q = withSig.where(col(idCol) === queryId)
-      .select(col("embedding").as("q_emb"), col("lsh_sig").as("q_sig"))
-    val cand = withSig.where(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .withColumn("hamming", bit_count(col("lsh_sig").bitwiseXOR(col("q_sig"))))
-      .where(col("hamming") <= maxHamming)
-    cand
+    val idx = lshIndex(emb, idCol, bands, planesPerBand)
+    val masks = (0 until (1 << planesPerBand))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val q = idx.where(col(idCol) === queryId)
+      .select(col("embedding").as("q_emb"), col("bkeys").as("q_bkeys"))
+    val qKeys = q
+      .select(posexplode(col("q_bkeys")).as(Seq("band", "_qk")))
+      .withColumn("_m", explode(typedlit(masks)))
+      .select(col("band"), col("_qk").bitwiseXOR(col("_m")).as("bkey"))
+    val candIds = idx.where(col(idCol) =!= queryId)
+      .select(col(idCol), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .join(broadcast(qKeys), Seq("band", "bkey"))
+      .select(idCol).distinct()
+    idx.join(candIds, idCol)
+      .crossJoin(broadcast(q.select("q_emb")))
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
+      // rnk runs over the <= k rows the TakeOrdered limit kept, partitioned
+      // by the query id (one group per probe — generalizes to batched probes)
+      .withColumn("_q", lit(queryId))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
       .select(col(idCol), col("cosine"), col("rnk"))
   }
 
@@ -105,44 +173,59 @@ object Similarity {
   private final case class IvfIndex(cents: DataFrame, assigned: DataFrame, nCentroids: Int)
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[Int, IvfIndex]()
 
-  private def ivfIndex(emb: DataFrame, idCol: String, nCentroidsOverride: Int): IvfIndex = {
-    val key = (emb.queryExecution.analyzed.semanticHash(), idCol, nCentroidsOverride).hashCode()
+  private def ivfIndex(emb: DataFrame, idCol: String, nCentroidsOverride: Int,
+                       lloydIters: Int): IvfIndex = {
+    val key = (emb.queryExecution.analyzed.semanticHash(), idCol, nCentroidsOverride,
+      lloydIters).hashCode()
     ivfCache.computeIfAbsent(key, _ => {
       val nc =
         if (nCentroidsOverride > 0) nCentroidsOverride
         else math.max(16, math.sqrt(emb.count().toDouble).round.toInt)
-      // centroids = deterministic sample of the corpus (ids hashed)
-      val cents = emb
-        .withColumn("_h", xxhash64(col(idCol)))
-        .orderBy("_h").limit(nc)
-        .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = emb.crossJoin(broadcast(cents))
+      def assign(c: DataFrame) = emb.crossJoin(broadcast(c))
         .withColumn("sim", graft.functions.VectorExprs.fastCosine("embedding", "cent_emb"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
         .where(col("rn") === 1)
         .select(col(idCol), col("embedding"), col("cent_id"))
+      // seed centroids = deterministic sample of the corpus (ids hashed),
+      // then `lloydIters` rounds of assign → per-cell elementwise mean
+      // (kmeans): refined centroids even out cell populations and tighten
+      // cells around their members, which is what nProbe recall rides on.
+      // Index-build-only cost — probes never pay it.
+      var cents: DataFrame = emb
+        .withColumn("_h", xxhash64(col(idCol)))
+        .orderBy("_h").limit(nc)
+        .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
+      for (_ <- 1 to lloydIters)
+        cents = assign(cents)
+          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+          .groupBy("cent_id", "_pos").agg(avg("_v").as("_m"))
+          .groupBy("cent_id")
+          .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+            s => s.getField("_m").cast(FloatType)).as("cent_emb"))
+      val centsP = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = assign(centsP)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      IvfIndex(cents, assigned, nc)
+      IvfIndex(centsP, assigned, nc)
     })
   }
 
-  /** IVF-style variant: kmeans-lite — partition vectors by nearest of the
-    * index's centroids (deterministic sample, ~√N of them), probe the query's
-    * nearest `nProbe` cells only. The 100TB path: cells are the partition
-    * pruning unit, and the assignment is a persisted index shared across
-    * queries. Recall@10 vs [[bruteForceTopK]] is data-dependent: on a
-    * clustered corpus the probed cells hold the true neighbors; on the
-    * synthetic sf0.001 corpus — UNIFORM random vectors, zero cluster
-    * structure (same-label and cross-label cosine both ≈ 0) — no cell
-    * assignment can beat the scan fraction, and measured recall@10 is ~0.2
-    * ≈ nProbe/nCells = 4/22, i.e. exactly the pruning ratio (asserted by
-    * `IvfRecallSpec`). Tune nProbe upward for recall, downward for speed. */
+  /** IVF-style variant: kmeans — partition vectors by nearest of the index's
+    * centroids (hash-sample seed + Lloyd refinement, ~√N cells), probe the
+    * query's nearest `nProbe` cells only. The 100TB path: cells are the
+    * partition pruning unit, and the assignment is a persisted index shared
+    * across queries. Recall@10 vs [[bruteForceTopK]] is data-dependent: on a
+    * clustered corpus a handful of probes recall the in-cell neighbors; the
+    * synthetic corpus is UNIFORM random (no structure — the ANN worst case),
+    * where recall tracks the probed fraction plus the directional
+    * correlation of near neighbors. Defaults picked from the measured
+    * sweep (tools/AnnSweep, curve in OPERATORS.md): recall@10 ≥ 0.8 at
+    * sf0.1. Tune nProbe down for speed, up for recall. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 0,
-              nProbe: Int = 4, idCol: String = "vec_id"): DataFrame = {
+              nProbe: Int = 32, idCol: String = "vec_id",
+              lloydIters: Int = 2): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val idx = ivfIndex(emb, idCol, nCentroids)
+    val idx = ivfIndex(emb, idCol, nCentroids, lloydIters)
     val qCells = idx.assigned.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
       .crossJoin(broadcast(idx.cents))
       .withColumn("sim", graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
@@ -153,7 +236,11 @@ object Similarity {
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cosine").desc, col(idCol))))
+      // rnk runs over the <= k rows the TakeOrdered limit kept, partitioned
+      // by the query id (one group per probe — generalizes to batched probes)
+      .withColumn("_q", lit(queryId))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
       .select(col(idCol), col("cosine"), col("rnk"))
   }
 }

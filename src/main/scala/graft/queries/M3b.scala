@@ -357,8 +357,10 @@ object M3b extends QueryPack {
 
   private def qPromScalarMath(s: SparkSession, sf: String): DataFrame =
     flat(PromQL.query(s, g(s, sf), grid, """clamp_max(error * 3, 40)"""))
+  // scalar arithmetic + clamp_max both drop the metric name
+  // (shouldDropMetricName), so the series key is the user label alone
   private val qPromScalarMathSql = withSG(
-    s"""SELECT $ser AS series, ts, least(value * 3.0, 40.0) AS value
+    s"""SELECT 'user:' || usr AS series, ts, least(value * 3.0, 40.0) AS value
        |FROM g WHERE etype = 'error' $ord""".stripMargin)
 
   override def all: Seq[QueryDef] = Seq(

@@ -152,7 +152,7 @@ object PromX extends QueryPack {
        |  SELECT usr, ((ts + 43199999) // 43200000) * 43200000 AS ti, arg_max(value * 2, ts) AS v
        |  FROM g WHERE etype = 'click' GROUP BY 1, 2)
        |SELECT series, ts, value FROM (
-       |  SELECT 'name:click,user:' || usr AS series, ti AS ts,
+       |  SELECT 'user:' || usr AS series, ti AS ts,
        |    max(v) OVER (PARTITION BY usr ORDER BY ti
        |                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
        |  FROM i)
@@ -211,6 +211,44 @@ object PromX extends QueryPack {
        |  round(rv * ((si + CASE WHEN ds < ai * 1.1 THEN ds ELSE ai / 2 END) / si), 6) AS value
        |FROM x WHERE n >= 2 $ord""".stripMargin)
 
+  // ---- Prometheus-exact rate: extrapolated increase per second -------------
+  // Same math as promql_increase divided by the window seconds, behind the
+  // opt-in exactRate flag (the default `rate` keeps reference parity with
+  // PerSecondRateStage — header divergence list).
+  private def qRateExtrapolated(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, "rate(view[18h])", exactRate = true))
+      .withColumn("value", round(col("value"), 9))
+  private val qRateExtrapolatedSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts, value,
+       |    CASE WHEN lag(value) OVER pw IS NOT NULL AND value < lag(value) OVER pw
+       |         THEN lag(value) OVER pw ELSE 0.0 END AS radd
+       |  FROM g WHERE etype = 'view' WINDOW pw AS (PARTITION BY usr ORDER BY ts)),
+       |v AS (
+       |  SELECT usr, ts, value, radd,
+       |    count(value) OVER fw AS n,
+       |    min(ts) OVER fw AS tsf,
+       |    arg_min(value, ts) OVER fw AS vf,
+       |    sum(radd) OVER fw - arg_min(radd, ts) OVER fw AS corr
+       |  FROM l WINDOW fw AS (PARTITION BY usr ORDER BY ts
+       |                       RANGE BETWEEN 64800000 PRECEDING AND CURRENT ROW)),
+       |e AS (
+       |  SELECT usr, ts, n, vf,
+       |    value - vf + corr AS rv,
+       |    CAST(ts - tsf AS DOUBLE) AS si,
+       |    CAST(tsf - (ts - 64800000) AS DOUBLE) AS ds0,
+       |    CAST(ts - tsf AS DOUBLE) / (n - 1) AS ai
+       |  FROM v),
+       |x AS (
+       |  SELECT usr, ts, n, rv, si, ai,
+       |    CASE WHEN rv > 0 AND vf >= 0 AND si * vf / rv < ds0
+       |         THEN si * vf / rv ELSE ds0 END AS ds
+       |  FROM e)
+       |SELECT 'name:view,user:' || usr AS series, ts,
+       |  round(rv * ((si + CASE WHEN ds < ai * 1.1 THEN ds ELSE ai / 2 END) / si)
+       |        / 64800.0, 9) AS value
+       |FROM x WHERE n >= 2 $ord""".stripMargin)
+
   // ---- mad_over_time: median absolute deviation of the trailing window ----
   // round(…,9) absorbs the midpoint-vs-interpolation 1-ulp difference
   // between the engines' even-count medians.
@@ -228,6 +266,42 @@ object PromX extends QueryPack {
        |    list_transform(lv, x -> abs(x - list_aggregate(lv, 'median'))),
        |    'median'), 9) AS value
        |FROM l $ord""".stripMargin)
+
+  // ---- absent_over_time: presence window over a sparse series --------------
+  // purchase/user=4 is the sparsest series (has multi-bucket gaps at every
+  // SF), so the 12h window yields a MIX of absent and covered instants; the
+  // engine side runs the bucketed anti range-join, the oracle the literal
+  // NOT EXISTS range predicate.
+  private def qAbsentWindow(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """absent_over_time(purchase{user="4"}[12h])"""))
+  private val qAbsentWindowSql = withSG(
+    s""", p AS (SELECT DISTINCT ts FROM g WHERE etype = 'purchase' AND usr = '4'),
+       |grid AS (SELECT ${grid.startMs} + ${grid.stepMs} * i AS ts
+       |         FROM range(0, ${(grid.endMs - grid.startMs) / grid.stepMs}) r(i))
+       |SELECT 'name:purchase,user:4' AS series, grid.ts AS ts, 1.0 AS value
+       |FROM grid
+       |WHERE NOT EXISTS (SELECT 1 FROM p
+       |                  WHERE p.ts BETWEEN grid.ts - 43200000 AND grid.ts) $ord""".stripMargin)
+
+  // ---- resets: pair-count window with the straddle correction --------------
+  // The 13h window over 6h-spaced samples holds up to 3 samples, so the
+  // earliest in-window sample's reset pair regularly straddles the window
+  // start — Prometheus only counts pairs with BOTH samples inside [t-d, t],
+  // hence the arg_min subtraction on both engines.
+  private def qResets(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "resets(click[13h])"))
+  private val qResetsSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts,
+       |    CASE WHEN lag(value) OVER pw IS NOT NULL AND value < lag(value) OVER pw
+       |         THEN 1.0 ELSE 0.0 END AS f
+       |  FROM g WHERE etype = 'click'
+       |  WINDOW pw AS (PARTITION BY usr ORDER BY ts))
+       |SELECT 'name:click,user:' || usr AS series, ts,
+       |  sum(f) OVER fw - arg_min(f, ts) OVER fw AS value
+       |FROM l
+       |WINDOW fw AS (PARTITION BY usr ORDER BY ts
+       |              RANGE BETWEEN 46800000 PRECEDING AND CURRENT ROW) $ord""".stripMargin)
 
   // ---- @ on a range selector: rate pinned at a fixed instant ---------------
   // rate(view[12h] @ t): the reference-semantics smoothed rate evaluated
@@ -276,14 +350,14 @@ object PromX extends QueryPack {
       .where(!isnan(col("value")))
   private val qScalarBinopSql = withSG(
     s""", sv AS (SELECT ts, ${dsum("value")} AS svv FROM g WHERE etype = 'view' GROUP BY ts)
-       |SELECT 'name:click,user:' || usr AS series, g.ts AS ts, g.value - sv.svv AS value
+       |SELECT 'user:' || usr AS series, g.ts AS ts, g.value - sv.svv AS value
        |FROM g JOIN sv ON g.ts = sv.ts WHERE etype = 'click' $ord""".stripMargin)
 
   // ---- time() as a scalar operand ------------------------------------------
   private def qTimeBinop(s: SparkSession, sf: String): DataFrame =
     flat(run(s, sf, "click / time()"))
   private val qTimeBinopSql = withSG(
-    s"""SELECT 'name:click,user:' || usr AS series, ts, value / (ts / 1000.0) AS value
+    s"""SELECT 'user:' || usr AS series, ts, value / (ts / 1000.0) AS value
        |FROM g WHERE etype = 'click' $ord""".stripMargin)
 
   // ---- limitk: deterministic k-series-per-step subset ----------------------
@@ -342,5 +416,8 @@ object PromX extends QueryPack {
     QueryDef("promql_irate", qIrate, Some(qIrateSql)),
     QueryDef("promql_increase", qIncrease, Some(qIncreaseSql)),
     QueryDef("promql_at_rate", qAtRate, Some(qAtRateSql)),
-    QueryDef("promql_mad", qMad, Some(qMadSql)))
+    QueryDef("promql_mad", qMad, Some(qMadSql)),
+    QueryDef("promql_resets", qResets, Some(qResetsSql)),
+    QueryDef("promql_absent_window", qAbsentWindow, Some(qAbsentWindowSql)),
+    QueryDef("promql_rate_extrapolated", qRateExtrapolated, Some(qRateExtrapolatedSql)))
 }

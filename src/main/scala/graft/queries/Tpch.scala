@@ -141,14 +141,19 @@ object Tpch extends QueryPack {
       |FROM lineitem GROUP BY l_partkey
       |ORDER BY total_qty DESC, l_partkey LIMIT 25""".stripMargin
 
-  /** Window function over facts: per-supplier running revenue rank. */
+  /** Window function over facts: per-supplier running revenue rank.
+    * The (revenue desc, suppkey) order is total — no ties — so rank() equals
+    * the running count of 1, computed with the TWO-PHASE distributed prefix
+    * scan instead of a single-partition `Window.orderBy` over every supplier
+    * (millions of rows at 100 TB). */
   private def suppRank(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bySupp = Tables.lineitem(spark, sf)
       .groupBy("l_suppkey")
       .agg(dSum(col("l_extendedprice")).as("revenue"))
-    bySupp
-      .withColumn("rank", rank().over(Window.orderBy(col("revenue").desc, col("l_suppkey"))))
+    val ord = Seq(col("revenue").desc, col("l_suppkey").asc)
+    graft.core.Dist.prefixScan(bySupp, ord, lit(1L), ord)
+      .withColumn("rank", col("_scan").cast("int"))
+      .drop("_scan")
       .orderBy("rank")
   }
 

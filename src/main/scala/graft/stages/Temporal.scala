@@ -110,6 +110,23 @@ object Temporal {
     df.withColumn(S.Value, movingAgg(fn, frame))
   }
 
+  /** Prometheus pair-count windows (`resets`, `changes`): flag each sample
+    * against its in-series predecessor, sum the flags over the trailing
+    * window `[t-d, t]`, then subtract the earliest in-window sample's flag —
+    * that pair straddles the window start (its predecessor is older than
+    * t-d) and Prometheus only counts pairs with BOTH samples inside the
+    * window. Same min_by correction shape as [[extrapolatedRate]]. Windows
+    * holding a single sample emit 0 (Prometheus returns 0, not empty). */
+  def pairCount(df: DataFrame, windowMs: Long)(flag: (Column, Column) => Column): DataFrame = {
+    val prev = lag(col(S.Value), 1).over(w)
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-windowMs, 0)
+    df.withColumn("_pf",
+        when(prev.isNotNull && flag(col(S.Value), prev), 1.0).otherwise(0.0))
+      .withColumn(S.Value,
+        sum(col("_pf")).over(frame) - expr(s"min_by(_pf, ${S.Ts})").over(frame))
+      .drop("_pf")
+  }
+
   /** Least-squares line over the trailing window `[t-w, t]` per series —
     * Prometheus `deriv` (slope, per second) and `predict_linear` (value of the
     * line at t + aheadSec). Uses `covar_pop`/`var_pop` window aggregates

@@ -39,7 +39,10 @@ object Rollup {
     * matching the raw path. */
   def rollup(samples: DataFrame, bucketMs: Long): DataFrame =
     samples
-      .withColumn("bucket_ts", (col(S.Ts) / bucketMs).cast("long") * bucketMs)
+      // floor-div, not cast-truncation: pre-1970 (negative) timestamps must
+      // round DOWN to match QueryGrid.bucket's floor on the raw path
+      .withColumn("bucket_ts",
+        floor(col(S.Ts) / lit(bucketMs.toDouble)).cast("long") * bucketMs)
       .groupBy(col(S.SeriesId), col(S.LabelsCol), col("bucket_ts"))
       .agg(
         sum(col(S.Value).cast(Dec)).as("rsum"),   // decimal — stays mergeable
@@ -107,4 +110,48 @@ object Rollup {
       graft.stages.Temporal.summarize(
         raw.where(col(S.Ts) >= grid.startMs && col(S.Ts) < grid.endMs),
         grid.stepMs, agg, alignMs = grid.startMs)
+
+  /** Maintain the rollup INCREMENTALLY from the ingest stream: every moment
+    * is algebraic, so one watermarked tumbling-window aggregation keeps
+    * (series, bucket) rows current — the serving tier no longer depends on
+    * a batch sweep cadence. Input is the canonical (post-dedup) sample
+    * stream; late samples within the watermark merge into their bucket,
+    * mirroring the raw ingest path's late-data rule. Output schema is
+    * exactly [[rollup]]'s, so stream-maintained and swept tiers are
+    * interchangeable (StreamingIngestSpec proves equality on the same
+    * data). */
+  def streamingRollup(samples: DataFrame, bucketMs: Long, lateMs: Long): DataFrame =
+    samples
+      .withColumn("_event_time", timestamp_millis(col(S.Ts)))
+      .withWatermark("_event_time", s"$lateMs milliseconds")
+      .groupBy(col(S.SeriesId), col(S.LabelsCol),
+        window(col("_event_time"), s"$bucketMs milliseconds").as("_w"))
+      .agg(
+        sum(col(S.Value).cast(Dec)).as("rsum"),
+        count(col(S.Value)).as("rcount"),
+        min(col(S.Value)).as("rmin"),
+        max(col(S.Value)).as("rmax"),
+        expr(s"max_by(${S.Value}, ${S.Ts})").as("rlast"),
+        max(col(S.Ts)).as("rlast_ts"))
+      .select(col(S.SeriesId), col(S.LabelsCol),
+        unix_millis(col("_w.start")).as("bucket_ts"),
+        col("rsum"), col("rcount"), col("rmin"), col("rmax"),
+        col("rlast"), col("rlast_ts"))
+
+  /** Session-registered rollup tier consulted by the M3QL compiler: when a
+    * pipeline is `fetch … | summarize …` whose grid aligns to `bucketMs`
+    * and whose aggregate is reconstructable, the compiler reads the rollup
+    * scan instead of raw samples (plan-time decision, no driver job).
+    *
+    * PRECONDITION the caller owns: the tier must be rolled up from the
+    * samples the fetch serves AT THE SERVING RESOLUTION (≤ 1 sample per
+    * query-step slot — e.g. the OPTIMIZE tier output). With coarser raw
+    * data the fetch-unfold's last-wins rebucket would see different values
+    * than the rollup's direct aggregation. */
+  private val tiers =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, Long)]
+  def registerTier(spark: SparkSession, rolled: DataFrame, bucketMs: Long): Unit =
+    tiers.put(spark, (rolled, bucketMs))
+  def clearTier(spark: SparkSession): Unit = tiers.remove(spark)
+  def tier(spark: SparkSession): Option[(DataFrame, Long)] = tiers.get(spark)
 }

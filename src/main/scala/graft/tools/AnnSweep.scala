@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.pipelines.Similarity
+import org.apache.spark.sql.SparkSession
+
+/** Measure the ANN recall-vs-cost curve on the synthetic embeddings corpus —
+  * the tuning evidence behind the lshTopK/ivfTopK defaults (results recorded
+  * in OPERATORS.md §similarity).
+  *
+  * Usage: runMain graft.tools.AnnSweep [sfDir]
+  *
+  * Recall@10 is against the exact brute-force baseline over a fixed query
+  * panel; candidate fraction is the share of the corpus the approximate
+  * variant exact-rescored (the probe's real cost driver at 100 TB).
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val queries = Seq(0L, 7L, 42L, 100L, 499L)
+    val exact = queries.map { q =>
+      q -> Similarity.bruteForceTopK(emb, q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    def recall(fn: Long => org.apache.spark.sql.DataFrame): Double = {
+      val rs = queries.map { q =>
+        val ids = fn(q).select("vec_id").collect().map(_.getLong(0)).toSet
+        exact(q).intersect(ids).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+
+    println(s"corpus $sfDir n=$n queries=${queries.mkString(",")}")
+    for (np <- Seq(4, 8, 16, 24, 32, 48, 64)) {
+      val t0 = System.nanoTime()
+      val r = recall(q => Similarity.ivfTopK(emb, q, 10, nProbe = np))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nc = math.max(16, math.sqrt(n.toDouble).round.toInt)
+      println(f"ivf  nProbe=$np%-3d nCells=$nc recall@10=$r%.2f  fraction~${np.toDouble / nc}%.2f  (${dt}%.1fs all-queries)")
+    }
+    for ((b, ppb, h) <- Seq((8, 10, 2), (8, 10, 1), (12, 10, 1), (8, 12, 2), (16, 8, 1))) {
+      val t0 = System.nanoTime()
+      val r = recall(q => Similarity.lshTopK(emb, q, 10,
+        bands = b, planesPerBand = ppb, probeHamming = h))
+      val dt = (System.nanoTime() - t0) / 1e9
+      // candidate fraction for one probe = distinct bucket-mates / corpus
+      val frac = {
+        val q = queries.head
+        val idx = Similarity.lshTopK(emb, q, n.toInt,
+          bands = b, planesPerBand = ppb, probeHamming = h).count()
+        idx.toDouble / n
+      }
+      println(f"lsh  bands=$b%-3d planes=$ppb h<=$h recall@10=$r%.2f  fraction=$frac%.2f  (${dt}%.1fs all-queries)")
+    }
+    spark.stop()
+  }
+}

@@ -2,66 +2,66 @@ package graft
 
 import graft.pipelines.Similarity
 
-/** Recall + mechanism checks for the IVF-pruned ANN path against the exact
-  * brute-force baseline on the real sf0.001 embeddings corpus (500 × 64-dim
-  * float vectors).
+/** Recall + mechanism checks for the approximate ANN paths (IVF cell pruning,
+  * multiprobe banded LSH) against the exact brute-force baseline on the real
+  * synthetic embeddings corpora (uniform random 64-dim float vectors — the
+  * structure-free WORST case for any ANN index: neighbors are barely closer
+  * than random, so pruning buys recall only through the directional
+  * correlation of near neighbors).
   *
-  * The corpus is UNIFORM random (no cluster structure: same-label and
-  * cross-label mean cosine both ≈ 0), so the information-theoretic ceiling for
-  * any cell-pruned index is the scan fraction nProbe/nCells ≈ 4/22 ≈ 0.18 —
-  * measured recall@10 ≈ 0.2 sits exactly there, confirming the cells
-  * partition uniformly and probing retrieves what pruning allows. On a
-  * clustered corpus the same index recalls the in-cell neighbors instead.
+  * Operating points come from the measured sweep (tools/AnnSweep; curve
+  * recorded in OPERATORS.md §similarity). The quality bar asserted here is
+  * the round-6 target: mean recall@10 ≥ 0.8 for BOTH approximate variants on
+  * the largest corpus.
   */
 class IvfRecallSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
 
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
   private def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.select("vec_id", "cosine").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
-  test("ivf recall@10 matches the pruning fraction on the unstructured corpus") {
+  test("ivf probing every cell degenerates to the exact scan (sf0.001)") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
+    // sf0.001 has 500 vectors → ~22 cells; the default nProbe=32 covers all
+    // of them, so the candidate set IS the corpus and recall must be exact —
+    // this pins the probe/re-rank mechanism, not an approximation quality
     val queries = Seq(0L, 7L, 42L)
-    val recalls = queries.map { q =>
-      val exact = top(Similarity.bruteForceTopK(emb, q, 10)).map(_._1).toSet
+    queries.foreach { q =>
+      val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
       val approx = top(Similarity.ivfTopK(emb, q, 10))
-      // mechanism: full k results, sorted descending, all cosines bounded by
-      // the exact best (a pruned index can never beat the exact top-1)
       assert(approx.size == 10)
+      // sorted descending, full k
       assert(approx.map(_._2) == approx.map(_._2).sorted.reverse)
-      exact.intersect(approx.map(_._1).toSet).size / 10.0
+      assert(approx.map(_._1).toSet == exact,
+        s"query $q: all-cell probe must equal brute force")
     }
-    val mean = recalls.sum / recalls.size
-    // ≈ nProbe/nCells = 4/22 on structure-free data (measured 0.2); the floor
-    // catches a broken assignment (recall ~ k/N ≈ 0.02), not seed drift
-    assert(mean >= 0.1, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
-  test("lsh and ivf recall@10 at the largest corpus (sf0.1), documented") {
-    // the measured-quality report the approximate variants carry: recall@10
-    // vs exact brute force on the 50k × 64-dim sf0.1 embeddings (numbers
-    // recorded in OPERATORS.md §similarity). Uniform corpus again, so both
-    // sit near their structural ceilings: LSH ≈ coverage of the hamming-≤1
-    // bucket set, IVF ≈ nProbe/√N pruning fraction.
+  test("lsh and ivf mean recall@10 >= 0.8 at the largest corpus (sf0.1)") {
+    // the measured-quality bar for the approximate variants at their default
+    // operating points (ivf nProbe=32 + 2 Lloyd iters; lsh 16 bands × 8
+    // planes, multiprobe hamming<=1). Same 5-query panel as tools/AnnSweep.
     val big = "/root/testdata/sf0.1"
     assume(new java.io.File(s"$big/embeddings.parquet").exists)
     val emb = graft.core.Tables.embeddings(spark, big)
-    val queries = Seq(0L, 7L, 42L)
+    val queries = Seq(0L, 7L, 42L, 100L, 499L)
     def recallOf(fn: Long => org.apache.spark.sql.DataFrame): Double = {
       val rs = queries.map { q =>
-        val exact = top(Similarity.bruteForceTopK(emb, q, 10)).map(_._1).toSet
-        val approx = top(fn(q)).map(_._1).toSet
-        exact.intersect(approx).size / 10.0
+        val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
+        exact.intersect(ids(fn(q))).size / 10.0
       }
       rs.sum / rs.size
     }
     val lsh = recallOf(q => Similarity.lshTopK(emb, q, 10))
     val ivf = recallOf(q => Similarity.ivfTopK(emb, q, 10))
     info(f"sf0.1 recall@10: lsh=$lsh%.2f ivf=$ivf%.2f")
-    // floors catch broken candidate generation (random-k recall ≈ 10/50k);
-    // the exact values are environment-stable and documented, not asserted
-    assert(lsh >= 0.05, s"lsh recall@10 $lsh")
-    assert(ivf >= 0.02, s"ivf recall@10 $ivf")
+    // sweep-measured: lsh 0.92 (0.42 candidate fraction), ivf 0.92 (32/45
+    // cells on this small corpus; the fraction shrinks as √N grows)
+    assert(lsh >= 0.8, s"lsh recall@10 $lsh below the 0.8 operating point")
+    assert(ivf >= 0.8, s"ivf recall@10 $ivf below the 0.8 operating point")
   }
 }

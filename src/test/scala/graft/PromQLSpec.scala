@@ -56,13 +56,14 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("scalar arithmetic on vector") {
+    // scalar arithmetic rewrites the value, so the metric name is dropped
     assertSeries(run("""mem{dc="a"} * 2"""),
-      Map("dc:a,name:mem" -> Seq(S(10), S(8), S(6), S(4), S(2), S(4), S(6), S(8), S(10), S(12))))
+      Map("dc:a" -> Seq(S(10), S(8), S(6), S(4), S(2), S(4), S(6), S(8), S(10), S(12))))
   }
 
   test("math functions") {
     assertSeries(run("""sqrt(req{dc="b"})"""),
-      Map("dc:b,name:req" ->
+      Map("dc:b" ->
         Seq(2.0, 4, 6, 8, 10, 12, 14, 16, 18, 20).map(v => S(math.sqrt(v)))))
   }
 
@@ -135,8 +136,9 @@ class PromQLSpec extends SparkTestBase {
   }
 
   test("comparison with bool yields 0/1") {
+    // bool rewrites the value to 0/1, so the metric name is dropped
     assertSeries(run("""req{dc="b"} >= bool 10"""),
-      Map("dc:b,name:req" -> Seq(S(0), S(0), S(0), S(0), S(1), S(1), S(1), S(1), S(1), S(1))))
+      Map("dc:b" -> Seq(S(0), S(0), S(0), S(0), S(1), S(1), S(1), S(1), S(1), S(1))))
   }
 
   test("and keeps left points with a matching right label set at the ts") {
@@ -179,7 +181,7 @@ class PromQLSpec extends SparkTestBase {
 
   test("calendar functions read the value as epoch seconds") {
     assertSeries(run("""minute(timestamp(req{dc="a"}))"""),
-      Map("dc:a,name:req" -> (1 to 10).map(i => S(i.toDouble))))
+      Map("dc:a" -> (1 to 10).map(i => S(i.toDouble))))
   }
 
   test("predict_linear extrapolates the window's least-squares line") {
@@ -223,13 +225,13 @@ class PromQLSpec extends SparkTestBase {
 
   test("vector modulo and power") {
     assertSeries(run("""req{dc="b"} % 3"""),
-      Map("dc:b,name:req" -> Seq(S(2), S(1), S(0), S(2), S(1), S(0), S(2), S(1), S(0), S(2))))
+      Map("dc:b" -> Seq(S(2), S(1), S(0), S(2), S(1), S(0), S(2), S(1), S(0), S(2))))
     assertSeries(run("""req{dc="a"} ^ 2"""),
-      Map("dc:a,name:req" -> (1 to 10).map(i => S(i.toDouble * i))))
+      Map("dc:a" -> (1 to 10).map(i => S(i.toDouble * i))))
   }
 
   test("operator precedence: * binds tighter than +") {
-    // vector+vector drops the name label; scalar * keeps labels untouched
+    // vector+vector and scalar * both drop the name label
     assertSeries(run("""req{dc="a"} + req{dc="a"} * 2"""),
       Map("dc:a" -> (1 to 10).map(i => S(3.0 * i))))
     assertSeries(run("""(req{dc="a"} + req{dc="a"}) * 2"""),
@@ -238,7 +240,7 @@ class PromQLSpec extends SparkTestBase {
 
   test("scalar subtrees constant-fold") {
     assertSeries(run("""req{dc="a"} * (2 + 3)"""),
-      Map("dc:a,name:req" -> (1 to 10).map(i => S(5.0 * i))))
+      Map("dc:a" -> (1 to 10).map(i => S(5.0 * i))))
   }
 
   test("vector() and time() build label-less grid vectors") {
@@ -292,9 +294,9 @@ class PromQLSpec extends SparkTestBase {
     // req{dc:a} atan2 req{dc:a} = atan2(v, v) = π/4 everywhere; name dropped
     assertSeries(run("""req{dc="a"} atan2 req{dc="a"}"""),
       Map("dc:a" -> Seq.fill(10)(S(math.Pi / 4))))
-    // scalar form keeps labels untouched
+    // scalar form also rewrites the value, so it drops the name too
     assertSeries(run("""req{dc="a"} atan2 0"""),
-      Map("dc:a,name:req" -> Seq.fill(10)(S(math.Pi / 2))))
+      Map("dc:a" -> Seq.fill(10)(S(math.Pi / 2))))
   }
 
   test("many-to-one without group_left raises") {
@@ -335,7 +337,7 @@ class PromQLSpec extends SparkTestBase {
     // equals the sample step, outer window takes the trailing 3m max
     val out = toGolden(run("""max_over_time((mem{dc="a"} * 2)[3m:1m])"""))
     // mem dc:a = 5,4,3,2,1,2,3,4,5,6 → doubled; window [t-3m,t] max of 4 pts
-    assert(out("dc:a,name:mem") ==
+    assert(out("dc:a") ==
       Seq(S(10), S(10), S(10), S(10), S(8), S(6), S(6), S(8), S(10), S(12)))
   }
 
@@ -357,7 +359,7 @@ class PromQLSpec extends SparkTestBase {
   test("rate over a subquery of a transformed counter") {
     // rate((req{dc="a"} * 1)[5m:1m]) ≈ rate of the raw counter
     val out = toGolden(run("""rate((req{dc="a"} * 1)[5m:1m])"""))
-    val vals = out("dc:a,name:req").flatten
+    val vals = out("dc:a").flatten
     assert(vals.nonEmpty && vals.forall(v => math.abs(v - 1.0 / 60) < 1e-6))
   }
 
@@ -433,7 +435,7 @@ class PromQLSpec extends SparkTestBase {
   test("scalar() broadcasts a per-step value onto a vector") {
     // mem{dc="a"} is a single series → scalar() is its value at each step
     assertSeries(run("""req{dc="a"} - scalar(mem{dc="a"})"""),
-      Map("dc:a,name:req" ->
+      Map("dc:a" ->
         Seq(S(-4), S(-2), S(0), S(2), S(4), S(4), S(4), S(4), S(4), S(4))))
   }
 
@@ -441,13 +443,13 @@ class PromQLSpec extends SparkTestBase {
     // req has two series → Prometheus scalar() yields NaN at every step
     val nan = S(Double.NaN)
     assertSeries(run("""mem{dc="a"} * scalar(req)"""),
-      Map("dc:a,name:mem" -> Seq.fill(10)(nan)))
+      Map("dc:a" -> Seq.fill(10)(nan)))
   }
 
   test("time() participates in arithmetic as a per-step scalar") {
     // grid instants are 60s..600s; req{dc="a"} value at point i is i+1
     assertSeries(run("""req{dc="a"} - time()"""),
-      Map("dc:a,name:req" -> (1 to 10).map(i => S(i - 60.0 * i))))
+      Map("dc:a" -> (1 to 10).map(i => S(i - 60.0 * i))))
   }
 
   test("vector() accepts dynamic scalar expressions") {
@@ -479,9 +481,9 @@ class PromQLSpec extends SparkTestBase {
     // literal path too — Spark's non-ANSI Divide/Remainder would return
     // NULL and silently drop every point
     val out = toGolden(run("""mem{dc="a"} / 0"""))
-    assert(out("dc:a,name:mem").forall(_.exists(_.isNaN)))
+    assert(out("dc:a").forall(_.exists(_.isNaN)))
     val outMod = toGolden(run("""mem{dc="a"} % 0"""))
-    assert(outMod("dc:a,name:mem").forall(_.exists(_.isNaN)))
+    assert(outMod("dc:a").forall(_.exists(_.isNaN)))
   }
 
   test("ts_of_max/min_over_time never pick a NaN sample over a real number") {

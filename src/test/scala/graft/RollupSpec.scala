@@ -77,6 +77,69 @@ class RollupSpec extends SparkTestBase {
     assert(med.nonEmpty)
   }
 
+  test("stream-maintained rollup equals the batch rollup of the same data") {
+    import graft.streaming.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft_sroll").toFile.getAbsolutePath
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val recs = for (h <- Seq("a", "b"); i <- 1 to 10)
+      yield (s"host $h", 60000L * i, if (h == "a") i.toDouble else i * 2.0)
+    val lines = recs.map { case (l, t, v) =>
+      s"""{"labels":"$l","timestamp":$t,"value":$v}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/b.json"),
+      lines.mkString("\n").getBytes)
+
+    val streamed = Rollup.streamingRollup(
+      Ingest.readJsonStream(spark, src), bucketMs = 120000L, lateMs = 60000L)
+    val q = streamed.writeStream.format("memory").queryName("sroll")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"), col("bucket_ts"),
+        col("rsum").cast("double"), col("rcount"), col("rmin"), col("rmax"),
+        col("rlast"), col("rlast_ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7))).toMap
+    import spark.implicits._
+    val batchSamples = Ingest.parseWire(
+      recs.toDF("labels", "timestamp", "value"))
+    val batch = toMap(Rollup.rollup(batchSamples, 120000L))
+    val stream = toMap(spark.table("sroll"))
+    assert(stream == batch, "stream-maintained tier must equal the batch sweep")
+  }
+
+  test("registered tier routes fetch|summarize to the rollup scan at plan time") {
+    import graft.lang.m3.M3QL
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toFile.getAbsolutePath
+    Rollup.rollup(fx, bucketMs = 120000L).write.mode("overwrite").parquet(s"$dir/rollup")
+    val rolled = spark.read.parquet(s"$dir/rollup")
+    // interval-aligned query grid (start/end multiples of 2m)
+    val gq = QueryGrid(120000L, 600000L, 60000L)
+    val query = "fetch name:a | summarize 2m sum"
+    val raw = M3QL.query(spark, fx, gq, query)   // no tier yet — raw path
+    Rollup.registerTier(spark, rolled, 120000L)
+    try {
+      val routed = M3QL.query(spark, fx, gq, query)
+      assert(routed.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "aligned fetch|summarize must read the rollup parquet scan")
+      def m(df: org.apache.spark.sql.DataFrame) = df
+        .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"),
+          col("timestamp"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(m(routed) == m(raw), "routed answer must equal the raw-path answer")
+      // misaligned start (60000 % 120000 != 0) must silently fall back to raw
+      val fallback = M3QL.query(spark, fx, g, "fetch name:a | summarize 2m sum")
+      assert(!fallback.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "misaligned grid must not read the rollup tier")
+      // non-reconstructable aggregate falls back too
+      val med = M3QL.query(spark, fx, gq, "fetch name:a | summarize 2m median")
+      assert(!med.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
+    } finally Rollup.clearTier(spark)
+  }
+
   test("rollupSweep writes a day-partitioned rollup table that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toFile.getAbsolutePath
     fx.write.mode("overwrite").parquet(s"$dir/raw")
