@@ -169,9 +169,18 @@ final class Memo[K] {
 }
 object Memo {
   private val all = new java.util.concurrent.ConcurrentLinkedQueue[Memo[_]]()
+  private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[SparkSession => Unit]()
   private def register(memo: Memo[_]): Unit = all.add(memo)
-  /** Unpersist and forget every memoized DataFrame built under `spark`. */
-  def clearSession(spark: SparkSession): Unit = all.forEach(_.evict(spark))
+  /** Extra per-session eviction hook for session-scoped caches that don't fit
+    * the DataFrame-valued Memo shape (multi-frame indexes, tier registries) —
+    * they must not outlive their session any more than a Memo entry does. */
+  def onClearSession(f: SparkSession => Unit): Unit = hooks.add(f)
+  /** Unpersist and forget every memoized DataFrame built under `spark`,
+    * then run the registered per-session hooks. */
+  def clearSession(spark: SparkSession): Unit = {
+    all.forEach(_.evict(spark))
+    hooks.forEach(_(spark))
+  }
 }
 
 /** Test-data table loaders (driver-provided parquet, TESTDATA.md). */

@@ -150,16 +150,26 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     * are epoch-aligned (no alignToFrom), and the aggregate reconstructs
     * losslessly from the stored moments. Label filters push onto the rollup
     * scan the same way fetch pushes them onto the raw scan. */
+  /** The ONE summarize argument parse — (intervalMs, agg, alignToFrom) —
+    * shared by the raw stage and the rollup-tier routing, so the two paths
+    * cannot drift on defaults or argument positions. Raises on a missing
+    * interval exactly like the other duration args. */
+  private def summarizeArgs(st: StageCall): (Long, String, Boolean) = {
+    val interval = st.args.headOption.collect {
+      case DurArg(ms) => ms
+      case NumArg(v)  => v.toLong
+    }.getOrElse(
+      throw new IllegalArgumentException(s"${st.name}: missing duration arg 0"))
+    (interval,
+      if (st.args.length > 1) str(st.args(1)) else "avg",
+      st.args.length > 2 && str(st.args(2)) == "true")
+  }
+
   private def routedSummarize(filters: Seq[Fetch.LabelFilter], st: StageCall,
                               widened: QueryGrid): Option[(DataFrame, StepMeta)] = {
     import graft.streaming.Rollup
     Rollup.tier(spark).flatMap { case (rolled, bucketMs) =>
-      val interval = st.args.headOption.collect {
-        case DurArg(ms) => ms
-        case NumArg(v)  => v.toLong
-      }.getOrElse(-1L)
-      val agg = if (st.args.length > 1) str(st.args(1)) else "avg"
-      val alignToFrom = st.args.length > 2 && str(st.args(2)) == "true"
+      val (interval, agg, alignToFrom) = summarizeArgs(st)
       val aligned = interval > 0 && interval % bucketMs == 0 &&
         widened.startMs % interval == 0 && widened.endMs % interval == 0
       if (!alignToFrom && aligned && Rollup.Reconstructable.contains(agg)) {
@@ -312,13 +322,11 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
         // = the current origin when alignToFrom, else epoch-floored
         // (ref: SummarizeStage.processSeries:205-261 — newStep = interval,
         // newMinTimestamp = bucketMapper.mapToBucket(minTimestamp))
-        val interval = dur(0)
-        val alignToFrom = st.args.length > 2 && str(st.args(2)) == "true"
+        val (interval, agg, alignToFrom) = summarizeArgs(st)
         val newStart =
           if (alignToFrom) meta.startMs
           else Math.floorDiv(meta.startMs, interval) * interval
-        Seq((Temporal.summarize(df, interval,
-          if (st.args.length > 1) str(st.args(1)) else "avg",
+        Seq((Temporal.summarize(df, interval, agg,
           if (alignToFrom) meta.startMs else 0L),
           StepMeta(interval, newStart)))
 

@@ -83,6 +83,19 @@ object Vectors {
   */
 object Similarity {
 
+  /** Top-k tail shared by every variant: the distributed TakeOrdered keeps
+    * the <= k best-scored rows, which then get a dense 1..k rank partitioned
+    * by the probe id (one group per probe — generalizes to batched probes
+    * without a global single-partition window). */
+  private def rankTail(scored: DataFrame, queryId: Long, k: Int, idCol: String): DataFrame =
+    scored
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .withColumn("_q", lit(queryId))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
+      .select(col(idCol), col("cosine"), col("rnk"))
+
   /** Exact top-k by cosine to the query vector (query side broadcast; the
     * ranking is a distributed TakeOrdered — no global sort materialized). */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
@@ -93,29 +106,21 @@ object Similarity {
     val scored = emb.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
-    scored
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
-      // rnk runs over the <= k rows the TakeOrdered limit kept, partitioned
-      // by the query id (one group per probe — generalizes to batched probes)
-      .withColumn("_q", lit(queryId))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
-      .select(col(idCol), col("cosine"), col("rnk"))
+    rankTail(scored, queryId, k, idCol)
   }
 
   /** Banded-signature LSH index for one corpus — (id, embedding, bkeys),
     * built ONCE and persisted like [[ivfIndex]]: the bands×planes plane dots
-    * run corpus-wide exactly once, every probe reuses them. */
-  private val lshCache = new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+    * run corpus-wide exactly once, every probe reuses them. Keyed by the full
+    * (session, corpus plan, params) tuple — full equality, so a hash
+    * collision can never alias two corpora — and evicted with the session
+    * via [[graft.core.Memo.clearSession]]. */
+  private val lshMemo = new graft.core.Memo[(Int, String, Int, Int)]
   private def lshIndex(emb: DataFrame, idCol: String, bands: Int,
-                       planesPerBand: Int): DataFrame = {
-    val key = (emb.queryExecution.analyzed.semanticHash(), idCol, bands,
-      planesPerBand).hashCode()
-    lshCache.computeIfAbsent(key, _ =>
-      Vectors.withBandedKeys(emb, "embedding", bands, planesPerBand, seed = 7)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+                       planesPerBand: Int): DataFrame =
+    lshMemo(emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(), idCol, bands, planesPerBand))(
+      Vectors.withBandedKeys(emb, "embedding", bands, planesPerBand, seed = 7))
 
   /** Approximate top-k via MULTIPROBE banded sign-LSH: `bands` bands of
     * `planesPerBand` planes each; a corpus vector is a candidate when any of
@@ -149,17 +154,10 @@ object Similarity {
       .select(col(idCol), posexplode(col("bkeys")).as(Seq("band", "bkey")))
       .join(broadcast(qKeys), Seq("band", "bkey"))
       .select(idCol).distinct()
-    idx.join(candIds, idCol)
+    val scored = idx.join(candIds, idCol)
       .crossJoin(broadcast(q.select("q_emb")))
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
-      // rnk runs over the <= k rows the TakeOrdered limit kept, partitioned
-      // by the query id (one group per probe — generalizes to batched probes)
-      .withColumn("_q", lit(queryId))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
-      .select(col(idCol), col("cosine"), col("rnk"))
+    rankTail(scored, queryId, k, idCol)
   }
 
   /** IVF index for one corpus: centroids + the per-vector cell assignment,
@@ -171,13 +169,22 @@ object Similarity {
     * cell balances probe cost against scan cost) with a floor of 16; the one
     * `count()` here is index-build work, not per-query driver logic. */
   private final case class IvfIndex(cents: DataFrame, assigned: DataFrame, nCentroids: Int)
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[Int, IvfIndex]()
+  // full-equality (session, corpus plan, params) key like lshMemo — two
+  // frames per entry, so it can't ride the DataFrame-valued Memo directly;
+  // the clearSession hook gives it the same per-session eviction
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, String, Int, Int), IvfIndex]
+  graft.core.Memo.onClearSession { s =>
+    ivfCache.keys.filter(_._1 eq s).foreach(k => ivfCache.remove(k).foreach { i =>
+      i.cents.unpersist(blocking = false); i.assigned.unpersist(blocking = false)
+    })
+  }
 
   private def ivfIndex(emb: DataFrame, idCol: String, nCentroidsOverride: Int,
                        lloydIters: Int): IvfIndex = {
-    val key = (emb.queryExecution.analyzed.semanticHash(), idCol, nCentroidsOverride,
-      lloydIters).hashCode()
-    ivfCache.computeIfAbsent(key, _ => {
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), idCol,
+      nCentroidsOverride, lloydIters)
+    ivfCache.getOrElseUpdate(key, {
       val nc =
         if (nCentroidsOverride > 0) nCentroidsOverride
         else math.max(16, math.sqrt(emb.count().toDouble).round.toInt)
@@ -231,16 +238,9 @@ object Similarity {
       .withColumn("sim", graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
       .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
       .select(col("cent_id"), col("q_emb"))
-    idx.assigned.where(col(idCol) =!= queryId)
+    val scored = idx.assigned.where(col(idCol) =!= queryId)
       .join(broadcast(qCells), Seq("cent_id"))
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
-      // rnk runs over the <= k rows the TakeOrdered limit kept, partitioned
-      // by the query id (one group per probe — generalizes to batched probes)
-      .withColumn("_q", lit(queryId))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
-      .select(col(idCol), col("cosine"), col("rnk"))
+    rankTail(scored, queryId, k, idCol)
   }
 }

@@ -150,6 +150,10 @@ object Rollup {
     * than the rollup's direct aggregation. */
   private val tiers =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, Long)]
+  // the registry strongly pins the session + tier plan, so it must drop with
+  // the session like every other session-scoped cache (Memo.clearSession is
+  // what Bench/Verify call before spark.stop())
+  graft.core.Memo.onClearSession(clearTier)
   def registerTier(spark: SparkSession, rolled: DataFrame, bucketMs: Long): Unit =
     tiers.put(spark, (rolled, bucketMs))
   def clearTier(spark: SparkSession): Unit = tiers.remove(spark)
