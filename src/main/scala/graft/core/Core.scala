@@ -206,8 +206,10 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-    * nanosAsLong reads it as LONG nanos. `ts_ms` below normalizes either
+  /** events.parquet's ts physical type has varied across data generations:
+    * TIMESTAMP(NANOS) (which vanilla Spark rejects — nanosAsLong reads it as
+    * LONG nanos) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4
+    * reads as TIMESTAMP_NTZ). `tsMillis` below normalizes every
     * representation to epoch millis (== DuckDB epoch_ms). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -216,6 +218,9 @@ object Tables {
 
   private def tsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => expr("ts div 1000000")   // nanos → millis, exact integer div
+    // NTZ wall-clock == the stored instant under the UTC session timezone
+    // every entry point sets, so the cast is value-preserving
+    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
     case _        => unix_millis(col("ts"))
   }
 
