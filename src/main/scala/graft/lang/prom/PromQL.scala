@@ -46,8 +46,12 @@ import scala.collection.mutable.ListBuffer
   *    `irate` emits the post-reset rate (value/elapsed) across counter resets
   *  - math/trig/time functions and `label_replace`/`label_join`
   *
-  * `without` grouping raises UnsupportedOperationException — parity with the
-  * reference (PromSourceBuilderVisitor.java:258-259).
+  * `without` grouping EXECUTES here (a strict superset of the reference,
+  * which raises — PromSourceBuilderVisitor.java:258-259): the group identity
+  * is the full label set minus the listed labels and the metric name,
+  * canonicalized into one synthetic grouping label so the static `by`
+  * machinery (and its one-shuffle plan) is reused unchanged; rank-style
+  * aggs (topk/bottomk/limitk) keep each survivor's original labels.
   *
   * Documented divergences from upstream Prometheus (each mirrored by the
   * conformance oracles): `rate` keeps the reference engine's smoothed
@@ -59,8 +63,14 @@ import scala.collection.mutable.ListBuffer
   * `ts_of_*`) keep the metric name (scalar arithmetic, math/calendar
   * functions and `bool` comparisons DO drop it, matching
   * shouldDropMetricName); range windows are closed `[t-d, t]` rather than
-  * left-open; subquery instants use step-bounded lookback (no 5m staleness
-  * carry).
+  * left-open. Subquery instants over a PLAIN SELECTOR inner carry
+  * lookback-delta staleness exactly like Prometheus (left-open
+  * `(t - delta, t]`, delta = the `lookbackDeltaMs` argument mirroring
+  * --query.lookback-delta, default 5m — oracle `promql_subquery_stale`);
+  * COMPUTED inners (function/arithmetic results) stay step-bounded, since
+  * this engine evaluates them over samples rather than per instant
+  * (documented divergence; Prometheus re-evaluates the inner expression at
+  * every instant).
   */
 object PromQL {
 
@@ -76,7 +86,8 @@ object PromQL {
     * step). */
   final case class Subquery(e: Expr, rangeMs: Long, stepMs: Long) extends Expr
   final case class Call(fn: String, args: List[Expr]) extends Expr
-  final case class Agg(op: String, by: List[String], param: Option[Expr], arg: Expr) extends Expr
+  final case class Agg(op: String, by: List[String], param: Option[Expr], arg: Expr,
+                       without: Boolean = false) extends Expr
   final case class BinOp(op: String, l: Expr, r: Expr, boolMod: Boolean = false,
                          matching: Option[SeriesSet.VectorMatching] = None) extends Expr
   final case class ScalarLit(v: Double) extends Expr
@@ -239,23 +250,23 @@ object PromQL {
         return ScalarLit(number())
       val name = ident()
       ws()
-      if (isAgg(name) && tryWord("without"))
-        // parse-time parity with the reference (PromSourceBuilderVisitor
-        // .java:258-259) — never silently degrade to a selector named "sum"
-        throw new UnsupportedOperationException("WITHOUT modifier not yet supported")
-      if (isAgg(name) && (peek == '(' || followsWord("by"))) {
-        // sum by (a,b) (expr)  |  sum(expr) by (a,b)  |  topk(k, expr)
+      if (isAgg(name) && (peek == '(' || followsWord("by") || followsWord("without"))) {
+        // sum by (a,b) (expr)  |  sum(expr) by (a,b)  |  sum without (a) (expr)
+        // `without` executes here even though the reference raises
+        // (PromSourceBuilderVisitor.java:258-259) — a strict superset, with
+        // Prometheus label hygiene (drops the listed labels AND the name)
         var by = List.empty[String]
+        var wo = false
         if (tryWord("by")) by = labelList()
+        else if (tryWord("without")) { wo = true; by = labelList() }
         eat('(')
         var param: Option[Expr] = None
         if (paramAggs(name)) { param = Some(expr()); eat(',') }
         val a = expr()
         eat(')')
-        if (tryWord("without"))
-          throw new UnsupportedOperationException("WITHOUT modifier not yet supported")
         if (tryWord("by")) by = labelList()
-        postfixSubquery(Agg(name, by, param, a))
+        else if (tryWord("without")) { wo = true; by = labelList() }
+        postfixSubquery(Agg(name, by, param, a, wo))
       } else if (peek == '(') {
         if (name == "pi") { eat('('); eat(')'); return ScalarLit(math.Pi) }
         i += 1
@@ -369,7 +380,8 @@ object PromQL {
 
   // ---- compiler ------------------------------------------------------------
   final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid,
-                       exactRate: Boolean = false) {
+                       exactRate: Boolean = false,
+                       lookbackDeltaMs: Long = 5 * 60 * 1000L) {
     private val S = TsSchema
     private val cmpOps = Set("==", "!=", ">=", "<=", ">", "<")
 
@@ -389,7 +401,7 @@ object PromQL {
       case Range(_, d)       => d
       case Subquery(inner, d, _) => d + lookback(inner)
       case Call(_, args)     => if (args.isEmpty) 0L else args.map(lookback).max
-      case Agg(_, _, _, a)   => lookback(a)
+      case Agg(_, _, _, a, _) => lookback(a)
       case BinOp(_, l, r, _, _) => math.max(lookback(l), lookback(r))
       case _                 => 0L
     }
@@ -407,10 +419,10 @@ object PromQL {
       if (buf > 0) Temporal.truncate(out, grid) else out
     }
 
-    /** Prometheus's default instant-vector staleness window (the
-      * --query.lookback-delta default) — how far back `@ t` looks for each
-      * series' latest sample. */
-    private val LookbackDeltaMs = 5 * 60 * 1000L
+    /** Prometheus's instant-vector staleness window (--query.lookback-delta,
+      * default 5m) — how far back `@ t` and subquery step instants look for
+      * each series' latest sample. */
+    private val LookbackDeltaMs = lookbackDeltaMs
 
     /** Resolve the `@` instant — `start()`/`end()` sentinels bind to the
       * ORIGINAL query range (not a lookback-widened scan grid). */
@@ -469,6 +481,63 @@ object PromQL {
         }
       case _ => None
     }
+    /** Shared aggregation dispatch on a STATIC label-name grouping. */
+    private def aggOn(op: String, in: DataFrame, by: Seq[String],
+                      param: Option[Expr]): DataFrame = op match {
+      case "sum"    => Grouping.sum(in, by)
+      case "avg"    => Grouping.avg(in, by)
+      case "min"    => Grouping.min(in, by)
+      case "max"    => Grouping.max(in, by)
+      case "count"  => Grouping.countAtTimestamp(in, by)
+      case "stddev" => Grouping.stddevPop(in, by)
+      case "stdvar" => Grouping.varPop(in, by)
+      case "group"  => Grouping.groupConst(in, by)
+      case "quantile" =>
+        Grouping.percentileExact(in, requireScalar(param, "quantile φ"), by)
+      case "topk" =>
+        SeriesSet.topKAtTimestamp(in, requireScalar(param, "topk k").toInt, by)
+      case "bottomk" =>
+        SeriesSet.topKAtTimestamp(in, requireScalar(param, "bottomk k").toInt, by,
+          bottom = true)
+      case "count_values" =>
+        Grouping.countValues(in, requireStr(param, "count_values label"), by)
+      case "limitk" =>
+        SeriesSet.limitKAtTimestamp(in, requireScalar(param, "limitk k").toInt, by)
+      case "limit_ratio" =>
+        SeriesSet.limitRatio(in, requireScalar(param, "limit_ratio r"))
+    }
+
+    /** `without (…)` grouping: the group identity is each series' FULL label
+      * set minus the dropped labels and minus the metric name (Prometheus
+      * aggregation hygiene). The key set is dynamic — it can't feed the
+      * static `groupKeys` machinery — so the remaining map is canonicalized
+      * (sorted-entry JSON) into ONE synthetic label that the static path
+      * groups on, then unpacked back into real labels. Pure column
+      * expressions end to end: the same one-shuffle aggregation plan as
+      * `by`, just with a computed key. */
+    private val WoKey = "__wo_group__"
+    private def woCanonical(drop: Seq[String]): Column =
+      to_json(map_from_entries(array_sort(map_entries(map_filter(
+        col(S.LabelsCol), (k, _) => !k.isin(("name" +: drop).map(x => x: Any): _*))))))
+    private def woPack(df: DataFrame, drop: Seq[String]): DataFrame =
+      df.withColumn(S.LabelsCol, map(lit(WoKey), woCanonical(drop)))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+    private def woUnpack(df: DataFrame): DataFrame =
+      df.withColumn(S.LabelsCol,
+          map_concat(
+            from_json(col(S.LabelsCol).getItem(WoKey),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)),
+            map_filter(col(S.LabelsCol), (k, _) => k =!= WoKey)))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+    private def woTag(df: DataFrame, drop: Seq[String]): DataFrame =
+      df.withColumn(S.LabelsCol,
+        map_concat(col(S.LabelsCol), map(lit(WoKey), woCanonical(drop))))
+    private def woUntag(df: DataFrame): DataFrame =
+      df.withColumn(S.LabelsCol, map_filter(col(S.LabelsCol), (k, _) => k =!= WoKey))
+        .withColumn(S.SeriesId, TsSchema.seriesId(col(S.LabelsCol)))
+
     private def requireScalar(e: Option[Expr], what: String): Double =
       e.flatMap(scalarOf).getOrElse(throw PromParseError(s"expected scalar for $what"))
 
@@ -605,30 +674,20 @@ object PromQL {
       case s: Selector => selectorDF(s, g)
       case Range(s, _) => selectorDF(s, g)
 
-      case Agg(op, by, param, a) =>
+      case Agg(op, by, param, a, wo) =>
         val in = eval(a, g)
-        op match {
-          case "sum"    => Grouping.sum(in, by)
-          case "avg"    => Grouping.avg(in, by)
-          case "min"    => Grouping.min(in, by)
-          case "max"    => Grouping.max(in, by)
-          case "count"  => Grouping.countAtTimestamp(in, by)
-          case "stddev" => Grouping.stddevPop(in, by)
-          case "stdvar" => Grouping.varPop(in, by)
-          case "group"  => Grouping.groupConst(in, by)
-          case "quantile" =>
-            Grouping.percentileExact(in, requireScalar(param, "quantile φ"), by)
-          case "topk" =>
-            SeriesSet.topKAtTimestamp(in, requireScalar(param, "topk k").toInt, by)
-          case "bottomk" =>
-            SeriesSet.topKAtTimestamp(in, requireScalar(param, "bottomk k").toInt, by,
-              bottom = true)
-          case "count_values" =>
-            Grouping.countValues(in, requireStr(param, "count_values label"), by)
-          case "limitk" =>
-            SeriesSet.limitKAtTimestamp(in, requireScalar(param, "limitk k").toInt, by)
-          case "limit_ratio" =>
-            SeriesSet.limitRatio(in, requireScalar(param, "limit_ratio r"))
+        if (!wo) aggOn(op, in, by, param)
+        else op match {
+          // rank-style aggs keep the original series labels: the without-group
+          // rides as ONE synthetic label the static grouping ranks on, then
+          // is stripped (labels otherwise untouched — Prometheus topk keeps
+          // the full label set of each surviving series)
+          case "topk" | "bottomk" | "limitk" =>
+            woUntag(aggOn(op, woTag(in, by), List(WoKey), param))
+          case "limit_ratio" => aggOn(op, in, Nil, param)
+          // reducing aggs: the group identity IS the remaining label set —
+          // canonicalize it into the synthetic label, aggregate, unpack
+          case _ => woUnpack(aggOn(op, woPack(in, by), List(WoKey), param))
         }
 
       // ---- comparisons: filter without `bool`, 0/1 vector with it ----------
@@ -1091,7 +1150,13 @@ object PromQL {
       case Range(s, d) => (selectorDF(s, g), d)
       case Subquery(inner, d, step) =>
         val stepMs = if (step <= 0) grid.stepMs else step
-        (resample(eval(inner, g), stepMs), d)
+        // a plain-selector inner is instant evaluation of the selector at
+        // each step instant, which carries lookback-delta staleness; a
+        // computed inner (function / arithmetic result) is point-in-time
+        // per instant — no carry, matching Prometheus, where lookback
+        // applies at the selector level only
+        val carry = inner match { case _: Selector => true; case _ => false }
+        (resample(eval(inner, g), stepMs, g, carry), d)
       case _ => throw PromParseError("expected range selector m[d] or subquery expr[d:s]")
     }
 
@@ -1099,20 +1164,58 @@ object PromQL {
       * aligned to absolute epoch multiples of the step like Prometheus
       * subquery evaluation: a sample at ts is visible from the FIRST step
       * instant >= ts (ceiling bucket), so no instant ever reads the future.
-      * Lookback is step-bounded — a series gap longer than one step leaves
-      * that instant empty (no 5m staleness carry; header divergence list). */
-    private def resample(df: DataFrame, stepMs: Long): DataFrame =
-      df.withColumn("_b",
+      *
+      * With `carry` (plain-selector inners), each instant reads the newest
+      * sample inside the left-open staleness window `(t - lookback, t]` —
+      * Prometheus's lookback-delta semantics: the instant grid is densified
+      * per series and the last sample carries forward while it stays inside
+      * the window. Without it (computed inners), visibility stays
+      * step-bounded: exactly the instants whose bucket produced a value. */
+    private def resample(df: DataFrame, stepMs: Long, g: QueryGrid,
+                         carry: Boolean): DataFrame = {
+      val bucketed = df
+        .withColumn("_b",
           floor((col(S.Ts) + lit(stepMs - 1)) / lit(stepMs.toDouble)).cast("long") * stepMs)
         .groupBy(col(S.SeriesId), col("_b"))
         .agg(expr(s"max_by(${S.Value}, ${S.Ts})").as(S.Value),
+          max(col(S.Ts)).as("_sts"),
           first(col(S.LabelsCol)).as(S.LabelsCol))
-        .select(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts), col(S.Value))
+      if (!carry)
+        bucketed.select(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts), col(S.Value))
+      else {
+        // per-series instant span: first sample bucket → last bucket still
+        // inside the carry horizon, capped at the scan grid's end instant.
+        // Bucket order equals sample order (bucketing is monotone), so a
+        // bounded per-series window + the exact sample-ts guard implement
+        // the staleness window; everything is per-series — no global sort.
+        val capInstant = ((g.alignedEndMs + stepMs - 1) / stepMs) * stepMs
+        val span = bucketed.groupBy(col(S.SeriesId))
+          .agg(first(col(S.LabelsCol)).as(S.LabelsCol),
+            min(col("_b")).as("_lo"), max(col("_b")).as("_hi"))
+          .select(col(S.SeriesId), col(S.LabelsCol),
+            explode(sequence(col("_lo"),
+              least(col("_hi") + lit(LookbackDeltaMs), lit(capInstant)),
+              lit(stepMs))).as("_b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(S.SeriesId).orderBy(col("_b"))
+          .rangeBetween(-LookbackDeltaMs, 0)
+        span
+          .join(bucketed.select(col(S.SeriesId), col("_b"), col(S.Value), col("_sts")),
+            Seq(S.SeriesId, "_b"), "left")
+          .withColumn("_cv", last(col(S.Value), ignoreNulls = true).over(w))
+          .withColumn("_cts", last(col("_sts"), ignoreNulls = true).over(w))
+          .where(col("_cts").isNotNull &&
+            (col("_b") - col("_cts")) < lit(LookbackDeltaMs))
+          .select(col(S.SeriesId), col(S.LabelsCol), col("_b").as(S.Ts),
+            col("_cv").as(S.Value))
+      }
+    }
   }
 
   def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String,
-            exactRate: Boolean = false): DataFrame =
-    new Compiler(spark, samples, grid, exactRate).compile(parse(q))
+            exactRate: Boolean = false,
+            lookbackDeltaMs: Long = 5 * 60 * 1000L): DataFrame =
+    new Compiler(spark, samples, grid, exactRate, lookbackDeltaMs).compile(parse(q))
 
   /** `query_range` entry point mirroring the reference REST surface: date-math
     * start/end and step resolve to the evaluation grid

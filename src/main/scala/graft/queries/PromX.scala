@@ -397,6 +397,51 @@ object PromX extends QueryPack {
        |FROM j JOIN m ON j.usr = m.usr AND j.ats = m.ats AND j.bv = m.mv
        |GROUP BY j.usr, j.ats $ord""".stripMargin)
 
+  // ---- without grouping (beyond-parity: the reference raises) --------------
+  // Group identity = full label set minus the listed labels and the name.
+  // Dropping `user` collapses every view series into one unlabeled group;
+  // the second query drops ONLY the name, so each click series survives as
+  // its own group keyed by the unpacked remaining labels (user:N).
+  private def qSumWithout(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "sum without (user) (view)"))
+  private val qSumWithoutSql = withSG(
+    s"""SELECT '' AS series, ts, ${dsum("value")} AS value
+       |FROM g WHERE etype = 'view' GROUP BY ts $ord""".stripMargin)
+
+  private def qAvgWithout(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "avg without () (click)"))
+  private val qAvgWithoutSql = withSG(
+    s"""SELECT 'user:' || usr AS series, ts,
+       |  ${dsum("value")} / count(value) AS value
+       |FROM g WHERE etype = 'click' GROUP BY usr, ts $ord""".stripMargin)
+
+  // ---- subquery staleness carry: selector inner + lookback-delta -----------
+  // A plain-selector inner is instant evaluation, so each 6h step instant
+  // reads the newest error sample inside the left-open staleness window
+  // (t-12h, t] (lookback-delta 12h, mirroring --query.lookback-delta):
+  // one-bucket gaps carry the previous sample, two-bucket gaps go stale
+  // (12h is NOT < 12h). count_over_time then counts carried instants too —
+  // the classic Prometheus subquery behavior. The oracle rebuilds the carry
+  // with DuckDB's ASOF JOIN over the same per-series instant span.
+  private val staleDelta = 43200000L
+  private def qSubqueryStale(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, """count_over_time(error{user="3"}[1d:6h])""",
+      lookbackDeltaMs = staleDelta))
+  private val qSubqueryStaleSql = withSG(
+    s""", i AS (SELECT usr, ts AS ti, value FROM g WHERE etype = 'error' AND usr = '3'),
+       |sp AS (SELECT usr,
+       |         unnest(generate_series(min(ti),
+       |           LEAST(max(ti) + $staleDelta, ${grid.alignedEndMs}),
+       |           ${grid.stepMs})) AS t
+       |       FROM i GROUP BY usr),
+       |c AS (SELECT sp.usr, sp.t, i.value, i.ti
+       |      FROM sp ASOF JOIN i ON sp.usr = i.usr AND i.ti <= sp.t),
+       |v AS (SELECT usr, t, value FROM c WHERE t - ti < $staleDelta)
+       |SELECT 'name:error,user:' || usr AS series, t AS ts,
+       |  CAST(count(value) OVER (PARTITION BY usr ORDER BY t
+       |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+       |FROM v WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
@@ -419,5 +464,8 @@ object PromX extends QueryPack {
     QueryDef("promql_mad", qMad, Some(qMadSql)),
     QueryDef("promql_resets", qResets, Some(qResetsSql)),
     QueryDef("promql_absent_window", qAbsentWindow, Some(qAbsentWindowSql)),
-    QueryDef("promql_rate_extrapolated", qRateExtrapolated, Some(qRateExtrapolatedSql)))
+    QueryDef("promql_rate_extrapolated", qRateExtrapolated, Some(qRateExtrapolatedSql)),
+    QueryDef("promql_sum_without", qSumWithout, Some(qSumWithoutSql)),
+    QueryDef("promql_avg_without", qAvgWithout, Some(qAvgWithoutSql)),
+    QueryDef("promql_subquery_stale", qSubqueryStale, Some(qSubqueryStaleSql)))
 }

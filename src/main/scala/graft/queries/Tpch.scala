@@ -275,6 +275,148 @@ object Tpch extends QueryPack {
       sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"),
       sqlSum("l_extendedprice * (1.0 - l_discount)"))
 
+  /** Q12-style priority classification (adapted: the reduced lineitem lacks
+    * shipmode/commitdate, so the class counts pivot on o_orderpriority per
+    * linestatus): fact-fact join + conditional map-side-partial aggregation. */
+  private def q12(spark: SparkSession, sf: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join so
+    * zero-order customers keep count 0, then a second aggregation over the
+    * first's output — the classic two-level groupBy. */
+  private def q13(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) co
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15-style top supplier: revenue per supplier, global max as a 1-row
+    * broadcast, equality join back (decimal-quantized revenue makes the
+    * float-equality join engine-stable). */
+  private def q15(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.join(broadcast(top), col("total_revenue") === col("mr"))
+      .join(broadcast(Tables.supplier(spark, sf)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no, %s AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin.format(
+      sqlSum("l_extendedprice * (1.0 - l_discount)"))
+
+  /** Q17-style small-quantity revenue: per-part average quantity joined back
+    * against the same fact (self-agg + join), brand dim broadcast. */
+  private def q17(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+    val partAvg = li.groupBy("l_partkey").agg(dAvg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(Tables.part(spark, sf).where(col("p_brand") === "Brand#13")),
+        col("l_partkey") === col("p_partkey"))
+      .join(partAvg, Seq("l_partkey"))
+      .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """SELECT %s / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |JOIN (SELECT l_partkey, %s AS avg_qty FROM lineitem GROUP BY l_partkey) pa
+      |  USING (l_partkey)
+      |WHERE p_brand = 'Brand#13' AND l_quantity < 0.5 * avg_qty""".stripMargin.format(
+      sqlSum("l_extendedprice"), sqlAvg("l_quantity"))
+
+  /** Q19-style disjunctive predicates: OR-of-ANDs across the broadcast part
+    * dim and lineitem measures — exercises predicate pushdown through a
+    * join where no single conjunct is common. */
+  private def q19(spark: SparkSession, sf: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40))
+    Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)), col("l_partkey") === col("p_partkey"))
+      .where(cond)
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  private val q19Sql =
+    """SELECT %s AS revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND (
+      |     (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |  OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |  OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin.format(
+      sqlSum("l_extendedprice * (1.0 - l_discount)"))
+
+  /** Q22-style lapsed wealthy customers (adapted: nationkey stands in for
+    * the phone prefix the reduced schema lacks, and "no orders" is
+    * time-windowed — every synthetic customer has SOME order): a
+    * scalar-subquery broadcast threshold + anti join against recent orders. */
+  private def q22(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.customer(spark, sf)
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg(dAvg(col("c_acctbal")).as("ab"))
+    val recent = Tables.orders(spark, sf).where(col("o_orderdate") >= lit("1999-01-01"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q22Sql =
+    """SELECT c_nationkey, count(*) AS numcust, %s AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT %s FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.format(
+      sqlSum("c_acctbal"), sqlAvg("c_acctbal"))
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("tpch_q1_pricing", q1, Some(q1Sql)),
     QueryDef("tpch_q3_topn_join", q3, Some(q3Sql)),
@@ -286,5 +428,11 @@ object Tpch extends QueryPack {
     QueryDef("tpch_topk_parts", topParts, Some(topPartsSql)),
     QueryDef("tpch_supplier_rank", suppRank, Some(suppRankSql)),
     QueryDef("tpch_q7_nation_volume", q7, Some(q7Sql)),
-    QueryDef("tpch_q14_promo_share", q14, Some(q14Sql)))
+    QueryDef("tpch_q14_promo_share", q14, Some(q14Sql)),
+    QueryDef("tpch_q12_priority_class", q12, Some(q12Sql)),
+    QueryDef("tpch_q13_distribution", q13, Some(q13Sql)),
+    QueryDef("tpch_q15_top_supplier", q15, Some(q15Sql)),
+    QueryDef("tpch_q17_small_qty", q17, Some(q17Sql)),
+    QueryDef("tpch_q19_disjunctive", q19, Some(q19Sql)),
+    QueryDef("tpch_q22_inactive", q22, Some(q22Sql)))
 }

@@ -88,9 +88,27 @@ class PromQLSpec extends SparkTestBase {
     intercept[PromQL.PromParseError](PromQL.parse("""req{dc="a"} ) extra"""))
   }
 
-  test("without grouping modifier raises like the reference") {
-    // ref: PromSourceBuilderVisitor.java:258-259
-    intercept[UnsupportedOperationException](PromQL.parse("""sum without (mode) (req)"""))
+  test("sum without drops the listed labels and the metric name") {
+    // beyond-parity: the reference raises on `without`
+    // (PromSourceBuilderVisitor.java:258-259); we execute it with Prometheus
+    // hygiene — dc and the name both leave the group identity, so the two
+    // req series collapse into one unlabeled group
+    assertSeries(run("""sum without (dc) (req)"""),
+      Map("" -> Seq(S(3), S(6), S(9), S(12), S(15), S(18), S(21), S(24), S(27), S(30))))
+  }
+
+  test("without () drops only the metric name") {
+    assertSeries(run("""sum without () (req)"""),
+      Map("dc:a" -> Seq(S(1), S(2), S(3), S(4), S(5), S(6), S(7), S(8), S(9), S(10)),
+          "dc:b" -> Seq(S(2), S(4), S(6), S(8), S(10), S(12), S(14), S(16), S(18), S(20))))
+  }
+
+  test("topk without ranks inside the without-group and keeps full labels") {
+    // dropping dc (and the name) leaves one group holding both req series;
+    // dc:b is larger at every instant, and the survivor keeps its original
+    // label set — topk never rewrites labels
+    assertSeries(run("""topk(1, req) without (dc)"""),
+      Map("dc:b,name:req" -> Seq(S(2), S(4), S(6), S(8), S(10), S(12), S(14), S(16), S(18), S(20))))
   }
 
   test("vector subtraction emits points only where both sides exist") {
@@ -354,6 +372,24 @@ class PromQLSpec extends SparkTestBase {
     // sum(req) = 3,6,…,30; min_over_time over trailing 2m of 1m instants
     assertSeries(run("""min_over_time(sum(req)[2m:1m])"""),
       Map("" -> Seq(S(3), S(3), S(3), S(6), S(9), S(12), S(15), S(18), S(21), S(24))))
+  }
+
+  test("subquery instants carry a plain selector's last sample within the lookback delta") {
+    // Prometheus lookback-delta staleness: a selector inner is instant
+    // evaluation, so a sample stays visible at later step instants while
+    // `instant - ts < 5m` (left-open window). One sample at minute 0 feeds
+    // instants 0–4; minute 5 sits exactly 5m away and is excluded.
+    val holes = samplesDF(series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "sum_over_time(h[2m:1m])"))
+    assert(out("dc:x,name:h") == Seq(S(10), S(20), S(30), S(30), S(30), N, N, N, N, N))
+  }
+
+  test("computed subquery inners stay step-bounded — no staleness carry") {
+    // a function/arithmetic inner is point-in-time per instant: where the
+    // computation produced nothing, the instant stays empty
+    val holes = samplesDF(series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "sum_over_time((h * 1)[2m:1m])"))
+    assert(out("dc:x") == Seq(S(10), N, N, N, N, N, N, N, N, N))
   }
 
   test("rate over a subquery of a transformed counter") {
