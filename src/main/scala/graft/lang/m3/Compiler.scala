@@ -3,6 +3,7 @@ package graft.lang.m3
 import graft.core.{QueryGrid, StepMeta}
 import graft.stages._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /** M3QL → DataFrame compiler.
   *
@@ -411,15 +412,30 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
           // is exact. Common keys still come from the FULL operand sets
           // (ref: extractCommonTagKeys runs over all series, :376-403), so
           // one shared 1-row aggregate is passed into every branch.
-          // every branch re-plans the right subtree (its own alignOperands
-          // resample + divide's keyed() stats) — cache it once so B branches
-          // read the computed right operand instead of executing it ~2B times
-          // (same cache-on-reuse policy as multi-reference macros above)
+          // every branch re-plans the right subtree — cache it once so B
+          // branches read the computed right operand instead of executing it
+          // ~2B times (same cache-on-reuse policy as multi-reference macros)
           val rdfC = if (bs.lengthCompare(1) > 0) rdf.cache() else rdf
           val ck = if (keys.isEmpty) Some(SeriesSet.commonKeysDF(df, rdfC)) else None
-          bs.map { case (ldf, lm) =>
-            val (l2, r2, m2) = Normalizer.alignOperands(ldf, lm, rdfC, rmeta, grid.endMs)
-            (SeriesSet.divide(l2, r2, keys, ck), m2)
+          val aligned = bs.map { case (ldf, lm) =>
+            Normalizer.alignOperands(ldf, lm, rdfC, rmeta, grid.endMs)
+          }
+          // FUSE the branch joins: the divide machinery (stats pass, group +
+          // duplicate-divisor raise, hash join) costs a near-constant number
+          // of stages per invocation at dashboard row counts, so B per-branch
+          // divides cost ~B× one divide. Tag every left branch with its
+          // ordinal + aligned step, re-align the right once per DISTINCT
+          // step, run ONE stepped divide, and split branches back off a
+          // shared cached result.
+          val lAll = aligned.zipWithIndex.map { case ((l2, _, m2), i) =>
+            l2.withColumn("_bk", F.lit(i)).withColumn("_stp", F.lit(m2.stepMs))
+          }.reduce(_ unionByName _)
+          val rAll = aligned.groupBy(_._3.stepMs).map { case (s, as) =>
+            as.head._2.withColumn("_stp", F.lit(s))
+          }.reduce(_ unionByName _)
+          val fused = SeriesSet.divideStepped(lAll, rAll, keys, ck, rdfC).cache()
+          aligned.zipWithIndex.map { case ((_, _, m2), i) =>
+            (fused.where(F.col("_bk") === i).drop("_bk", "_stp"), m2)
           }
         }
       case "diff" | "subtract" =>

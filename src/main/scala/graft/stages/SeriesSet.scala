@@ -174,44 +174,54 @@ object SeriesSet {
     * and therefore small-scale latency, flat.
     */
   private def keyed(left: DataFrame, right: DataFrame, keys: Seq[String],
-                    merge: RightMerge, ckOverride: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                    merge: RightMerge, ckOverride: Option[DataFrame] = None,
+                    extra: Seq[String] = Nil,
+                    statsOver: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    // `extra` columns (present on BOTH inputs) join the match key — the
+    // fused mixed-step path tags rows with their branch step so one
+    // join/group/raise pass serves every branch. `statsOver` supplies the
+    // UNALIGNED right operand for the series/group counts when `right` is a
+    // union of per-step re-alignments of one logical operand (the counts are
+    // alignment-invariant: resampling never changes a series' labels).
     val valid: Column = if (keys.isEmpty) lit(true) else hasAllKeys(keys)
-    val (l0, r0) =
-      if (keys.nonEmpty)
-        (left.withColumn("_mk", explicitKey(keys)),
-         right.withColumn("_mk", explicitKey(keys)))
+    def withMk(df: DataFrame): DataFrame =
+      if (keys.nonEmpty) df.withColumn("_mk", explicitKey(keys))
       else {
-        // ckOverride: when the caller splits one logical left operand into
-        // per-step branches (PAIRWISE normalization), the common keys must
-        // still be computed over the FULL operand sets, not per branch
         val ck = broadcast(ckOverride.getOrElse(commonKeysDF(left, right)))
-        (left.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"),
-         right.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck"))
+        df.crossJoin(ck).withColumn("_mk", commonKeyExpr).drop("_ck")
       }
-    val rKeyed = r0.withColumn("_sk", TsSchema.seriesKey(col(S.LabelsCol)))
+    val (l0, r0) = (withMk(left), withMk(right))
+    // series identity rides the ALREADY-COMPUTED series_id (64-bit hash of
+    // the canonical label set) — no per-row label-string canonicalization;
+    // min_by determinism is unaffected because a >1-series group raises
+    // before any chosen value becomes observable
+    val rKeyed = r0.withColumn("_sk", col(S.SeriesId))
     // ONE pass: right series count + the VALID group-key extent
-    val rStats = broadcast(rKeyed.agg(
+    val statsSrc = statsOver.map(df => withMk(df).withColumn("_sk", col(S.SeriesId)))
+      .getOrElse(rKeyed)
+    val rStats = broadcast(statsSrc.agg(
       count_distinct(col("_sk")).as("_nrser"),
       count_distinct(when(valid, col("_mk"))).as("_nmk")))
     val single = col("_nrser") === 1 || col("_nmk") === 1
+    val extraCols = extra.map(col)
     // rows feeding the groups: a lone series passes whole; else valid only
     val rIn = rKeyed.crossJoin(rStats)
       .where(col("_nrser") === 1 || valid)
       .withColumn("_jk", when(single, lit(SingleKey)).otherwise(col("_mk")))
     val rGrouped = merge match {
       case MergeSum =>
-        rIn.groupBy(col("_jk"), col(S.Ts)).agg(
+        rIn.groupBy(col("_jk") +: extraCols :+ col(S.Ts): _*).agg(
           when(max(when(isnan(col(S.Value)), 1).otherwise(0)) === 1, lit(Double.NaN))
             .otherwise(OracleSafe.dSum(col(S.Value))).as("_rv"))
       case MergeSingle(op) =>
-        val g = rIn.groupBy(col("_jk"), col(S.Ts)).agg(
+        val g = rIn.groupBy(col("_jk") +: extraCols :+ col(S.Ts): _*).agg(
           expr(s"min_by(${S.Value}, _sk)").as("_rv"),
           count(lit(1)).as("_nAtTs"),
           min(col("_sk")).as("_skmin"), max(col("_sk")).as("_skmax"))
-        // >1 distinct series in a group ⇔ the series-key extent differs
+        // >1 distinct series in a group ⇔ the series-id extent differs
         // somewhere in the group; a cheap unbounded-frame window over the
         // ALREADY-REDUCED rows (no per-row buffers, no self-join)
-        val w = Window.partitionBy("_jk")
+        val w = Window.partitionBy(col("_jk") +: extraCols: _*)
         g.withColumn("_dup",
             min(col("_skmin")).over(w) =!= max(col("_skmax")).over(w))
           .withColumn("_rv",
@@ -221,9 +231,9 @@ object SeriesSet {
                 greatest(max(col("_nAtTs")).over(w), lit(2L)).cast(StringType)))
                 .cast(DoubleType))
               .otherwise(col("_rv")))
-          .select(col("_jk"), col(S.Ts), col("_rv"))
+          .select(col("_jk") +: extraCols :+ col(S.Ts) :+ col("_rv"): _*)
     }
-    val rj = rGrouped.select(col("_jk"), col(S.Ts), col("_rv"))
+    val rj = rGrouped.select(col("_jk") +: extraCols :+ col(S.Ts) :+ col("_rv"): _*)
     // left series are label-filtered only on the matching path: with a single
     // right series/group they all project with no key check (ref :341-346)
     val lj = l0.crossJoin(rStats)
@@ -249,11 +259,13 @@ object SeriesSet {
     * hasKeepNansOption=false). */
   private def binaryInner(left: DataFrame, right: DataFrame, keys: Seq[String],
                           op: String, typeLabel: Option[String],
-                          ck: Option[DataFrame] = None)
+                          ck: Option[DataFrame] = None,
+                          extra: Seq[String] = Nil,
+                          statsOver: Option[DataFrame] = None)
                          (f: (Column, Column) => Column): DataFrame = {
-    val (l, r) = keyed(left, right, keys, MergeSingle(op), ck)
+    val (l, r) = keyed(left, right, keys, MergeSingle(op), ck, extra, statsOver)
     typed(
-      l.join(r, Seq("_jk", S.Ts), "inner")
+      l.join(r, "_jk" +: extra :+ S.Ts, "inner")
         .withColumn(S.Value, f(col(S.Value), col("_rv")))
         .drop("_jk", "_rv"),
       typeLabel)
@@ -264,6 +276,17 @@ object SeriesSet {
   def divide(left: DataFrame, right: DataFrame, keys: Seq[String] = Nil,
              ck: Option[DataFrame] = None): DataFrame =
     binaryInner(left, right, keys, "divide", Some("ratios"), ck)((l, r) =>
+      when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
+
+  /** Mixed-step `divide`: every left branch (tagged `_bk` = branch ordinal,
+    * `_stp` = its aligned step) joins the matching per-step re-alignment of
+    * the ONE logical right operand (tagged `_stp`) in a single fused
+    * join/group/raise pass — B branches pay one divide's worth of stages
+    * instead of B. `statsOver` must be the unaligned right operand. */
+  def divideStepped(leftAll: DataFrame, rightBySteps: DataFrame, keys: Seq[String],
+                    ck: Option[DataFrame], statsOver: DataFrame): DataFrame =
+    binaryInner(leftAll, rightBySteps, keys, "divide", Some("ratios"), ck,
+      extra = Seq("_stp"), statsOver = Some(statsOver))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
   /** `asPercent <ref> [tags]` — 100*left/right, tagged type:ratios
