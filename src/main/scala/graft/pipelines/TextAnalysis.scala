@@ -239,6 +239,58 @@ object TextAnalysis {
   /** SQL list literal of the stopwords, for the DuckDB oracle. */
   def StopwordsSql: String = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The Gopher rules' "essential English words" — a document must contain
+    * at least two DISTINCT ones to pass the stop-word rule. */
+  val GopherEssential: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def GopherEssentialSql: String = GopherEssential.map(w => s"'$w'").mkString(", ")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A — the
+    * text-only subset, thresholds adapted to the short synthetic corpus):
+    * hard bounds on word count and mean word length, a symbol-to-word ratio
+    * cap (# and …), bullet-start / ellipsis-end line-fraction caps, an
+    * alphabetic-word floor and a minimum distinct-essential-word presence.
+    * Each rule emits its own flag column — a pipeline wants to know WHY a
+    * document dropped, and the flags aggregate into per-rule drop rates for
+    * corpus dashboards — with `gopher_pass` as the conjunction. Pure per-row
+    * column expressions: no UDF, no shuffle, scan-parallel at any corpus
+    * size. */
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+                  maxWords: Int = 100000,
+                  essential: Seq[String] = GopherEssential): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast(DoubleType)
+    def occurrences(pat: String, widthDiv: Int): Column =
+      ((length(col("text")) - length(regexp_replace(col("text"), pat, "")))
+        / widthDiv).cast(DoubleType)
+    val symbols = occurrences("#", 1) + occurrences("\\.\\.\\.", 3)
+    val bulletLines = size(filter(lines, l => ltrim(l).rlike("^[•*-]")))
+      .cast(DoubleType)
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
+      .cast(DoubleType)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType)
+    val essentialHits = size(array_intersect(
+      transform(toks, t => lower(t)),
+      array(essential.map(lit): _*)))
+    docs
+      .withColumn("r_word_count",
+        size(toks) >= minWords && size(toks) <= maxWords)
+      .withColumn("r_mean_word_len",
+        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / nTok)
+          .between(3.0, 10.0))
+      .withColumn("r_symbol_ratio", symbols / nTok <= 0.1)
+      .withColumn("r_bullet_lines", bulletLines / nLines <= 0.9)
+      .withColumn("r_ellipsis_lines", ellipsisLines / nLines <= 0.3)
+      .withColumn("r_alpha_words", alphaWords / nTok >= 0.8)
+      .withColumn("r_essential_words", essentialHits >= 2)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_essential_words"))
+  }
+
   /** Per-language marker words for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "value", "table", "row"),

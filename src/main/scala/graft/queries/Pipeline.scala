@@ -677,7 +677,56 @@ object Pipeline extends QueryPack {
       |  SELECT 'user' AS label, usr AS value, count(*) AS num_series FROM s GROUP BY usr)
       |ORDER BY label, value""".stripMargin
 
+  // ---- Gopher-style rule filter --------------------------------------------
+  // The essential-word list is corpus-appropriate (the synthetic word-soup
+  // vocabulary has no English function words beyond "the"); the operator
+  // defaults to Gopher's real list.
+  private val gopherEssential = Seq("the", "vector", "stream", "window")
+  private def qGopher(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, sf), essential = gopherEssential)
+      .select("doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_essential_words", "gopher_pass")
+      .orderBy("doc_id")
+  private val qGopherSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok_d,
+       |    CAST(len(ls) AS DOUBLE) AS n_lines,
+       |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace,
+       |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+       |      + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3 AS symbols,
+       |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[•*-]'))) AS DOUBLE) AS bullets,
+       |    CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS DOUBLE) AS ells,
+       |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE) AS alphas,
+       |    len(list_intersect(list_transform(toks, tk -> lower(tk)),
+       |        [${gopherEssential.map(w => s"'$w'").mkString(", ")}])) AS ess
+       |  FROM t)
+       |SELECT doc_id,
+       |  n_tok >= 20 AND n_tok <= 100000 AS r_word_count,
+       |  n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+       |  symbols / n_tok_d <= 0.1 AS r_symbol_ratio,
+       |  bullets / n_lines <= 0.9 AS r_bullet_lines,
+       |  ells / n_lines <= 0.3 AS r_ellipsis_lines,
+       |  alphas / n_tok_d >= 0.8 AS r_alpha_words,
+       |  ess >= 2 AS r_essential_words,
+       |  (n_tok >= 20 AND n_tok <= 100000)
+       |    AND (n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0)
+       |    AND (symbols / n_tok_d <= 0.1)
+       |    AND (bullets / n_lines <= 0.9)
+       |    AND (ells / n_lines <= 0.3)
+       |    AND (alphas / n_tok_d >= 0.8)
+       |    AND (ess >= 2) AS gopher_pass
+       |FROM r ORDER BY doc_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("text_gopher_rules", qGopher, Some(qGopherSql)),
     QueryDef("tsdb_stats_pairs", qStatsPairs, Some(qStatsPairsSql)),
     QueryDef("text_token_stats", qTokens, Some(qTokensSql)),
     QueryDef("text_quality", qQuality, Some(qQualitySql)),

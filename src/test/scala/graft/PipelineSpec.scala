@@ -236,6 +236,32 @@ class PipelineSpec extends SparkTestBase {
     rows.foreach { case (f, r) => assert(f == r) }
   }
 
+  test("gopher rules flag short, symbol-heavy, and stopword-free docs") {
+    val corpus = Seq(
+      // passes every rule: 22 english words with essentials
+      (0L, ("the data " * 10).trim + " and that of"),
+      // too short (3 words)
+      (1L, "the and that"),
+      // symbol-heavy: hashes outnumber the 10% cap over 22 words
+      (2L, ("word " * 19).trim + " the and ### ###"),
+      // no essential words at all, though long enough
+      (3L, ("alpha beta gamma delta " * 6).trim),
+      // bullet-lines: every line starts with a bullet -> fraction 1.0 > 0.9
+      (4L, (Seq.fill(5)("- item line with the and of that padding words here now")
+        .mkString("\n"))))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val out = TextAnalysis.gopherRules(corpus)
+      .select("doc_id", "gopher_pass", "r_word_count", "r_symbol_ratio",
+        "r_essential_words", "r_bullet_lines")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(1), "clean doc must pass")
+    assert(!out(1L).getBoolean(2), "3 words fails the word-count rule")
+    assert(!out(2L).getBoolean(3), "hash-heavy doc fails the symbol rule")
+    assert(!out(3L).getBoolean(4), "no essential words fails that rule")
+    assert(!out(4L).getBoolean(5), "all-bullet doc fails the bullet rule")
+  }
+
   test("multimodal feature extraction over binary payloads") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("payload").dataType.typeName == "binary")
