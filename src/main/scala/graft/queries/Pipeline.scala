@@ -365,6 +365,11 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  private def qAnnSq8(s: SparkSession, sf: String): DataFrame =
+    Similarity.sq8TopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+
   // ---- multimodal ----------------------------------------------------------
   private def qMultimodal(s: SparkSession, sf: String): DataFrame = {
     import graft.pipelines.Multimodal
@@ -743,6 +748,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
     QueryDef("ann_lsh", qAnnLsh, None),
     QueryDef("ann_ivf", qAnnIvf, None),
+    QueryDef("ann_sq8", qAnnSq8, None),
     QueryDef("multimodal_features", qMultimodal, None),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),

@@ -64,4 +64,21 @@ class IvfRecallSpec extends SparkTestBase {
     assert(lsh >= 0.8, s"lsh recall@10 $lsh below the 0.8 operating point")
     assert(ivf >= 0.8, s"ivf recall@10 $ivf below the 0.8 operating point")
   }
+
+  test("sq8 quantized scoring + exact re-rank recalls >= 0.9 (sf0.1)") {
+    // SQ8 per-dimension distortion is <= step/2, so the asymmetric approx
+    // ranking is near-exact and the 4x rerank buffer absorbs residual
+    // swaps — a much tighter bar than the bucketed variants
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, big)
+    val queries = Seq(0L, 7L, 42L, 100L, 499L)
+    val rs = queries.map { q =>
+      val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
+      exact.intersect(ids(Similarity.sq8TopK(emb, q, 10))).size / 10.0
+    }
+    val sq8 = rs.sum / rs.size
+    info(f"sf0.1 recall@10: sq8=$sq8%.2f")
+    assert(sq8 >= 0.9, s"sq8 recall@10 $sq8 below the 0.9 bar")
+  }
 }

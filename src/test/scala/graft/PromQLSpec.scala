@@ -429,6 +429,15 @@ class PromQLSpec extends SparkTestBase {
     assert(out("dc:a,name:req").flatten.forall(v => math.abs(v - 1.0 / 60) < 1e-8))
   }
 
+  test("@ pins a selector subquery after the staleness carry") {
+    // one sample (minute 1, v10) carries to instants 1m..5m; the pinned
+    // evaluation at t=300s reads the newest function output in its lookback
+    // — the 5m instant, whose [t-2m, t] window holds three carried tens
+    val holes = samplesDF(series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "sum_over_time(h[2m:1m] @ 300)"))
+    assert(out("dc:x,name:h") == Seq.fill(10)(S(30)))
+  }
+
   test("irate emits the post-reset rate across counter resets") {
     // counter resets at position 3 (8 → 2): Prometheus treats the counter as
     // restarted, so the instant rate is value/elapsed = 2/60, not a drop
