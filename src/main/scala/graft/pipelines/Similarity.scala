@@ -217,6 +217,26 @@ object Similarity {
     })
   }
 
+  /** Batched exact top-k: N probe vectors against ONE corpus scan — the
+    * production shape (probes arrive in batches, and the corpus scan is the
+    * dominant cost, so it must amortize across them). The probe set rides as
+    * a broadcast; ranking is per-probe (`Window.partitionBy(probe_id)` —
+    * WindowGroupLimit pushes the rank filter into the shuffle, and the
+    * per-probe groups keep the ranking distributed at any batch size). */
+  def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                          idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val probes = emb.where(col(idCol).isin(queryIds.map(x => x: Any): _*))
+      .select(col(idCol).as("probe_id"), col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(probes))
+      .where(col(idCol) =!= col("probe_id"))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol), col("cosine"), col("rnk"))
+  }
+
   /** SQ8 scalar-quantization index: per-dimension [min, max] over the corpus
     * (one posexplode aggregate), then every vector stored as ARRAY<INT> byte
     * codes — 4× smaller than FLOAT, which at 100TB is the difference between

@@ -370,6 +370,21 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  private def qAnnBatch(s: SparkSession, sf: String): DataFrame =
+    Similarity.bruteForceTopKBatch(Tables.embeddings(s, sf),
+        queryIds = Seq(0L, 7L, 42L), k = 5)
+      .select("probe_id", "vec_id", "rnk")
+      .orderBy("probe_id", "rnk")
+  private val qAnnBatchSql =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id IN (0, 7, 42))
+      |SELECT probe_id, vec_id, rnk FROM (
+      |  SELECT p.probe_id, e.vec_id, row_number() OVER (
+      |      PARTITION BY p.probe_id
+      |      ORDER BY list_cosine_similarity(e.embedding, p.qe) DESC, e.vec_id) AS rnk
+      |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+      |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   // ---- multimodal ----------------------------------------------------------
   private def qMultimodal(s: SparkSession, sf: String): DataFrame = {
     import graft.pipelines.Multimodal
@@ -749,6 +764,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_lsh", qAnnLsh, None),
     QueryDef("ann_ivf", qAnnIvf, None),
     QueryDef("ann_sq8", qAnnSq8, None),
+    QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("multimodal_features", qMultimodal, None),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),

@@ -223,6 +223,20 @@ class PipelineSpec extends SparkTestBase {
     assert(top(1L) == 2)
   }
 
+  test("batched probes equal per-query brute force") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 19 - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val batch = Similarity.bruteForceTopKBatch(emb, Seq(0L, 5L), k = 3)
+      .select("probe_id", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = Seq(0L, 5L).flatMap { q =>
+      Similarity.bruteForceTopK(emb, q, 3).select("vec_id", "rnk")
+        .collect().map(r => (q, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("codegen float_dot matches builtin dot") {
     import graft.functions.VectorExprs
     VectorExprs.register(spark)
