@@ -332,4 +332,33 @@ object Similarity {
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
     rankTail(scored, queryId, k, idCol)
   }
+
+  /** Batched IVF probes: all probes' nProbe-cell selections resolve in one
+    * broadcast round against the shared index, then ONE pass over the
+    * assignment table serves the whole batch — a row is scored once per
+    * probe whose probe-set contains its cell (the per-probe candidate
+    * fractions are unchanged; only the scan amortizes). Per-probe
+    * distributed rank, same as [[bruteForceTopKBatch]]. */
+  def ivfTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                   nCentroids: Int = 0, nProbe: Int = 32,
+                   idCol: String = "vec_id", lloydIters: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val idx = ivfIndex(emb, idCol, nCentroids, lloydIters)
+    val probes = idx.assigned.where(col(idCol).isin(queryIds.map(x => x: Any): _*))
+      .select(col(idCol).as("probe_id"), col("embedding").as("q_emb"))
+    val qCells = probes.crossJoin(broadcast(idx.cents))
+      .withColumn("sim", graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cent_id"))))
+      .where(col("rn") <= nProbe)
+      .select(col("probe_id"), col("cent_id"), col("q_emb"))
+    idx.assigned
+      .join(broadcast(qCells), Seq("cent_id"))
+      .where(col(idCol) =!= col("probe_id"))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol), col("cosine"), col("rnk"))
+  }
 }

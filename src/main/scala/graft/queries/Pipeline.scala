@@ -708,7 +708,7 @@ object Pipeline extends QueryPack {
         "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
         "r_essential_words", "gopher_pass")
       .orderBy("doc_id")
-  private val qGopherSql =
+  private val gopherCtes =
     s"""WITH t AS (
        |  SELECT doc_id, text,
        |    regexp_split_to_array(trim(text), '\\s+') AS toks,
@@ -727,26 +727,51 @@ object Pipeline extends QueryPack {
        |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE) AS alphas,
        |    len(list_intersect(list_transform(toks, tk -> lower(tk)),
        |        [${gopherEssential.map(w => s"'$w'").mkString(", ")}])) AS ess
-       |  FROM t)
-       |SELECT doc_id,
-       |  n_tok >= 20 AND n_tok <= 100000 AS r_word_count,
-       |  n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
-       |  symbols / n_tok_d <= 0.1 AS r_symbol_ratio,
-       |  bullets / n_lines <= 0.9 AS r_bullet_lines,
-       |  ells / n_lines <= 0.3 AS r_ellipsis_lines,
-       |  alphas / n_tok_d >= 0.8 AS r_alpha_words,
-       |  ess >= 2 AS r_essential_words,
-       |  (n_tok >= 20 AND n_tok <= 100000)
-       |    AND (n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0)
-       |    AND (symbols / n_tok_d <= 0.1)
-       |    AND (bullets / n_lines <= 0.9)
-       |    AND (ells / n_lines <= 0.3)
-       |    AND (alphas / n_tok_d >= 0.8)
-       |    AND (ess >= 2) AS gopher_pass
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id,
+       |    n_tok >= 20 AND n_tok <= 100000 AS r_word_count,
+       |    n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+       |    symbols / n_tok_d <= 0.1 AS r_symbol_ratio,
+       |    bullets / n_lines <= 0.9 AS r_bullet_lines,
+       |    ells / n_lines <= 0.3 AS r_ellipsis_lines,
+       |    alphas / n_tok_d >= 0.8 AS r_alpha_words,
+       |    ess >= 2 AS r_essential_words,
+       |    (n_tok >= 20 AND n_tok <= 100000)
+       |      AND (n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0)
+       |      AND (symbols / n_tok_d <= 0.1)
+       |      AND (bullets / n_lines <= 0.9)
+       |      AND (ells / n_lines <= 0.3)
+       |      AND (alphas / n_tok_d >= 0.8)
+       |      AND (ess >= 2) AS gopher_pass
+       |  FROM r)""".stripMargin
+  private val qGopherSql =
+    s"$gopherCtes\nSELECT * FROM f ORDER BY doc_id"
+
+  /** Per-rule drop rates — the corpus dashboard a cleaning run reports. */
+  private val gopherRuleCols = Seq("r_word_count", "r_mean_word_len",
+    "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+    "r_essential_words")
+  private def qGopherRates(s: SparkSession, sf: String): DataFrame = {
+    val g = TextAnalysis.gopherRules(Tables.documents(s, sf),
+      essential = gopherEssential)
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass")) ++
+      gopherRuleCols.map(r => sum(when(col(r), 0L).otherwise(1L)).as(s"drop_$r"))
+    g.agg(aggs.head, aggs.tail: _*)
+  }
+  private val qGopherRatesSql =
+    s"""$gopherCtes
+       |SELECT count(*) AS n_docs,
+       |  sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS n_pass,
+       |${gopherRuleCols.map(r =>
+            s"  sum(CASE WHEN $r THEN 0 ELSE 1 END) AS drop_$r").mkString(",\n")}
+       |FROM f""".stripMargin
 
   override def all: Seq[QueryDef] = Seq(
     QueryDef("text_gopher_rules", qGopher, Some(qGopherSql)),
+    QueryDef("text_gopher_rates", qGopherRates, Some(qGopherRatesSql)),
     QueryDef("tsdb_stats_pairs", qStatsPairs, Some(qStatsPairsSql)),
     QueryDef("text_token_stats", qTokens, Some(qTokensSql)),
     QueryDef("text_quality", qQuality, Some(qQualitySql)),

@@ -390,6 +390,54 @@ object Tpch extends QueryPack {
       |  OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin.format(
       sqlSum("l_extendedprice * (1.0 - l_discount)"))
 
+  /** Q8-style national market share: the two-role nation dim (customer
+    * region filter, supplier nation share) through a 7-way join, conditional
+    * share ratio per order year. All dims broadcast; lineitem is the only
+    * shuffled side. */
+  private def q8(spark: SparkSession, sf: String): DataFrame = {
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val n1 = Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val n2 = Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val asia = Tables.region(spark, sf).where(col("r_name") === "ASIA")
+    Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf).where(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf)
+          .where(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(asia), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, sf)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("o_year")
+      .agg((dSum(when(col("supp_nation") === "NATION_7", volume).otherwise(0.0))
+        / dSum(volume)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    """SELECT o_year, %s / %s AS mkt_share FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |         l_extendedprice * (1.0 - l_discount) AS volume,
+      |         n2.n_name AS supp_nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |       nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |    AND p_type = 'ECONOMY') v
+      |GROUP BY o_year ORDER BY o_year""".stripMargin.format(
+      sqlSum("CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0.0 END"),
+      sqlSum("volume"))
+
   /** Q22-style lapsed wealthy customers (adapted: nationkey stands in for
     * the phone prefix the reduced schema lacks, and "no orders" is
     * time-windowed — every synthetic customer has SOME order): a
@@ -434,5 +482,6 @@ object Tpch extends QueryPack {
     QueryDef("tpch_q15_top_supplier", q15, Some(q15Sql)),
     QueryDef("tpch_q17_small_qty", q17, Some(q17Sql)),
     QueryDef("tpch_q19_disjunctive", q19, Some(q19Sql)),
-    QueryDef("tpch_q22_inactive", q22, Some(q22Sql)))
+    QueryDef("tpch_q22_inactive", q22, Some(q22Sql)),
+    QueryDef("tpch_q8_market_share", q8, Some(q8Sql)))
 }
