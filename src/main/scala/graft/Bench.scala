@@ -59,21 +59,26 @@ object Bench {
           if (math.max(a, b) / math.max(math.min(a, b), 1e-9) > 1.5)
             Seq(a, b, once(fn))
           else Seq(a, b)
-        (name, times.min, a)
+        (name, times.min, a, times)
       }
-    val results = runs.map { case (n, m, _) => (n, m) }
+    val results = runs.map { case (n, m, _, _) => (n, m) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // every individual timed pass, so a reader can tell "min of agreeing
+    // runs" from "min of runs that all hit the same sustained contention"
+    val runsJson = runs.map { case (n, _, _, ts) =>
+      s"\"" + n + "\":[" + ts.map(t => f2(t)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val singlePass = if (runs.nonEmpty) runs.map(_._3).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_single_pass":$singlePass,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_single_pass":$singlePass,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     // full-precision line first, for any consumer that captures whole stdout
     Console.out.println(line)
     // the harness keeps only a ~2KB tail of stdout, so the LAST emitted line
     // must carry the result inside that window: a compact line with the
     // headline subset (every tpch_* plus the slowest queries, 2-decimal secs)
     // and the exact total. queries_omitted records the cap (no silent caps).
-    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val byTime = results.sortBy(-_._2)
     val keep = (results.filter(_._1.startsWith("tpch_")) ++ byTime).map(_._1)
       .distinct.take(40).toSet

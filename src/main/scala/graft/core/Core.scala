@@ -150,6 +150,19 @@ object Dist {
       .withColumn("_scan", col("_off") + col("_scan0"))
       .drop("_pid", "_scan0", "_off")
   }
+
+  /** Drop the block-manager storage behind a `localCheckpoint(eager=true)`d
+    * frame. A local checkpoint truncates lineage, so Spark itself only frees
+    * the blocks when the driver GCs the RDD handle — on a large driver heap
+    * that can be NEVER within a run, and an iterative loop that checkpoints
+    * per round accumulates dead rounds' blocks until the store evicts live
+    * caches. Call this only on frames no later computation reads: the
+    * checkpointed RDD cannot be recomputed once its blocks are gone. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
 
 /** Session-scoped memo of persisted derived DataFrames. Every instance
@@ -167,6 +180,34 @@ final class Memo[K] {
     m.keys.filter(_._1 eq spark).foreach(k =>
       m.remove(k).foreach(_.unpersist(blocking = false)))
 }
+/** Session-scoped cache of derived index structures keyed by a source
+  * DataFrame's ANALYZED PLAN plus a parameter tuple. The 32-bit
+  * `semanticHash` is only the fast bucket key — plan identity is verified
+  * with `sameResult` on every hit, so a hash collision between two different
+  * corpus plans costs at worst a second build, never serves the wrong index.
+  * `free` releases a value's persisted frames when [[Memo.clearSession]]
+  * evicts the session. Builds run under the cache lock: index builds are
+  * one-time per (session, corpus, params) and callers are sequential. */
+final class PlanMemo[K, V](free: V => Unit) {
+  private val m = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Int, K),
+           List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, V)]]
+  Memo.onClearSession { s =>
+    m.keys.filter(_._1 eq s).foreach(k =>
+      m.remove(k).foreach(_.foreach { case (_, v) => free(v) }))
+  }
+  def apply(src: DataFrame, key: K)(build: => V): V = synchronized {
+    val plan = src.queryExecution.analyzed
+    val bucket = (src.sparkSession, plan.semanticHash(), key)
+    val entries = m.getOrElse(bucket, Nil)
+    entries.collectFirst { case (p, v) if p.sameResult(plan) => v }.getOrElse {
+      val v = build
+      m.update(bucket, (plan, v) :: entries)
+      v
+    }
+  }
+}
+
 object Memo {
   private val all = new java.util.concurrent.ConcurrentLinkedQueue[Memo[_]]()
   private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[SparkSession => Unit]()

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -53,12 +53,79 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd SQ8 asymmetric-distance scoring (ADC): cosine of a
+  * scalar-quantized corpus vector against a float query, decoding inline —
+  * `decoded_i = mn_i + code_i * step_i` — in ONE primitive loop that also
+  * accumulates both norms. The builtin alternative (`zip_with` decode +
+  * `aggregate` dot) allocates an intermediate array per row and interprets
+  * three lambdas per element; the approximate pass scans the WHOLE corpus,
+  * so at 100 TB this loop IS the scan.
+  *
+  * Children: codes ARRAY<INT>, query ARRAY<FLOAT>,
+  * stats ARRAY<STRUCT<mn: DOUBLE, step: DOUBLE>> (per-dimension min/step).
+  */
+case class Sq8Cosine(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_cosine"
+
+  override def nullSafeEval(c0: Any, q0: Any, s0: Any): Any = {
+    val c = c0.asInstanceOf[ArrayData]
+    val q = q0.asInstanceOf[ArrayData]
+    val s = s0.asInstanceOf[ArrayData]
+    val n = math.min(c.numElements(), math.min(q.numElements(), s.numElements()))
+    var dot = 0.0; var d2 = 0.0; var q2 = 0.0
+    var i = 0
+    while (i < n) {
+      val st = s.getStruct(i, 2)
+      val d = st.getDouble(0) + c.getInt(i) * st.getDouble(1)
+      val qa = q.getFloat(i).toDouble
+      dot += d * qa; d2 += d * d; q2 += qa * qa
+      i += 1
+    }
+    dot / (math.sqrt(d2) * math.sqrt(q2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, q, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val d2 = ctx.freshName("d2")
+      val q2 = ctx.freshName("q2")
+      val st = ctx.freshName("st")
+      val d = ctx.freshName("d")
+      val qa = ctx.freshName("qa")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(),
+         |  java.lang.Math.min($q.numElements(), $s.numElements()));
+         |double $dot = 0.0; double $d2 = 0.0; double $q2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $st = $s.getStruct($i, 2);
+         |  double $d = $st.getDouble(0) + $c.getInt($i) * $st.getDouble(1);
+         |  double $qa = (double) $q.getFloat($i);
+         |  $dot += $d * $qa; $d2 += $d * $d; $q2 += $qa * $qa;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($d2) * java.lang.Math.sqrt($q2));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExprs {
   /** Register `float_dot` in the session function registry (the Spark-4 way to
     * expose a custom Expression as a Column-usable function). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_cosine", exprs => Sq8Cosine(exprs(0), exprs(1), exprs(2)), "scala_udf")
+  }
 
   import org.apache.spark.sql.functions.{expr, sqrt}
 
@@ -67,4 +134,9 @@ object VectorExprs {
   /** Cosine similarity via the codegen'd dot product (register() first). */
   def fastCosine(a: String, b: String): Column =
     floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
+
+  /** Codegen'd SQ8 ADC cosine (register() first): codes ARRAY<INT>, query
+    * ARRAY<FLOAT>, stats ARRAY<STRUCT<mn, step>>. */
+  def sq8Cosine(codes: String, q: String, stats: String): Column =
+    expr(s"sq8_cosine($codes, $q, $stats)")
 }

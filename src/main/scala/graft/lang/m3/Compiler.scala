@@ -424,16 +424,19 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
           // duplicate-divisor raise, hash join) costs a near-constant number
           // of stages per invocation at dashboard row counts, so B per-branch
           // divides cost ~B× one divide. Tag every left branch with its
-          // ordinal + aligned step, re-align the right once per DISTINCT
-          // step, run ONE stepped divide, and split branches back off a
-          // shared cached result.
+          // ordinal + aligned grid IDENTITY (step AND origin — two branches
+          // with equal LCM step but different startMs align onto different
+          // grids and must not share a right re-alignment), re-align the
+          // right once per DISTINCT grid, run ONE stepped divide, and split
+          // branches back off a shared cached result.
+          def gridTag(m: graft.core.StepMeta): String = s"${m.stepMs}:${m.startMs}"
           val lAll = aligned.zipWithIndex.map { case ((l2, _, m2), i) =>
-            l2.withColumn("_bk", F.lit(i)).withColumn("_stp", F.lit(m2.stepMs))
+            l2.withColumn("_bk", F.lit(i)).withColumn("_stp", F.lit(gridTag(m2)))
           }.reduce(_ unionByName _)
-          val rAll = aligned.groupBy(_._3.stepMs).map { case (s, as) =>
-            as.head._2.withColumn("_stp", F.lit(s))
+          val rAll = aligned.groupBy(_._3).map { case (m2, as) =>
+            as.head._2.withColumn("_stp", F.lit(gridTag(m2)))
           }.reduce(_ unionByName _)
-          val fused = SeriesSet.divideStepped(lAll, rAll, keys, ck, rdfC).cache()
+          val fused = SeriesSet.divideStepped(lAll, rAll, keys, ck).cache()
           aligned.zipWithIndex.map { case ((_, _, m2), i) =>
             (fused.where(F.col("_bk") === i).drop("_bk", "_stp"), m2)
           }

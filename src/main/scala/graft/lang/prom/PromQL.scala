@@ -63,14 +63,20 @@ import scala.collection.mutable.ListBuffer
   * `ts_of_*`) keep the metric name (scalar arithmetic, math/calendar
   * functions and `bool` comparisons DO drop it, matching
   * shouldDropMetricName); range windows are closed `[t-d, t]` rather than
-  * left-open. Subquery instants over a PLAIN SELECTOR inner carry
-  * lookback-delta staleness exactly like Prometheus (left-open
+  * left-open. Subquery inners follow Prometheus's per-instant evaluation:
+  * a PLAIN SELECTOR inner carries lookback-delta staleness (left-open
   * `(t - delta, t]`, delta = the `lookbackDeltaMs` argument mirroring
   * --query.lookback-delta, default 5m — oracle `promql_subquery_stale`);
-  * COMPUTED inners (function/arithmetic results) stay step-bounded, since
-  * this engine evaluates them over samples rather than per instant
-  * (documented divergence; Prometheus re-evaluates the inner expression at
-  * every instant).
+  * COMPUTED inners are re-evaluated on the subquery's own epoch-aligned
+  * instant grid, with the same staleness carry for pointwise chains over
+  * one selector (`(m > 0)[30m:1m]` — oracle
+  * `promql_subquery_stale_computed`) and, matching Prometheus, NO carry of
+  * range-function outputs (`rate(m[5m])[30m:1m]` computes its window at
+  * every instant and an empty window yields nothing). The one residual
+  * divergence: selector staleness INSIDE an aggregated or vector-matched
+  * inner stays slot-bounded (Prometheus carries each input series up to
+  * delta before combining; this engine combines the samples each instant
+  * slot actually holds).
   */
 object PromQL {
 
@@ -396,10 +402,44 @@ object PromQL {
     private def mapValue(df: DataFrame)(f: Column => Column): DataFrame =
       dropMetricName(df.withColumn(S.Value, f(col(S.Value))))
 
-    /** extra scan lookback needed below `e` (range selectors widen the scan). */
+    /** Pointwise transformations of ONE instant selector — chains where
+      * Prometheus's per-instant evaluation is "carry the selector's sample
+      * up to the lookback delta, then apply the per-sample transformation".
+      * The subquery path evaluates exactly that: selector carried first,
+      * chain applied per instant (NOT output-carry, which would be wrong for
+      * filter comparisons — a fresh failing sample must mask the older
+      * passing one). Range-function results (rate, *_over_time) are NOT
+      * here: Prometheus never carries a function output — an instant either
+      * computes a window value or yields nothing. */
+    private val PointwiseFns = Set(
+      "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+      "round", "clamp", "clamp_min", "clamp_max", "label_replace", "label_join")
+    private def chainSelector(e: Expr): Option[Selector] = e match {
+      case s: Selector => Some(s)
+      case BinOp(_, l, r, _, _) =>
+        if (l.isInstanceOf[ScalarLit]) chainSelector(r)
+        else if (r.isInstanceOf[ScalarLit]) chainSelector(l)
+        else None
+      case Call(fn, v :: _) if PointwiseFns(fn) => chainSelector(v)
+      case _ => None
+    }
+    private def carryTransparent(e: Expr): Boolean = chainSelector(e).isDefined
+
+    /** When set, [[eval]] reads THIS frame (by AST-node identity) instead of
+      * building the selector's scan — how a subquery chain evaluates over
+      * the pre-carried selector samples. Compiler instances are per-query
+      * and single-threaded; rangeInput saves/restores around nested evals. */
+    private var selectorSub: Option[(Selector, DataFrame)] = None
+
+    /** extra scan lookback needed below `e` (range selectors widen the scan).
+      * A subquery with a staleness-carrying inner also widens by the
+      * lookback delta: samples in `(start - d - delta, start - d]` carry
+      * into the earliest subquery instants, so the scan must read them. */
     private def lookback(e: Expr): Long = e match {
       case Range(_, d)       => d
-      case Subquery(inner, d, _) => d + lookback(inner)
+      case Subquery(inner, d, _) =>
+        d + lookback(inner) +
+          (if (carryTransparent(inner)) LookbackDeltaMs else 0L)
       case Call(_, args)     => if (args.isEmpty) 0L else args.map(lookback).max
       case Agg(_, _, _, a, _) => lookback(a)
       case BinOp(_, l, r, _, _) => math.max(lookback(l), lookback(r))
@@ -671,7 +711,14 @@ object PromQL {
       "year" -> (c => year(timestamp_seconds(c)).cast("double")))
 
     private def eval(e: Expr, g: QueryGrid): DataFrame = e match {
-      case s: Selector => selectorDF(s, g)
+      case s: Selector =>
+        // a subquery's carry-transparent chain evaluates over the PRE-CARRIED
+        // selector frame (rangeInput) — reference identity pins the exact
+        // AST node, so sibling selectors elsewhere in the query are untouched
+        selectorSub match {
+          case Some((s0, df)) if s0 eq s => df
+          case _                         => selectorDF(s, g)
+        }
       case Range(s, _) => selectorDF(s, g)
 
       case Agg(op, by, param, a, wo) =>
@@ -1150,13 +1197,32 @@ object PromQL {
       case Range(s, d) => (selectorDF(s, g), d)
       case Subquery(inner, d, step) =>
         val stepMs = if (step <= 0) grid.stepMs else step
-        // a plain-selector inner is instant evaluation of the selector at
-        // each step instant, which carries lookback-delta staleness; a
-        // computed inner (function / arithmetic result) is point-in-time
-        // per instant — no carry, matching Prometheus, where lookback
-        // applies at the selector level only
-        val carry = inner match { case _: Selector => true; case _ => false }
-        (resample(eval(inner, g), stepMs, g, carry), d)
+        // Prometheus evaluates the inner expression AT each step instant.
+        // A plain selector reads its raw samples once and re-grids with the
+        // lookback-delta staleness carry. A pointwise chain over one
+        // selector carries the SELECTOR first, then applies the chain per
+        // instant (carry-then-transform — output-carry would wrongly revive
+        // a filtered-out instant's older passing value). Any other computed
+        // inner is re-evaluated on the subquery's own epoch-aligned instant
+        // grid — a rate inner computes its window at every subquery instant
+        // instead of being quantized to the outer step — with no carry of
+        // its output, matching Prometheus.
+        def gSub = QueryGrid(
+          Math.floorDiv(g.startMs, stepMs) * stepMs, g.endMs, stepMs)
+        inner match {
+          case _: Selector =>
+            (resample(eval(inner, g), stepMs, g, carry = true), d)
+          case _ => chainSelector(inner) match {
+            case Some(sel) =>
+              val carried = resample(eval(sel, g), stepMs, g, carry = true)
+              val saved = selectorSub
+              selectorSub = Some((sel, carried))
+              try (eval(inner, gSub), d)
+              finally selectorSub = saved
+            case None =>
+              (resample(eval(inner, gSub), stepMs, g, carry = false), d)
+          }
+        }
       case _ => throw PromParseError("expected range selector m[d] or subquery expr[d:s]")
     }
 

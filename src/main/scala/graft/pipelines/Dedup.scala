@@ -260,6 +260,11 @@ object Dedup {
     var labels = sym.groupBy("a").agg(min("b").as("_nmin"))
       .select(col("a").as("node"), least(col("a"), col("_nmin")).as("cluster"))
       .localCheckpoint(true)
+    // the checkpoint each round's `labels` reads its blocks from — freed as
+    // soon as the NEXT round's checkpoint is materialized, so the loop holds
+    // at most one live round of blocks instead of accumulating every round
+    // until driver GC (which a large heap may never run mid-bench)
+    var liveCkpt = labels
     var it = 0
     var done = false
     while (!done && it < maxIters) {
@@ -295,6 +300,12 @@ object Dedup {
         .localCheckpoint(eager = true)
       done = jumped.where(col("_chg")).limit(1).count() == 0
       labels = jumped.select("node", "cluster")
+      // everything upstream of the just-materialized `jumped` is dead:
+      // this round's intermediates and the previous round's checkpoint
+      graft.core.Dist.freeLocalCheckpoint(stepped)
+      graft.core.Dist.freeLocalCheckpoint(j1)
+      graft.core.Dist.freeLocalCheckpoint(liveCkpt)
+      liveCkpt = jumped
       it += 1
     }
     sym.unpersist()

@@ -111,16 +111,17 @@ object Similarity {
 
   /** Banded-signature LSH index for one corpus — (id, embedding, bkeys),
     * built ONCE and persisted like [[ivfIndex]]: the bands×planes plane dots
-    * run corpus-wide exactly once, every probe reuses them. Keyed by the full
-    * (session, corpus plan, params) tuple — full equality, so a hash
-    * collision can never alias two corpora — and evicted with the session
+    * run corpus-wide exactly once, every probe reuses them. Keyed by the
+    * corpus's analyzed plan (sameResult-verified — a semanticHash collision
+    * can never alias two corpora) plus params, and evicted with the session
     * via [[graft.core.Memo.clearSession]]. */
-  private val lshMemo = new graft.core.Memo[(Int, String, Int, Int)]
+  private val lshMemo = new graft.core.PlanMemo[(String, Int, Int), DataFrame](
+    _.unpersist(blocking = false))
   private def lshIndex(emb: DataFrame, idCol: String, bands: Int,
                        planesPerBand: Int): DataFrame =
-    lshMemo(emb.sparkSession,
-      (emb.queryExecution.analyzed.semanticHash(), idCol, bands, planesPerBand))(
-      Vectors.withBandedKeys(emb, "embedding", bands, planesPerBand, seed = 7))
+    lshMemo(emb, (idCol, bands, planesPerBand))(
+      Vectors.withBandedKeys(emb, "embedding", bands, planesPerBand, seed = 7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Approximate top-k via MULTIPROBE banded sign-LSH: `bands` bands of
     * `planesPerBand` planes each; a corpus vector is a candidate when any of
@@ -169,22 +170,15 @@ object Similarity {
     * cell balances probe cost against scan cost) with a floor of 16; the one
     * `count()` here is index-build work, not per-query driver logic. */
   private final case class IvfIndex(cents: DataFrame, assigned: DataFrame, nCentroids: Int)
-  // full-equality (session, corpus plan, params) key like lshMemo — two
-  // frames per entry, so it can't ride the DataFrame-valued Memo directly;
-  // the clearSession hook gives it the same per-session eviction
-  private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, String, Int, Int), IvfIndex]
-  graft.core.Memo.onClearSession { s =>
-    ivfCache.keys.filter(_._1 eq s).foreach(k => ivfCache.remove(k).foreach { i =>
-      i.cents.unpersist(blocking = false); i.assigned.unpersist(blocking = false)
-    })
-  }
+  // plan-keyed (sameResult-verified) like lshMemo — two frames per entry,
+  // so it rides PlanMemo with a two-frame free hook
+  private val ivfCache = new graft.core.PlanMemo[(String, Int, Int), IvfIndex]({ i =>
+    i.cents.unpersist(blocking = false); i.assigned.unpersist(blocking = false)
+  })
 
   private def ivfIndex(emb: DataFrame, idCol: String, nCentroidsOverride: Int,
                        lloydIters: Int): IvfIndex = {
-    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), idCol,
-      nCentroidsOverride, lloydIters)
-    ivfCache.getOrElseUpdate(key, {
+    ivfCache(emb, (idCol, nCentroidsOverride, lloydIters))({
       val nc =
         if (nCentroidsOverride > 0) nCentroidsOverride
         else math.max(16, math.sqrt(emb.count().toDouble).round.toInt)
@@ -244,20 +238,16 @@ object Similarity {
     * 1-row per-dimension (min, step) table; `codes` deliberately does NOT
     * carry the float embeddings — candidates fetch floats by id at re-rank,
     * exactly like a production codes-in-RAM / floats-on-disk split. Cached
-    * per (session, corpus plan, idCol) with full equality and evicted with
-    * the session, like the LSH/IVF indexes. */
+    * per (session, corpus plan, idCol) — plan-keyed with sameResult
+    * verification — and evicted with the session, like the LSH/IVF
+    * indexes. */
   private final case class Sq8Index(stats: DataFrame, codes: DataFrame)
-  private val sq8Cache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, String), Sq8Index]
-  graft.core.Memo.onClearSession { s =>
-    sq8Cache.keys.filter(_._1 eq s).foreach(k => sq8Cache.remove(k).foreach { i =>
-      i.stats.unpersist(blocking = false); i.codes.unpersist(blocking = false)
-    })
-  }
+  private val sq8Cache = new graft.core.PlanMemo[String, Sq8Index]({ i =>
+    i.stats.unpersist(blocking = false); i.codes.unpersist(blocking = false)
+  })
 
   private def sq8Index(emb: DataFrame, idCol: String): Sq8Index = {
-    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), idCol)
-    sq8Cache.getOrElseUpdate(key, {
+    sq8Cache(emb, idCol)({
       val stats = emb
         .select(posexplode(col("embedding")).as(Seq("_pos", "_v")))
         .groupBy("_pos").agg(
@@ -293,11 +283,13 @@ object Similarity {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val idx = sq8Index(emb, idCol)
     val q = emb.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
-    val decoded = zip_with(col("codes"), col("dim_stats"),
-      (c, s) => s.getField("mn") + c.cast(DoubleType) * s.getField("step"))
+    // the approximate pass scans every code row — it rides the codegen'd
+    // sq8_cosine (decode + dot + norms in one primitive loop), the same
+    // fast path every other ANN variant's scan uses
     val candIds = idx.codes.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q)).crossJoin(broadcast(idx.stats))
-      .withColumn("approx", Vectors.cosine(decoded, col("q_emb")))
+      .withColumn("approx",
+        graft.functions.VectorExprs.sq8Cosine("codes", "q_emb", "dim_stats"))
       .orderBy(col("approx").desc, col(idCol)).limit(k * rerank)
       .select(idCol)
     val scored = emb.join(candIds, idCol)

@@ -274,17 +274,23 @@ object TextAnalysis {
     val essentialHits = size(array_intersect(
       transform(toks, t => lower(t)),
       array(essential.map(lit): _*)))
+    // Every flag coalesces to false: null text (or any degenerate input that
+    // nulls a ratio via divide-by-zero) must deterministically FAIL a rule,
+    // never produce a null flag — a null gopher_pass would slip past both
+    // where(gopher_pass) and where(!gopher_pass), so n_docs would stop
+    // equaling pass + attributable drops in the rate dashboard.
+    def rule(c: Column): Column = coalesce(c, lit(false))
     docs
       .withColumn("r_word_count",
-        size(toks) >= minWords && size(toks) <= maxWords)
+        rule(size(toks) >= minWords && size(toks) <= maxWords))
       .withColumn("r_mean_word_len",
-        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / nTok)
-          .between(3.0, 10.0))
-      .withColumn("r_symbol_ratio", symbols / nTok <= 0.1)
-      .withColumn("r_bullet_lines", bulletLines / nLines <= 0.9)
-      .withColumn("r_ellipsis_lines", ellipsisLines / nLines <= 0.3)
-      .withColumn("r_alpha_words", alphaWords / nTok >= 0.8)
-      .withColumn("r_essential_words", essentialHits >= 2)
+        rule((length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / nTok)
+          .between(3.0, 10.0)))
+      .withColumn("r_symbol_ratio", rule(symbols / nTok <= 0.1))
+      .withColumn("r_bullet_lines", rule(bulletLines / nLines <= 0.9))
+      .withColumn("r_ellipsis_lines", rule(ellipsisLines / nLines <= 0.3))
+      .withColumn("r_alpha_words", rule(alphaWords / nTok >= 0.8))
+      .withColumn("r_essential_words", rule(essentialHits >= 2))
       .withColumn("gopher_pass",
         col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
           col("r_bullet_lines") && col("r_ellipsis_lines") &&

@@ -391,7 +391,8 @@ object Pipeline extends QueryPack {
     val media = Multimodal.samplePayload(
       Multimodal.syntheticMedia(Tables.documents(s, sf)), maxBytes = 256)
     Multimodal.extractFeatures(media)
-      .select("media_id", "modality", "n_bytes", "byte_mean")
+      .select("media_id", "modality", "n_bytes", "byte_mean", "format_detected",
+        "px_width", "px_height", "sample_rate", "n_samples", "level")
       .orderBy("media_id")
   }
 
@@ -730,20 +731,20 @@ object Pipeline extends QueryPack {
        |  FROM t),
        |f AS (
        |  SELECT doc_id,
-       |    n_tok >= 20 AND n_tok <= 100000 AS r_word_count,
-       |    n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
-       |    symbols / n_tok_d <= 0.1 AS r_symbol_ratio,
-       |    bullets / n_lines <= 0.9 AS r_bullet_lines,
-       |    ells / n_lines <= 0.3 AS r_ellipsis_lines,
-       |    alphas / n_tok_d >= 0.8 AS r_alpha_words,
-       |    ess >= 2 AS r_essential_words,
-       |    (n_tok >= 20 AND n_tok <= 100000)
-       |      AND (n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0)
-       |      AND (symbols / n_tok_d <= 0.1)
-       |      AND (bullets / n_lines <= 0.9)
-       |      AND (ells / n_lines <= 0.3)
-       |      AND (alphas / n_tok_d >= 0.8)
-       |      AND (ess >= 2) AS gopher_pass
+       |    COALESCE(n_tok >= 20 AND n_tok <= 100000, FALSE) AS r_word_count,
+       |    COALESCE(n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0, FALSE) AS r_mean_word_len,
+       |    COALESCE(symbols / n_tok_d <= 0.1, FALSE) AS r_symbol_ratio,
+       |    COALESCE(bullets / n_lines <= 0.9, FALSE) AS r_bullet_lines,
+       |    COALESCE(ells / n_lines <= 0.3, FALSE) AS r_ellipsis_lines,
+       |    COALESCE(alphas / n_tok_d >= 0.8, FALSE) AS r_alpha_words,
+       |    COALESCE(ess >= 2, FALSE) AS r_essential_words,
+       |    COALESCE(n_tok >= 20 AND n_tok <= 100000, FALSE)
+       |      AND COALESCE(n_nonspace / n_tok_d BETWEEN 3.0 AND 10.0, FALSE)
+       |      AND COALESCE(symbols / n_tok_d <= 0.1, FALSE)
+       |      AND COALESCE(bullets / n_lines <= 0.9, FALSE)
+       |      AND COALESCE(ells / n_lines <= 0.3, FALSE)
+       |      AND COALESCE(alphas / n_tok_d >= 0.8, FALSE)
+       |      AND COALESCE(ess >= 2, FALSE) AS gopher_pass
        |  FROM r)""".stripMargin
   private val qGopherSql =
     s"$gopherCtes\nSELECT * FROM f ORDER BY doc_id"
@@ -764,9 +765,9 @@ object Pipeline extends QueryPack {
   private val qGopherRatesSql =
     s"""$gopherCtes
        |SELECT count(*) AS n_docs,
-       |  sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS n_pass,
+       |  CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        |${gopherRuleCols.map(r =>
-            s"  sum(CASE WHEN $r THEN 0 ELSE 1 END) AS drop_$r").mkString(",\n")}
+            s"  CAST(sum(CASE WHEN $r THEN 0 ELSE 1 END) AS BIGINT) AS drop_$r").mkString(",\n")}
        |FROM f""".stripMargin
 
   override def all: Seq[QueryDef] = Seq(

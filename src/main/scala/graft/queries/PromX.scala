@@ -145,17 +145,23 @@ object PromX extends QueryPack {
   // Step instants take the newest sample AT-OR-BEFORE them (ceiling bucket):
   // a sample only becomes visible from the next step multiple >= its ts, so
   // no instant reads the future.
+  // The `click * 2` inner is a pointwise chain over one selector, so each
+  // 12h instant evaluates the CARRIED selector sample under the default 5m
+  // lookback delta — an instant whose newest bucket sample is older than the
+  // delta is stale and yields nothing (Prometheus semantics; the 6h-gridded
+  // samples survive only at instants they land on exactly).
   private def qSubquery(s: SparkSession, sf: String): DataFrame =
     flat(run(s, sf, "max_over_time((click * 2)[1d:12h])"))
   private val qSubquerySql = withSG(
     s""", i AS (
-       |  SELECT usr, ((ts + 43199999) // 43200000) * 43200000 AS ti, arg_max(value * 2, ts) AS v
+       |  SELECT usr, ((ts + 43199999) // 43200000) * 43200000 AS ti,
+       |    arg_max(value * 2, ts) AS v, max(ts) AS sts
        |  FROM g WHERE etype = 'click' GROUP BY 1, 2)
        |SELECT series, ts, value FROM (
        |  SELECT 'user:' || usr AS series, ti AS ts,
        |    max(v) OVER (PARTITION BY usr ORDER BY ti
        |                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
-       |  FROM i)
+       |  FROM i WHERE ti - sts < 300000)
        |WHERE ts >= ${grid.startMs} AND ts < ${grid.endMs} $ord""".stripMargin)
 
   // ---- irate with counter-reset handling -----------------------------------
@@ -442,6 +448,34 @@ object PromX extends QueryPack {
        |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
        |FROM v WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
 
+  /** Computed subquery inner with staleness: the chain `error * 2 > 40` is
+    * evaluated per subquery instant Prometheus-style — the SELECTOR's sample
+    * carries up to the lookback delta, then the arithmetic and the filter
+    * apply to the carried value (carry-then-transform; carrying the chain's
+    * output would wrongly revive instants whose fresh carried value fails
+    * the filter). The oracle's carry CTE is MATERIALIZED: DuckDB otherwise
+    * pushes the value filter below the ASOF join, turning filter-after-carry
+    * into carry-over-filtered-samples — a different (wrong) semantic. */
+  private def qSubqueryStaleComputed(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid,
+      """max_over_time((error{user="3"} * 2 > 40)[1d:6h])""",
+      lookbackDeltaMs = staleDelta))
+  private val qSubqueryStaleComputedSql = withSG(
+    s""", i AS (SELECT usr, ts AS ti, value FROM g WHERE etype = 'error' AND usr = '3'),
+       |sp AS (SELECT usr,
+       |         unnest(generate_series(min(ti),
+       |           LEAST(max(ti) + $staleDelta, ${grid.alignedEndMs}),
+       |           ${grid.stepMs})) AS t
+       |       FROM i GROUP BY usr),
+       |c AS MATERIALIZED (SELECT sp.usr, sp.t, i.value, i.ti
+       |      FROM sp ASOF JOIN i ON sp.usr = i.usr AND i.ti <= sp.t),
+       |v AS (SELECT usr, t, value * 2 AS value FROM c
+       |      WHERE t - ti < $staleDelta AND value * 2 > 40)
+       |SELECT 'user:' || usr AS series, t AS ts,
+       |  max(value) OVER (PARTITION BY usr ORDER BY t
+       |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
+       |FROM v WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
@@ -467,5 +501,7 @@ object PromX extends QueryPack {
     QueryDef("promql_rate_extrapolated", qRateExtrapolated, Some(qRateExtrapolatedSql)),
     QueryDef("promql_sum_without", qSumWithout, Some(qSumWithoutSql)),
     QueryDef("promql_avg_without", qAvgWithout, Some(qAvgWithoutSql)),
-    QueryDef("promql_subquery_stale", qSubqueryStale, Some(qSubqueryStaleSql)))
+    QueryDef("promql_subquery_stale", qSubqueryStale, Some(qSubqueryStaleSql)),
+    QueryDef("promql_subquery_stale_computed", qSubqueryStaleComputed,
+      Some(qSubqueryStaleComputedSql)))
 }

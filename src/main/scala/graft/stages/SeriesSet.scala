@@ -175,14 +175,16 @@ object SeriesSet {
     */
   private def keyed(left: DataFrame, right: DataFrame, keys: Seq[String],
                     merge: RightMerge, ckOverride: Option[DataFrame] = None,
-                    extra: Seq[String] = Nil,
-                    statsOver: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                    extra: Seq[String] = Nil): (DataFrame, DataFrame) = {
     // `extra` columns (present on BOTH inputs) join the match key — the
-    // fused mixed-step path tags rows with their branch step so one
-    // join/group/raise pass serves every branch. `statsOver` supplies the
-    // UNALIGNED right operand for the series/group counts when `right` is a
-    // union of per-step re-alignments of one logical operand (the counts are
-    // alignment-invariant: resampling never changes a series' labels).
+    // fused mixed-step path tags rows with their branch grid so one
+    // join/group/raise pass serves every branch. With `extra` present the
+    // series/group counts are computed PER extra-group over the ALIGNED
+    // right rows (not once over the unaligned operand): alignment can drop
+    // a right series entirely (all-NaN samples are skipped, out-of-grid
+    // rows clipped — Normalizer.resample), and the lone-series bypass must
+    // see what each branch's divide actually joins against, exactly as the
+    // unfused per-branch path would.
     val valid: Column = if (keys.isEmpty) lit(true) else hasAllKeys(keys)
     def withMk(df: DataFrame): DataFrame =
       if (keys.nonEmpty) df.withColumn("_mk", explicitKey(keys))
@@ -196,16 +198,20 @@ object SeriesSet {
     // min_by determinism is unaffected because a >1-series group raises
     // before any chosen value becomes observable
     val rKeyed = r0.withColumn("_sk", col(S.SeriesId))
-    // ONE pass: right series count + the VALID group-key extent
-    val statsSrc = statsOver.map(df => withMk(df).withColumn("_sk", col(S.SeriesId)))
-      .getOrElse(rKeyed)
-    val rStats = broadcast(statsSrc.agg(
-      count_distinct(col("_sk")).as("_nrser"),
-      count_distinct(when(valid, col("_mk"))).as("_nmk")))
-    val single = col("_nrser") === 1 || col("_nmk") === 1
+    // ONE pass: right series count + the VALID group-key extent — one global
+    // row, or one row per extra-group (per branch grid) in the fused path
     val extraCols = extra.map(col)
+    val statAggs = Seq(
+      count_distinct(col("_sk")).as("_nrser"),
+      count_distinct(when(valid, col("_mk"))).as("_nmk"))
+    val rStats = broadcast(
+      if (extra.isEmpty) rKeyed.agg(statAggs.head, statAggs.tail: _*)
+      else rKeyed.groupBy(extraCols: _*).agg(statAggs.head, statAggs.tail: _*))
+    def withStats(df: DataFrame): DataFrame =
+      if (extra.isEmpty) df.crossJoin(rStats) else df.join(rStats, extra)
+    val single = col("_nrser") === 1 || col("_nmk") === 1
     // rows feeding the groups: a lone series passes whole; else valid only
-    val rIn = rKeyed.crossJoin(rStats)
+    val rIn = withStats(rKeyed)
       .where(col("_nrser") === 1 || valid)
       .withColumn("_jk", when(single, lit(SingleKey)).otherwise(col("_mk")))
     val rGrouped = merge match {
@@ -236,7 +242,7 @@ object SeriesSet {
     val rj = rGrouped.select(col("_jk") +: extraCols :+ col(S.Ts) :+ col("_rv"): _*)
     // left series are label-filtered only on the matching path: with a single
     // right series/group they all project with no key check (ref :341-346)
-    val lj = l0.crossJoin(rStats)
+    val lj = withStats(l0)
       .where(single || valid)
       .withColumn("_jk", when(single, lit(SingleKey)).otherwise(col("_mk")))
       .drop("_mk", "_nrser", "_nmk")
@@ -260,10 +266,9 @@ object SeriesSet {
   private def binaryInner(left: DataFrame, right: DataFrame, keys: Seq[String],
                           op: String, typeLabel: Option[String],
                           ck: Option[DataFrame] = None,
-                          extra: Seq[String] = Nil,
-                          statsOver: Option[DataFrame] = None)
+                          extra: Seq[String] = Nil)
                          (f: (Column, Column) => Column): DataFrame = {
-    val (l, r) = keyed(left, right, keys, MergeSingle(op), ck, extra, statsOver)
+    val (l, r) = keyed(left, right, keys, MergeSingle(op), ck, extra)
     typed(
       l.join(r, "_jk" +: extra :+ S.Ts, "inner")
         .withColumn(S.Value, f(col(S.Value), col("_rv")))
@@ -279,14 +284,19 @@ object SeriesSet {
       when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
   /** Mixed-step `divide`: every left branch (tagged `_bk` = branch ordinal,
-    * `_stp` = its aligned step) joins the matching per-step re-alignment of
-    * the ONE logical right operand (tagged `_stp`) in a single fused
-    * join/group/raise pass — B branches pay one divide's worth of stages
-    * instead of B. `statsOver` must be the unaligned right operand. */
-  def divideStepped(leftAll: DataFrame, rightBySteps: DataFrame, keys: Seq[String],
-                    ck: Option[DataFrame], statsOver: DataFrame): DataFrame =
-    binaryInner(leftAll, rightBySteps, keys, "divide", Some("ratios"), ck,
-      extra = Seq("_stp"), statsOver = Some(statsOver))((l, r) =>
+    * `_stp` = its aligned grid identity "step:start") joins the matching
+    * per-grid re-alignment of the ONE logical right operand (tagged `_stp`)
+    * in a single fused join/group/raise pass — B branches pay one divide's
+    * worth of stages instead of B. The tag must carry BOTH step and origin:
+    * two branches with equal LCM step but different startMs (e.g.
+    * timeshifted union arms) align onto different grids, and collapsing them
+    * to one tag would pair a branch's left rows with another branch's right
+    * re-alignment. Right series/group stats are computed per `_stp` inside
+    * `keyed`, matching the unfused per-branch semantics exactly. */
+  def divideStepped(leftAll: DataFrame, rightByGrid: DataFrame, keys: Seq[String],
+                    ck: Option[DataFrame]): DataFrame =
+    binaryInner(leftAll, rightByGrid, keys, "divide", Some("ratios"), ck,
+      extra = Seq("_stp"))((l, r) =>
       when(r === 0.0, lit(Double.NaN)).otherwise(l / r))
 
   /** `asPercent <ref> [tags]` — 100*left/right, tagged type:ratios

@@ -41,6 +41,44 @@ class IvfRecallSpec extends SparkTestBase {
     }
   }
 
+  test("sq8_cosine codegen expression equals interpreted decode-and-cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq(
+      (Seq(10, 20, 30), Seq(0.5f, 1f, -2f),
+        Seq((-1.0, 0.02), (-2.0, 0.05), (0.0, 0.01))),
+      (Seq(0, 255, 128), Seq(1f, 0f, 3f),
+        Seq((0.0, 0.004), (-1.0, 0.008), (2.0, 0.0))))
+      .toDF("codes", "q_emb", "raw_stats")
+      .withColumn("dim_stats", expr(
+        "transform(raw_stats, s -> named_struct('mn', s._1, 'step', s._2))"))
+    val decoded = zip_with(col("codes"), col("dim_stats"),
+      (c, s) => s.getField("mn") + c.cast(DoubleType) * s.getField("step"))
+    val rows = df.select(
+        graft.functions.VectorExprs.sq8Cosine("codes", "q_emb", "dim_stats").as("fast"),
+        graft.pipelines.Vectors.cosine(decoded, col("q_emb")).as("ref"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, r) => assert(math.abs(f - r) < 1e-12, s"$f vs $r") }
+  }
+
+  test("sq8 approximate scan rides whole-stage codegen (plan pinned)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val out = Similarity.sq8TopK(emb, 0L, 10)
+    // collect() executes THIS plan (count() would compile a separate one);
+    // AQE materializes WholeStageCodegen spans in the FINAL plan only. In
+    // the plan string a codegen'd operator prints with a `*(n)` stage
+    // prefix — pin that the sq8_cosine projection carries one (a fallback
+    // to interpreted projection would print a bare `Project`).
+    assert(out.collect().length == 10)
+    val plan = out.queryExecution.executedPlan.toString
+    val codegen = raw"\*\(\d+\) Project \[[^\n]*sq8_cosine".r
+    assert(codegen.findFirstIn(plan).isDefined,
+      s"sq8_cosine must sit inside a WholeStageCodegen span:\n$plan")
+  }
+
   test("batched ivf probes equal per-query ivf (sf0.001)") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
     val emb = graft.core.Tables.embeddings(spark, sfDir)

@@ -276,17 +276,79 @@ class PipelineSpec extends SparkTestBase {
     assert(!out(4L).getBoolean(5), "all-bullet doc fails the bullet rule")
   }
 
-  test("multimodal feature extraction over binary payloads") {
+  test("gopher flags are never null: empty/whitespace/null text fails, not null") {
+    val corpus = Seq((0L, ""), (1L, "   \n  "), (2L, null: String))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(corpus).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val pass = r.getAs[Any]("gopher_pass")
+      assert(pass == false, s"doc ${r.getAs[Long]("doc_id")}: gopher_pass=$pass")
+      Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_essential_words").foreach { c =>
+        assert(r.getAs[Any](c) != null, s"$c must be boolean, got null")
+      }
+    }
+  }
+
+  test("multimodal feature extraction decodes real PPM/WAV payloads") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("payload").dataType.typeName == "binary")
     val feats = Multimodal.extractFeatures(media)
-    val r = feats.where($"media_id" === 0)
-      .select("n_bytes", "feature").head()
-    assert(r.getLong(0) == 43L)
-    assert(r.getSeq[Float](1).length == 8)
-    // deterministic: same payload → same features
-    val f0 = feats.where($"media_id" === 0).select("byte_mean").head().getDouble(0)
-    val f2 = feats.where($"media_id" === 2).select("byte_mean").head().getDouble(0)
-    assert(f0 == f2)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // doc_id % 3 routes the modality; image/audio payloads are REAL formats
+    val img = feats(0L)
+    assert(img.getAs[String]("format_detected") == "ppm")
+    assert(img.getAs[Int]("px_width") == 8 && img.getAs[Int]("px_height") == 6)
+    assert(img.getAs[Long]("n_samples") == 48L)
+    val aud = feats(1L)
+    assert(aud.getAs[String]("format_detected") == "wav")
+    assert(aud.getAs[Int]("sample_rate") == 16000)
+    assert(aud.getAs[Long]("n_samples") == 64L)
+    val vid = feats(2L)
+    assert(vid.getAs[String]("format_detected") == "raw")
+    assert(vid.getAs[Long]("n_bytes") == 43L)
+    feats.values.foreach(r => assert(r.getSeq[Float](r.fieldIndex("feature")).length == 8))
+    // deterministic: rebuilding the media table reproduces the features
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
+      .where($"media_id" === 0).select("level").head().getDouble(0)
+    assert(again == feats(0L).getAs[Double]("level"))
+  }
+
+  test("multimodal decoders parse hand-built fixture bytes exactly") {
+    // PPM: 4×2 RGB ramp through the public encoder, decoded header + pixels
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 21).toByte)
+    val ppm = Multimodal.encodePpm(4, 2, rgb)
+    // WAV: 16 PCM samples of a known ramp at 8 kHz
+    val wav = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate[Short](16)(i => (i * 1000).toShort))
+    val raw = "just some plain text".getBytes("UTF-8")
+    val media = Seq((0L, "image", ppm), (1L, "audio", wav), (2L, "video", raw))
+      .toDF("media_id", "modality", "payload")
+    val f = Multimodal.extractFeatures(media)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val img = f(0L)
+    assert(img.getAs[String]("format_detected") == "ppm")
+    assert(img.getAs[Int]("px_width") == 4 && img.getAs[Int]("px_height") == 2)
+    assert(img.getAs[Long]("n_samples") == 8L)
+    // luminance mean of the known ramp, reproduced exactly
+    val lums = (0 until 8).map { p =>
+      val (r, g, b) = (rgb(p * 3) & 0xff, rgb(p * 3 + 1) & 0xff, rgb(p * 3 + 2) & 0xff)
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+    assert(math.abs(img.getAs[Double]("level") - lums.sum / 8) < 1e-12)
+    val aud = f(1L)
+    assert(aud.getAs[String]("format_detected") == "wav")
+    assert(aud.getAs[Int]("sample_rate") == 8000)
+    assert(aud.getAs[Long]("n_samples") == 16L)
+    val rms = math.sqrt((0 until 16).map(i => math.pow(i * 1000 / 32768.0, 2)).sum / 16)
+    assert(math.abs(aud.getAs[Double]("level") - rms) < 1e-12)
+    assert(f(2L).getAs[String]("format_detected") == "raw")
+    // a truncated PPM (post-samplePayload) still decodes the pixels present
+    val cut = Multimodal.extractFeatures(
+        Seq((9L, "image", ppm.take(ppm.length - 6))).toDF("media_id", "modality", "payload"))
+      .head()
+    assert(cut.getAs[String]("format_detected") == "ppm")
+    assert(cut.getAs[Long]("n_samples") == 6L)
   }
 }

@@ -384,12 +384,44 @@ class PromQLSpec extends SparkTestBase {
     assert(out("dc:x,name:h") == Seq(S(10), S(20), S(30), S(30), S(30), N, N, N, N, N))
   }
 
-  test("computed subquery inners stay step-bounded — no staleness carry") {
-    // a function/arithmetic inner is point-in-time per instant: where the
-    // computation produced nothing, the instant stays empty
+  test("a pointwise chain inner carries the selector then transforms per instant") {
+    // (h * 2)[2m:1m]: Prometheus evaluates `h * 2` at each instant — the
+    // selector's sample carries within the lookback delta, the arithmetic
+    // applies to the carried value. One sample at minute 0 (v10) feeds
+    // instants 0–4 doubled; minute 5 sits exactly 5m away and is excluded.
     val holes = samplesDF(series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)))
-    val out = toGolden(PromQL.query(spark, holes, g, "sum_over_time((h * 1)[2m:1m])"))
-    assert(out("dc:x") == Seq(S(10), N, N, N, N, N, N, N, N, N))
+    val out = toGolden(PromQL.query(spark, holes, g, "sum_over_time((h * 2)[2m:1m])"))
+    assert(out("dc:x") == Seq(S(20), S(40), S(60), S(60), S(60), N, N, N, N, N))
+  }
+
+  test("a filter chain inner applies carry-then-filter: a fresh failing sample masks") {
+    // (h > 40)[2m:1m]: at each instant the CARRIED selector value is
+    // filtered. h = 50, 10, …: minute 1's fresh sample (10) fails the
+    // filter, so instants 1+ produce nothing — carrying the chain's OUTPUT
+    // (the lone 50) forward instead would wrongly revive it at minutes 1–4.
+    val holes = samplesDF(series("name:h,dc:x",
+      Seq(S(50), S(10), N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "sum_over_time((h > 40)[2m:1m])"))
+    // minute 1's carried value is the fresh 10 → filtered out, no instant
+    // row; output-carry of the chain would have revived 50 at minutes 1–4
+    // (sums 100/150 at the window overlaps)
+    assert(out("dc:x,name:h") == Seq(S(50), N, N, N, N, N, N, N, N, N))
+  }
+
+  test("range-function inners never carry: an empty window yields nothing") {
+    // rate(h[2m])[4m:1m]: rate needs two samples in its window; once the
+    // window moves past the data, instants stay empty — Prometheus never
+    // carries a function output across the staleness delta.
+    val holes = samplesDF(series("name:h,dc:x",
+      Seq(S(10), S(20), N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g,
+      "max_over_time(rate(h[2m])[4m:1m])"))
+    // rate emits at sample instants whose [t-2m, t] window holds both
+    // samples — only minute 1; with staleness carry that output would have
+    // persisted through minute 6
+    assert(out("dc:x,name:h").zipWithIndex.forall {
+      case (v, i) => if (i == 1) v.isDefined else v.isEmpty
+    }, s"got ${out("dc:x,name:h")}")
   }
 
   test("rate over a subquery of a transformed counter") {

@@ -67,4 +67,33 @@ class SortAndUnionStepSpec extends SparkTestBase {
       ("host:x,name:v,type:ratios", 600000L, 1.0))   // bucket {600s}: 2 / 2
     assert(rows == cRows ++ vRows)
   }
+
+  test("union branches with equal LCM step but different origins divide on their own grids") {
+    // Both branches summarize to 2m, so both aligned grids share step 120000,
+    // but the alignToFrom branch keeps origin 60000 while the floored branch
+    // re-buckets from 0 — the fused divide must key the right re-alignment on
+    // the FULL grid identity (step AND origin), not the step alone, or the
+    // origin-60000 branch joins right rows bucketed at origin 0 and silently
+    // drops every point.
+    val data = samplesDF(
+      series("name:c,host:x", Seq.fill(10)(S(4))) ++
+      series("name:v,host:x", Seq.fill(10)(S(2))) ++
+      series("name:d,host:x", Seq.fill(10)(S(2))))
+    val out = M3QL.query(spark, data, g,
+      "b = fetch name:d; fetch name:c | summarize 2m sum | " +
+        "(fetch name:v | summarize 2m sum true) | divide(b) host")
+    val rows = out.select(TsSchema.seriesKey(col("labels")).as("sk"),
+        col("timestamp"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val cRows = Set[(String, Long, Double)](          // origin 0: {60s}=4, pairs=8, {600s}=4; d avg = 2
+      ("host:x,name:c,type:ratios", 0L, 2.0),
+      ("host:x,name:c,type:ratios", 120000L, 4.0),
+      ("host:x,name:c,type:ratios", 240000L, 4.0),
+      ("host:x,name:c,type:ratios", 360000L, 4.0),
+      ("host:x,name:c,type:ratios", 480000L, 4.0),
+      ("host:x,name:c,type:ratios", 600000L, 2.0))
+    val vRows = (0 until 5).map(i =>                  // origin 60000: every bucket 4 / avg(2,2)
+      ("host:x,name:v,type:ratios", 60000L + 120000L * i, 2.0)).toSet
+    assert(rows == cRows ++ vRows, s"got: $rows")
+  }
 }
