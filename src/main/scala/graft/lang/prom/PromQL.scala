@@ -491,6 +491,53 @@ object PromQL {
         else filtered
     }
 
+    /** Rollup-tier routing for aligned `*_over_time` windows: when a serving
+      * rollup tier is registered ([[graft.streaming.Rollup.registerTier]])
+      * and the window, step, origin and selector offset all align to its
+      * bucket resolution, the trailing-window moments merge directly from
+      * rollup rows — the scan reads the (at scale, far smaller) tier
+      * instead of raw samples, and the decision is plan-time arithmetic.
+      * Exact under the tier's serving-resolution precondition (≤ 1 sample
+      * per bucket, stamped at the bucket start): the closed window
+      * `[t-d, t]` then covers exactly the buckets `[t-d, t]`, emission
+      * instants are the nonempty buckets — the raw path's sample rows —
+      * and the decimal bucket sums re-merge bit-identically to the raw
+      * path's decimal window sums (movingAgg uses the same DECIMAL(38,9)
+      * accumulator). */
+    private val RollupOverTime = Set("sum", "avg", "count", "min", "max", "last")
+    private def overTimeFromRollup(s: Selector, d: Long, agg: String,
+                                   g: QueryGrid): Option[DataFrame] =
+      graft.streaming.Rollup.tier(spark).flatMap { case (rolled, bucketMs) =>
+        val aligned = d % bucketMs == 0 && g.stepMs % bucketMs == 0 &&
+          Math.floorMod(g.startMs, bucketMs) == 0 &&
+          s.offsetMs % bucketMs == 0
+        if (!aligned) None
+        else {
+          val off = s.offsetMs
+          val base = applyMatchers(s, rolled.where(
+            col("bucket_ts") >= g.startMs - off - d &&
+              col("bucket_ts") <= g.endMs - off))
+          val shifted =
+            if (off != 0) base.withColumn("bucket_ts", col("bucket_ts") + off)
+            else base
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(S.SeriesId).orderBy(col("bucket_ts")).rangeBetween(-d, 0)
+          import org.apache.spark.sql.types.DoubleType
+          val v = agg match {
+            case "sum"   => sum(col("rsum")).over(w).cast(DoubleType)
+            case "avg"   => sum(col("rsum")).over(w).cast(DoubleType) /
+                              sum(col("rcount")).over(w)
+            case "count" => sum(col("rcount")).over(w).cast(DoubleType)
+            case "min"   => min(col("rmin")).over(w)
+            case "max"   => max(col("rmax")).over(w)
+            case "last"  => expr("max_by(rlast, rlast_ts)").over(w)
+          }
+          Some(shifted.withColumn(S.Value, v)
+            .select(col(S.SeriesId), col(S.LabelsCol),
+              col("bucket_ts").as(S.Ts), col(S.Value)))
+        }
+      }
+
     private def applyMatchers(s: Selector, base: DataFrame): DataFrame = {
       val withMetric = s.metric match {
         case Some(m) => base.where(col(S.LabelsCol).getItem("name") === m)
@@ -905,14 +952,21 @@ object PromQL {
           in.withColumn(S.Value,
             expr(s"percentile(${S.Value}, $phi)").over(frame))
         case overTime(sub) =>
-          val (in, d) = rangeInput(args.head, g)
-          // Prometheus stddev/stdvar_over_time are POPULATION moments
-          val fn = sub match {
-            case "stddev" => "stddev_pop"
-            case "stdvar" => "var_pop"
-            case f        => f
+          val routed = args.head match {
+            case Range(sel, d) if sel.atMs.isEmpty && RollupOverTime(sub) =>
+              overTimeFromRollup(sel, d, sub, g)
+            case _ => None
           }
-          Temporal.movingInclusive(in, d, fn)
+          routed.getOrElse {
+            val (in, d) = rangeInput(args.head, g)
+            // Prometheus stddev/stdvar_over_time are POPULATION moments
+            val fn = sub match {
+              case "stddev" => "stddev_pop"
+              case "stdvar" => "var_pop"
+              case f        => f
+            }
+            Temporal.movingInclusive(in, d, fn)
+          }
         case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
           // Prometheus 3.5 experimental: the timestamp (epoch seconds) of the
           // last/largest/smallest sample in the trailing window. max_by/min_by

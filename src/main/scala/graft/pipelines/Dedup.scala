@@ -194,6 +194,19 @@ object Dedup {
       .sortBy("shingle")
       .saveAsTable(table)
 
+  /** Append a snapshot's shingles into an existing bucketed index table —
+    * the maintenance half of the incremental crawl-over-crawl loop: dedup
+    * snapshot N against the index ([[dedupIncrementalIndexed]]), then append
+    * only the SURVIVORS' shingles. Spark appends bucketed files per bucket,
+    * so the co-located join property is preserved without a rebuild. */
+  def appendShingleIndex(docs: DataFrame, n: Int, table: String,
+                         idCol: String = "doc_id", buckets: Int = 64): Unit =
+    shingles(docs, n, idCol)
+      .write.mode("append")
+      .bucketBy(buckets, "shingle")
+      .sortBy("shingle")
+      .saveAsTable(table)
+
   /** Candidate pairs + exact Jaccard from a persisted bucketed index (the
     * offline two-job form of [[ngramJaccardPairs]]): same math, but the
     * shingle-keyed joins read co-located buckets. */
@@ -388,6 +401,51 @@ object Dedup {
         .as(idCol))
       .distinct()
     incoming.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupIncremental]] with the existing side read from the PERSISTED
+    * bucketed shingle index instead of re-shingling the whole prior corpus —
+    * with [[appendShingleIndex]] the crawl-over-crawl loop becomes
+    * end-to-end incremental: per snapshot, only the new documents are
+    * shingled, the index-side candidate join reads co-located buckets, and
+    * the index grows by the survivors' shingles. Semantics match
+    * [[dedupIncremental]] exactly: maxDf over the union's document
+    * frequency, existing always wins, within-incoming pairwise first-wins
+    * (a < b drops b). */
+  def dedupIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+                              table: String, incoming: DataFrame, n: Int,
+                              threshold: Double, idCol: String = "doc_id",
+                              maxDf: Int = 1000): DataFrame = {
+    val exSh = spark.table(table)
+    val inSh = shingles(incoming, n, idCol)
+    val keep = exSh.unionByName(inSh)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2)
+      .select("shingle")
+    val ex = exSh.join(keep, Seq("shingle"), "left_semi")
+    val inn = inSh.join(keep, Seq("shingle"), "left_semi")
+    val exSizes = exSh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inSizes = inSh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    def jaccardAtLeast(inter: Column, szA: Column, szB: Column): Column =
+      inter.cast(DoubleType) / (szA + szB - inter) >= threshold
+    // incoming × index candidates — existing always wins, drop the incoming id
+    val cross = inn.select(col(idCol).as("in_id"), col("shingle"))
+      .join(ex.select(col(idCol).as("ex_id"), col("shingle")), Seq("shingle"))
+      .groupBy("in_id", "ex_id").agg(count(lit(1)).as("inter"))
+      .join(inSizes.select(col(idCol).as("in_id"), col("sz").as("sz_a")), Seq("in_id"))
+      .join(exSizes.select(col(idCol).as("ex_id"), col("sz").as("sz_b")), Seq("ex_id"))
+      .where(jaccardAtLeast(col("inter"), col("sz_a"), col("sz_b")))
+      .select(col("in_id").as(idCol))
+    // within-incoming candidates — smaller id wins, drop b
+    val within = inn.select(col(idCol).as("doc_id_a"), col("shingle"))
+      .join(inn.select(col(idCol).as("doc_id_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+      .join(inSizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .join(inSizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")), Seq("doc_id_b"))
+      .where(jaccardAtLeast(col("inter"), col("sz_a"), col("sz_b")))
+      .select(col("doc_id_b").as(idCol))
+    incoming.join(cross.unionByName(within).distinct(), Seq(idCol), "left_anti")
   }
 
   /** Benchmark DECONTAMINATION: drop every training document sharing at

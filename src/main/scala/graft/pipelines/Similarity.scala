@@ -161,6 +161,40 @@ object Similarity {
     rankTail(scored, queryId, k, idCol)
   }
 
+  /** Batched multiprobe LSH: N probes resolve in ONE pass over the banded
+    * signature index — the probe-key set (now keyed by probe_id) still rides
+    * as a broadcast, the bucket probe is still an ids-only equi-join, and
+    * the per-probe rank is a WindowGroupLimit. Per-probe results are
+    * identical to [[lshTopK]] (same candidate rule, same ordering keys). */
+  def lshTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int, bands: Int = 16,
+                   planesPerBand: Int = 8, probeHamming: Int = 1,
+                   idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val idx = lshIndex(emb, idCol, bands, planesPerBand)
+    val masks = (0 until (1 << planesPerBand))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val probes = idx.where(col(idCol).isin(queryIds.map(x => x: Any): _*))
+      .select(col(idCol).as("probe_id"), col("embedding").as("q_emb"),
+        col("bkeys").as("q_bkeys"))
+    val qKeys = probes
+      .select(col("probe_id"), posexplode(col("q_bkeys")).as(Seq("band", "_qk")))
+      .withColumn("_m", explode(typedlit(masks)))
+      .select(col("probe_id"), col("band"),
+        col("_qk").bitwiseXOR(col("_m")).as("bkey"))
+    val candIds = idx
+      .select(col(idCol), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .join(broadcast(qKeys), Seq("band", "bkey"))
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol)).distinct()
+    idx.join(candIds, idCol)
+      .join(broadcast(probes.select("probe_id", "q_emb")), Seq("probe_id"))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol), col("cosine"), col("rnk"))
+  }
+
   /** IVF index for one corpus: centroids + the per-vector cell assignment,
     * built ONCE per corpus and persisted (MEMORY_AND_DISK) — queries reuse it
     * the way a real IVF index is built offline and probed many times, instead
@@ -296,6 +330,36 @@ object Similarity {
       .crossJoin(broadcast(q))
       .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
     rankTail(scored, queryId, k, idCol)
+  }
+
+  /** Batched SQ8: N probes share ONE pass over the code table — the probe
+    * set broadcasts, the codegen'd sq8_cosine scores every (code row, probe)
+    * pair, per-probe WindowGroupLimit keeps k·rerank candidates, and one
+    * id-join fetches the candidate floats for the exact re-rank. Per-probe
+    * results are identical to [[sq8TopK]] (same candidate rule — top
+    * k·rerank by (approx desc, id) — and same re-rank ordering). */
+  def sq8TopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int, rerank: Int = 4,
+                   idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val idx = sq8Index(emb, idCol)
+    val probes = emb.where(col(idCol).isin(queryIds.map(x => x: Any): _*))
+      .select(col(idCol).as("probe_id"), col("embedding").as("q_emb"))
+    val candIds = idx.codes
+      .crossJoin(broadcast(probes)).crossJoin(broadcast(idx.stats))
+      .where(col(idCol) =!= col("probe_id"))
+      .withColumn("approx",
+        graft.functions.VectorExprs.sq8Cosine("codes", "q_emb", "dim_stats"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("approx").desc, col(idCol))))
+      .where(col("arnk") <= k * rerank)
+      .select(col("probe_id"), col(idCol))
+    emb.join(candIds, idCol)
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol), col("cosine"), col("rnk"))
   }
 
   /** IVF-style variant: kmeans — partition vectors by nearest of the index's

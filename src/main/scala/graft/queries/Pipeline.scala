@@ -385,6 +385,26 @@ object Pipeline extends QueryPack {
       |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** Batched SQ8 with the rerank buffer sized past the gate corpus: the
+    * candidate set is then the whole corpus and the exact float re-rank
+    * decides every rank — so the batched quantized path is ORACLE-EXACT
+    * against the same per-probe top-k SQL as [[qAnnBatch]] (the role
+    * dedup_embedding_exact plays for the banded near-dup path). */
+  private def qAnnSq8Batch(s: SparkSession, sf: String): DataFrame =
+    Similarity.sq8TopKBatch(Tables.embeddings(s, sf),
+        queryIds = Seq(0L, 7L, 42L), k = 5, rerank = 1000)
+      .select("probe_id", "vec_id", "rnk")
+      .orderBy("probe_id", "rnk")
+  private val qAnnSq8BatchSql =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id IN (0, 7, 42))
+      |SELECT probe_id, vec_id, rnk FROM (
+      |  SELECT p.probe_id, e.vec_id, row_number() OVER (
+      |      PARTITION BY p.probe_id
+      |      ORDER BY list_cosine_similarity(e.embedding, p.qe) DESC, e.vec_id) AS rnk
+      |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+      |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   // ---- multimodal ----------------------------------------------------------
   private def qMultimodal(s: SparkSession, sf: String): DataFrame = {
     import graft.pipelines.Multimodal
@@ -791,6 +811,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_ivf", qAnnIvf, None),
     QueryDef("ann_sq8", qAnnSq8, None),
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
+    QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
     QueryDef("multimodal_features", qMultimodal, None),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),

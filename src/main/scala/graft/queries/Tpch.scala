@@ -170,7 +170,7 @@ object Tpch extends QueryPack {
     val ord = Tables.orders(spark, sf)
       .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
     ord.join(li, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -196,7 +196,7 @@ object Tpch extends QueryPack {
       .agg(dSum(col("l_quantity")).as("sum_qty"))
       .where(col("sum_qty") > 250.0)
     Tables.orders(spark, sf).join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
       .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
@@ -260,7 +260,7 @@ object Tpch extends QueryPack {
     val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, sf)
       .where(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
-      .join(broadcast(Tables.part(spark, sf)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0)
         * dSum(when(col("p_type") === "PROMO", volume).otherwise(0.0))
         / dSum(volume)).as("promo_revenue"))
@@ -326,7 +326,7 @@ object Tpch extends QueryPack {
       .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
     val top = rev.agg(max(col("total_revenue")).as("mr"))
     rev.join(broadcast(top), col("total_revenue") === col("mr"))
-      .join(broadcast(Tables.supplier(spark, sf)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -376,7 +376,7 @@ object Tpch extends QueryPack {
       (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
         col("l_quantity").between(20, 40))
     Tables.lineitem(spark, sf)
-      .join(broadcast(Tables.part(spark, sf)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
       .where(cond)
       .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
@@ -408,10 +408,15 @@ object Tpch extends QueryPack {
           .where(col("o_orderdate") >= lit("1995-01-01") &&
             col("o_orderdate") < lit("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      // customer and supplier grow with scale factor (~15M customers at
+      // TPC-H 100×): a forced broadcast hint would override AQE's size
+      // check and OOM the build side — hint only the genuinely bounded
+      // dims (nation, region, the type-filtered part) and let AQE pick
+      // the strategy for the unbounded tables from measured sizes
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
       .join(broadcast(asia), col("c_rk") === col("r_regionkey"))
-      .join(broadcast(Tables.supplier(spark, sf)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
       .withColumn("o_year", year(col("o_orderdate")))
       .groupBy("o_year")

@@ -43,4 +43,50 @@ class BucketedIndexSpec extends SparkTestBase {
 
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("append-maintained shingle index equals rebuild and dedups incrementally") {
+    val t1 = "graft_test_incr_idx"
+    val t2 = "graft_test_incr_rebuilt"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    val snap1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap here at all"),
+      (5L, "unrelated content entirely about databases and engines")).toDF("doc_id", "text")
+    val snap2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),    // near-dup of 1 → dropped
+      (11L, "fresh new document about distributed query planning"),
+      (12L, "fresh new document about distributed query planning too"), // near-dup of 11 → dropped
+      (13L, "entirely novel third topic nothing shared")).toDF("doc_id", "text")
+
+    Dedup.writeShingleIndex(snap1, n = 3, table = t1, buckets = 4)
+    // index-probing incremental dedup ≡ the full-recompute form
+    val indexed = Dedup.dedupIncrementalIndexed(spark, t1, snap2,
+        n = 3, threshold = 0.4, maxDf = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.dedupIncremental(snap1, snap2, n = 3, threshold = 0.4, maxDf = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == full, s"indexed $indexed != full $full")
+    assert(indexed == Set(11L, 13L))
+
+    // appending the survivors' shingles reproduces a from-scratch rebuild
+    val survivors = snap2.where(col("doc_id").isin(indexed.toSeq.map(x => x: Any): _*))
+    Dedup.appendShingleIndex(survivors, n = 3, table = t1, buckets = 4)
+    Dedup.writeShingleIndex(snap1.unionByName(survivors), n = 3, table = t2, buckets = 4)
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("shingle")))).toSet
+    assert(rows(t1) == rows(t2), "append-maintained index must equal the rebuilt index")
+
+    // and the maintained index serves the NEXT snapshot identically
+    val snap3 = Seq(
+      (20L, "fresh new document about distributed query planning"),  // dup of kept 11
+      (21L, "genuinely unseen content for the third crawl")).toDF("doc_id", "text")
+    val kept3 = Dedup.dedupIncrementalIndexed(spark, t1, snap3,
+        n = 3, threshold = 0.4, maxDf = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept3 == Set(21L), s"got $kept3")
+
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
 }

@@ -93,6 +93,34 @@ class IvfRecallSpec extends SparkTestBase {
     assert(batch == single)
   }
 
+  test("batched lsh probes equal per-query lsh (sf0.001)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = Seq(0L, 7L, 42L)
+    val batch = Similarity.lshTopKBatch(emb, queries, 10)
+      .select("probe_id", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = queries.flatMap { q =>
+      Similarity.lshTopK(emb, q, 10).select("vec_id", "rnk")
+        .collect().map(r => (q, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(batch == single)
+  }
+
+  test("batched sq8 probes equal per-query sq8 (sf0.001)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = Seq(0L, 7L, 42L)
+    val batch = Similarity.sq8TopKBatch(emb, queries, 10)
+      .select("probe_id", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = queries.flatMap { q =>
+      Similarity.sq8TopK(emb, q, 10).select("vec_id", "rnk")
+        .collect().map(r => (q, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("lsh and ivf mean recall@10 >= 0.8 at the largest corpus (sf0.1)") {
     // the measured-quality bar for the approximate variants at their default
     // operating points (ivf nProbe=32 + 2 Lloyd iters; lsh 16 bands × 8

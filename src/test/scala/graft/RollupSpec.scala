@@ -140,6 +140,45 @@ class RollupSpec extends SparkTestBase {
     } finally Rollup.clearTier(spark)
   }
 
+  test("registered tier routes aligned PromQL sum_over_time to the rollup scan") {
+    import graft.lang.prom.PromQL
+    val dir = java.nio.file.Files.createTempDirectory("graft_promroute").toFile.getAbsolutePath
+    // bucket = the 60s sample spacing, so the tier holds one sample per
+    // bucket stamped at the bucket start — the serving-resolution
+    // precondition under which the rollup answer is exact
+    Rollup.rollup(fx, bucketMs = 60000L).write.mode("overwrite").parquet(s"$dir/rollup")
+    val rolled = spark.read.parquet(s"$dir/rollup")
+    val gq = QueryGrid(120000L, 600000L, 60000L)
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"),
+        col("timestamp"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val raw = PromQL.query(spark, fx, gq, "sum_over_time(a[2m])")   // no tier yet
+    Rollup.registerTier(spark, rolled, 60000L)
+    try {
+      val routed = PromQL.query(spark, fx, gq, "sum_over_time(a[2m])")
+      assert(routed.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "aligned sum_over_time must read the rollup parquet scan")
+      assert(m(routed) == m(raw), "routed answer must equal the raw-path answer")
+      // avg and count merge from the same moments
+      for (q <- Seq("avg_over_time(a[2m])", "count_over_time(a[3m])")) {
+        Rollup.clearTier(spark)
+        val rawQ = m(PromQL.query(spark, fx, gq, q))
+        Rollup.registerTier(spark, rolled, 60000L)
+        val routedQ = PromQL.query(spark, fx, gq, q)
+        assert(routedQ.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
+        assert(m(routedQ) == rawQ, s"$q: routed ≠ raw")
+      }
+      // a misaligned window (90s % 60s != 0) must fall back to raw samples
+      val fb = PromQL.query(spark, fx, gq, "sum_over_time(a[90s])")
+      assert(!fb.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "misaligned window must not read the rollup tier")
+      // stddev has no mergeable moment in the tier — raw path too
+      val sd = PromQL.query(spark, fx, gq, "stddev_over_time(a[2m])")
+      assert(!sd.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
+    } finally Rollup.clearTier(spark)
+  }
+
   test("rollupSweep writes a day-partitioned rollup table that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toFile.getAbsolutePath
     fx.write.mode("overwrite").parquet(s"$dir/raw")
