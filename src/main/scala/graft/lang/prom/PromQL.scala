@@ -68,15 +68,14 @@ import scala.collection.mutable.ListBuffer
   * `(t - delta, t]`, delta = the `lookbackDeltaMs` argument mirroring
   * --query.lookback-delta, default 5m — oracle `promql_subquery_stale`);
   * COMPUTED inners are re-evaluated on the subquery's own epoch-aligned
-  * instant grid, with the same staleness carry for pointwise chains over
-  * one selector (`(m > 0)[30m:1m]` — oracle
-  * `promql_subquery_stale_computed`) and, matching Prometheus, NO carry of
-  * range-function outputs (`rate(m[5m])[30m:1m]` computes its window at
-  * every instant and an empty window yields nothing). The one residual
-  * divergence: selector staleness INSIDE an aggregated or vector-matched
-  * inner stays slot-bounded (Prometheus carries each input series up to
-  * delta before combining; this engine combines the samples each instant
-  * slot actually holds).
+  * instant grid with every instant-position selector below them replaced
+  * by its carried frame — so arithmetic, filter comparisons
+  * (`(m > 0)[30m:1m]` — oracle `promql_subquery_stale_computed`),
+  * aggregations and vector matching all evaluate over carried values in
+  * Prometheus's order (carry per selector, then combine), while
+  * range-selector inputs keep raw samples and range-function outputs never
+  * carry (`rate(m[5m])[30m:1m]` computes its window at every instant and
+  * an empty window yields nothing).
   */
 object PromQL {
 
@@ -402,34 +401,32 @@ object PromQL {
     private def mapValue(df: DataFrame)(f: Column => Column): DataFrame =
       dropMetricName(df.withColumn(S.Value, f(col(S.Value))))
 
-    /** Pointwise transformations of ONE instant selector — chains where
-      * Prometheus's per-instant evaluation is "carry the selector's sample
-      * up to the lookback delta, then apply the per-sample transformation".
-      * The subquery path evaluates exactly that: selector carried first,
-      * chain applied per instant (NOT output-carry, which would be wrong for
-      * filter comparisons — a fresh failing sample must mask the older
-      * passing one). Range-function results (rate, *_over_time) are NOT
-      * here: Prometheus never carries a function output — an instant either
-      * computes a window value or yields nothing. */
-    private val PointwiseFns = Set(
-      "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
-      "round", "clamp", "clamp_min", "clamp_max", "label_replace", "label_join")
-    private def chainSelector(e: Expr): Option[Selector] = e match {
-      case s: Selector => Some(s)
-      case BinOp(_, l, r, _, _) =>
-        if (l.isInstanceOf[ScalarLit]) chainSelector(r)
-        else if (r.isInstanceOf[ScalarLit]) chainSelector(l)
-        else None
-      case Call(fn, v :: _) if PointwiseFns(fn) => chainSelector(v)
-      case _ => None
+    /** Every selector in INSTANT position below `e` — i.e. not inside a
+      * range selector `m[d]` (whose raw samples feed a window function: a
+      * carry there would fabricate samples) and not inside a nested
+      * subquery (which runs its own carry when evaluated). These are the
+      * points where Prometheus's per-instant evaluation applies the
+      * lookback-delta staleness carry before ANY surrounding computation —
+      * arithmetic, filters, aggregations, vector matching. `@`-pinned
+      * selectors are excluded: they evaluate to a constant on whatever grid
+      * they're given, no carry needed. */
+    private def instantSelectors(e: Expr): List[Selector] = e match {
+      case s: Selector if s.atMs.isEmpty => List(s)
+      case _: Selector                   => Nil
+      case Range(_, _) | Subquery(_, _, _) => Nil
+      case Call(_, args)      => args.flatMap(instantSelectors)
+      case Agg(_, _, param, a, _) =>
+        instantSelectors(a) ++ param.toList.flatMap(instantSelectors)
+      case BinOp(_, l, r, _, _) => instantSelectors(l) ++ instantSelectors(r)
+      case _ => Nil
     }
-    private def carryTransparent(e: Expr): Boolean = chainSelector(e).isDefined
 
-    /** When set, [[eval]] reads THIS frame (by AST-node identity) instead of
-      * building the selector's scan — how a subquery chain evaluates over
-      * the pre-carried selector samples. Compiler instances are per-query
-      * and single-threaded; rangeInput saves/restores around nested evals. */
-    private var selectorSub: Option[(Selector, DataFrame)] = None
+    /** When non-empty, [[eval]] reads THESE frames (by AST-node identity)
+      * instead of building each selector's scan — how a subquery's computed
+      * inner evaluates over pre-carried selector samples. Compiler instances
+      * are per-query and single-threaded; rangeInput saves/restores around
+      * nested evals. */
+    private var selectorSubs: List[(Selector, DataFrame)] = Nil
 
     /** extra scan lookback needed below `e` (range selectors widen the scan).
       * A subquery with a staleness-carrying inner also widens by the
@@ -438,8 +435,11 @@ object PromQL {
     private def lookback(e: Expr): Long = e match {
       case Range(_, d)       => d
       case Subquery(inner, d, _) =>
-        d + lookback(inner) +
-          (if (carryTransparent(inner)) LookbackDeltaMs else 0L)
+        val carries = inner match {
+          case _: Selector => true
+          case e2          => instantSelectors(e2).nonEmpty
+        }
+        d + lookback(inner) + (if (carries) LookbackDeltaMs else 0L)
       case Call(_, args)     => if (args.isEmpty) 0L else args.map(lookback).max
       case Agg(_, _, _, a, _) => lookback(a)
       case BinOp(_, l, r, _, _) => math.max(lookback(l), lookback(r))
@@ -759,13 +759,11 @@ object PromQL {
 
     private def eval(e: Expr, g: QueryGrid): DataFrame = e match {
       case s: Selector =>
-        // a subquery's carry-transparent chain evaluates over the PRE-CARRIED
-        // selector frame (rangeInput) — reference identity pins the exact
-        // AST node, so sibling selectors elsewhere in the query are untouched
-        selectorSub match {
-          case Some((s0, df)) if s0 eq s => df
-          case _                         => selectorDF(s, g)
-        }
+        // a subquery's computed inner evaluates over PRE-CARRIED selector
+        // frames (rangeInput) — reference identity pins the exact AST
+        // nodes, so sibling selectors elsewhere in the query are untouched
+        selectorSubs.collectFirst { case (s0, df) if s0 eq s => df }
+          .getOrElse(selectorDF(s, g))
       case Range(s, _) => selectorDF(s, g)
 
       case Agg(op, by, param, a, wo) =>
@@ -1253,29 +1251,32 @@ object PromQL {
         val stepMs = if (step <= 0) grid.stepMs else step
         // Prometheus evaluates the inner expression AT each step instant.
         // A plain selector reads its raw samples once and re-grids with the
-        // lookback-delta staleness carry. A pointwise chain over one
-        // selector carries the SELECTOR first, then applies the chain per
-        // instant (carry-then-transform — output-carry would wrongly revive
-        // a filtered-out instant's older passing value). Any other computed
-        // inner is re-evaluated on the subquery's own epoch-aligned instant
-        // grid — a rate inner computes its window at every subquery instant
-        // instead of being quantized to the outer step — with no carry of
-        // its output, matching Prometheus.
+        // lookback-delta staleness carry. A computed inner is re-evaluated
+        // on the subquery's own epoch-aligned instant grid with every
+        // INSTANT-position selector below it replaced by its carried frame
+        // — carry-then-transform, exactly Prometheus's order: arithmetic,
+        // filters (a fresh failing sample masks the older passing one),
+        // aggregations and vector matching all see the carried values.
+        // Range-selector inputs (rate windows) keep raw samples, and
+        // range-function OUTPUTS never carry — an empty window yields
+        // nothing, matching Prometheus.
         def gSub = QueryGrid(
           Math.floorDiv(g.startMs, stepMs) * stepMs, g.endMs, stepMs)
         inner match {
           case _: Selector =>
             (resample(eval(inner, g), stepMs, g, carry = true), d)
-          case _ => chainSelector(inner) match {
-            case Some(sel) =>
-              val carried = resample(eval(sel, g), stepMs, g, carry = true)
-              val saved = selectorSub
-              selectorSub = Some((sel, carried))
-              try (eval(inner, gSub), d)
-              finally selectorSub = saved
-            case None =>
+          case _ =>
+            val sels = instantSelectors(inner)
+            if (sels.isEmpty)
               (resample(eval(inner, gSub), stepMs, g, carry = false), d)
-          }
+            else {
+              val subs = sels.map(s =>
+                s -> resample(eval(s, g), stepMs, g, carry = true))
+              val saved = selectorSubs
+              selectorSubs = subs ++ saved
+              try (eval(inner, gSub), d)
+              finally selectorSubs = saved
+            }
         }
       case _ => throw PromParseError("expected range selector m[d] or subquery expr[d:s]")
     }

@@ -476,6 +476,33 @@ object PromX extends QueryPack {
        |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
        |FROM v WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
 
+  /** Aggregated subquery inner with staleness: `sum(error{user=~"3|4"})`
+    * is evaluated per subquery instant with EACH input series carried up to
+    * the lookback delta before summing — Prometheus's order (carry per
+    * selector series, then combine). The oracle carries per usr with an
+    * ASOF join (MATERIALIZED — see [[qSubqueryStaleComputed]]), sums the
+    * carried values per instant through DECIMAL, and windows the result. */
+  private def qSubqueryStaleAgg(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid,
+      """sum_over_time(sum(error{user=~"3|4"})[1d:6h])""",
+      lookbackDeltaMs = staleDelta))
+  private val qSubqueryStaleAggSql = withSG(
+    s""", i AS (SELECT usr, ts AS ti, value FROM g
+       |        WHERE etype = 'error' AND usr IN ('3', '4')),
+       |sp AS (SELECT usr,
+       |         unnest(generate_series(min(ti),
+       |           LEAST(max(ti) + $staleDelta, ${grid.alignedEndMs}),
+       |           ${grid.stepMs})) AS t
+       |       FROM i GROUP BY usr),
+       |c AS MATERIALIZED (SELECT sp.usr, sp.t, i.value, i.ti
+       |      FROM sp ASOF JOIN i ON sp.usr = i.usr AND i.ti <= sp.t),
+       |v AS (SELECT usr, t, value FROM c WHERE t - ti < $staleDelta),
+       |s2 AS (SELECT t, ${dsum("value")} AS value FROM v GROUP BY t)
+       |SELECT '' AS series, t AS ts,
+       |  CAST(sum(CAST(value AS DECIMAL(38,9))) OVER (ORDER BY t
+       |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+       |FROM s2 WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
@@ -503,5 +530,7 @@ object PromX extends QueryPack {
     QueryDef("promql_avg_without", qAvgWithout, Some(qAvgWithoutSql)),
     QueryDef("promql_subquery_stale", qSubqueryStale, Some(qSubqueryStaleSql)),
     QueryDef("promql_subquery_stale_computed", qSubqueryStaleComputed,
-      Some(qSubqueryStaleComputedSql)))
+      Some(qSubqueryStaleComputedSql)),
+    QueryDef("promql_subquery_stale_agg", qSubqueryStaleAgg,
+      Some(qSubqueryStaleAggSql)))
 }

@@ -408,6 +408,25 @@ class PromQLSpec extends SparkTestBase {
     assert(out("dc:x,name:h") == Seq(S(50), N, N, N, N, N, N, N, N, N))
   }
 
+  test("aggregated subquery inners carry each input selector before combining") {
+    // sum(h)[2m:1m] with two series sampled at different minutes: Prometheus
+    // carries EACH series up to the delta, then sums the carried values per
+    // instant. h{a}=10 at grid minute 1 only, h{b}=5 at minute 2 only, so a
+    // is visible at instants 1–5 (minute 6 sits exactly 5m away — excluded)
+    // and b at instants 2–6: sums are 10, then 15 ×4, then 5 at instant 6.
+    // Slot-bounded evaluation (no input carry) would sum only co-instant
+    // samples: 10, 5, then nothing.
+    val holes = samplesDF(
+      series("name:h,dc:a", Seq(S(10), N, N, N, N, N, N, N, N, N)) ++
+      series("name:h,dc:b", Seq(N, S(5), N, N, N, N, N, N, N, N)))
+    val inner = toGolden(PromQL.query(spark, holes, g, "max_over_time(sum(h)[2m:1m])"))
+    // max_over_time over the trailing 2m of the summed instants (emitting,
+    // per the engine convention, at the inner-output instants 1–6):
+    //   t1: 10; t2–t5: 15; t6: window {15, 15, 5} → 15
+    assert(inner("") == Seq(S(10), S(15), S(15), S(15), S(15), S(15), N, N, N, N),
+      s"got ${inner("")}")
+  }
+
   test("range-function inners never carry: an empty window yields nothing") {
     // rate(h[2m])[4m:1m]: rate needs two samples in its window; once the
     // window moves past the data, instants stay empty — Prometheus never
