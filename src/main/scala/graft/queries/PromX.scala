@@ -503,6 +503,62 @@ object PromX extends QueryPack {
        |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
        |FROM s2 WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
 
+  // ---- changes: same pair-count window shape as resets, <> flag ------------
+  private def qChanges(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "changes(click[13h])"))
+  private val qChangesSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts,
+       |    CASE WHEN lag(value) OVER pw IS NOT NULL AND value <> lag(value) OVER pw
+       |         THEN 1.0 ELSE 0.0 END AS f
+       |  FROM g WHERE etype = 'click'
+       |  WINDOW pw AS (PARTITION BY usr ORDER BY ts))
+       |SELECT 'name:click,user:' || usr AS series, ts,
+       |  sum(f) OVER fw - arg_min(f, ts) OVER fw AS value
+       |FROM l
+       |WINDOW fw AS (PARTITION BY usr ORDER BY ts
+       |              RANGE BETWEEN 46800000 PRECEDING AND CURRENT ROW) $ord""".stripMargin)
+
+  // ---- deriv: least-squares slope over the trailing window -----------------
+  // same covar_pop/var_pop one-pass moments on both engines; the 6-decimal
+  // round absorbs ~1e-12 summation-order noise (same guard as predict_linear)
+  private def qDeriv(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """deriv(view{user="4"}[2d])"""))
+      .withColumn("value", round(col("value"), 6))
+  private val qDerivSql = withSG(
+    s""", v AS (
+       |  SELECT usr, ts, value,
+       |    count(value) OVER w AS n,
+       |    covar_pop(value, ts / 1000.0) OVER w AS cxy,
+       |    var_pop(ts / 1000.0) OVER w AS vx
+       |  FROM g WHERE etype = 'view' AND usr = '4'
+       |  WINDOW w AS (ORDER BY ts RANGE BETWEEN 172800000 PRECEDING AND CURRENT ROW))
+       |SELECT 'name:view,user:4' AS series, ts, round(cxy / vx, 6) AS value
+       |FROM v WHERE n >= 2 $ord""".stripMargin)
+
+  // ---- quantile_over_time: exact linear-interpolation percentile -----------
+  // Spark `percentile` and DuckDB `quantile_cont` both interpolate linearly;
+  // the 6-decimal round absorbs the formula's float-order difference
+  private def qQuantileOverTime(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "quantile_over_time(0.9, click[1d])"))
+      .withColumn("value", round(col("value"), 6))
+  private val qQuantileOverTimeSql = withSG(
+    s"""SELECT 'name:click,user:' || usr AS series, ts,
+       |  round(quantile_cont(value, 0.9) OVER (PARTITION BY usr ORDER BY ts
+       |    RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW), 6) AS value
+       |FROM g WHERE etype = 'click' $ord""".stripMargin)
+
+  // ---- present_over_time: densified 1.0 wherever the window holds a sample -
+  private def qPresent(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, """present_over_time(error{user="3"}[1d])"""))
+  private val qPresentSql = withSG(
+    s""", i AS (SELECT ts FROM g WHERE etype = 'error' AND usr = '3'),
+       |sp AS (SELECT unnest(generate_series(${grid.startMs},
+       |         ${grid.alignedEndMs}, ${grid.stepMs})) AS t)
+       |SELECT 'name:error,user:3' AS series, t AS ts, 1.0 AS value
+       |FROM sp WHERE EXISTS (SELECT 1 FROM i
+       |  WHERE i.ts BETWEEN t - 86400000 AND t) $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
@@ -532,5 +588,10 @@ object PromX extends QueryPack {
     QueryDef("promql_subquery_stale_computed", qSubqueryStaleComputed,
       Some(qSubqueryStaleComputedSql)),
     QueryDef("promql_subquery_stale_agg", qSubqueryStaleAgg,
-      Some(qSubqueryStaleAggSql)))
+      Some(qSubqueryStaleAggSql)),
+    QueryDef("promql_changes", qChanges, Some(qChangesSql)),
+    QueryDef("promql_deriv", qDeriv, Some(qDerivSql)),
+    QueryDef("promql_quantile_over_time", qQuantileOverTime,
+      Some(qQuantileOverTimeSql)),
+    QueryDef("promql_present_over_time", qPresent, Some(qPresentSql)))
 }

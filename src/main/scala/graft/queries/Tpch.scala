@@ -470,6 +470,58 @@ object Tpch extends QueryPack {
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.format(
       sqlSum("c_acctbal"), sqlAvg("c_acctbal"))
 
+  /** Q21-shape — suppliers who were the ONLY late supplier on a finished
+    * multi-supplier order (adapted: the synthetic lineitem carries no
+    * receipt/commit dates, so "late" = shipped more than 60 days after the
+    * order date). The relational shape is the point: ONE pass flags the
+    * fact rows, then the flagged set is semi-joined (another supplier
+    * exists on the order) AND anti-joined (no OTHER supplier was late)
+    * against itself on the order key — the exists/not-exists double
+    * self-correlation no other query here exercises. Both self-joins are
+    * hash equi-joins on l_orderkey with a residual supplier-inequality
+    * filter; the flagged frame is computed once and reused, never
+    * re-derived per branch. */
+  private def q21(spark: SparkSession, sf: String): DataFrame = {
+    val f = Tables.orders(spark, sf).where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val flagged = Tables.lineitem(spark, sf)
+      .join(f, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val l1 = flagged.where(col("late"))
+    val other = flagged
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val otherLate = l1
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    l1
+      .join(other,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(otherLate,
+        col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val q21Sql =
+    """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+      |l AS (SELECT l_orderkey, l_suppkey,
+      |        l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |      FROM lineitem JOIN f ON l_orderkey = o_orderkey),
+      |l1 AS (SELECT * FROM l WHERE late)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM l l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("tpch_q1_pricing", q1, Some(q1Sql)),
     QueryDef("tpch_q3_topn_join", q3, Some(q3Sql)),
@@ -488,5 +540,6 @@ object Tpch extends QueryPack {
     QueryDef("tpch_q17_small_qty", q17, Some(q17Sql)),
     QueryDef("tpch_q19_disjunctive", q19, Some(q19Sql)),
     QueryDef("tpch_q22_inactive", q22, Some(q22Sql)),
-    QueryDef("tpch_q8_market_share", q8, Some(q8Sql)))
+    QueryDef("tpch_q8_market_share", q8, Some(q8Sql)),
+    QueryDef("tpch_q21_waiting", q21, Some(q21Sql)))
 }

@@ -291,6 +291,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("clusterPairs equals a serial union-find on random graphs") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = touched.groupBy(id => find(id.toInt))
+      val expected = byRoot.values.flatMap { members =>
+        val cl = members.min
+        members.map(_ -> cl)
+      }.toMap
+      val got = Dedup.clusterPairs(edges.toDF("doc_id_a", "doc_id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: ${got.toSeq.sorted.take(8)}… vs expected")
+    }
+  }
+
   test("multimodal feature extraction decodes real PPM/WAV payloads") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("payload").dataType.typeName == "binary")
