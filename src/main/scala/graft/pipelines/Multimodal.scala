@@ -157,14 +157,17 @@ object Multimodal {
     var i = 12
     var sampleRate = 0; var bits = 0; var fmt = 0
     var dataOff = -1; var dataLen = 0
-    while (i + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
+    while (i >= 0 && i + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
       val sz = le32(i + 4)
       if (ascii(i, "fmt ") && i + 24 <= b.length) {
         fmt = le16(i + 8); sampleRate = le32(i + 12); bits = le16(i + 22)
       } else if (ascii(i, "data")) {
-        dataOff = i + 8; dataLen = math.min(sz, b.length - dataOff)
+        dataOff = i + 8; dataLen = math.min(math.max(sz, 0), b.length - dataOff)
       }
-      i += 8 + sz + (sz & 1) // chunks are word-aligned
+      // a malformed/truncated size field must stop the walk, not overflow
+      // the cursor into a negative index
+      i = if (sz < 0 || sz > b.length) b.length
+          else i + 8 + sz + (sz & 1) // chunks are word-aligned
     }
     if (fmt != 1 || bits != 16 || sampleRate <= 0 || dataOff < 0) return None
     val n = dataLen / 2

@@ -375,5 +375,15 @@ class PipelineSpec extends SparkTestBase {
       .head()
     assert(cut.getAs[String]("format_detected") == "ppm")
     assert(cut.getAs[Long]("n_samples") == 6L)
+    // malformed RIFF sizes (huge/negative chunk length) must fall back to
+    // raw, never crash or walk a negative cursor
+    val evil = wav.clone()
+    evil(4) = 0xff.toByte; evil(5) = 0xff.toByte; evil(6) = 0xff.toByte; evil(7) = 0x7f.toByte
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte  // fmt chunk size = Int.MaxValue-ish
+    val mal = Multimodal.extractFeatures(
+        Seq((8L, "audio", evil)).toDF("media_id", "modality", "payload"))
+      .head()
+    assert(mal.getAs[String]("format_detected") == "raw")
   }
 }
