@@ -187,6 +187,8 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
     case NumArg(v) => if (v == v.floor) v.toLong.toString else v.toString
     case DurArg(m) => m.toString
     case RefArg(n) => n
+    case PipeArg(_) => throw new IllegalArgumentException(
+      "a parenthesized pipeline is not valid in string-argument position")
   }
   private def strings(args: List[Arg]): Seq[String] = args.map(str)
 

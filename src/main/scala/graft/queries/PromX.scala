@@ -559,6 +559,33 @@ object PromX extends QueryPack {
        |FROM sp WHERE EXISTS (SELECT 1 FROM i
        |  WHERE i.ts BETWEEN t - 86400000 AND t) $ord""".stripMargin)
 
+  // ---- holt_winters: double exponential smoothing over the window ----------
+  // The engine folds the window's sample array (init s=x1, b=x2-x1, then
+  // every element from x2 on updates s/b). The oracle replays the same fold
+  // as a recursive CTE over the per-instant window arrays; identical
+  // expression order, 6-decimal round absorbing float noise.
+  private def qHoltWinters(s: SparkSession, sf: String): DataFrame =
+    flat(run(s, sf, "holt_winters(click[1d], 0.3, 0.1)"))
+      .withColumn("value", round(col("value"), 6))
+  private val qHoltWintersSql =
+    s"""WITH RECURSIVE $sCte, $gCte,
+       |w AS (
+       |  SELECT usr, ts,
+       |    list(value) OVER (PARTITION BY usr ORDER BY ts
+       |      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS larr
+       |  FROM g WHERE etype = 'click'),
+       |r AS (
+       |  SELECT usr, ts, larr, 1 AS i,
+       |    larr[1] AS s, larr[2] - larr[1] AS b
+       |  FROM w WHERE len(larr) >= 2
+       |  UNION ALL
+       |  SELECT usr, ts, larr, i + 1,
+       |    0.3 * larr[i + 1] + (1 - 0.3) * (s + b),
+       |    0.1 * ((0.3 * larr[i + 1] + (1 - 0.3) * (s + b)) - s) + (1 - 0.1) * b
+       |  FROM r WHERE i < len(larr))
+       |SELECT 'name:click,user:' || usr AS series, ts, round(s, 6) AS value
+       |FROM r WHERE i = len(larr) $ord""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
@@ -593,5 +620,6 @@ object PromX extends QueryPack {
     QueryDef("promql_deriv", qDeriv, Some(qDerivSql)),
     QueryDef("promql_quantile_over_time", qQuantileOverTime,
       Some(qQuantileOverTimeSql)),
-    QueryDef("promql_present_over_time", qPresent, Some(qPresentSql)))
+    QueryDef("promql_present_over_time", qPresent, Some(qPresentSql)),
+    QueryDef("promql_holt_winters", qHoltWinters, Some(qHoltWintersSql)))
 }
