@@ -79,7 +79,14 @@ class DifferentialSpec extends SparkTestBase {
     "limitk(1, m)",
     "limit_ratio(0.5, m)",
     """sort_by_label(m, "dc")""",
-    "double_exponential_smoothing(m[5m], 0.5, 0.5)")
+    "double_exponential_smoothing(m[5m], 0.5, 0.5)",
+    // the round-7 carried-subquery paths: selector carry, carried pointwise
+    // chain with a filter, carried aggregation, and a no-carry rate inner —
+    // all ride per-series windows + joins that must not depend on layout
+    "sum_over_time(m[2m:1m])",
+    "sum_over_time((m * 2 > 8)[2m:1m])",
+    "max_over_time(sum(m)[2m:1m])",
+    "max_over_time(rate(m[2m])[4m:1m])")
 
   private def runProm(partitions: Int,
                       aqe: Boolean = true): Seq[Map[String, Seq[Option[Double]]]] = {
