@@ -1032,8 +1032,16 @@ object PromQL {
         case "absent" =>
           absentDF(one(args, g), args.head, g, None)
         case "absent_over_time" =>
-          val Range(s, d) = requireRange(args)
-          absentDF(selectorDF(s, g), s, g, Some(d))
+          // accepts a subquery argument like Prometheus: the inner is
+          // evaluated per instant (with selector carry) and absence is
+          // judged over the produced instants; label synthesis falls back
+          // to the inner's selector when it has one
+          val (in, d) = rangeInput(args.head, g)
+          absentDF(in, args.head match {
+            case Range(s, _)           => s
+            case Subquery(inner, _, _) => inner
+            case other                 => other
+          }, g, Some(d))
         case "vector" =>
           args.headOption.flatMap(scalarOf) match {
             case Some(v) => constVector(g, lit(v))
@@ -1236,10 +1244,6 @@ object PromQL {
     }
 
     private def one(args: List[Expr], g: QueryGrid): DataFrame = eval(args.head, g)
-    private def requireRange(args: List[Expr]): Range = args.head match {
-      case r: Range => r
-      case _        => throw PromParseError("expected range selector m[d]")
-    }
 
     /** Range-vector input for window functions: a plain range selector, or a
       * subquery whose inner expression is re-gridded onto the subquery step

@@ -427,6 +427,15 @@ class PromQLSpec extends SparkTestBase {
       s"got ${inner("")}")
   }
 
+  test("absent_over_time accepts a subquery and sees the staleness carry") {
+    // one sample at minute 1 carries to instants 1–5; absence begins once
+    // the trailing 2m window slides past the last carried instant (5m)
+    val holes = samplesDF(series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g, "absent_over_time(h[2m:1m])"))
+    assert(out("name:h") ==
+      Seq(N, N, N, N, N, N, N, S(1), S(1), S(1)), s"got ${out("name:h")}")
+  }
+
   test("range-function inners never carry: an empty window yields nothing") {
     // rate(h[2m])[4m:1m]: rate needs two samples in its window; once the
     // window moves past the data, instants stay empty — Prometheus never
