@@ -427,6 +427,18 @@ class PromQLSpec extends SparkTestBase {
       s"got ${inner("")}")
   }
 
+  test("nested subqueries: inner carries, outer re-grids the computed result") {
+    // h has one sample (minute 1, v10); the INNER subquery carries it to
+    // instants 1–5 and sums trailing 2m (10,20,30,30,30); the OUTER
+    // subquery re-evaluates that computed expression per instant with no
+    // output carry, and the outer max window reads the produced instants.
+    val holes = samplesDF(series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g,
+      "max_over_time((sum_over_time(h[2m:1m]))[4m:1m])"))
+    assert(out("dc:x,name:h") ==
+      Seq(S(10), S(20), S(30), S(30), S(30), N, N, N, N, N), s"got ${out("dc:x,name:h")}")
+  }
+
   test("absent_over_time accepts a subquery and sees the staleness carry") {
     // one sample at minute 1 carries to instants 1–5; absence begins once
     // the trailing 2m window slides past the last carried instant (5m)
