@@ -20,6 +20,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-round clusterPairs breakdown on stderr, so a slow dedup_cluster_*
+    // line in this bench attributes its cost round by round
+    spark.conf.set("graft.clusterPairs.log", "true")
     // warmup: initialize codegen/parquet/JIT paths outside the timed region,
     // and materialize + verify the persisted derived inputs the m3 queries
     // reuse (count() forces every partition into the cache before timing)
@@ -46,33 +49,49 @@ object Bench {
     // disagree by >1.5x (i.e. one of them likely hit contention). The min is
     // the engine's number; the first-pass sum is also emitted for
     // transparency (value_single_pass).
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // each run also captures its shuffle/spill byte deltas (MetricsTap), so
+    // cross-round drift is attributable: wall time up with flat bytes = host
+    // noise; spill bytes up = a real plan/memory regression. The settling
+    // poll runs AFTER the clock stops, so it never inflates the timing.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, graft.core.MetricsTap.Snap) = {
+      val m0 = graft.core.MetricsTap.snapshot(spark)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, graft.core.MetricsTap.settled(spark) - m0)
     }
     val runs = SparkEntry.queries.toSeq.sortBy(q => (family(q._1), q._1))
       .map { case (name, fn) =>
         val a = once(fn)
         val b = once(fn)
-        val times =
-          if (math.max(a, b) / math.max(math.min(a, b), 1e-9) > 1.5)
+        val timed =
+          if (math.max(a._1, b._1) / math.max(math.min(a._1, b._1), 1e-9) > 1.5)
             Seq(a, b, once(fn))
           else Seq(a, b)
-        (name, times.min, a, times)
+        val best = timed.minBy(_._1)
+        (name, best._1, a._1, timed.map(_._1), best._2)
       }
-    val results = runs.map { case (n, m, _, _) => (n, m) }
+    val results = runs.map { case (n, m, _, _, _) => (n, m) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // every individual timed pass, so a reader can tell "min of agreeing
     // runs" from "min of runs that all hit the same sustained contention"
-    val runsJson = runs.map { case (n, _, _, ts) =>
+    val runsJson = runs.map { case (n, _, _, ts, _) =>
       s"\"" + n + "\":[" + ts.map(t => f2(t)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // shuffle/spill bytes of the run that produced each query's min — the
+    // attribution channel: a min that rises round-over-round with flat bytes
+    // is host contention, one whose spill grows is a real regression
+    val ioJson = runs.map { case (n, _, _, _, io) =>
+      s"\"" + n + s"""\":{"shuffle_bytes":${io.shuffleBytes},"spill_bytes":${io.spillBytes}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val singlePass = if (runs.nonEmpty) runs.map(_._3).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_single_pass":$singlePass,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    val shuffleTotal = runs.map(_._5.shuffleBytes).sum
+    val spillTotal = runs.map(_._5.spillBytes).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_single_pass":$singlePass,"queries":$qs,"runs":$runsJson,"io":$ioJson,"shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,"sf":"$sfDir"}"""
     // full-precision line first, for any consumer that captures whole stdout
     Console.out.println(line)
     // the harness keeps only a ~2KB tail of stdout, so the LAST emitted line
@@ -87,6 +106,7 @@ object Bench {
     val omitted = results.size - keep.size
     Console.out.println(
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","value_single_pass":${f2(singlePass)},""" +
+        s""""shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,""" +
         s""""queries":$compactQs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     Console.out.flush()
     graft.core.Memo.clearSession(spark)

@@ -163,6 +163,22 @@ object Dist {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Release a RELIABLY-checkpointed frame (`df.checkpoint(eager=true)`):
+    * unpersist its blocks and delete its checkpoint files. Same caveat as
+    * [[freeLocalCheckpoint]] — once the files are gone the frame cannot be
+    * read again, so call only on frames no later computation touches. */
+  def freeReliableCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
 
 /** Session-scoped memo of persisted derived DataFrames. Every instance
@@ -186,8 +202,11 @@ final class Memo[K] {
   * with `sameResult` on every hit, so a hash collision between two different
   * corpus plans costs at worst a second build, never serves the wrong index.
   * `free` releases a value's persisted frames when [[Memo.clearSession]]
-  * evicts the session. Builds run under the cache lock: index builds are
-  * one-time per (session, corpus, params) and callers are sequential. */
+  * evicts the session. Builds run OUTSIDE the cache lock (they can trigger
+  * multi-job Spark work, e.g. IVF k-means — holding the lock would serialize
+  * unrelated corpora and sessions on the same memo); two concurrent
+  * first-callers of the same key may both build, the loser's copy is freed
+  * and the winner's is shared from then on. */
 final class PlanMemo[K, V](free: V => Unit) {
   private val m = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, Int, K),
@@ -196,14 +215,23 @@ final class PlanMemo[K, V](free: V => Unit) {
     m.keys.filter(_._1 eq s).foreach(k =>
       m.remove(k).foreach(_.foreach { case (_, v) => free(v) }))
   }
-  def apply(src: DataFrame, key: K)(build: => V): V = synchronized {
+  def apply(src: DataFrame, key: K)(build: => V): V = {
     val plan = src.queryExecution.analyzed
     val bucket = (src.sparkSession, plan.semanticHash(), key)
-    val entries = m.getOrElse(bucket, Nil)
-    entries.collectFirst { case (p, v) if p.sameResult(plan) => v }.getOrElse {
+    def lookup(): Option[V] = synchronized {
+      m.getOrElse(bucket, Nil)
+        .collectFirst { case (p, v) if p.sameResult(plan) => v }
+    }
+    lookup().getOrElse {
       val v = build
-      m.update(bucket, (plan, v) :: entries)
-      v
+      synchronized {
+        // re-check under the lock: another thread may have won the build race
+        m.getOrElse(bucket, Nil)
+          .collectFirst { case (p, v0) if p.sameResult(plan) => v0 } match {
+          case Some(winner) => free(v); winner
+          case None => m.update(bucket, (plan, v) :: m.getOrElse(bucket, Nil)); v
+        }
+      }
     }
   }
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructType}
 
 /** Native Catalyst expression for the embedding hot loop: dot product of two
   * ARRAY<FLOAT> columns in double precision, with whole-stage codegen.
@@ -19,6 +20,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+
+  // fail wrong-typed raw-SQL arguments at ANALYSIS time, not with a runtime
+  // ClassCastException / codegen compile error inside the scan loop
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+        e.dataType.asInstanceOf[ArrayType].elementType != FloatType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"argument ${i + 1} of $prettyName must be ARRAY<FLOAT>, got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,6 +80,29 @@ case class Sq8Cosine(first: Expression, second: Expression, third: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq8_cosine"
+
+  // analysis-time typing for raw-SQL callers (matches FloatDotProduct): the
+  // stats struct needs exactly two DOUBLE fields; field NAMES are free so a
+  // struct(mn, step) built under any aliases is accepted
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arrayOf(e: Expression, el: DataType => Boolean): Boolean = e.dataType match {
+      case ArrayType(t, _) => el(t)
+      case _ => false
+    }
+    if (!arrayOf(first, _ == IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        s"argument 1 of $prettyName must be ARRAY<INT>, got ${first.dataType.sql}")
+    else if (!arrayOf(second, _ == FloatType))
+      TypeCheckResult.TypeCheckFailure(
+        s"argument 2 of $prettyName must be ARRAY<FLOAT>, got ${second.dataType.sql}")
+    else if (!arrayOf(third, {
+      case s: StructType => s.fields.length == 2 && s.fields.forall(_.dataType == DoubleType)
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"argument 3 of $prettyName must be ARRAY<STRUCT<DOUBLE, DOUBLE>>, got ${third.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(c0: Any, q0: Any, s0: Any): Any = {
     val c = c0.asInstanceOf[ArrayData]

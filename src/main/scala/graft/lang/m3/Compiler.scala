@@ -169,7 +169,7 @@ final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid) {
   private def routedSummarize(filters: Seq[Fetch.LabelFilter], st: StageCall,
                               widened: QueryGrid): Option[(DataFrame, StepMeta)] = {
     import graft.streaming.Rollup
-    Rollup.tier(spark).flatMap { case (rolled, bucketMs) =>
+    Rollup.tierFor(spark, samples).flatMap { case (rolled, bucketMs) =>
       val (interval, agg, alignToFrom) = summarizeArgs(st)
       val aligned = interval > 0 && interval % bucketMs == 0 &&
         widened.startMs % interval == 0 && widened.endMs % interval == 0

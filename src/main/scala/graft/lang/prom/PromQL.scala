@@ -75,7 +75,13 @@ import scala.collection.mutable.ListBuffer
   * Prometheus's order (carry per selector, then combine), while
   * range-selector inputs keep raw samples and range-function outputs never
   * carry (`rate(m[5m])[30m:1m]` computes its window at every instant and
-  * an empty window yields nothing).
+  * an empty window yields nothing). The carried-inner claim is scoped to
+  * inners whose non-selector leaves are pointwise/aggregation/vector-match
+  * nodes: an inner MIXING a carried instant selector with a range-function
+  * output (`(m1 + rate(m2[5m]))[30m:1m]`) combines them at coincident
+  * instants only, because range functions emit at input-sample instants
+  * (the engine-wide emission rule) while the carried side emits at subquery
+  * step instants — pinned in PromQLSpec.
   */
 object PromQL {
 
@@ -507,7 +513,7 @@ object PromQL {
     private val RollupOverTime = Set("sum", "avg", "count", "min", "max", "last")
     private def overTimeFromRollup(s: Selector, d: Long, agg: String,
                                    g: QueryGrid): Option[DataFrame] =
-      graft.streaming.Rollup.tier(spark).flatMap { case (rolled, bucketMs) =>
+      graft.streaming.Rollup.tierFor(spark, samples).flatMap { case (rolled, bucketMs) =>
         val aligned = d % bucketMs == 0 && g.stepMs % bucketMs == 0 &&
           Math.floorMod(g.startMs, bucketMs) == 0 &&
           s.offsetMs % bucketMs == 0
@@ -1263,7 +1269,12 @@ object PromQL {
         // aggregations and vector matching all see the carried values.
         // Range-selector inputs (rate windows) keep raw samples, and
         // range-function OUTPUTS never carry — an empty window yields
-        // nothing, matching Prometheus.
+        // nothing, matching Prometheus. SCOPE: this parity claim covers
+        // inners whose non-selector leaves are pointwise/aggregation/
+        // vector-match nodes; an inner mixing a carried selector with a
+        // range-function output joins step instants against sample-instant
+        // emissions, surviving only where they coincide (header divergence
+        // note; pinned in PromQLSpec).
         def gSub = QueryGrid(
           Math.floorDiv(g.startMs, stepMs) * stepMs, g.endMs, stepMs)
         inner match {

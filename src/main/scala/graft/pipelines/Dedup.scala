@@ -236,29 +236,56 @@ object Dedup {
     * the final step of a training-data dedup pipeline, turning pairwise
     * matches into groups so all-but-one member can be dropped.
     *
-    * Distributed min-label propagation with POINTER JUMPING: each round every
+    * Distributed min-label propagation with POINTER DOUBLING: each round every
     * node takes the smallest cluster id among itself and its direct
-    * neighbors, then follows its cluster pointer one hop
-    * (cluster := cluster(cluster)). The jump halves pointer chains, so a
-    * path component of length L converges in O(log L) rounds, not O(L) —
-    * the property that makes this viable on a 100TB pair graph (each round
-    * is a bounded set of hash joins on node id; nothing is ever collected).
+    * neighbors, then follows its cluster pointer two hops through the
+    * PREVIOUS round's materialized label map (cluster := labels(cluster),
+    * twice). Jumping against the previous generation is the textbook
+    * pointer-doubling recurrence p' = p∘p: a path component of length L
+    * converges in O(log L) rounds, not O(L), and — because the pointer map
+    * is already materialized — the whole round is ONE linear join chain
+    * with a SINGLE eager checkpoint at its end. (The earlier formulation
+    * jumped through the freshly-stepped frame, which self-joins its own
+    * unmaterialized output and therefore forced three checkpoints per
+    * round; under a memory-pressured host that tripled materialization
+    * traffic was the dominant cost of the loop.)
     * Cost controls (the loop's price is rounds × materializations, not the
     * join math): labels are SEEDED with the neighborhood minimum
     * (min of self and direct neighbors — one aggregate over the edge set),
     * which collapses clique-shaped components (the typical LSH bucket
-    * output) to their final label before the loop even starts; every round
-    * checkpoints eagerly and probes convergence with a `limit(1).count()`
-    * over the convergence flag checkpointed WITH the frame — a local-block
-    * scan, not a recomputation — so a clique graph exits after the single
-    * round that confirms the seed. At cluster scale you would checkpoint to
-    * reliable storage instead; the driver loop is the standard Pregel
-    * shape, NOT a per-row driver operation.
+    * output) to their final label before the loop even starts; the
+    * convergence flag rides INSIDE the checkpointed frame so the
+    * `limit(1).count()` probe is a local-block scan, not a recomputation —
+    * a clique graph exits after the single round that confirms the seed.
+    *
+    * Durability: by default rounds materialize via `localCheckpoint`
+    * (executor-local blocks — fastest, but NOT fault-tolerant: losing an
+    * executor after a round completes loses blocks no lineage can rebuild,
+    * killing the job). Pass `checkpointDir` to switch every round to a
+    * reliable `checkpoint` into that directory: each round's labels are
+    * written to (replicated/remote) storage and survive executor loss, at
+    * the price of a filesystem round-trip per round — the right trade on
+    * preemptible 100TB clusters. Superseded rounds are freed either way
+    * (blocks unpersisted / checkpoint files deleted) so the loop holds at
+    * most one live round.
+    *
+    * Per-round wall time and shuffle/spill byte deltas are printed to stderr
+    * when the session conf `graft.clusterPairs.log` is `true` (Bench sets
+    * it), so a slow run attributes its cost round by round.
     *
     * Returns (node, cluster) for every node that appears in a pair; cluster
     * is the component's minimum node id. */
   def clusterPairs(pairs: DataFrame, aCol: String = "doc_id_a", bCol: String = "doc_id_b",
-                   maxIters: Int = 25): DataFrame = {
+                   maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val logRounds = spark.conf.getOption("graft.clusterPairs.log").contains("true")
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isDefined) graft.core.Dist.freeReliableCheckpoint(df)
+      else graft.core.Dist.freeLocalCheckpoint(df)
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     // persisted HASH-PARTITIONED on the per-round join key: the cached scan
     // reports hashpartitioning(b), so every round's sym⋈labels join reuses it
@@ -270,59 +297,54 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // neighborhood-min seed: every node of sym appears on the `a` side
     // (sym is symmetric), so one aggregate covers the whole node set
-    var labels = sym.groupBy("a").agg(min("b").as("_nmin"))
-      .select(col("a").as("node"), least(col("a"), col("_nmin")).as("cluster"))
-      .localCheckpoint(true)
-    // the checkpoint each round's `labels` reads its blocks from — freed as
-    // soon as the NEXT round's checkpoint is materialized, so the loop holds
-    // at most one live round of blocks instead of accumulating every round
-    // until driver GC (which a large heap may never run mid-bench)
-    var liveCkpt = labels
+    var labels = materialize(
+      sym.groupBy("a").agg(min("b").as("_nmin"))
+        .select(col("a").as("node"), least(col("a"), col("_nmin")).as("cluster")))
     var it = 0
     var done = false
     while (!done && it < maxIters) {
+      val t0 = System.nanoTime()
+      val m0 = if (logRounds) graft.core.MetricsTap.snapshot(spark) else null
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("cluster")), Seq("b"))
         .groupBy("a").agg(min("cluster").as("_nmin"))
         .withColumnRenamed("a", "node")
-      // jump() self-joins its input, and the two sides exchange on DIFFERENT
-      // keys (node vs cluster) so Spark cannot reuse the exchange — an
-      // unmaterialized input would re-run the whole round's join tree once
-      // per side (4× for two nested jumps, the round-5 chain regression).
-      // Materialize each stage once; every join then reads local blocks.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(eager = true)
-      // TWO pointer jumps per round: each jump is one more hash join, far
-      // cheaper than another round (which pays the nbrMin join + scheduling),
-      // and it halves the round count on path-shaped components — the
-      // label-propagation worst case
-      def jump(df: DataFrame): DataFrame = df
-        .join(df.select(col("node").as("cluster"), col("cluster").as("_c2")),
-          Seq("cluster"), "left")
-        .select(col("node"), col("_old"),
-          least(col("cluster"), coalesce(col("_c2"), col("cluster"))).as("cluster"))
-      val j1 = jump(stepped).localCheckpoint(eager = true)
+      // two pointer hops through the materialized `labels` map: each hop is
+      // one more hash join against local blocks, far cheaper than another
+      // round (which pays the nbrMin join + a checkpoint + scheduling), and
+      // together they quarter the pointer chains on path-shaped components —
+      // the label-propagation worst case. Cluster ids are node ids, so the
+      // map covers every pointer value; the left join + coalesce is belt and
+      // braces for the (impossible) miss.
+      def hop(df: DataFrame, n: Int): DataFrame = {
+        val p = labels.select(col("node").as(s"_p$n"), col("cluster").as(s"_pc$n"))
+        df.join(p, df("cluster") === p(s"_p$n"), "left")
+          .select(df("node"), df("_old"),
+            least(df("cluster"), coalesce(p(s"_pc$n"), df("cluster"))).as("cluster"))
+      }
       // the convergence flag rides INSIDE the checkpointed frame, so the
       // probe below is a short-circuit scan of local blocks — not a
       // shuffle join against the previous labels
-      val jumped = jump(j1)
-        .select(col("node"), col("cluster"),
-          (col("cluster") =!= col("_old")).as("_chg"))
-        .localCheckpoint(eager = true)
-      done = jumped.where(col("_chg")).limit(1).count() == 0
-      labels = jumped.select("node", "cluster")
-      // everything upstream of the just-materialized `jumped` is dead:
-      // this round's intermediates and the previous round's checkpoint
-      graft.core.Dist.freeLocalCheckpoint(stepped)
-      graft.core.Dist.freeLocalCheckpoint(j1)
-      graft.core.Dist.freeLocalCheckpoint(liveCkpt)
-      liveCkpt = jumped
+      val next = materialize(
+        hop(hop(stepped, 1), 2)
+          .select(col("node"), col("cluster"),
+            (col("cluster") =!= col("_old")).as("_chg")))
+      done = next.where(col("_chg")).limit(1).count() == 0
+      // the previous round's checkpoint is dead once `next` is materialized
+      release(labels)
+      labels = next
       it += 1
+      if (logRounds) {
+        val d = graft.core.MetricsTap.settled(spark) - m0
+        Console.err.println(f"[clusterPairs] round=$it%d wall=${(System.nanoTime - t0) / 1e9}%.2fs " +
+          f"shuffleMB=${d.shuffleBytes / 1e6}%.1f spillMB=${d.spillBytes / 1e6}%.1f converged=$done%b")
+      }
     }
     sym.unpersist()
-    labels
+    labels.select("node", "cluster")
   }
 
   /** Keep one canonical document per near-dup cluster (the minimum id) plus

@@ -143,19 +143,35 @@ object Rollup {
     * and whose aggregate is reconstructable, the compiler reads the rollup
     * scan instead of raw samples (plan-time decision, no driver job).
     *
-    * PRECONDITION the caller owns: the tier must be rolled up from the
-    * samples the fetch serves AT THE SERVING RESOLUTION (≤ 1 sample per
-    * query-step slot — e.g. the OPTIMIZE tier output). With coarser raw
-    * data the fetch-unfold's last-wins rebucket would see different values
-    * than the rollup's direct aggregation. */
-  private val tiers =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, Long)]
+    * Dataset identity is ENFORCED (registerTier records the source frame's
+    * plan; routing checks `sameResult` against the query's samples). The
+    * remaining PRECONDITION the caller owns is resolution: the tier must be
+    * rolled AT THE SERVING RESOLUTION (≤ 1 sample per query-step slot —
+    * e.g. the OPTIMIZE tier output). With coarser raw data the
+    * fetch-unfold's last-wins rebucket would see different values than the
+    * rollup's direct aggregation. */
+  private val tiers = scala.collection.concurrent.TrieMap
+    .empty[SparkSession,
+           (DataFrame, Long, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]
   // the registry strongly pins the session + tier plan, so it must drop with
   // the session like every other session-scoped cache (Memo.clearSession is
   // what Bench/Verify call before spark.stop())
   graft.core.Memo.onClearSession(clearTier)
-  def registerTier(spark: SparkSession, rolled: DataFrame, bucketMs: Long): Unit =
-    tiers.put(spark, (rolled, bucketMs))
-  def clearTier(spark: SparkSession): Unit = tiers.remove(spark)
-  def tier(spark: SparkSession): Option[(DataFrame, Long)] = tiers.get(spark)
+  /** Register `rolled` as the serving tier for queries over `source` — the
+    * samples frame it was rolled from. The routing paths verify the query's
+    * samples against `source` with `sameResult`, so a tier rolled from a
+    * DIFFERENT dataset can never silently substitute its data for a query's
+    * (the analytic analogue of PlanMemo's verified cache hits). */
+  def registerTier(spark: SparkSession, rolled: DataFrame, bucketMs: Long,
+                   source: DataFrame): Unit =
+    tiers.put(spark, (rolled, bucketMs, source.queryExecution.analyzed))
+  def clearTier(spark: SparkSession): Unit = { tiers.remove(spark); () }
+  /** The session's tier, ONLY if it was registered for `samples` (plan
+    * identity via `sameResult`) — queries over any other frame fall back
+    * to their raw path. */
+  def tierFor(spark: SparkSession, samples: DataFrame): Option[(DataFrame, Long)] =
+    tiers.get(spark).collect {
+      case (rolled, bucketMs, src) if src.sameResult(samples.queryExecution.analyzed) =>
+        (rolled, bucketMs)
+    }
 }

@@ -427,6 +427,25 @@ class PromQLSpec extends SparkTestBase {
       s"got ${inner("")}")
   }
 
+  test("a mixed inner (carried selector + range output) combines at coincident instants only") {
+    // (h + irate(c[2m]))[2m:1m]: h (one sample, minute 0) carries to step
+    // instants 0-4; irate emits at c's SAMPLE instants with >=2 window
+    // points (minutes 1-3, value (60)/(60s)=1). The combine survives only
+    // where the two emission sets coincide — instants 1-3 (sum 11) — and
+    // NOTHING at minute 4 even though h still carries there, because
+    // range-function outputs emit at input-sample instants (the engine-wide
+    // emission rule) while Prometheus would evaluate irate's window at
+    // every subquery instant. Documented header divergence; this test pins
+    // the scoped behavior.
+    val holes = samplesDF(
+      series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)) ++
+      series("name:c,dc:x", Seq(S(0), S(60), S(120), S(180), N, N, N, N, N, N)))
+    val out = toGolden(PromQL.query(spark, holes, g,
+      "last_over_time((h + irate(c[2m]))[2m:1m])"))
+    assert(out("dc:x") == Seq(N, S(11), S(11), S(11), N, N, N, N, N, N),
+      s"got $out")
+  }
+
   test("nested subqueries: inner carries, outer re-grids the computed result") {
     // h has one sample (minute 1, v10); the INNER subquery carries it to
     // instants 1–5 and sums trailing 2m (10,20,30,30,30); the OUTER

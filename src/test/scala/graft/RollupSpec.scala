@@ -114,15 +114,19 @@ class RollupSpec extends SparkTestBase {
   test("registered tier routes fetch|summarize to the rollup scan at plan time") {
     import graft.lang.m3.M3QL
     val dir = java.nio.file.Files.createTempDirectory("graft_route").toFile.getAbsolutePath
-    Rollup.rollup(fx, bucketMs = 120000L).write.mode("overwrite").parquet(s"$dir/rollup")
+    // ONE bound frame for rollup, registration and queries: the tier is
+    // registered FOR a samples frame (plan identity via sameResult), so a
+    // fresh fixture per call would — correctly — never route
+    val src = fx
+    Rollup.rollup(src, bucketMs = 120000L).write.mode("overwrite").parquet(s"$dir/rollup")
     val rolled = spark.read.parquet(s"$dir/rollup")
     // interval-aligned query grid (start/end multiples of 2m)
     val gq = QueryGrid(120000L, 600000L, 60000L)
     val query = "fetch name:a | summarize 2m sum"
-    val raw = M3QL.query(spark, fx, gq, query)   // no tier yet — raw path
-    Rollup.registerTier(spark, rolled, 120000L)
+    val raw = M3QL.query(spark, src, gq, query)   // no tier yet — raw path
+    Rollup.registerTier(spark, rolled, 120000L, src)
     try {
-      val routed = M3QL.query(spark, fx, gq, query)
+      val routed = M3QL.query(spark, src, gq, query)
       assert(routed.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
         "aligned fetch|summarize must read the rollup parquet scan")
       def m(df: org.apache.spark.sql.DataFrame) = df
@@ -130,12 +134,17 @@ class RollupSpec extends SparkTestBase {
           col("timestamp"), col("value"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
       assert(m(routed) == m(raw), "routed answer must equal the raw-path answer")
+      // a DIFFERENT samples frame (fresh fixture) must not hit this tier,
+      // even though its data is identical — tier/query dataset mismatch
+      val other = M3QL.query(spark, fx, gq, query)
+      assert(!other.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "a tier registered for another samples frame must not serve this query")
       // misaligned start (60000 % 120000 != 0) must silently fall back to raw
-      val fallback = M3QL.query(spark, fx, g, "fetch name:a | summarize 2m sum")
+      val fallback = M3QL.query(spark, src, g, "fetch name:a | summarize 2m sum")
       assert(!fallback.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
         "misaligned grid must not read the rollup tier")
       // non-reconstructable aggregate falls back too
-      val med = M3QL.query(spark, fx, gq, "fetch name:a | summarize 2m median")
+      val med = M3QL.query(spark, src, gq, "fetch name:a | summarize 2m median")
       assert(!med.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
     } finally Rollup.clearTier(spark)
   }
@@ -146,35 +155,40 @@ class RollupSpec extends SparkTestBase {
     // bucket = the 60s sample spacing, so the tier holds one sample per
     // bucket stamped at the bucket start — the serving-resolution
     // precondition under which the rollup answer is exact
-    Rollup.rollup(fx, bucketMs = 60000L).write.mode("overwrite").parquet(s"$dir/rollup")
+    val src = fx
+    Rollup.rollup(src, bucketMs = 60000L).write.mode("overwrite").parquet(s"$dir/rollup")
     val rolled = spark.read.parquet(s"$dir/rollup")
     val gq = QueryGrid(120000L, 600000L, 60000L)
     def m(df: org.apache.spark.sql.DataFrame) = df
       .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"),
         col("timestamp"), col("value"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val raw = PromQL.query(spark, fx, gq, "sum_over_time(a[2m])")   // no tier yet
-    Rollup.registerTier(spark, rolled, 60000L)
+    val raw = PromQL.query(spark, src, gq, "sum_over_time(a[2m])")   // no tier yet
+    Rollup.registerTier(spark, rolled, 60000L, src)
     try {
-      val routed = PromQL.query(spark, fx, gq, "sum_over_time(a[2m])")
+      val routed = PromQL.query(spark, src, gq, "sum_over_time(a[2m])")
       assert(routed.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
         "aligned sum_over_time must read the rollup parquet scan")
       assert(m(routed) == m(raw), "routed answer must equal the raw-path answer")
+      // a query over a DIFFERENT samples frame must not read this tier
+      val other = PromQL.query(spark, fx, gq, "sum_over_time(a[2m])")
+      assert(!other.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "a tier registered for another samples frame must not serve this query")
       // avg and count merge from the same moments
       for (q <- Seq("avg_over_time(a[2m])", "count_over_time(a[3m])")) {
         Rollup.clearTier(spark)
-        val rawQ = m(PromQL.query(spark, fx, gq, q))
-        Rollup.registerTier(spark, rolled, 60000L)
-        val routedQ = PromQL.query(spark, fx, gq, q)
+        val rawQ = m(PromQL.query(spark, src, gq, q))
+        Rollup.registerTier(spark, rolled, 60000L, src)
+        val routedQ = PromQL.query(spark, src, gq, q)
         assert(routedQ.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
         assert(m(routedQ) == rawQ, s"$q: routed ≠ raw")
       }
       // a misaligned window (90s % 60s != 0) must fall back to raw samples
-      val fb = PromQL.query(spark, fx, gq, "sum_over_time(a[90s])")
+      val fb = PromQL.query(spark, src, gq, "sum_over_time(a[90s])")
       assert(!fb.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
         "misaligned window must not read the rollup tier")
       // stddev has no mergeable moment in the tier — raw path too
-      val sd = PromQL.query(spark, fx, gq, "stddev_over_time(a[2m])")
+      val sd = PromQL.query(spark, src, gq, "stddev_over_time(a[2m])")
       assert(!sd.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
     } finally Rollup.clearTier(spark)
   }
