@@ -53,17 +53,19 @@ import scala.collection.mutable.ListBuffer
   * machinery (and its one-shuffle plan) is reused unchanged; rank-style
   * aggs (topk/bottomk/limitk) keep each survivor's original labels.
   *
-  * Documented divergences from upstream Prometheus (each mirrored by the
+  * Documented divergence from upstream Prometheus (mirrored by the
   * conformance oracles): `rate` keeps the reference engine's smoothed
   * reset-segment semantics (PerSecondRateStage) rather than Prometheus
   * extrapolation BY DEFAULT — `query(..., exactRate = true)` switches it to
   * the Prometheus-exact extrapolated rate (extrapolatedRate / window
-  * seconds, oracle `promql_rate_extrapolated`); range-window functions
-  * (`rate`/`increase`/`*_over_time`/
-  * `ts_of_*`) keep the metric name (scalar arithmetic, math/calendar
-  * functions and `bool` comparisons DO drop it, matching
-  * shouldDropMetricName); range windows are closed `[t-d, t]` rather than
-  * left-open. Subquery inners follow Prometheus's per-instant evaluation:
+  * seconds, oracle `promql_rate_extrapolated`). The former window-shape
+  * divergences are now mode-switched: by default range-window functions
+  * keep the metric name and range windows are closed `[t-d, t]` (reference
+  * parity); `query(..., promParity = true)` switches BOTH to upstream
+  * semantics — left-open `(t-d, t]` windows and shouldDropMetricName for
+  * the range-window family (all but `last_over_time`) — oracles
+  * `promql_parity_window` / `promql_parity_name_drop` pin both modes.
+  * Subquery inners follow Prometheus's per-instant evaluation:
   * a PLAIN SELECTOR inner carries lookback-delta staleness (left-open
   * `(t - delta, t]`, delta = the `lookbackDeltaMs` argument mirroring
   * --query.lookback-delta, default 5m — oracle `promql_subquery_stale`);
@@ -392,9 +394,36 @@ object PromQL {
   // ---- compiler ------------------------------------------------------------
   final class Compiler(spark: SparkSession, samples: DataFrame, grid: QueryGrid,
                        exactRate: Boolean = false,
-                       lookbackDeltaMs: Long = 5 * 60 * 1000L) {
+                       lookbackDeltaMs: Long = 5 * 60 * 1000L,
+                       promParity: Boolean = false) {
     private val S = TsSchema
     private val cmpOps = Set("==", "!=", ">=", "<=", ">", "<")
+
+    /** Upstream-Prometheus parity mode (`promParity = true`): range windows
+      * become LEFT-OPEN `(t-d, t]` (Prometheus 3.x range selectors — a
+      * sample at exactly t-d is excluded) and range-window functions DROP
+      * the metric name like shouldDropMetricName (all except
+      * `last_over_time`, which does not rewrite the value). The default
+      * keeps the reference engine's closed `[t-d, t]` windows and
+      * name-keeping, which the conformance corpus and oracles mirror.
+      * Selection is what opens: duration-based math (extrapolation range,
+      * per-second divisors) stays on the full `d`, matching Prometheus's
+      * own split between selection and extrapolation. Timestamps are
+      * integer millis, so `(t-d, t]` is exactly the closed `[t-(d-1), t]`
+      * — [[selD]] at every window-frame site. */
+    private val selOff = if (promParity) 1L else 0L
+    private def selD(d: Long): Long = math.max(d - selOff, 0L)
+    /** shouldDropMetricName for the range-window family under parity mode. */
+    private def parityDropsName(fn: String): Boolean = fn match {
+      case "last_over_time" => false
+      case "rate" | "increase" | "delta" | "irate" | "idelta" | "deriv" |
+           "predict_linear" | "holt_winters" | "double_exponential_smoothing" |
+           "quantile_over_time" | "mad_over_time" | "present_over_time" |
+           "changes" | "resets" | "ts_of_last_over_time" |
+           "ts_of_max_over_time" | "ts_of_min_over_time" => true
+      case overTime(_) => true
+      case _ => false
+    }
 
     /** Strip the metric name and re-derive series identity — Prometheus's
       * shouldDropMetricName: an operation that rewrites the sample value
@@ -511,6 +540,44 @@ object PromQL {
       * path's decimal window sums (movingAgg uses the same DECIMAL(38,9)
       * accumulator). */
     private val RollupOverTime = Set("sum", "avg", "count", "min", "max", "last")
+
+    /** Rollup-tier routing for aligned COUNTER windows (`rate`/`increase`/
+      * `delta`): under the tier's serving-resolution precondition (≤ 1
+      * sample per bucket, stamped at the bucket start) every tier row IS
+      * its bucket's sample — `rlast` the value, `bucket_ts` the timestamp —
+      * so the counter math (reset segmentation, window-edge extrapolation)
+      * runs UNCHANGED over the far smaller tier scan and is bit-identical
+      * to the raw path. Same plan-time alignment gate as
+      * [[overTimeFromRollup]]; any misalignment falls back to raw. */
+    private def counterFromRollup(s: Selector, d: Long,
+                                  g: QueryGrid): Option[DataFrame] =
+      graft.streaming.Rollup.tierFor(spark, samples).flatMap { case (rolled, bucketMs) =>
+        val aligned = d % bucketMs == 0 && g.stepMs % bucketMs == 0 &&
+          Math.floorMod(g.startMs, bucketMs) == 0 &&
+          s.offsetMs % bucketMs == 0
+        if (!aligned) None
+        else {
+          val off = s.offsetMs
+          val base = applyMatchers(s, rolled.where(
+            col("bucket_ts") >= g.startMs - off - d &&
+              col("bucket_ts") <= g.endMs - off))
+          val shifted =
+            if (off != 0) base.withColumn("bucket_ts", col("bucket_ts") + off)
+            else base
+          Some(shifted.select(col(S.SeriesId), col(S.LabelsCol),
+            col("bucket_ts").as(S.Ts),
+            col("rlast").cast(org.apache.spark.sql.types.DoubleType).as(S.Value)))
+        }
+      }
+
+    /** The range input for a counter window function, preferring the rollup
+      * tier when the argument is a plain aligned range selector. */
+    private def counterInput(arg: Expr, g: QueryGrid): (DataFrame, Long) =
+      (arg match {
+        case Range(sel, d) if sel.atMs.isEmpty =>
+          counterFromRollup(sel, d, g).map((_, d))
+        case _ => None
+      }).getOrElse(rangeInput(arg, g))
     private def overTimeFromRollup(s: Selector, d: Long, agg: String,
                                    g: QueryGrid): Option[DataFrame] =
       graft.streaming.Rollup.tierFor(spark, samples).flatMap { case (rolled, bucketMs) =>
@@ -527,7 +594,7 @@ object PromQL {
             if (off != 0) base.withColumn("bucket_ts", col("bucket_ts") + off)
             else base
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(S.SeriesId).orderBy(col("bucket_ts")).rangeBetween(-d, 0)
+            .partitionBy(S.SeriesId).orderBy(col("bucket_ts")).rangeBetween(-selD(d), 0)
           import org.apache.spark.sql.types.DoubleType
           val v = agg match {
             case "sum"   => sum(col("rsum")).over(w).cast(DoubleType)
@@ -889,23 +956,27 @@ object PromQL {
           .crossJoin(g.gridDF(spark))
           .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
 
-      case Call(fn, args) => fn match {
+      case Call(fn, args) =>
+        // under promParity the range-window family drops the metric name
+        // (shouldDropMetricName); the default keeps it — the documented
+        // reference-parity divergence mirrored by the conformance oracles
+        val callOut = fn match {
         case "rate" =>
-          val (in, d) = rangeInput(args.head, g)
+          val (in, d) = counterInput(args.head, g)
           if (exactRate)
             // Prometheus-exact: the extrapolated counter increase per second
             // (promql extrapolatedRate) — opt-in via the query() flag; the
             // default keeps reference parity (rate → PerSecondRateStage,
             // PromSourceBuilderVisitor.java:155-163)
-            Temporal.extrapolatedRate(in, d, isCounter = true)
+            Temporal.extrapolatedRate(in, d, isCounter = true, selMs = selD(d))
               .withColumn(S.Value, col(S.Value) / lit(d / 1000.0))
           else
-            Temporal.perSecondRate(in, d)
+            Temporal.perSecondRate(in, selD(d))
         case "increase" =>
           // Prometheus-exact: counter delta with window-edge extrapolation
           // (the M3QL perSecondRate keeps the reference's smoothed semantics)
-          val (in, d) = rangeInput(args.head, g)
-          Temporal.extrapolatedRate(in, d, isCounter = true)
+          val (in, d) = counterInput(args.head, g)
+          Temporal.extrapolatedRate(in, d, isCounter = true, selMs = selD(d))
         case "irate" | "idelta" =>
           // last two samples, both inside the window (Prometheus needs two
           // points in [t-d, t]; a gap wider than d yields no output). irate
@@ -919,7 +990,7 @@ object PromQL {
           val base = in
             .withColumn("_pv", lag(S.Value, 1).over(w))
             .withColumn("_pt", lag(S.Ts, 1).over(w))
-            .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= d)
+            .where(col("_pt").isNotNull && col(S.Ts) - col("_pt") <= selD(d))
           val out =
             if (fn == "irate")
               base.withColumn(S.Value,
@@ -930,20 +1001,20 @@ object PromQL {
           out.drop("_pv", "_pt")
         case "delta" =>
           // gauge difference over the window, Prometheus-extrapolated
-          val (in, d) = rangeInput(args.head, g)
-          Temporal.extrapolatedRate(in, d, isCounter = false)
+          val (in, d) = counterInput(args.head, g)
+          Temporal.extrapolatedRate(in, d, isCounter = false, selMs = selD(d))
         case "deriv" =>
           val (in, d) = rangeInput(args.head, g)
-          Temporal.linearFit(in, d, None)
+          Temporal.linearFit(in, selD(d), None)
         case "predict_linear" =>
           val (in, d) = rangeInput(args.head, g)
-          Temporal.linearFit(in, d,
+          Temporal.linearFit(in, selD(d),
             Some(requireScalar(args.lift(1), "predict_linear t")))
         // double_exponential_smoothing is the Prometheus 3.x name for the
         // (now experimental) holt_winters — same math, both accepted
         case "holt_winters" | "double_exponential_smoothing" =>
           val (in, d) = rangeInput(args.head, g)
-          Temporal.holtWinters(in, d,
+          Temporal.holtWinters(in, selD(d),
             requireScalar(args.lift(1), s"$fn sf"),
             requireScalar(args.lift(2), s"$fn tf"))
         case "quantile_over_time" =>
@@ -952,7 +1023,7 @@ object PromQL {
             throw PromParseError("expected quantile_over_time(φ, m[d])")), g)
           val phi = requireScalar(args.headOption, "quantile_over_time φ")
           val frame = org.apache.spark.sql.expressions.Window
-            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-selD(d), 0)
           in.withColumn(S.Value,
             expr(s"percentile(${S.Value}, $phi)").over(frame))
         case overTime(sub) =>
@@ -969,7 +1040,7 @@ object PromQL {
               case "stdvar" => "var_pop"
               case f        => f
             }
-            Temporal.movingInclusive(in, d, fn)
+            Temporal.movingInclusive(in, selD(d), fn)
           }
         case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
           // Prometheus 3.5 experimental: the timestamp (epoch seconds) of the
@@ -978,7 +1049,7 @@ object PromQL {
           // like Prometheus (scan order there, max ts here for determinism).
           val (in, d) = rangeInput(args.head, g)
           val frame = org.apache.spark.sql.expressions.Window
-            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-selD(d), 0)
           // NaN samples must never win max/min (Prometheus comparison
           // semantics; Spark's struct ordering would rank NaN above every
           // number) — NULL-out their ordering key so max_by/min_by skip
@@ -1007,7 +1078,7 @@ object PromQL {
           // linear-interpolated q=0.5.
           val (in, d) = rangeInput(args.head, g)
           val frame = org.apache.spark.sql.expressions.Window
-            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-selD(d), 0)
           def medianOf(a: Column): Column = {
             val s = array_sort(a)
             val n = size(a)
@@ -1030,7 +1101,7 @@ object PromQL {
           val (in, d) = rangeInput(args.head, g)
           val dense = GridOps.densify(in, g)
           val frame = org.apache.spark.sql.expressions.Window
-            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-d, 0)
+            .partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-selD(d), 0)
           dense.withColumn("_n", count(S.Value).over(frame))
             .where(col("_n") > 0)
             .withColumn(S.Value, lit(1.0))
@@ -1047,7 +1118,7 @@ object PromQL {
             case Range(s, _)           => s
             case Subquery(inner, _, _) => inner
             case other                 => other
-          }, g, Some(d))
+          }, g, Some(selD(d)))
         case "vector" =>
           args.headOption.flatMap(scalarOf) match {
             case Some(v) => constVector(g, lit(v))
@@ -1102,12 +1173,12 @@ object PromQL {
           // Spark NaN equality (NaN = NaN) matches Prometheus's both-NaN =
           // unchanged special case
           val (in, d) = rangeInput(args.head, g)
-          Temporal.pairCount(in, d)((v, p) => v =!= p)
+          Temporal.pairCount(in, selD(d))((v, p) => v =!= p)
         case "resets" =>
           // a reset whose pair straddles the window start does not count
           // (promql resets: both samples must be inside [t-d, t])
           val (in, d) = rangeInput(args.head, g)
-          Temporal.pairCount(in, d)((v, p) => v < p)
+          Temporal.pairCount(in, selD(d))((v, p) => v < p)
         case "label_replace" =>
           val in = one(args, g)
           val dst = requireStr(args.lift(1), "label_replace dst")
@@ -1139,6 +1210,7 @@ object PromQL {
         case other =>
           throw new UnsupportedOperationException(s"PromQL function not implemented: $other")
       }
+        if (promParity && parityDropsName(fn)) dropMetricName(callOut) else callOut
     }
 
     private def applyCmp(df: DataFrame, cond: Column => Column, boolMod: Boolean): DataFrame =
@@ -1350,8 +1422,10 @@ object PromQL {
 
   def query(spark: SparkSession, samples: DataFrame, grid: QueryGrid, q: String,
             exactRate: Boolean = false,
-            lookbackDeltaMs: Long = 5 * 60 * 1000L): DataFrame =
-    new Compiler(spark, samples, grid, exactRate, lookbackDeltaMs).compile(parse(q))
+            lookbackDeltaMs: Long = 5 * 60 * 1000L,
+            promParity: Boolean = false): DataFrame =
+    new Compiler(spark, samples, grid, exactRate, lookbackDeltaMs, promParity)
+      .compile(parse(q))
 
   /** `query_range` entry point mirroring the reference REST surface: date-math
     * start/end and step resolve to the evaluation grid

@@ -416,6 +416,81 @@ object Pipeline extends QueryPack {
       .orderBy("media_id")
   }
 
+  /** Oracle for [[qMultimodal]]: the payloads are deterministic from doc_id
+    * (Multimodal.syntheticMedia's splitmix-style generator), so the decoded
+    * stats are REPLAYED in DuckDB — the generator's mod-2^64 arithmetic runs
+    * on UBIGINT with the 64×64→64 multiply split into 32-bit halves (DuckDB
+    * raises on overflow instead of wrapping), threaded through chained
+    * `list_transform` lambdas so no subexpression is duplicated. Float
+    * parity: the PPM luminance sum replays the engine's sequential
+    * accumulation via `list_reduce` in pixel order; the WAV sum of squares
+    * is exact in doubles (15-bit values over a power-of-two denominator), so
+    * order is irrelevant there. Header byte sums (PPM 462 / WAV 2014) are
+    * compile-time constants of the fixed 8×6 / 64-sample encodings. */
+  private def qMultimodalSql: String = {
+    val golden = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    def hi(c: Long) = (c >>> 32).toString
+    def lo(c: Long) = (c & 0xffffffffL).toString
+    val (c1, c2) = (0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL)
+    def mulStep(c: Long) =
+      s"x -> ((((x % 4294967296) * ${lo(c)}) // 4294967296 + " +
+        s"(((x % 4294967296) * ${hi(c)}) % 4294967296 + ((x // 4294967296) * ${lo(c)}) % 4294967296) % 4294967296) " +
+        s"% 4294967296) * 4294967296 + (((x % 4294967296) * ${lo(c)}) % 4294967296)"
+    def mixChain(seed: String, count: Int, mask: Long): String = {
+      var s = s"list_transform(range(0, $count), i -> CAST($seed AS UBIGINT) + $golden)"
+      s = s"list_transform($s, x -> xor(x, x // 1073741824))"
+      s = s"list_transform($s, ${mulStep(c1)})"
+      s = s"list_transform($s, x -> xor(x, x // 134217728))"
+      s = s"list_transform($s, ${mulStep(c2)})"
+      s"list_transform($s, x -> xor(x, x // 2147483648) % $mask)"
+    }
+    val px = mixChain("doc_id*1021 + i", 144, 256)
+    val vs = mixChain("doc_id*2027 + i", 64, 65536)
+    s"""WITH img AS (
+       |  SELECT doc_id, $px AS px FROM documents WHERE doc_id % 3 = 0),
+       |img_f AS (
+       |  SELECT doc_id, 'image' AS modality, CAST(155 AS BIGINT) AS n_bytes,
+       |    CAST(462 + list_sum(px) AS DOUBLE) / 155 AS byte_mean,
+       |    'ppm' AS format_detected, CAST(8 AS INT) AS px_width, CAST(6 AS INT) AS px_height,
+       |    CAST(NULL AS INT) AS sample_rate, CAST(48 AS BIGINT) AS n_samples,
+       |    list_reduce(list_transform(range(0, 48), p ->
+       |      CAST(0.299 AS DOUBLE) * px[3*p+1] + CAST(0.587 AS DOUBLE) * px[3*p+2]
+       |        + CAST(0.114 AS DOUBLE) * px[3*p+3]),
+       |      (a, b) -> a + b) / 48 AS level
+       |  FROM img),
+       |aud AS (
+       |  SELECT doc_id, $vs AS vs FROM documents WHERE doc_id % 3 = 1),
+       |aud_f AS (
+       |  SELECT doc_id, 'audio' AS modality, CAST(172 AS BIGINT) AS n_bytes,
+       |    CAST(2014 + list_sum(list_transform(vs, v -> v % 256 + v // 256)) AS DOUBLE) / 172 AS byte_mean,
+       |    'wav' AS format_detected, CAST(NULL AS INT) AS px_width, CAST(NULL AS INT) AS px_height,
+       |    CAST(16000 AS INT) AS sample_rate, CAST(64 AS BIGINT) AS n_samples,
+       |    sqrt(list_sum(list_transform(vs, v ->
+       |      (CAST(CASE WHEN v >= 32768 THEN CAST(v AS BIGINT) - 65536 ELSE CAST(v AS BIGINT) END AS DOUBLE) / 32768)
+       |      * (CAST(CASE WHEN v >= 32768 THEN CAST(v AS BIGINT) - 65536 ELSE CAST(v AS BIGINT) END AS DOUBLE) / 32768)))
+       |      / 64) AS level
+       |  FROM aud),
+       |vid AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    least(octet_length(encode(text)), 256) AS n
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vid_f AS (
+       |  SELECT doc_id, 'video' AS modality, CAST(n AS BIGINT) AS n_bytes,
+       |    CASE WHEN n = 0 THEN 0.0 ELSE
+       |      CAST(list_sum(list_transform(range(0, n), j ->
+       |        CAST(('0x' || substr(hx, 2*j+1, 2)) AS INT))) AS DOUBLE) / n END AS byte_mean,
+       |    'raw' AS format_detected, CAST(NULL AS INT) AS px_width, CAST(NULL AS INT) AS px_height,
+       |    CAST(NULL AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       |    CASE WHEN n = 0 THEN 0.0 ELSE
+       |      CAST(list_sum(list_transform(range(0, n), j ->
+       |        CAST(('0x' || substr(hx, 2*j+1, 2)) AS INT))) AS DOUBLE) / n END AS level
+       |  FROM vid)
+       |SELECT doc_id AS media_id, modality, n_bytes, byte_mean, format_detected,
+       |  px_width, px_height, sample_rate, n_samples, level
+       |FROM (SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f)
+       |ORDER BY media_id""".stripMargin
+  }
+
   private def qMinhashSig(s: SparkSession, sf: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(s, sf), shingleN = 3, numHashes = 8)
       .select("doc_id", "h0", "h1", "h2", "h3")
@@ -812,7 +887,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_sq8", qAnnSq8, None),
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
-    QueryDef("multimodal_features", qMultimodal, None),
+    QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),

@@ -586,7 +586,54 @@ object PromX extends QueryPack {
        |SELECT 'name:click,user:' || usr AS series, ts, round(s, 6) AS value
        |FROM r WHERE i = len(larr) $ord""".stripMargin
 
+  // ---- promParity: left-open (t-d, t] range windows ------------------------
+  // Prometheus 3.x range selectors exclude a sample at exactly t-d; on the
+  // 6h-gridded samples a 12h window covers 2 buckets open vs 3 closed, so
+  // every interior instant discriminates. Under parity the metric name is
+  // also dropped (shouldDropMetricName) — series is 'user:N' only.
+  private def qParityWindow(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, "sum_over_time(click[12h])",
+      promParity = true))
+  private val qParityWindowSql = withSG(
+    s"""SELECT 'user:' || usr AS series, ts,
+       |  CAST(sum(CAST(value AS DECIMAL(38,9))) OVER (PARTITION BY usr ORDER BY ts
+       |    RANGE BETWEEN 43199999 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+       |FROM g WHERE etype = 'click' $ord""".stripMargin)
+
+  // ---- promParity: metric-name drop for the range-window family ------------
+  // Three slices pin the name rule in BOTH modes: default max_over_time keeps
+  // `name:click`; parity max_over_time drops it (and its window opens);
+  // parity last_over_time KEEPS it — the one shouldDropMetricName exception.
+  private def qParityNameDrop(s: SparkSession, sf: String): DataFrame = {
+    val ref = flat(run(s, sf, "max_over_time(click[12h])"))
+      .withColumn("mode", lit("ref"))
+    val par = flat(PromQL.query(s, g(s, sf), grid, "max_over_time(click[12h])",
+        promParity = true))
+      .withColumn("mode", lit("par"))
+    val last = flat(PromQL.query(s, g(s, sf), grid, "last_over_time(click[12h])",
+        promParity = true))
+      .withColumn("mode", lit("par_last"))
+    ref.unionByName(par).unionByName(last)
+      .orderBy("mode", "series", "ts", "value")
+  }
+  private val qParityNameDropSql = withSG(
+    s""", c AS (SELECT usr, ts, value FROM g WHERE etype = 'click')
+       |SELECT * FROM (
+       |  SELECT 'ref' AS mode, 'name:click,user:' || usr AS series, ts,
+       |    max(value) OVER (PARTITION BY usr ORDER BY ts
+       |      RANGE BETWEEN 43200000 PRECEDING AND CURRENT ROW) AS value FROM c
+       |  UNION ALL
+       |  SELECT 'par' AS mode, 'user:' || usr AS series, ts,
+       |    max(value) OVER (PARTITION BY usr ORDER BY ts
+       |      RANGE BETWEEN 43199999 PRECEDING AND CURRENT ROW) AS value FROM c
+       |  UNION ALL
+       |  SELECT 'par_last' AS mode, 'name:click,user:' || usr AS series, ts,
+       |    value FROM c)
+       |ORDER BY mode, series, ts, value""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
+    QueryDef("promql_parity_window", qParityWindow, Some(qParityWindowSql)),
+    QueryDef("promql_parity_name_drop", qParityNameDrop, Some(qParityNameDropSql)),
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
     QueryDef("promql_time_binop", qTimeBinop, Some(qTimeBinopSql)),

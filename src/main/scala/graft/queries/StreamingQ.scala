@@ -68,8 +68,10 @@ object StreamingQ extends QueryPack {
     * gap — Spark's native `session_window` (the same expression runs
     * unchanged under `readStream` with a watermark; batch mode here so the
     * DuckDB oracle can replay it as a gap-break window scan). A session ends
-    * `gap` after its LAST event; a new event at exactly that instant starts
-    * a new session. One shuffle on the user key; session merging is
+    * `gap` after its LAST event; an event at exactly that instant MERGES
+    * (Spark merges touching sessions — pinned in StreamingIngestSpec's
+    * second-gap parity test), so the oracle's break condition is strictly
+    * `delta > gap`. One shuffle on the user key; session merging is
     * Spark-internal state, never a self-join. */
   private def qSessionize(s: SparkSession, sf: String): DataFrame =
     Tables.eventsMillis(s, sf)
@@ -87,7 +89,7 @@ object StreamingQ extends QueryPack {
     s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, value FROM events),
        |o AS (SELECT user_id, tm, value,
        |  CASE WHEN lag(tm) OVER w IS NULL
-       |       OR tm - lag(tm) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+       |       OR tm - lag(tm) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm)),
        |s AS (SELECT user_id, tm, value,
        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tm ROWS UNBOUNDED PRECEDING) AS sid

@@ -321,10 +321,15 @@ object Temporal {
     * monotonic correction). Windows with <2 samples emit nothing. One window
     * pass, pure builtins. */
   def extrapolatedRate(df: DataFrame, windowMs: Long,
-                       isCounter: Boolean): DataFrame = {
+                       isCounter: Boolean, selMs: Long = -1L): DataFrame = {
     // (`rate` itself stays on PerSecondRateStage semantics — the documented
     // reference-parity divergence — so no per-second variant exists here)
-    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-windowMs, 0)
+    // `selMs` separates sample SELECTION from the extrapolation range:
+    // Prometheus 3.x selects left-open (t-d, t] (= closed [t-(d-1), t] on
+    // integer millis) but still extrapolates toward the full window start
+    // t-d — dStart0 below stays on windowMs either way
+    val sel = if (selMs >= 0) selMs else windowMs
+    val frame = Window.partitionBy(S.SeriesId).orderBy(S.Ts).rangeBetween(-sel, 0)
     val prev = lag(col(S.Value), 1).over(w)
     // per-row monotonic correction against the in-series predecessor; window
     // sums subtract the FIRST row's correction, whose pair precedes the window

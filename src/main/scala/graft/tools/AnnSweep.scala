@@ -8,7 +8,15 @@ import org.apache.spark.sql.SparkSession
   * the tuning evidence behind the lshTopK/ivfTopK defaults (results recorded
   * in OPERATORS.md §similarity).
   *
-  * Usage: runMain graft.tools.AnnSweep [sfDir]
+  * Usage: runMain graft.tools.AnnSweep [sfDir] [multiplier]
+  *
+  * `multiplier` > 1 scales the corpus deterministically beyond the largest
+  * generated sf (whose embeddings table is tiny): replica k rotates each
+  * vector's coordinates by k and flips a k-keyed sign pattern — unit norms
+  * and the uniform distribution are preserved, and each replica is
+  * decorrelated from the original, so it behaves as fresh corpus mass. This
+  * exists to measure recall at a cell count where nProbe/nCells is small
+  * (the 100 TB regime), not to fabricate test data — no oracle reads it.
   *
   * Recall@10 is against the exact brute-force baseline over a fixed query
   * panel; candidate fraction is the share of the corpus the approximate
@@ -17,6 +25,7 @@ import org.apache.spark.sql.SparkSession
 object AnnSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,7 +35,20 @@ object AnnSweep {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
 
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb0 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n0 = emb0.count()
+    val emb = (if (mult <= 1) emb0
+    else (0 until mult).map { k =>
+      if (k == 0) emb0
+      else emb0.select(
+        (col("vec_id") + lit(k * n0)).as("vec_id"),
+        expr(s"""transform(embedding, (v, i) ->
+                |  element_at(embedding, CAST((i + $k) % size(embedding) AS INT) + 1)
+                |    * CASE WHEN (i + $k) % 3 = 0 THEN CAST(-1.0 AS FLOAT)
+                |           ELSE CAST(1.0 AS FLOAT) END)""".stripMargin)
+          .as("embedding"))
+    }.reduce(_ unionByName _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
     val queries = Seq(0L, 7L, 42L, 100L, 499L)
     val exact = queries.map { q =>

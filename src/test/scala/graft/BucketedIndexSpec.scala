@@ -89,4 +89,34 @@ class BucketedIndexSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t1")
     spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
+
+  test("appendShingleIndex equals a full rebuild under out-of-order snapshot arrival") {
+    // the maintained index is a SET of (doc_id, shingle) rows, so append
+    // order must not matter: for three snapshots landed in any arrival
+    // order, base + appends == writeShingleIndex(union). Deterministic
+    // pseudo-random doc texts; every permutation of the append pair checked.
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(id: Long) =
+      (id, Seq.fill(6 + rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString(" "))
+    val snaps = Seq(
+      (0L until 4L).map(doc), (10L until 13L).map(doc), (20L until 24L).map(doc))
+      .map(rows => rows.toDF("doc_id", "text"))
+    val union = snaps.reduce(_ unionByName _)
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("shingle")))).toSet
+    spark.sql(s"DROP TABLE IF EXISTS graft_test_ooo_exp")
+    Dedup.writeShingleIndex(union, n = 3, table = "graft_test_ooo_exp", buckets = 4)
+    val expect = rows("graft_test_ooo_exp")
+    for ((perm, k) <- Seq(Seq(0, 1, 2), Seq(0, 2, 1), Seq(1, 0, 2), Seq(2, 1, 0)).zipWithIndex) {
+      val t = s"graft_test_ooo_$k"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Dedup.writeShingleIndex(snaps(perm.head), n = 3, table = t, buckets = 4)
+      perm.tail.foreach(i => Dedup.appendShingleIndex(snaps(i), n = 3, table = t, buckets = 4))
+      assert(rows(t) == expect, s"arrival order $perm diverged from the rebuild")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS graft_test_ooo_exp")
+  }
 }

@@ -427,6 +427,25 @@ class PromQLSpec extends SparkTestBase {
       s"got ${inner("")}")
   }
 
+  test("promParity opens range windows left and drops the metric name") {
+    // default (reference parity): closed [t-2m, t] — at minute 2 the window
+    // holds samples 0,1,2 → sum 1+2+3 = 6; name kept.
+    assertSeries(run("""sum_over_time(req{dc="a"}[2m])"""),
+      Map("dc:a,name:req" ->
+        Seq(S(1), S(3), S(6), S(9), S(12), S(15), S(18), S(21), S(24), S(27))))
+    // promParity: left-open (t-2m, t] — minute 2's window drops the sample
+    // at exactly t-2m → 2+3 = 5; and sum_over_time drops the metric name.
+    val par = toGolden(PromQL.query(spark, fx, g,
+      """sum_over_time(req{dc="a"}[2m])""", promParity = true))
+    assert(par("dc:a") ==
+      Seq(S(1), S(3), S(5), S(7), S(9), S(11), S(13), S(15), S(17), S(19)),
+      s"got $par")
+    // last_over_time is the shouldDropMetricName exception: name kept
+    val last = toGolden(PromQL.query(spark, fx, g,
+      """last_over_time(req{dc="a"}[2m])""", promParity = true))
+    assert(last.keySet == Set("dc:a,name:req"))
+  }
+
   test("a mixed inner (carried selector + range output) combines at coincident instants only") {
     // (h + irate(c[2m]))[2m:1m]: h (one sample, minute 0) carries to step
     // instants 0-4; irate emits at c's SAMPLE instants with >=2 window

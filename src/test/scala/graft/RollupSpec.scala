@@ -193,6 +193,40 @@ class RollupSpec extends SparkTestBase {
     } finally Rollup.clearTier(spark)
   }
 
+  test("registered tier routes aligned increase/rate to the rollup scan") {
+    import graft.lang.prom.PromQL
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctrroute").toFile.getAbsolutePath
+    // serving resolution: one sample per 60s bucket stamped at the bucket
+    // start, so tier rows ARE the samples and the counter math over them is
+    // bit-identical to the raw path
+    val src = fx
+    Rollup.rollup(src, bucketMs = 60000L).write.mode("overwrite").parquet(s"$dir/rollup")
+    val rolled = spark.read.parquet(s"$dir/rollup")
+    val gq = QueryGrid(120000L, 600000L, 60000L)
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.core.TsSchema.seriesKey(col("labels")).as("k"),
+        col("timestamp"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val queries = Seq("increase(a[2m])", "rate(a[2m])", "delta(a[2m])")
+    val raws = queries.map(q => q -> m(PromQL.query(spark, src, gq, q))).toMap
+    Rollup.registerTier(spark, rolled, 60000L, src)
+    try {
+      for (q <- queries) {
+        val routed = PromQL.query(spark, src, gq, q)
+        assert(routed.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+          s"aligned $q must read the rollup parquet scan")
+        assert(m(routed) == raws(q), s"$q: routed ≠ raw")
+      }
+      // a misaligned window (90s % 60s != 0) must fall back to raw samples
+      val fb = PromQL.query(spark, src, gq, "increase(a[90s])")
+      assert(!fb.queryExecution.executedPlan.toString.contains(s"$dir/rollup"),
+        "misaligned window must not read the rollup tier")
+      // a subquery argument computes per instant — raw path
+      val sq = PromQL.query(spark, src, gq, "increase(a[2m:1m])")
+      assert(!sq.queryExecution.executedPlan.toString.contains(s"$dir/rollup"))
+    } finally Rollup.clearTier(spark)
+  }
+
   test("rollupSweep writes a day-partitioned rollup table that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toFile.getAbsolutePath
     fx.write.mode("overwrite").parquet(s"$dir/raw")

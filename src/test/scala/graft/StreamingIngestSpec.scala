@@ -92,6 +92,43 @@ class StreamingIngestSpec extends SparkTestBase {
       (t0 + 720000L, t0 + 780000L + 300000L, 2L)))
   }
 
+  test("streaming sessionize equals the batch sessionizer at a second gap") {
+    // same session_window expression, two execution modes, gap = 2m (a
+    // SECOND parameter beside the 5m case above, chosen so the split points
+    // differ). An event arriving EXACTLY at a session's end (delta == gap)
+    // MERGES: Spark merges touching sessions — empirically pinned here,
+    // because the DuckDB oracle mirror must break on `delta > gap`, not
+    // `>=`. Streaming state-merged sessions must equal the batch run row
+    // for row.
+    val dir = Files.createTempDirectory("graft_sess2").toFile.getAbsolutePath
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val t0 = 1704067200000L
+    // 0,1m,2m (one session) | 3m silence | 5m,6m,8m (the exactly-2m gap
+    // between 6m and 8m merges — touching sessions)
+    val offs = Seq(0L, 60000L, 120000L, 300000L, 360000L, 480000L)
+    val lines = offs.zipWithIndex.map { case (off, i) =>
+      s"""{"labels":"host a","timestamp":${t0 + off},"value":$i.0}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$src/b.json"), lines.mkString("\n").getBytes)
+    val sess = Ingest.streamingSessionize(
+      Ingest.readJsonStream(spark, src), gapMs = 120000L, lateMs = 60000L)
+    val q = sess.writeStream.format("memory").queryName("sessz2")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).sortBy(_._1).toSeq
+    val streamed = rows(spark.table("sessz2"))
+    val batch = rows(Ingest.streamingSessionize(
+      Ingest.parseWire(spark.read.schema(Ingest.wireSchema).json(src)),
+      gapMs = 120000L, lateMs = 60000L))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Seq(
+      (t0, t0 + 240000L, 3L, 3.0),
+      (t0 + 300000L, t0 + 600000L, 3L, 12.0)))
+  }
+
   test("streaming range join pairs two live streams within [t-w, t]") {
     val dir = Files.createTempDirectory("graft_ssjoin").toFile.getAbsolutePath
     val (lsrc, rsrc) = (s"$dir/l", s"$dir/r")
