@@ -157,6 +157,139 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  // ---- portable (cross-engine verifiable) hash family ----------------------
+
+  /** Modulus of the portable hash family — the same p = 1e9+7 as
+    * [[TextAnalysis.fingerprint]]'s rolling hash. All arithmetic stays below
+    * p² < 2⁶³, so every step is overflow-free under ANSI mode and exactly
+    * replayable in any engine with 64-bit integer SQL. */
+  val PortableP = 1000000007L
+
+  /** Base-31 polynomial rolling hash mod [[PortableP]] over a string column
+    * (per-character codepoints) — the SQL-replicable base hash the portable
+    * minhash/simhash variants derive their families from. */
+  def polyHash(s: Column): Column =
+    aggregate(transform(split(s, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L), (acc, c) => pmod(acc * lit(31L) + c, lit(PortableP)))
+
+  /** Deterministic (a_s, b_s) parameters of the classic universal family
+    * h_s(x) = (a_s·x + b_s) mod p (Carter–Wegman; the textbook MinHash
+    * construction) — generated by a fixed-seed splitmix64 walk in plain
+    * Scala, so the operator Columns and the DuckDB oracle SQL embed the
+    * IDENTICAL constants from one source of truth. a_s ∈ [1, p-1] (nonzero),
+    * b_s ∈ [0, p-1]. */
+  def portableHashParams(numHashes: Int): Seq[(Long, Long)] = {
+    var st = 0x106689D45497FDB5L
+    def next(): Long = {
+      st += 0x9E3779B97F4A7C15L
+      var z = st
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(numHashes)(
+      (Math.floorMod(next(), PortableP - 1) + 1, Math.floorMod(next(), PortableP)))
+  }
+
+  /** h_s applied to a base-hash column (value already in [0, p)). */
+  private def portableHash(x: Column, ab: (Long, Long)): Column =
+    pmod(x * lit(ab._1) + lit(ab._2), lit(PortableP))
+
+  /** [[minhashSignatures]] over the PORTABLE hash family — bit-identical
+    * results in any engine that can run the same integer SQL, so the whole
+    * signature (not just the downstream exact-Jaccard verify) is
+    * oracle-checkable. The xxhash64 default stays the hot path: one
+    * codegen'd 64-bit hash per shingle beats a per-character polynomial
+    * fold; this variant is for cross-engine reproducibility (migrating a
+    * corpus between engines without re-fingerprinting it) and for
+    * correctness gating of the minhash structure itself. */
+  def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, numHashes: Int,
+                                idCol: String = "doc_id"): DataFrame = {
+    val params = portableHashParams(numHashes)
+    val mins = params.zipWithIndex.map { case (ab, s) =>
+      min(portableHash(col("_x"), ab)).as(s"h$s")
+    }
+    shingles(docs, shingleN, idCol)
+      .withColumn("_x", polyHash(col("shingle")))
+      .groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Per-band fold of signature columns into a band hash, mod p (base
+    * 10007): acc = (acc·10007 + h_i) mod p — shared by the Spark side and
+    * the oracle generator. */
+  private val BandR = 10007L
+  private def portableBandHash(cols: Seq[Column]): Column =
+    cols.foldLeft(lit(0L): Column)((acc, h) => pmod(acc * lit(BandR) + h, lit(PortableP)))
+
+  /** [[minhashLshPairs]] over the portable family: same band/equi-join/
+    * exact-verify shape, but every stage — signatures, band hashes,
+    * candidate set, Jaccard — is deterministic integer math an oracle can
+    * replay, so the END-TO-END pair set is exactly checkable (the xxhash64
+    * variant's candidates are engine-internal). Same scale posture: the
+    * shuffle is proportional to candidate pairs, never all pairs. */
+  def minhashLshPairsPortable(docs: DataFrame, shingleN: Int, numHashes: Int,
+                              bands: Int, threshold: Double,
+                              idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = shingles(docs, shingleN, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val params = portableHashParams(numHashes)
+    val mins = params.zipWithIndex.map { case (ab, s) =>
+      min(portableHash(col("_x"), ab)).as(s"h$s")
+    }
+    val sig = sh.withColumn("_x", polyHash(col("shingle")))
+      .groupBy(idCol).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        portableBandHash((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as("bh"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bh"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_id_a"), col(s"y.$idCol").as("doc_id_b"))
+      .distinct()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("doc_id_a"), col("shingle")), Seq("doc_id_a"))
+      .join(sh.select(col(idCol).as("doc_id_b"), col("shingle")), Seq("doc_id_b", "shingle"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .join(sizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")), Seq("doc_id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** [[simhashBuckets]] over the portable family: a `numBits`-bit simhash
+    * where bit s is set iff the ±1 token votes of h_s(token) mod 2 sum
+    * positive — simhash with an EXPLICIT universal hash family instead of
+    * engine-internal xxhash64 bits, so the signature is oracle-replayable.
+    * Tokens vote as a multiset (duplicates count), matching
+    * [[simhashBuckets]]. `band8` is the top 8 bits — the bucketing key of
+    * the scale path. */
+  def simhashBucketsPortable(docs: DataFrame, numBits: Int = 32,
+                             idCol: String = "doc_id"): DataFrame = {
+    require(numBits >= 9 && numBits <= 62, "numBits must be in [9, 62]")
+    val params = portableHashParams(numBits)
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("_x", polyHash(col("tok")))
+    val bitSums = params.zipWithIndex.map { case (ab, s) =>
+      sum(when(pmod(portableHash(col("_x"), ab), lit(2L)) === 1L, 1L).otherwise(-1L)).as(s"b$s")
+    }
+    val agg = toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until numBits).map { s =>
+      when(col(s"b$s") > 0, lit(1L << s)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.withColumn("simhash", sim).select(col(idCol), col("simhash"))
+      .withColumn("band8", shiftrightunsigned(col("simhash"), numBits - 8))
+  }
+
   /** SimHash: 64-bit signature — bit b is set iff the sum over tokens of
     * (+1 if bit b of xxhash64(token) else -1) is positive. Near-dups share
     * most bits; bucketing on bit-ranges gives the scale path. */

@@ -496,6 +496,118 @@ object Pipeline extends QueryPack {
       .select("doc_id", "h0", "h1", "h2", "h3")
       .orderBy("doc_id")
 
+  // ---- portable-hash minhash / simhash (fully oracle-checked) --------------
+  // The xxhash64 variants above stay rows-only (engine-internal hashing);
+  // these run the SAME structure over the explicit Carter–Wegman family
+  // h_s(x) = (a_s·x + b_s) mod 1e9+7 on the base-31 rolling hash, so every
+  // stage — signature, band hash, candidate set, Jaccard — is deterministic
+  // integer math the DuckDB oracle replays bit-exactly. The (a_s, b_s)
+  // literals in the SQL are generated from Dedup.portableHashParams, one
+  // source of truth for both engines.
+
+  /** Shingle (n=3) base-hash CTE chain shared by the portable oracles:
+    * identical tokenization/shingling to ngramPairCtes, then the rolling
+    * hash per shingle. */
+  private val portableShingleCtes =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) ix
+      |  WHERE len(array_to_string(t[i:i+2], ' ')) > 0),
+      |hx AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(shingle, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS x
+      |  FROM sh)""".stripMargin
+
+  private def qMinhashPortable(s: SparkSession, sf: String): DataFrame =
+    Dedup.minhashSignaturesPortable(Tables.documents(s, sf), shingleN = 3, numHashes = 8)
+      .orderBy("doc_id")
+  private val qMinhashPortableSql = {
+    val mins = Dedup.portableHashParams(8).zipWithIndex.map { case ((a, b), i) =>
+      s"  min((x * $a + $b) % 1000000007) AS h$i"
+    }.mkString(",\n")
+    s"""WITH $portableShingleCtes
+       |SELECT doc_id,
+       |$mins
+       |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def qMinhashLshPortable(s: SparkSession, sf: String): DataFrame =
+    Dedup.minhashLshPairsPortable(Tables.documents(s, sf), shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("doc_id_a", "doc_id_b")
+  private val qMinhashLshPortableSql = {
+    val params = Dedup.portableHashParams(16)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"    min((x * $a + $b) % 1000000007) AS h$i"
+    }.mkString(",\n")
+    // per-band fold acc = (acc*10007 + h_i) % p, matching portableBandHash
+    def bandExpr(band: Int): String =
+      (band * 4 until (band + 1) * 4).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+        s"(($acc * 10007 + h$i) % 1000000007)"
+      }
+    val bandSelects = (0 until 4).map { b =>
+      s"  SELECT doc_id, $b AS band, ${bandExpr(b)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $portableShingleCtes,
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM hx GROUP BY doc_id),
+       |bh AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+       |  FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_id_a, c.doc_id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_id_a
+       |  JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_id_a, doc_id_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = doc_id_a
+       |JOIN sizes sb ON sb.doc_id = doc_id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
+  private def qSimhashPortable(s: SparkSession, sf: String): DataFrame =
+    Dedup.simhashBucketsPortable(Tables.documents(s, sf), numBits = 32)
+      .orderBy("doc_id")
+  private val qSimhashPortableSql = {
+    val params = Dedup.portableHashParams(32)
+    val bits = params.zipWithIndex.map { case ((a, b), s) =>
+      s"  list_sum(list_transform(xs, x -> CASE WHEN ((x * $a + $b) % 1000000007) % 2 = 1" +
+        s" THEN 1 ELSE -1 END)) AS b$s"
+    }.mkString(",\n")
+    val sim = (0 until 32).map(s => s"CASE WHEN b$s > 0 THEN ${1L << s} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                             w -> len(w) > 0) AS t
+       |  FROM documents),
+       |hxs AS (
+       |  SELECT doc_id, list_transform(t, tok ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+       |  FROM toks WHERE len(t) > 0),
+       |bits AS (
+       |  SELECT doc_id,
+       |$bits
+       |  FROM hxs),
+       |sel AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits)
+       |SELECT doc_id, simhash, simhash // 16777216 AS band8
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
   private def qRepetition(s: SparkSession, sf: String): DataFrame =
     TextAnalysis.repetitionStats(Tables.documents(s, sf))
       .orderBy("doc_id")
@@ -889,6 +1001,9 @@ object Pipeline extends QueryPack {
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
+    QueryDef("dedup_minhash_portable", qMinhashPortable, Some(qMinhashPortableSql)),
+    QueryDef("dedup_minhash_lsh_portable", qMinhashLshPortable, Some(qMinhashLshPortableSql)),
+    QueryDef("dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
     QueryDef("dedup_cluster_lsh", qClusterLsh, None),

@@ -35,6 +35,32 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("portable minhash/simhash are layout-invariant and structurally sound") {
+    // the portable family's whole point is bit-determinism: the signature
+    // must not depend on partitioning, and the end-to-end LSH pair set must
+    // only ever emit verified pairs (jaccard >= threshold)
+    val sig1 = Dedup.minhashSignaturesPortable(docs, shingleN = 2, numHashes = 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val sig2 = Dedup.minhashSignaturesPortable(docs.repartition(7), shingleN = 2, numHashes = 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(sig1.toSeq == sig2.toSeq)
+    // identical docs share the full signature; near-dups share some mins
+    val byId = sig1.map(r => r.head -> r.tail).toMap
+    assert(byId(0L) == byId(2L))
+    val pairs = Dedup.minhashLshPairsPortable(docs, shingleN = 2, numHashes = 16,
+        bands = 8, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.map(_._1).contains((0L, 2L)))
+    assert(pairs.forall(_._2 >= 0.5))
+    val sim = Dedup.simhashBucketsPortable(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sim2 = Dedup.simhashBucketsPortable(docs.repartition(5)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sim.toSeq == sim2.toSeq)
+    assert(sim.forall { case (_, h, b) => h >= 0L && h < (1L << 32) && b == (h >>> 24) })
+    assert(sim.find(_._1 == 0L).map(_._2) == sim.find(_._1 == 2L).map(_._2))
+  }
+
   test("banded sign-LSH recovers planted near-duplicates") {
     // 40 random base vectors plus a jittered copy of each (cosine ≥ ~0.98):
     // the regime sign-LSH is built for. With 4 bands × 12 planes the
