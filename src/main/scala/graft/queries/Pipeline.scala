@@ -355,6 +355,24 @@ object Pipeline extends QueryPack {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY rnk LIMIT 10""".stripMargin
 
+  /** The PERSISTED partitioned IVF index probed with nProbe = nCells, so
+    * every cell is scanned and the result is ORACLE-EXACT against the same
+    * brute-force SQL (the role the oversized rerank buffer plays for
+    * ann_sq8_batch) — while still driving the full offline path: index
+    * build → partitioned saveAsTable → literal-cell partition-pruned read
+    * (the pruning itself, at nProbe < nCells, is plan-pinned in
+    * IvfRecallSpec). */
+  private def qAnnIvfIndex(s: SparkSession, sf: String): DataFrame = {
+    val table = "graft_ivf_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table) {
+      Similarity.writeIvfIndex(Tables.embeddings(s, sf), table, nCentroids = 8)
+    }
+    Similarity.ivfTopKFromIndex(s, table, Tables.embeddings(s, sf),
+        queryId = 0L, k = 10, nProbe = 8)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  }
+
   private def qAnnLsh(s: SparkSession, sf: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
       .select("vec_id", "rnk")
@@ -994,6 +1012,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_embedding", qDedupEmbed, None),
     QueryDef("dedup_embedding_exact", qDedupEmbedExact, Some(qDedupEmbedExactSql)),
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
+    QueryDef("ann_ivf_index", qAnnIvfIndex, Some(qAnnBruteSql)),
     QueryDef("ann_lsh", qAnnLsh, None),
     QueryDef("ann_ivf", qAnnIvf, None),
     QueryDef("ann_sq8", qAnnSq8, None),

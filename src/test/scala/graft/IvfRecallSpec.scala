@@ -41,6 +41,44 @@ class IvfRecallSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVF index probes are partition-pruned and all-cell-exact") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val table = "graft_test_ivf_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_cents")
+    Similarity.writeIvfIndex(emb, table, nCentroids = 8)
+
+    // the probe scan must prune to the probed cells' partitions: the literal
+    // cell filter reaches the file scan as a PartitionFilter (no data files
+    // outside those cells are opened), and only nProbe distinct cells survive
+    val pruned = spark.table(table).where(col("cent_id").isin(0L, 1L))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScan over the index table"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
+      s"cell filter must be a partition filter, got: ${scan.partitionFilters}")
+    assert(scan.dataFilters.isEmpty || !scan.dataFilters.exists(
+        _.references.exists(_.name == "cent_id")),
+      "cell filter must not degrade to a post-scan data filter")
+
+    // probing every cell (nProbe >= nCells) degenerates to the exact scan —
+    // the same mechanism pin as the in-session variant
+    for (q <- Seq(0L, 7L)) {
+      val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
+      val viaIndex = Similarity.ivfTopKFromIndex(spark, table, emb, q, 10, nProbe = 8)
+      assert(ids(viaIndex) == exact, s"query $q: all-cell index probe must equal brute force")
+    }
+    // and a narrow probe emits only rows from its probed cells, all ranked
+    val narrow = Similarity.ivfTopKFromIndex(spark, table, emb, 0L, 10, nProbe = 2)
+    val got = top(narrow)
+    assert(got.size == 10 && got.map(_._2) == got.map(_._2).sorted.reverse)
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_cents")
+  }
+
   test("sq8_cosine codegen expression equals interpreted decode-and-cosine") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
