@@ -122,6 +122,10 @@ object Dist {
     * bounded by partition count, not row count — windows THAT tiny frame for
     * the per-partition starting offsets, and broadcasts it back. The result
     * is byte-identical to a serial pass regardless of partition count.
+    * (Spark logs `WindowExec: No Partition Defined` for this phase-2 window
+    * when `keyNames` is empty — expected and harmless HERE: the frame it
+    * moves to one partition is the per-partition totals, one row per range
+    * partition, never the data.)
     * Callers: series ranking (`sort`/`head`/`topk`), sequence packing,
     * weighted source mixing.
     *

@@ -86,7 +86,10 @@ object Similarity {
   /** Top-k tail shared by every variant: the distributed TakeOrdered keeps
     * the <= k best-scored rows, which then get a dense 1..k rank partitioned
     * by the probe id (one group per probe — generalizes to batched probes
-    * without a global single-partition window). */
+    * without a global single-partition window). The optimizer folds the
+    * constant probe id out of the partition spec, so Spark logs
+    * `WindowExec: No Partition Defined` here — expected and harmless: the
+    * window's input is the ALREADY-LIMITED k rows, never the corpus. */
   private def rankTail(scored: DataFrame, queryId: Long, k: Int, idCol: String): DataFrame =
     scored
       .orderBy(col("cosine").desc, col(idCol))
