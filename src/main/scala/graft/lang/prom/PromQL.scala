@@ -61,10 +61,12 @@ import scala.collection.mutable.ListBuffer
   * seconds, oracle `promql_rate_extrapolated`). The former window-shape
   * divergences are now mode-switched: by default range-window functions
   * keep the metric name and range windows are closed `[t-d, t]` (reference
-  * parity); `query(..., promParity = true)` switches BOTH to upstream
-  * semantics — left-open `(t-d, t]` windows and shouldDropMetricName for
-  * the range-window family (all but `last_over_time`) — oracles
-  * `promql_parity_window` / `promql_parity_name_drop` pin both modes.
+  * parity); `query(..., promParity = true)` switches to FULL upstream
+  * semantics — left-open `(t-d, t]` windows, shouldDropMetricName for
+  * the range-window family (all but `last_over_time`), and the
+  * Prometheus-exact extrapolated `rate` (promParity implies exactRate) —
+  * oracles `promql_parity_window` / `promql_parity_name_drop` /
+  * `promql_parity_rate` pin both modes.
   * Subquery inners follow Prometheus's per-instant evaluation:
   * a PLAIN SELECTOR inner carries lookback-delta staleness (left-open
   * `(t - delta, t]`, delta = the `lookbackDeltaMs` argument mirroring
@@ -963,10 +965,13 @@ object PromQL {
         val callOut = fn match {
         case "rate" =>
           val (in, d) = counterInput(args.head, g)
-          if (exactRate)
+          if (exactRate || promParity)
             // Prometheus-exact: the extrapolated counter increase per second
-            // (promql extrapolatedRate) — opt-in via the query() flag; the
-            // default keeps reference parity (rate → PerSecondRateStage,
+            // (promql extrapolatedRate) — opt-in via the exactRate flag, and
+            // IMPLIED by promParity (one flag = full upstream semantics:
+            // left-open windows + shouldDropMetricName + extrapolated rate,
+            // oracle promql_parity_rate); the default keeps reference parity
+            // (rate → PerSecondRateStage,
             // PromSourceBuilderVisitor.java:155-163)
             Temporal.extrapolatedRate(in, d, isCounter = true, selMs = selD(d))
               .withColumn(S.Value, col(S.Value) / lit(d / 1000.0))

@@ -631,8 +631,48 @@ object PromX extends QueryPack {
        |    value FROM c)
        |ORDER BY mode, series, ts, value""".stripMargin)
 
+  // ---- promParity implies the Prometheus-exact rate ------------------------
+  // One flag = full upstream semantics: the same extrapolatedRate math as
+  // promql_rate_extrapolated, but over the LEFT-OPEN (t-d, t] selection
+  // (extrapolation bounds keep the full d, like Prometheus) and with the
+  // metric name dropped.
+  private def qParityRate(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid, "rate(view[18h])", promParity = true))
+      .withColumn("value", round(col("value"), 9))
+  private val qParityRateSql = withSG(
+    s""", l AS (
+       |  SELECT usr, ts, value,
+       |    CASE WHEN lag(value) OVER pw IS NOT NULL AND value < lag(value) OVER pw
+       |         THEN lag(value) OVER pw ELSE 0.0 END AS radd
+       |  FROM g WHERE etype = 'view' WINDOW pw AS (PARTITION BY usr ORDER BY ts)),
+       |v AS (
+       |  SELECT usr, ts, value, radd,
+       |    count(value) OVER fw AS n,
+       |    min(ts) OVER fw AS tsf,
+       |    arg_min(value, ts) OVER fw AS vf,
+       |    sum(radd) OVER fw - arg_min(radd, ts) OVER fw AS corr
+       |  FROM l WINDOW fw AS (PARTITION BY usr ORDER BY ts
+       |                       RANGE BETWEEN 64799999 PRECEDING AND CURRENT ROW)),
+       |e AS (
+       |  SELECT usr, ts, n, vf,
+       |    value - vf + corr AS rv,
+       |    CAST(ts - tsf AS DOUBLE) AS si,
+       |    CAST(tsf - (ts - 64800000) AS DOUBLE) AS ds0,
+       |    CAST(ts - tsf AS DOUBLE) / (n - 1) AS ai
+       |  FROM v),
+       |x AS (
+       |  SELECT usr, ts, n, rv, si, ai,
+       |    CASE WHEN rv > 0 AND vf >= 0 AND si * vf / rv < ds0
+       |         THEN si * vf / rv ELSE ds0 END AS ds
+       |  FROM e)
+       |SELECT 'user:' || usr AS series, ts,
+       |  round(rv * ((si + CASE WHEN ds < ai * 1.1 THEN ds ELSE ai / 2 END) / si)
+       |        / 64800.0, 9) AS value
+       |FROM x WHERE n >= 2 $ord""".stripMargin)
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("promql_parity_window", qParityWindow, Some(qParityWindowSql)),
+    QueryDef("promql_parity_rate", qParityRate, Some(qParityRateSql)),
     QueryDef("promql_parity_name_drop", qParityNameDrop, Some(qParityNameDropSql)),
     QueryDef("promql_ts_of_max", qTsOfMax, Some(qTsOfMaxSql)),
     QueryDef("promql_scalar_binop", qScalarBinop, Some(qScalarBinopSql)),
