@@ -687,4 +687,115 @@ object Dedup {
       .where(col("cosine") >= cosineThreshold)
       .select("vec_id_a", "vec_id_b", "cosine")
   }
+
+  // ---- streaming exact dedup ----------------------------------------------
+
+  /** STREAMING exact dedup over a document stream (crawl shards arriving
+    * continuously): first arrival of each content hash survives, later
+    * copies are dropped by Spark's watermark-bounded dedup state
+    * (`dropDuplicatesWithinWatermark`). State is bounded by the watermark —
+    * a key is remembered for `lateMs` past the max seen event time, which is
+    * the crawl-burst window where duplicates actually cluster; the long
+    * tail (a page recrawled months later) is the BATCH index's job
+    * ([[dedupIncrementalIndexed]]) — the standard two-tier posture, because
+    * unbounded streaming dedup state grows with corpus cardinality and
+    * cannot run forever at 100 TB/day.
+    *
+    * The input must carry an event-time column `tsCol` (epoch millis).
+    * Works identically over `readStream` (stateful, incremental) and a
+    * batch frame (degenerates to a plain content-hash dropDuplicates). */
+  def streamingExactDedup(docs: DataFrame, lateMs: Long,
+                          textCol: String = "text",
+                          tsCol: String = "ingest_ts"): DataFrame = {
+    val hashed = docs
+      .withColumn("_event_time", timestamp_millis(col(tsCol)))
+      .withColumn("_content_hash", xxhash64(col(textCol)))
+    val deduped =
+      if (docs.isStreaming)
+        hashed.withWatermark("_event_time", s"$lateMs milliseconds")
+          .dropDuplicatesWithinWatermark("_content_hash")
+      else hashed.dropDuplicates("_content_hash")
+    deduped.drop("_event_time", "_content_hash")
+  }
+
+  // ---- cross-document duplicated spans (exact-substring dedup) -------------
+
+  /** Cross-document duplicated k-token spans — the exact-substring pass of
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"), reshaped for Spark: every k-token
+    * window whose case-folded text occurs in >= `minDocs` DISTINCT documents
+    * is flagged, and per document the flagged window positions merge into
+    * maximal spans `[span_start, span_end]` (inclusive token indices into
+    * the whitespace-token sequence).
+    *
+    * Scale design: the exact tool is a distributed suffix array; this is the
+    * shuffle-friendly standard approximation — one groupBy over window
+    * hashes (shuffle proportional to TOTAL TOKENS, the same O(corpus) cost
+    * as any shingle pass), one semi-join back, then a per-document window
+    * for interval merging (partitioned by doc_id — fully parallel, bounded
+    * by one document's token count). Default hashing is codegen'd xxhash64
+    * (64-bit space); `portable=true` switches to the base-31 mod-(1e9+7)
+    * rolling hash the DuckDB oracle replays bit-exactly — at 100 TB that
+    * ~2^30 space would alias distinct windows into false spans, so portable
+    * is for correctness gating and cross-engine reproducibility, not the
+    * hot path. */
+  def duplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      portable: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // gram strings are built INSIDE the array (transform → posexplode) so
+    // the token array is never replicated per window position
+    val gramArr = transform(sequence(lit(0), size(col("_t")) - k),
+      i => lower(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))
+    val grams = docs.select(col(idCol), toks.as("_t"))
+      .where(size(col("_t")) >= k)
+      .select(col(idCol), posexplode(gramArr))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"),
+        (if (portable) polyHash(col("col")) else xxhash64(col("col"))).as("_x"))
+    val dupX = grams.groupBy("_x")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDocs)
+      .select("_x")
+    val dupPos = grams.join(dupX, Seq("_x"), "left_semi").select(idCol, "pos")
+    // gaps-and-islands merge: windows all span k tokens, so sorted by pos
+    // the running span end is lag(pos)+k-1 and a new island starts exactly
+    // when pos > lag(pos)+k (no overlap, no adjacency)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("_lag", lag("pos", 1).over(w))
+      .withColumn("_brk",
+        when(col("_lag").isNull || col("pos") > col("_lag") + k, lit(1)).otherwise(lit(0)))
+      .withColumn("_isl", sum("_brk").over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Rebuild each document with every cross-document duplicated span removed
+    * ([[duplicatedSpans]] discovery): `clean_text` is the surviving tokens
+    * joined by single spaces (whitespace is normalized — the token sequence,
+    * not the raw bytes, is the unit of this operator) and `n_removed` the
+    * dropped token count (0 for untouched documents, which pass through).
+    * The per-doc span list rides a collect_list struct — bounded by the
+    * document's own span count, never corpus-sized. */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            portable: Boolean = false): DataFrame = {
+    val spans = duplicatedSpans(docs, k, minDocs, idCol, textCol, portable)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("_kept", expr(
+        "filter(transform(_t, (tok, i) -> named_struct('tok', tok, 'i', i)), " +
+          "p -> _spans IS NULL OR NOT exists(_spans, " +
+          "s -> p.i >= s.span_start AND p.i <= s.span_end))"))
+      .select(col(idCol),
+        expr("array_join(transform(_kept, p -> p.tok), ' ')").as("clean_text"),
+        (size(col("_t")) - size(col("_kept"))).cast(LongType).as("n_removed"))
+  }
 }

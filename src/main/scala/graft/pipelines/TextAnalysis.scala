@@ -89,6 +89,36 @@ object TextAnalysis {
       .drop("_scan", "_quota")
   }
 
+  /** TEMPERATURE-based source mixing — the multinomial reweighting of
+    * multi-source pre-training corpora (p_i ∝ n_i^alpha; alpha=1 keeps
+    * natural proportions, alpha→0 flattens toward uniform, the mT5/XLM-R
+    * recipe): per-source quotas are computed from the corpus' own source
+    * counts, capped at availability, then filled deterministically in
+    * doc-id order via the distributed prefix scan (same fill as
+    * [[mixSources]] — a resumed or re-partitioned run selects the identical
+    * documents). Quota arithmetic is floor(target · w_i / Σw) with the
+    * weight sum in DECIMAL(38,9), so the oracle replays it bit-exactly;
+    * undershoot from flooring is deliberate (never oversample a source).
+    * Shuffle cost: one count per source + the prefix scan — both O(corpus),
+    * no skew (quota frame is a broadcast of |sources| rows). */
+  def temperatureMix(docs: DataFrame, targetTotal: Long, alpha: Double,
+                     sourceCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("_n"))
+    val weights = counts.withColumn("_w", pow(col("_n").cast(DoubleType), lit(alpha)))
+    val tot = weights.agg(graft.core.OracleSafe.dSum(col("_w")).as("_tw"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .withColumn("_quota",
+        least(col("_n"), floor(lit(targetTotal.toDouble) * col("_w") / col("_tw"))
+          .cast("long")))
+      .select(col(sourceCol), col("_quota"))
+    graft.core.Dist.prefixScan(docs, Seq(col(idCol)), lit(1L), Seq(col(idCol)),
+        keyNames = Seq(sourceCol))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .where(col("_scan") <= col("_quota"))
+      .drop("_scan", "_quota")
+  }
+
   /** Deterministic train/validation/test split: each document's fraction is
     * the first 8 hex chars of md5(seed ":" id) scaled to [0,1) — stable
     * across engines, partitionings and reruns (a resumed pipeline must never

@@ -556,7 +556,13 @@ object Pipeline extends QueryPack {
     Dedup.minhashLshPairsPortable(Tables.documents(s, sf), shingleN = 3,
         numHashes = 16, bands = 4, threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
-  private val qMinhashLshPortableSql = {
+
+  /** Full portable-LSH candidate-pair CTE chain, ending in
+    * `ppairs(doc_id_a, doc_id_b, jaccard)` — the threshold-filtered pair set
+    * of [[Dedup.minhashLshPairsPortable]](n=3, 16 hashes, 4 bands, 0.5).
+    * Shared by the pair oracle and the clustering/survivor oracles built on
+    * top of it. */
+  private val portablePairCtes = {
     val params = Dedup.portableHashParams(16)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       s"    min((x * $a + $b) % 1000000007) AS h$i"
@@ -569,7 +575,7 @@ object Pipeline extends QueryPack {
     val bandSelects = (0 until 4).map { b =>
       s"  SELECT doc_id, $b AS band, ${bandExpr(b)} AS bh FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $portableShingleCtes,
+    s"""$portableShingleCtes,
        |sig AS (
        |  SELECT doc_id,
        |$mins
@@ -586,15 +592,132 @@ object Pipeline extends QueryPack {
        |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.doc_id_a
        |  JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
-       |  GROUP BY 1, 2)
-       |SELECT doc_id_a, doc_id_b,
-       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-       |FROM common
-       |JOIN sizes sa ON sa.doc_id = doc_id_a
-       |JOIN sizes sb ON sb.doc_id = doc_id_b
-       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |ppairs AS (
+       |  SELECT doc_id_a, doc_id_b,
+       |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = doc_id_a
+       |  JOIN sizes sb ON sb.doc_id = doc_id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)""".stripMargin
   }
+  private val qMinhashLshPortableSql =
+    s"""WITH $portablePairCtes
+       |SELECT doc_id_a, doc_id_b, jaccard FROM ppairs
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** Connected-component CTE chain over `ppairs` (requires WITH RECURSIVE):
+    * transitive closure by reachability, then cluster = min reachable id —
+    * the fixpoint [[Dedup.clusterPairs]] converges to by pointer doubling.
+    * Ends in `cc(node, cluster_id)`. */
+  private val portableCcCtes =
+    """nodes AS (
+      |  SELECT doc_id_a AS node FROM ppairs UNION SELECT doc_id_b FROM ppairs),
+      |sym AS (
+      |  SELECT doc_id_a AS a, doc_id_b AS b FROM ppairs
+      |  UNION SELECT doc_id_b, doc_id_a FROM ppairs),
+      |reach(node, r) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r),
+      |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** End-to-end near-dup CLUSTERING with every stage oracle-checked: the
+    * portable-hash LSH pair set (bit-exact in DuckDB) fed through the
+    * distributed connected-component loop, verified against a recursive-CTE
+    * transitive closure. `dedup_cluster_lsh` times the same chain over the
+    * engine-internal xxhash64 family (rows-only); this pins its RESULT
+    * structure exactly. */
+  private def qClusterPortable(s: SparkSession, sf: String): DataFrame =
+    Dedup.clusterPairs(Dedup.minhashLshPairsPortable(Tables.documents(s, sf),
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+  private val qClusterPortableSql =
+    s"""WITH RECURSIVE $portablePairCtes,
+       |$portableCcCtes
+       |SELECT node AS doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
+
+  /** Canonical-survivor selection over the portable clustering — the full
+    * LSH → components → survivors pipeline, oracle-checked end to end. */
+  private def qSurvivorsPortable(s: SparkSession, sf: String): DataFrame =
+    Dedup.keepCanonical(Tables.documents(s, sf),
+        Dedup.minhashLshPairsPortable(Tables.documents(s, sf),
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5))
+      .select("doc_id")
+      .orderBy("doc_id")
+  private val qSurvivorsPortableSql =
+    s"""WITH RECURSIVE $portablePairCtes,
+       |$portableCcCtes
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain of the duplicated-span oracles (k=8, minDocs=2,
+    * portable rolling hash): window hashes → cross-doc duplicated hashes →
+    * flagged positions → gaps-and-islands merge, ending in
+    * `spans(doc_id, span_start, span_end)`. Mirrors
+    * [[Dedup.duplicatedSpans]] arithmetic exactly. */
+  private val dupSpanCtes = {
+    val k = 8
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |gpos AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(lower(array_to_string(t[i:i+${k - 1}], ' ')), ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS x
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) ix
+       |  WHERE len(t) >= $k),
+       |dupx AS (SELECT x FROM gpos GROUP BY x HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, pos FROM gpos WHERE x IN (SELECT x FROM dupx)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM dp),
+       |gid AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end
+       |  FROM gid GROUP BY doc_id, g)""".stripMargin
+  }
+
+  /** Cross-document duplicated 8-token spans over the portable hash — the
+    * exact-substring dedup discovery pass, fully oracle-checked. */
+  private def qDupSpans(s: SparkSession, sf: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, sf), k = 8, minDocs = 2,
+        portable = true)
+      .orderBy("doc_id", "span_start")
+  private val qDupSpansSql =
+    s"""WITH $dupSpanCtes
+       |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Span REMOVAL: each document rebuilt without its duplicated spans —
+    * surviving-token text and removed-token counts both oracle-checked. */
+  private def qDupSpanRemoval(s: SparkSession, sf: String): DataFrame =
+    Dedup.removeDuplicatedSpans(Tables.documents(s, sf), k = 8, minDocs = 2,
+        portable = true)
+      .orderBy("doc_id")
+  private val qDupSpanRemovalSql =
+    s"""WITH $dupSpanCtes,
+       |tokpos AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.span_start AND s.span_end)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+       |               count(*) AS n_kept
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks)
+       |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |  t.n - coalesce(a.n_kept, 0) AS n_removed
+       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private def qSimhashPortable(s: SparkSession, sf: String): DataFrame =
     Dedup.simhashBucketsPortable(Tables.documents(s, sf), numBits = 32)
@@ -908,6 +1031,25 @@ object Pipeline extends QueryPack {
       |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 999999 ELSE 1 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-flattened source mixing (alpha=0.5, target 300): quotas
+    * derive from the corpus' own source counts — the decimal weight-sum and
+    * floored quota arithmetic replay bit-exactly in the oracle. */
+  private def qMixTemperature(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.temperatureMix(Tables.documents(s, sf), targetTotal = 300L,
+        alpha = 0.5)
+      .select("doc_id", "source").orderBy("doc_id")
+  private val qMixTemperatureSql =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
+       |t AS (SELECT ${graft.core.OracleSafe.sqlSum("wt")} AS tw FROM w),
+       |q AS (SELECT source, least(n, CAST(floor(300.0 * wt / tw) AS BIGINT)) AS quota
+       |      FROM w, t),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |      FROM documents)
+       |SELECT doc_id, source FROM r JOIN q USING (source)
+       |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+
   // ---- /_tsdb/stats equivalent --------------------------------------------
   /** seriesCountByLabelValuePair over the events-as-samples view (ref:
     * RestTSDBStatsAction flat format) — series identity = (name, user). */
@@ -1022,6 +1164,10 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_minhash_portable", qMinhashPortable, Some(qMinhashPortableSql)),
     QueryDef("dedup_minhash_lsh_portable", qMinhashLshPortable, Some(qMinhashLshPortableSql)),
+    QueryDef("dedup_cluster_portable", qClusterPortable, Some(qClusterPortableSql)),
+    QueryDef("dedup_survivors_portable", qSurvivorsPortable, Some(qSurvivorsPortableSql)),
+    QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
+    QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
@@ -1031,6 +1177,7 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
+    QueryDef("corpus_mix_temperature", qMixTemperature, Some(qMixTemperatureSql)),
     QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)),
     QueryDef("text_clean_lines", qCleanLines, Some(qCleanLinesSql)),

@@ -125,8 +125,35 @@ object StreamingQ extends QueryPack {
        |GROUP BY series, 2
        |ORDER BY series, ts""".stripMargin
 
+  /** STREAMING content-dedup roundtrip: every document serialized TWICE to
+    * a json stream, AvailableNow through the watermark-bounded content-hash
+    * dedup ([[graft.pipelines.Dedup.streamingExactDedup]]); the surviving
+    * text set must equal DISTINCT text — rows double if the state dedup
+    * breaks, text corruption anywhere in the json hop hash-mismatches.
+    * Output is the content set (not doc ids): the surviving ROW for a text
+    * shared by several doc ids is arrival-order dependent, the content set
+    * is not. */
+  private def qStreamDedup(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val src = s"$base/src"
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("text"),
+        (lit(1704067200000L) + col("doc_id")).as("ingest_ts"))
+    docs.unionAll(docs).coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, ingest_ts BIGINT").json(src)
+    val out = graft.pipelines.Dedup.streamingExactDedup(stream, lateMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    s.table("sdedup_out").select("text").orderBy("text")
+  }
+  private val qStreamDedupSql =
+    "SELECT DISTINCT text FROM documents ORDER BY text"
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)),
+    QueryDef("streaming_dedup_docs", qStreamDedup, Some(qStreamDedupSql)),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }

@@ -442,4 +442,76 @@ class PipelineSpec extends SparkTestBase {
       .head()
     assert(mal.getAs[String]("format_detected") == "raw")
   }
+
+  // ---- cross-document duplicated spans --------------------------------------
+
+  // A and B share the 10-token run a..j (case-folded in B); C is clean;
+  // D is shorter than k and must be ignored by gram discovery entirely.
+  private def spanDocs = Seq(
+    (0L, "a b c d e f g h i j u1 u2 u3"),
+    (1L, "p q A B C D E F G H I J s1"),
+    (2L, "x y z w v t r m n o"),
+    (3L, "s t"))
+    .toDF("doc_id", "text")
+
+  test("duplicatedSpans merges flagged windows into maximal per-doc spans") {
+    val spans = Dedup.duplicatedSpans(spanDocs, k = 4, minDocs = 2, portable = true)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // windows of the shared run: starts 0..6 in A (span [0,9]) and 2..8 in B
+    // (span [2,11]) — ends extend k-1 past the last duplicated window start
+    assert(spans == Set((0L, 0L, 9L, 10L), (1L, 2L, 11L, 10L)))
+  }
+
+  test("removeDuplicatedSpans drops exactly the spanned tokens, keeps the rest") {
+    val out = Dedup.removeDuplicatedSpans(spanDocs, k = 4, minDocs = 2, portable = true)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, "u1 u2 u3", 10L),
+      (1L, "p q s1", 10L),            // original case of kept tokens preserved
+      (2L, "x y z w v t r m n o", 0L),
+      (3L, "s t", 0L)))
+  }
+
+  test("duplicated spans: separated shared runs stay distinct spans") {
+    // E and F share run1 (E pos 0-4) and run2 (E pos 6-10) around a
+    // non-shared token at pos 5: windows at 3,4,5 cross the gap and are
+    // unique, so the islands must NOT merge and token 5 must survive
+    val docs = Seq(
+      (0L, "r1a r1b r1c r1d r1e GAP r2a r2b r2c r2d r2e"),
+      (1L, "r1a r1b r1c r1d r1e OTHER r2a r2b r2c r2d r2e"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 3, minDocs = 2, portable = true)
+      .where(col("doc_id") === 0L)
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSet
+    assert(spans == Set((0L, 4L), (6L, 10L)))
+    val clean = Dedup.removeDuplicatedSpans(docs, k = 3, minDocs = 2, portable = true)
+      .where(col("doc_id") === 0L).select("clean_text").as[String].head()
+    assert(clean == "GAP")
+  }
+
+  test("temperatureMix flattens source proportions and caps at availability") {
+    // sources: big=8 docs, small=2 docs. alpha=0.5 → weights √8:√2 = 2:1,
+    // target 6 → quotas floor(4):floor(2) = 4 and 2 (small capped at its 2)
+    val docs = (0L until 8L).map(i => (i, s"t$i", "big")) ++
+      Seq((8L, "t8", "small"), (9L, "t9", "small"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.temperatureMix(df, targetTotal = 6L, alpha = 0.5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(out == Set((0L, "big"), (1L, "big"), (2L, "big"), (3L, "big"),
+      (8L, "small"), (9L, "small")))
+    // alpha=1 keeps natural proportions: quotas 4.8→4 and 1.2→1
+    val nat = TextAnalysis.temperatureMix(df, targetTotal = 6L, alpha = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(nat == Map("big" -> 4L, "small" -> 1L))
+  }
+
+  test("duplicated spans: xxhash64 and portable families agree off collisions") {
+    val fast = Dedup.duplicatedSpans(spanDocs, k = 4, minDocs = 2)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
+    val port = Dedup.duplicatedSpans(spanDocs, k = 4, minDocs = 2, portable = true)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
+    assert(fast == port)
+  }
 }

@@ -92,6 +92,40 @@ class StreamingIngestSpec extends SparkTestBase {
       (t0 + 720000L, t0 + 780000L + 300000L, 2L)))
   }
 
+  test("streaming exact dedup drops later copies across micro-batch files") {
+    val dir = Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val t0 = 1704067200000L
+    // file a: two docs, one internal duplicate pair (ids 0/1 same text);
+    // file b: a cross-file duplicate of id 0's text plus one fresh doc —
+    // within the 60s watermark, so state must drop it
+    Files.write(java.nio.file.Paths.get(s"$src/a.json"), Seq(
+      s"""{"doc_id":0,"text":"same text here","ingest_ts":$t0}""",
+      s"""{"doc_id":1,"text":"same text here","ingest_ts":${t0 + 10}}""",
+      s"""{"doc_id":2,"text":"other text","ingest_ts":${t0 + 20}}""")
+      .mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b.json"), Seq(
+      s"""{"doc_id":3,"text":"same text here","ingest_ts":${t0 + 1000}}""",
+      s"""{"doc_id":4,"text":"fresh text","ingest_ts":${t0 + 2000}}""")
+      .mkString("\n").getBytes)
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)   // force a:then:b micro-batches
+      .schema("doc_id BIGINT, text STRING, ingest_ts BIGINT").json(src)
+    val out = graft.pipelines.Dedup.streamingExactDedup(stream, lateMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sdedupz")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val texts = spark.table("sdedupz").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("fresh text", "other text", "same text here"))
+    // batch mode degenerates to a plain content dropDuplicates
+    val batch = graft.pipelines.Dedup.streamingExactDedup(
+      spark.read.schema("doc_id BIGINT, text STRING, ingest_ts BIGINT").json(src),
+      lateMs = 60000L)
+    assert(batch.select("text").collect().map(_.getString(0)).sorted.toSeq == texts)
+  }
+
   test("streaming sessionize equals the batch sessionizer at a second gap") {
     // same session_window expression, two execution modes, gap = 2m (a
     // SECOND parameter beside the 5m case above, chosen so the split points
