@@ -59,14 +59,19 @@ object Dedup {
   }
 
   /** Normalized word shingles of size n: (doc_id, shingle) distinct. */
-  private def shingles(docs: DataFrame, n: Int, idCol: String): DataFrame = {
+  /** Exploded (doc, shingle) stream, duplicates INCLUDED — no shuffle; pair
+    * with a narrow filter before any distinct so the dedup shuffle only
+    * carries surviving grams. */
+  private def rawShingles(docs: DataFrame, n: Int, idCol: String): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     docs.select(col(idCol),
         explode(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
       .where(length(col("shingle")) > 0)
-      .distinct()
   }
+
+  private def shingles(docs: DataFrame, n: Int, idCol: String): DataFrame =
+    rawShingles(docs, n, idCol).distinct()
 
   /** N-gram Jaccard near-dup pairs: inverted index on shingles, count common
     * shingles per candidate pair, exact Jaccard >= threshold.
@@ -218,6 +223,11 @@ object Dedup {
     * 10007): acc = (acc·10007 + h_i) mod p — shared by the Spark side and
     * the oracle generator. */
   private val BandR = 10007L
+  /** Base of the k-token window fold (duplicated-span hashing): acc =
+    * (acc·GramR + tokenHash) mod p — distinct from [[BandR]] so band and
+    * window structures never alias. acc·GramR < p·2²⁰ stays far below 2⁶³
+    * (ANSI-mode safe). */
+  private val GramR = 1000003L
   private def portableBandHash(cols: Seq[Column]): Column =
     cols.foldLeft(lit(0L): Column)((acc, h) => pmod(acc * lit(BandR) + h, lit(PortableP)))
 
@@ -617,9 +627,14 @@ object Dedup {
                     minHits: Int = 1, idCol: String = "doc_id"): DataFrame = {
     val benchGrams = broadcast(
       shingles(benchmark, n, idCol).select(col("shingle")).distinct())
-    val contaminated = shingles(docs, n, idCol)
+    // the corpus side stays UN-deduplicated into the broadcast semi-join —
+    // a map-side filter — so the only wide operation is the distinct-hit
+    // count over grams that actually matched the benchmark. Deduplicating
+    // first (the former formulation) shuffled the ENTIRE corpus gram
+    // stream to serve a filter that discards almost all of it.
+    val contaminated = rawShingles(docs, n, idCol)
       .join(benchGrams, Seq("shingle"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("_hits"))
+      .groupBy(idCol).agg(countDistinct(col("shingle")).as("_hits"))
       .where(col("_hits") >= minHits)
       .select(idCol)
     docs.join(contaminated, Seq(idCol), "left_anti")
@@ -744,15 +759,27 @@ object Dedup {
                       portable: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val toks = split(trim(col(textCol)), "\\s+")
-    // gram strings are built INSIDE the array (transform → posexplode) so
-    // the token array is never replicated per window position
-    val gramArr = transform(sequence(lit(0), size(col("_t")) - k),
-      i => lower(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))
+    // window hashes are built INSIDE arrays (transform → posexplode) so the
+    // token array is never replicated per window position. The portable
+    // window hash is a k-element fold over PER-TOKEN rolling hashes —
+    // each token's characters are walked once per document, not once per
+    // covering window (the joined-gram-string formulation cost k·|token|
+    // interpreted lambda steps per window and dominated the whole pass).
+    val gramArr =
+      if (portable)
+        transform(sequence(lit(0), size(col("_t")) - k),
+          i => aggregate(slice(col("_th"), i + 1, lit(k)), lit(0L),
+            (acc, h) => pmod(acc * lit(GramR) + h, lit(PortableP))))
+      else
+        transform(sequence(lit(0), size(col("_t")) - k),
+          i => xxhash64(lower(concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))
     val grams = docs.select(col(idCol), toks.as("_t"))
       .where(size(col("_t")) >= k)
+      .withColumn("_th",
+        if (portable) transform(col("_t"), t => polyHash(lower(t)))
+        else col("_t"))
       .select(col(idCol), posexplode(gramArr))
-      .select(col(idCol), col("pos").cast(LongType).as("pos"),
-        (if (portable) polyHash(col("col")) else xxhash64(col("col"))).as("_x"))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"), col("col").as("_x"))
     val dupX = grams.groupBy("_x")
       .agg(countDistinct(col(idCol)).as("_df"))
       .where(col("_df") >= minDocs)

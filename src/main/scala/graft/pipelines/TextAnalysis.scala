@@ -44,6 +44,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document TF-IDF top terms — the keyword-extraction face of
+    * [[vocabulary]]: tfidf = tf · ln(N / df) with N the document count and
+    * df the term's document frequency, top `topK` terms per document by
+    * (tfidf desc, token asc) — the token tiebreak keeps ranks deterministic
+    * cross-engine. JVM and libm `ln` disagree in the last ulp on some
+    * inputs, so the score is QUANTIZED through DECIMAL(38,9) (the engine's
+    * standard cross-engine float discipline) before ranking and output —
+    * rank and value are then oracle-checkable. Shuffles: one (doc, token)
+    * count, one token-level df aggregate, the per-doc rank window
+    * (partitioned by doc_id — bounded by a document's vocabulary, fully
+    * parallel). N rides a 1-row broadcast, never a driver action. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col(idCol)).as("_n"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * log(col("_n").cast(DoubleType) / col("df")))
+        .cast(DecimalType(38, 9)).cast(DoubleType))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= topK)
+      .select(idCol, "token", "tf", "df", "tfidf")
+  }
+
   /** Sequence packing: assign documents (ordered by `idCol`) to training
     * shards of ~`budgetTokens` whitespace tokens — each doc lands in the shard
     * containing its START offset (shard = floor(startOffset / budget)), the

@@ -662,13 +662,17 @@ object Pipeline extends QueryPack {
     val k = 8
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id, t, list_transform(t, tok ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(lower(tok), ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+       |  FROM toks),
        |gpos AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split(lower(array_to_string(t[i:i+${k - 1}], ' ')), ''),
-       |        c -> CAST(unicode(c) AS BIGINT))),
-       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS x
-       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) ix
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${k - 1}]),
+       |      (acc, h) -> (acc * 1000003 + h) % 1000000007) AS x
+       |  FROM th, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) ix
        |  WHERE len(t) >= $k),
        |dupx AS (SELECT x FROM gpos GROUP BY x HAVING count(DISTINCT doc_id) >= 2),
        |dp AS (SELECT doc_id, pos FROM gpos WHERE x IN (SELECT x FROM dupx)),
@@ -1031,6 +1035,29 @@ object Pipeline extends QueryPack {
       |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 999999 ELSE 1 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-doc TF-IDF keyword extraction (top 5 terms): ln/× double
+    * arithmetic reproduces bit-exactly, the token tiebreak pins rank order. */
+  private def qTfidf(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, sf), topK = 5)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  private val qTfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |sc AS (SELECT t.doc_id, t.token, t.tf, d.df,
+      |         CAST(CAST(t.tf * ln(CAST(n AS DOUBLE) / d.df) AS DECIMAL(38,9))
+      |              AS DOUBLE) AS tfidf
+      |       FROM tf t JOIN df d USING (token), nd),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      |      FROM sc)
+      |SELECT doc_id, token, tf, df, tfidf FROM r WHERE rn <= 5
+      |ORDER BY doc_id, tfidf DESC, token""".stripMargin
+
   /** Temperature-flattened source mixing (alpha=0.5, target 300): quotas
     * derive from the corpus' own source counts — the decimal weight-sum and
     * floored quota arithmetic replay bit-exactly in the oracle. */
@@ -1178,6 +1205,7 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
     QueryDef("corpus_mix_temperature", qMixTemperature, Some(qMixTemperatureSql)),
+    QueryDef("text_tfidf_terms", qTfidf, Some(qTfidfSql)),
     QueryDef("text_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("text_scrub_pii", qScrubPii, Some(qScrubPiiSql)),
     QueryDef("text_clean_lines", qCleanLines, Some(qCleanLinesSql)),

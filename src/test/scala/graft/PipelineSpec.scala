@@ -491,6 +491,27 @@ class PipelineSpec extends SparkTestBase {
     assert(clean == "GAP")
   }
 
+  test("tfidfTopTerms ranks rare repeated terms above ubiquitous ones") {
+    // 'zebra' appears twice in doc 0 only (tf=2, df=1 → tfidf = 2·ln 3);
+    // 'common' is in every doc (df=3 → tfidf = 0, ln 1); 'shared' df=2
+    val docs = Seq(
+      (0L, "zebra zebra common shared"),
+      (1L, "common shared other"),
+      (2L, "common alone words")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, topK = 2)
+      .select("doc_id", "token").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out(0L).contains("zebra"))
+    assert(!out(0L).contains("common"))   // tfidf 0 ranks below both others
+    val z = TextAnalysis.tfidfTopTerms(docs, topK = 10)
+      .where(col("token") === "zebra")
+      .select("tf", "df", "tfidf").as[(Long, Long, Double)].head()
+    assert(z._1 == 2L && z._2 == 1L)
+    // tfidf is quantized through DECIMAL(38,9) (cross-engine ln discipline),
+    // so compare at that precision; exact equality is the oracle's job
+    assert(math.abs(z._3 - 2.0 * math.log(3.0)) < 1e-9)
+  }
+
   test("temperatureMix flattens source proportions and caps at availability") {
     // sources: big=8 docs, small=2 docs. alpha=0.5 → weights √8:√2 = 2:1,
     // target 6 → quotas floor(4):floor(2) = 4 and 2 (small capped at its 2)

@@ -148,4 +148,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian in range join:\n$p")
     assert(p.contains("HashJoin"), s"range join must be a hash equi-join:\n$p")
   }
+
+  test("plan: corpus_decontaminate filters the gram stream before any shuffle") {
+    // the corpus gram stream must hit the BROADCAST semi-join (a map-side
+    // filter) with NO shuffle below it on the streamed side — a shuffle
+    // there means the corpus grams were deduplicated BEFORE the filter,
+    // the full-corpus exchange this plan exists to avoid. (The benchmark
+    // side's distinct shuffles, but that side is the small one.) Checked on
+    // the physical tree, not the plan string: both formulations print one
+    // gram-keyed exchange, only its position differs.
+    if (!available) cancel(s"testdata not available at $sf")
+    val plan = graft.queries.Registry.queries("corpus_decontaminate")(spark, sf)
+      .queryExecution.sparkPlan
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"benchmark grams must broadcast into a semi join:\n$plan")
+    semis.foreach { j =>
+      val shuffles = j.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"corpus gram stream must reach the semi join unshuffled:\n$j")
+    }
+  }
 }
