@@ -95,6 +95,44 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("_start").as("start_offset"), col("shard_id"))
   }
 
+  /** Fixed-length SEQUENCE CHUNKING: concatenate documents in ascending
+    * `idCol` order into one global token stream (the same deterministic
+    * prefix-sum offsets as [[packSequences]]) and cut it into training
+    * sequences of exactly `seqLen` tokens — the GPT-style contiguous-stream
+    * chunking where documents SPLIT across sequence boundaries instead of
+    * padding. Emits one row per (document × overlapping sequence): seq_id,
+    * the doc-local half-open token slice [tok_start, tok_end), and the
+    * position of that slice inside the sequence (seq_offset).
+    *
+    * Distributed shape: after the two-phase prefix scan, each document's
+    * overlapping sequence range is plain row-local arithmetic exploded to
+    * ≤ ceil(n_d/seqLen)+1 rows — no window over the global stream, no
+    * skew (a huge document fans out to its own sequence count, nothing
+    * more). Row order and values are partition-invariant. */
+  def chunkSequences(docs: DataFrame, seqLen: Long,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val Dec = DecimalType(38, 0)
+    val withTok = tokenStats(docs).select(col(idCol), col("n_tokens"))
+    graft.core.Dist.prefixScan(withTok, Seq(col(idCol)),
+        col("n_tokens").cast(Dec), Seq(col(idCol)))
+      .withColumn("_start", (col("_scan") - col("n_tokens")).cast(LongType))
+      .where(col("n_tokens") > 0)
+      // integer DIV, not floor(double /): past 2^53 stream tokens a double
+      // quotient would misplace sequence boundaries
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_start DIV $seqLen"),
+        expr(s"(_start + n_tokens - 1) DIV $seqLen"))))
+      .withColumn("tok_start",
+        greatest(col("seq_id") * seqLen - col("_start"), lit(0L)))
+      .withColumn("tok_end",
+        least((col("seq_id") + 1) * seqLen - col("_start"), col("n_tokens")))
+      .withColumn("seq_offset",
+        greatest(col("_start") - col("seq_id") * seqLen, lit(0L)))
+      .select(col(idCol), col("seq_id"), col("tok_start"), col("tok_end"),
+        col("seq_offset"))
+  }
+
   /** Weighted SOURCE MIXING: compose a training corpus with per-source
     * document quotas — keep the first `quotas(source)` documents of each
     * source in ascending `idCol` order (deterministic and resumable; sources

@@ -251,6 +251,32 @@ object Pipeline extends QueryPack {
       |SELECT doc_id, n_tokens, start_offset, start_offset // 4096 AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** GPT-style contiguous-stream chunking into 1024-token sequences:
+    * documents split across sequence boundaries; every slice boundary is
+    * integer prefix-sum arithmetic the oracle replays exactly. */
+  private def qChunkSequences(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.chunkSequences(Tables.documents(s, sf), seqLen = 1024L)
+      .orderBy("doc_id", "seq_id")
+  private val qChunkSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+      |         AS BIGINT) AS s
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, n_tokens, s,
+      |    unnest(generate_series(s // 1024, (s + n_tokens - 1) // 1024)) AS seq_id
+      |  FROM c WHERE n_tokens > 0)
+      |SELECT doc_id, seq_id,
+      |  greatest(seq_id * 1024 - s, 0) AS tok_start,
+      |  least((seq_id + 1) * 1024 - s, n_tokens) AS tok_end,
+      |  greatest(s - seq_id * 1024, 0) AS seq_offset
+      |FROM e ORDER BY doc_id, seq_id""".stripMargin
+
   /** The composed cleaning job a training-data team actually runs: exact
     * dedup → quality floor → per-language corpus stats. Every stage is an
     * operator verified on its own; this pins their composition end-to-end. */
@@ -1200,6 +1226,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
     QueryDef("dedup_cluster_lsh", qClusterLsh, None),
     QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)),
+    QueryDef("text_chunk_sequences", qChunkSequences, Some(qChunkSequencesSql)),
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),

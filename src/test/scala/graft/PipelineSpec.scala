@@ -491,6 +491,27 @@ class PipelineSpec extends SparkTestBase {
     assert(clean == "GAP")
   }
 
+  test("chunkSequences splits docs across fixed sequence boundaries exactly") {
+    // stream: doc0 [0,3) doc1 [3,9) doc2 [9,11); sequences of 4 tokens —
+    // doc1 spans three sequences, doc2 starts mid-sequence at offset 1
+    val cdocs = Seq(
+      (0L, "a b c"), (1L, "d e f g h i"), (2L, "j k"))
+      .toDF("doc_id", "text")
+    val expect = Set(
+      (0L, 0L, 0L, 3L, 0L),
+      (1L, 0L, 0L, 1L, 3L),
+      (1L, 1L, 1L, 5L, 0L),
+      (1L, 2L, 5L, 6L, 0L),
+      (2L, 2L, 0L, 2L, 1L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkSequences(df, seqLen = 4L)
+        .select("doc_id", "seq_id", "tok_start", "tok_end", "seq_offset")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(run(cdocs) == expect)
+    // partition-invariant: the prefix sum must not depend on layout
+    assert(run(cdocs.repartition(7)) == expect)
+  }
+
   test("tfidfTopTerms ranks rare repeated terms above ubiquitous ones") {
     // 'zebra' appears twice in doc 0 only (tf=2, df=1 → tfidf = 2·ln 3);
     // 'common' is in every doc (df=3 → tfidf = 0, ln 1); 'shared' df=2
