@@ -648,6 +648,16 @@ object Pipeline extends QueryPack {
       |  SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r),
       |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
+  /** Shared derived INPUT of the two portable clustering queries: the
+    * portable LSH pair set materialized once (the operators under test —
+    * clusterPairs / keepCanonical — still run per query), mirroring the
+    * chainEdges pattern above. */
+  private val portablePairsMemo = new graft.core.Memo[String]
+  private def portablePairs(s: SparkSession, sf: String): DataFrame =
+    portablePairsMemo(s, sf)(
+      Dedup.minhashLshPairsPortable(Tables.documents(s, sf),
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5))
+
   /** End-to-end near-dup CLUSTERING with every stage oracle-checked: the
     * portable-hash LSH pair set (bit-exact in DuckDB) fed through the
     * distributed connected-component loop, verified against a recursive-CTE
@@ -655,8 +665,7 @@ object Pipeline extends QueryPack {
     * engine-internal xxhash64 family (rows-only); this pins its RESULT
     * structure exactly. */
   private def qClusterPortable(s: SparkSession, sf: String): DataFrame =
-    Dedup.clusterPairs(Dedup.minhashLshPairsPortable(Tables.documents(s, sf),
-        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5))
+    Dedup.clusterPairs(portablePairs(s, sf))
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
   private val qClusterPortableSql =
@@ -667,9 +676,7 @@ object Pipeline extends QueryPack {
   /** Canonical-survivor selection over the portable clustering — the full
     * LSH → components → survivors pipeline, oracle-checked end to end. */
   private def qSurvivorsPortable(s: SparkSession, sf: String): DataFrame =
-    Dedup.keepCanonical(Tables.documents(s, sf),
-        Dedup.minhashLshPairsPortable(Tables.documents(s, sf),
-          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5))
+    Dedup.keepCanonical(Tables.documents(s, sf), portablePairs(s, sf))
       .select("doc_id")
       .orderBy("doc_id")
   private val qSurvivorsPortableSql =

@@ -549,6 +549,43 @@ class PipelineSpec extends SparkTestBase {
     assert(nat == Map("big" -> 4L, "small" -> 1L))
   }
 
+  test("duplicatedSpans equals a serial reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val k = 3
+    val rdocs = (0L until 24L).map { i =>
+      val n = 1 + rnd.nextInt(22)   // includes docs shorter than k
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // serial reference: gram → doc set, flag positions with df >= 2, merge
+    // overlapping/adjacent [p, p+k-1] intervals per doc
+    val toks = rdocs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ts) <- toks; i <- 0 to ts.size - k) {
+      val g = ts.slice(i, i + k).mkString(" ").toLowerCase
+      gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+    }
+    val expect = (for {
+      (id, ts) <- toks
+      ps = (0 to ts.size - k)
+        .filter(i => gramDocs(ts.slice(i, i + k).mkString(" ").toLowerCase).size >= 2)
+      if ps.nonEmpty
+      span <- ps.tail.foldLeft(List((ps.head, ps.head + k - 1))) {
+        case ((s0, e0) :: rest, p) =>
+          if (p > s0.max(e0 - k + 1) + k) (p, p + k - 1) :: (s0, e0) :: rest
+          else (s0, p + k - 1) :: rest
+        case (Nil, p) => List((p, p + k - 1))
+      }
+    } yield (id, span._1.toLong, span._2.toLong)).toSet
+    val df = rdocs.toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val got = Dedup.duplicatedSpans(df, k = k, minDocs = 2, portable = portable)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expect, s"portable=$portable")
+    }
+  }
+
   test("duplicated spans: xxhash64 and portable families agree off collisions") {
     val fast = Dedup.duplicatedSpans(spanDocs, k = 4, minDocs = 2)
       .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
