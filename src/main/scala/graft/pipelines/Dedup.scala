@@ -780,10 +780,23 @@ object Dedup {
         else col("_t"))
       .select(col(idCol), posexplode(gramArr))
       .select(col(idCol), col("pos").cast(LongType).as("pos"), col("col").as("_x"))
-    val dupX = grams.groupBy("_x")
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .where(col("_df") >= minDocs)
-      .select("_x")
+    // df >= 2 ⟺ min(doc) != max(doc): one combinable aggregation with O(1)
+    // state per gram. The countDistinct rewrite shuffles one row per
+    // distinct (gram, doc) into the gram's reducer — a web-scale
+    // boilerplate gram appearing in millions of documents would funnel
+    // them all to one core; min/max never fans out. minDocs > 2 falls back
+    // to the exact distinct count (rare setting; AQE skew-split applies).
+    val dupX =
+      if (minDocs <= 2)
+        grams.groupBy("_x")
+          .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+          .where(col("_mn") =!= col("_mx"))
+          .select("_x")
+      else
+        grams.groupBy("_x")
+          .agg(countDistinct(col(idCol)).as("_df"))
+          .where(col("_df") >= minDocs)
+          .select("_x")
     val dupPos = grams.join(dupX, Seq("_x"), "left_semi").select(idCol, "pos")
     // gaps-and-islands merge: windows all span k tokens, so sorted by pos
     // the running span end is lag(pos)+k-1 and a new island starts exactly
