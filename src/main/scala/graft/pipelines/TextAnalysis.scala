@@ -95,6 +95,25 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("_start").as("start_offset"), col("shard_id"))
   }
 
+  /** Global QUALITY FLOOR by exact fraction: keep the top `frac` of
+    * documents by `scoreCol` — the quantile-threshold cut of C4/Gopher
+    * pipelines as an EXACT distributed rank (an approx_percentile threshold
+    * drifts run to run; the exact rank is deterministic, resumable, and
+    * oracle-checkable). Ties break by ascending id. The rank is
+    * [[graft.core.Dist.prefixScan]] over (score desc, id) — never a
+    * single-partition global window — and the corpus size rides a 1-row
+    * broadcast, not a driver action. */
+  def keepTopFraction(docs: DataFrame, frac: Double, scoreCol: String,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("_n"))
+    graft.core.Dist.prefixScan(docs, ord, lit(1L), ord)
+      .crossJoin(broadcast(n))
+      .where(col("_scan") <= floor(lit(frac) * col("_n")).cast(LongType))
+      .drop("_scan", "_n")
+  }
+
   /** Fixed-length SEQUENCE CHUNKING: concatenate documents in ascending
     * `idCol` order into one global token stream (the same deterministic
     * prefix-sum offsets as [[packSequences]]) and cut it into training

@@ -251,6 +251,39 @@ object Pipeline extends QueryPack {
       |SELECT doc_id, n_tokens, start_offset, start_offset // 4096 AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Exact-rank quality floor: keep the top 40% of documents by quality
+    * score — global distributed rank, deterministic tie-break, the
+    * quantile-cut both engines replay exactly (the score formula is
+    * +/·//-on-integer-derived doubles, no transcendentals). */
+  private def qQualityFloor(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.keepTopFraction(
+        TextAnalysis.qualityScore(Tables.documents(s, sf)),
+        frac = 0.4, scoreCol = "quality")
+      .select("doc_id").orderBy("doc_id")
+  private val qQualityFloorSql = {
+    val stop = TextAnalysis.StopwordsSql
+    s"""WITH q AS (SELECT doc_id, text,
+       |  CAST(len(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> list_contains([$stop], t))) AS DOUBLE) AS stop_hits,
+       |  CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |FROM documents),
+       |sc AS (SELECT doc_id,
+       |  CASE WHEN n_chars_m < 10 THEN 0.0 ELSE
+       |    least(1.0, n_chars_m / 500.0) * 0.4
+       |    + least(1.0, (stop_hits / n_tok) * 5.0) * 0.4
+       |    + (1.0 - least(1.0, (punct / CAST(len(text) AS DOUBLE)) * 4.0)) * 0.2
+       |  END AS quality
+       |  FROM q),
+       |r AS (SELECT doc_id,
+       |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rn
+       |      FROM sc),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM documents)
+       |SELECT doc_id FROM r, n
+       |WHERE rn <= CAST(floor(0.4 * cnt) AS BIGINT) ORDER BY doc_id""".stripMargin
+  }
+
   /** GPT-style contiguous-stream chunking into 1024-token sequences:
     * documents split across sequence boundaries; every slice boundary is
     * integer prefix-sum arithmetic the oracle replays exactly. */
@@ -1234,6 +1267,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_cluster_lsh", qClusterLsh, None),
     QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)),
     QueryDef("text_chunk_sequences", qChunkSequences, Some(qChunkSequencesSql)),
+    QueryDef("corpus_quality_floor", qQualityFloor, Some(qQualityFloorSql)),
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),

@@ -491,6 +491,22 @@ class PipelineSpec extends SparkTestBase {
     assert(clean == "GAP")
   }
 
+  test("keepTopFraction keeps exactly the floored top fraction by score") {
+    val scored = Seq(
+      (0L, 0.9), (1L, 0.1), (2L, 0.7), (3L, 0.7), (4L, 0.3))
+      .toDF("doc_id", "score")
+    // frac 0.5 of 5 docs → floor(2.5) = 2 survivors: 0.9 then the 0.7 tie
+    // broken by ascending id (doc 2)
+    val kept = TextAnalysis.keepTopFraction(scored, frac = 0.5, scoreCol = "score")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L))
+    // partition-invariant
+    val kept2 = TextAnalysis.keepTopFraction(scored.repartition(5),
+        frac = 0.5, scoreCol = "score")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == kept)
+  }
+
   test("chunkSequences splits docs across fixed sequence boundaries exactly") {
     // stream: doc0 [0,3) doc1 [3,9) doc2 [9,11); sequences of 4 tokens —
     // doc1 spans three sequences, doc2 starts mid-sequence at offset 1
