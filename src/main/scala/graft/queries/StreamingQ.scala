@@ -151,9 +151,46 @@ object StreamingQ extends QueryPack {
   private val qStreamDedupSql =
     "SELECT DISTINCT text FROM documents ORDER BY text"
 
+  /** Streaming heavy hitters in EXACT mode (capacity above any shard's
+    * distinct-token count ⇒ the space-saving sketch never evicts and the
+    * snapshot is exact): documents stream through the custom
+    * flatMapGroupsWithState summary in two micro-batch files, the
+    * append-only sink reduces to the latest snapshot per token
+    * (max(count) — counts are monotone), and the result must equal plain
+    * token counts. State carry across triggers breaks this if the shard
+    * summary ever resets; eviction bugs surface as nonzero error or
+    * missing tokens. */
+  private def qHeavyHitters(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_hh")
+    val src = s"$base/src"
+    Tables.documents(s, sf).select("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)   // force real multi-trigger state carry
+      .schema("doc_id BIGINT, text STRING").json(src)
+    val out = graft.streaming.HeavyHitters.heavyHitters(
+      stream, capacity = 1 << 16, shards = 8, minCount = 10L)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("hh_out")
+      .groupBy("token")
+      .agg(max(col("count")).as("n"), max(col("error")).as("error"))
+      .orderBy("token")
+  }
+  private val qHeavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS n FROM toks WHERE len(token) > 0
+      |      GROUP BY token)
+      |SELECT token, n, CAST(0 AS BIGINT) AS error FROM c
+      |WHERE n >= 10 ORDER BY token""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("streaming_dedup_docs", qStreamDedup, Some(qStreamDedupSql)),
+    QueryDef("streaming_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }
