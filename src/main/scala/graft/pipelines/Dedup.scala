@@ -640,6 +640,49 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter DECONTAMINATION — [[decontaminate]]'s shape with the
+    * benchmark gram set folded into a fixed-size Bloom filter instead of a
+    * broadcast hash set. At a benchmark suite of hundreds of millions of
+    * grams the exact broadcast stops fitting in executor memory; the Bloom
+    * bitmap is `numBits/8` bytes regardless, built DISTRIBUTED (partial
+    * sketches merged by Spark's `BloomFilterAggregate`, delivered through
+    * a scalar subquery — materialized once at execution, no job at
+    * plan-build) and probed by the codegen'd `BloomFilterMightContain` on
+    * xxhash64 values. A Bloom filter has NO false negatives, so every
+    * truly contaminated document is still dropped; false positives (rate
+    * set by numBits/items) can only OVER-drop — the conservative
+    * direction for decontamination. Spec-gated against the exact operator
+    * (drops are always a superset; equal at generous numBits). */
+  private val bloomViewId = new java.util.concurrent.atomic.AtomicLong()
+
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int,
+                         expectedItems: Long, numBits: Long,
+                         minHits: Int = 1, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Sketches.register(spark)
+    // might_contain requires its filter as a constant or SCALAR SUBQUERY —
+    // the subquery form keeps the whole thing one lazy plan (no job at
+    // plan-build, filter materialized once at execution and reused). Temp
+    // views only exist to phrase the subquery; they are dropped as soon as
+    // the plan is resolved.
+    val id = bloomViewId.incrementAndGet()
+    val vGrams = s"graft_bloom_bench_$id"
+    val vProbe = s"graft_bloom_probe_$id"
+    shingles(benchmark, n, idCol).createOrReplaceTempView(vGrams)
+    rawShingles(docs, n, idCol).createOrReplaceTempView(vProbe)
+    val contaminated = spark.sql(
+      s"""SELECT $idCol FROM $vProbe
+         |WHERE bloom_might_contain(
+         |  (SELECT bloom_agg(xxhash64(shingle), ${expectedItems}L, ${numBits}L)
+         |   FROM $vGrams),
+         |  xxhash64(shingle))
+         |GROUP BY $idCol
+         |HAVING count(DISTINCT shingle) >= $minHits""".stripMargin)
+    spark.catalog.dropTempView(vGrams)
+    spark.catalog.dropTempView(vProbe)
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** EXACT all-pairs embedding near-dup — the correctness baseline the banded
     * LSH variant approximates. Deliberately O(n²): one side broadcasts and
     * the codegen'd float dot product runs inside the nested-loop join, so it

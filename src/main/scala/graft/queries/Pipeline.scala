@@ -1027,6 +1027,20 @@ object Pipeline extends QueryPack {
       |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter decontamination at generous sizing (4M bits for ~10k
+    * benchmark grams → FP probability ≪ 1/corpus): the probabilistic drop
+    * set coincides with the exact operator's on this data — deterministic
+    * for fixed data and hashes — so it shares the exact oracle; the
+    * undersized-filter subset property is spec-gated. */
+  private def qDecontaminateBloom(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    Dedup.decontaminateBloom(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"), n = 5,
+        expectedItems = 100000L, numBits = 1L << 22)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Incremental snapshot dedup: sources src0-src4 are the already-clean
     * corpus, everything else is the incoming crawl; existing always wins,
     * within-incoming pairs resolve first-wins. */
@@ -1271,6 +1285,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
+    QueryDef("corpus_decontaminate_bloom", qDecontaminateBloom, Some(qDecontaminateSql)),
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
     QueryDef("corpus_mix_temperature", qMixTemperature, Some(qMixTemperatureSql)),
     QueryDef("text_tfidf_terms", qTfidf, Some(qTfidfSql)),

@@ -491,6 +491,31 @@ class PipelineSpec extends SparkTestBase {
     assert(clean == "GAP")
   }
 
+  test("bloom decontamination never under-drops and matches exact when generous") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta shared contaminated phrase here now"),
+      (1L, "totally clean text with nothing from the benchmark at all"),
+      (2L, "another shared contaminated phrase here now appears again"),
+      (3L, "more clean words that overlap nothing whatsoever today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "shared contaminated phrase here now"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, bench, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // generous sizing → FP rate ~0 → identical to the exact operator
+    val bloomBig = Dedup.decontaminateBloom(train, bench, n = 5,
+        expectedItems = 1000L, numBits = 1L << 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomBig == exact)
+    // no false negatives even when absurdly undersized: survivors of the
+    // bloom pass are always a SUBSET of the exact survivors (FPs only
+    // over-drop, never under-drop)
+    val bloomTiny = Dedup.decontaminateBloom(train, bench, n = 5,
+        expectedItems = 2L, numBits = 64L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomTiny.subsetOf(exact))
+  }
+
   test("keepTopFraction keeps exactly the floored top fraction by score") {
     val scored = Seq(
       (0L, 0.9), (1L, 0.1), (2L, 0.7), (3L, 0.7), (4L, 0.3))
