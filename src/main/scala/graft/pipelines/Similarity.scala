@@ -83,6 +83,50 @@ object Vectors {
   */
 object Similarity {
 
+  /** FEATURE-HASHED document embeddings (the hashing trick, Weinberger et
+    * al. 2009): tokens scatter into a fixed `dim`-bucket vector with a ±1
+    * sign hash to debias collisions, L2-normalized — the model-free text →
+    * vector bridge that lets the ANN and embedding-near-dup operators run
+    * on corpora that have no learned embeddings yet. Entirely per-document
+    * arithmetic after one (doc, bucket) aggregation; vectors are
+    * reproducible from the text alone (no fitted state, so snapshots
+    * embed identically across runs and engines). `portable=true` uses the
+    * base-31/mod-p rolling hash family the DuckDB oracle replays; weights
+    * are integer counts over a correctly-rounded sqrt, so even the
+    * normalized values are bit-exact cross-engine. Empty or
+    * fully-cancelled documents (zero norm) are omitted. */
+  def hashedEmbedding(docs: DataFrame, dim: Int, portable: Boolean = false,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val (bucket, sign) =
+      if (portable) {
+        val x = Dedup.polyHash(col("token"))
+        val (a, b) = Dedup.portableHashParams(1).head
+        (pmod(x, lit(dim.toLong)),
+          when(pmod(pmod(x * lit(a) + lit(b), lit(Dedup.PortableP)), lit(2L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+      } else
+        (pmod(xxhash64(col("token")), lit(dim.toLong)),
+          when(pmod(xxhash64(lit("sign"), col("token")), lit(2L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+    val comps = toks
+      .groupBy(col(idCol), bucket.as("_b"))
+      .agg(sum(sign).as("_w"))
+      .where(col("_w") =!= 0L)
+    comps.groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("_b"), col("_w")))).as("_m"),
+        sqrt(sum(col("_w") * col("_w")).cast(DoubleType)).as("_n"))
+      .where(col("_n") > 0.0)
+      .select(col(idCol),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "i -> CAST(coalesce(element_at(_m, CAST(i AS BIGINT)), 0L) / _n AS FLOAT))")
+          .as("embedding"))
+  }
+
   /** Top-k tail shared by every variant: the distributed TakeOrdered keeps
     * the <= k best-scored rows, which then get a dense 1..k rank partitioned
     * by the probe id (one group per probe — generalizes to batched probes

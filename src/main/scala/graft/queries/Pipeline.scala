@@ -251,6 +251,40 @@ object Pipeline extends QueryPack {
       |SELECT doc_id, n_tokens, start_offset, start_offset // 4096 AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Feature-hashed document embeddings (dim 64, portable family), output
+    * as exploded nonzero components: integer bucket weights over a
+    * correctly-rounded sqrt, so even normalized float values replay
+    * bit-exactly in the oracle. */
+  private def qHashedEmbedding(s: SparkSession, sf: String): DataFrame =
+    Similarity.hashedEmbedding(Tables.documents(s, sf), dim = 64, portable = true)
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .where(col("col") =!= 0.0f)
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").cast("double").as("weight"))
+      .orderBy("doc_id", "bucket")
+  private val qHashedEmbeddingSql = {
+    val (a, b) = Dedup.portableHashParams(1).head
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+       |hx AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(token, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS x
+       |  FROM t2),
+       |hb AS (SELECT doc_id, x % 64 AS bucket,
+       |  CASE WHEN ((x * $a + $b) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM hx),
+       |c AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS w FROM hb GROUP BY 1, 2),
+       |nz AS (SELECT * FROM c WHERE w <> 0),
+       |n AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
+       |      FROM nz GROUP BY doc_id)
+       |SELECT nz.doc_id AS doc_id, bucket, CAST(CAST(w / nn AS REAL) AS DOUBLE) AS weight
+       |FROM nz JOIN n ON n.doc_id = nz.doc_id WHERE nn > 0
+       |ORDER BY nz.doc_id, bucket""".stripMargin
+  }
+
   /** Exact-rank quality floor: keep the top 40% of documents by quality
     * score — global distributed rank, deterministic tie-break, the
     * quantile-cut both engines replay exactly (the score formula is
@@ -1282,6 +1316,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)),
     QueryDef("text_chunk_sequences", qChunkSequences, Some(qChunkSequencesSql)),
     QueryDef("corpus_quality_floor", qQualityFloor, Some(qQualityFloorSql)),
+    QueryDef("text_hashed_embedding", qHashedEmbedding, Some(qHashedEmbeddingSql)),
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),

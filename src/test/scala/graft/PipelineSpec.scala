@@ -491,6 +491,25 @@ class PipelineSpec extends SparkTestBase {
     assert(clean == "GAP")
   }
 
+  test("hashed embeddings are unit vectors that separate near-dups from strangers") {
+    for (portable <- Seq(false, true)) {
+      val emb = Similarity.hashedEmbedding(docs, dim = 32, portable = portable)
+      val vecs = emb.select("doc_id", "embedding")
+        .as[(Long, Seq[Float])].collect().toMap
+      // identical texts (docs 0 and 2) embed identically; all unit norm
+      assert(vecs(0L) == vecs(2L), s"portable=$portable")
+      vecs.values.foreach { v =>
+        val n2 = v.map(x => x.toDouble * x).sum
+        assert(math.abs(n2 - 1.0) < 1e-6, s"norm2=$n2 portable=$portable")
+      }
+      def cos(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      // near-dup (0 vs 1, one word differs) beats unrelated (0 vs 3)
+      assert(cos(vecs(0L), vecs(1L)) > cos(vecs(0L), vecs(3L)),
+        s"portable=$portable")
+    }
+  }
+
   test("bloom decontamination never under-drops and matches exact when generous") {
     val train = Seq(
       (0L, "alpha beta gamma delta shared contaminated phrase here now"),
