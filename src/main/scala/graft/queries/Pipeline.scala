@@ -285,6 +285,60 @@ object Pipeline extends QueryPack {
        |ORDER BY nz.doc_id, bucket""".stripMargin
   }
 
+  /** Text → vector → ANN end to end, fully oracle-checked: brute-force
+    * cosine top-10 over the portable hashed embeddings. The oracle rebuilds
+    * the dense vectors and replays the engine's float dot loop with a
+    * SEQUENTIAL list_reduce in index order — double addition is
+    * non-associative, so an unordered SQL SUM would not replay the
+    * accumulator bit-exactly, but the ordered fold does. */
+  private def qAnnHashed(s: SparkSession, sf: String): DataFrame =
+    Similarity.bruteForceTopK(
+        Similarity.hashedEmbedding(Tables.documents(s, sf), dim = 64,
+          portable = true),
+        queryId = 0L, k = 10, idCol = "doc_id")
+      .orderBy("rnk")
+  private val qAnnHashedSql = {
+    val (a, b) = Dedup.portableHashParams(1).head
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+       |hx AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(token, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS x
+       |  FROM t2),
+       |hb AS (SELECT doc_id, x % 64 AS bucket,
+       |  CASE WHEN ((x * $a + $b) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM hx),
+       |c AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS w FROM hb GROUP BY 1, 2),
+       |nz AS (SELECT * FROM c WHERE w <> 0),
+       |n AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
+       |      FROM nz GROUP BY doc_id),
+       |dm AS (SELECT z.doc_id AS doc_id,
+       |         map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
+       |       FROM nz z GROUP BY z.doc_id),
+       |dense AS (SELECT dm.doc_id AS doc_id,
+       |    list_transform(generate_series(0, 63), i ->
+       |      CAST(coalesce(m[CAST(i AS BIGINT)][1], 0) / nn AS REAL)) AS v
+       |  FROM dm JOIN n ON n.doc_id = dm.doc_id WHERE nn > 0),
+       |q AS (SELECT v AS qv FROM dense WHERE doc_id = 0),
+       |scored AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    ${dot("d.v", "q.qv")} /
+       |      (sqrt(${dot("d.v", "d.v")}) * sqrt(${dot("q.qv", "q.qv")})) AS cosine
+       |  FROM dense d, q WHERE d.doc_id <> 0),
+       |r AS (SELECT doc_id, cosine,
+       |        CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rnk
+       |      FROM scored)
+       |SELECT doc_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  }
+
   /** Exact-rank quality floor: keep the top 40% of documents by quality
     * score — global distributed rank, deterministic tie-break, the
     * quantile-cut both engines replay exactly (the score formula is
@@ -1317,6 +1371,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_chunk_sequences", qChunkSequences, Some(qChunkSequencesSql)),
     QueryDef("corpus_quality_floor", qQualityFloor, Some(qQualityFloorSql)),
     QueryDef("text_hashed_embedding", qHashedEmbedding, Some(qHashedEmbeddingSql)),
+    QueryDef("ann_hashed_topk", qAnnHashed, Some(qAnnHashedSql)),
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
