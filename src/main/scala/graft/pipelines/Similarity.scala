@@ -18,8 +18,10 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic +-1 hyperplane for sign-LSH (seeded; same plane set on every
-    * call → signatures are reproducible across jobs). */
-  private def planes(numPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+    * call → signatures are reproducible across jobs). `private[graft]` so the
+    * oracle generator embeds the IDENTICAL plane literals — one source of
+    * truth for engine and oracle, like portableHashParams. */
+  private[graft] def planes(numPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }

@@ -478,6 +478,54 @@ object Pipeline extends QueryPack {
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, sf), cosineThreshold = 0.2)
       .orderBy("vec_id_a", "vec_id_b")
 
+  /** Full replay of the banded sign-LSH near-dup pass: the hyperplanes are
+    * ±1 floats (every product is exact), signature dots and cosines replay
+    * the engine's float-dot accumulator as SEQUENTIAL index-order folds,
+    * and the plane literals are generated from the same
+    * [[Vectors.planes]] call the engine uses — so buckets, candidates and
+    * the cosine doubles are all bit-exact. */
+  private val qDedupEmbedSql = {
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, v) -> acc + v)"
+    def dotArr(x: String, y: String) = fold(
+      s"list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))")
+    def dotPlane(p: Seq[Double]) = fold(
+      "list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * " +
+        s"(CAST([${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}] AS DOUBLE[]))[i])")
+    val sigExprs = (0 until 4).map { b =>
+      val ps = graft.pipelines.Vectors.planes(12, 64, seed = 7 + b)
+      ps.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", "\n    + ", s") AS s$b")
+    }
+    val bandSelects = (0 until 4).map(b =>
+      s"  SELECT vec_id, $b AS band, s$b AS sig FROM sig").mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |sig AS (SELECT vec_id,
+       |  ${sigExprs.mkString(",\n  ")}
+       |  FROM e),
+       |bk AS (
+       |$bandSelects),
+       |cnt AS (SELECT band, sig, count(*) AS n FROM bk GROUP BY 1, 2),
+       |kept AS (SELECT bk.* FROM bk JOIN cnt USING (band, sig)
+       |         WHERE n >= 2 AND n <= 1000),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id),
+       |pe AS (SELECT p.vec_id_a AS vec_id_a, p.vec_id_b AS vec_id_b,
+       |         ea.embedding AS va, eb.embedding AS vb
+       |       FROM pairs p
+       |       JOIN e ea ON ea.vec_id = p.vec_id_a
+       |       JOIN e eb ON eb.vec_id = p.vec_id_b),
+       |sc AS (SELECT vec_id_a, vec_id_b,
+       |         ${dotArr("va", "vb")} /
+       |           (sqrt(${dotArr("va", "va")}) * sqrt(${dotArr("vb", "vb")})) AS cosine
+       |       FROM pe)
+       |SELECT vec_id_a, vec_id_b, cosine FROM sc
+       |WHERE cosine >= 0.2 ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
   /** Exact all-pairs anchor for the banded variant: pair ids only, so the
     * float-dot engine and DuckDB's double cosine agree unless a pair sits
     * within float noise of the threshold (none does in the synthetic data). */
@@ -1346,7 +1394,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_ngram_index_build", qDedupNgramIndexBuild, Some(qDedupNgramIndexBuildSql)),
     QueryDef("dedup_minhash_lsh", qDedupMinhash, None),
     QueryDef("dedup_simhash", qDedupSimhash, None),
-    QueryDef("dedup_embedding", qDedupEmbed, None),
+    QueryDef("dedup_embedding", qDedupEmbed, Some(qDedupEmbedSql)),
     QueryDef("dedup_embedding_exact", qDedupEmbedExact, Some(qDedupEmbedExactSql)),
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
     QueryDef("ann_ivf_index", qAnnIvfIndex, Some(qAnnBruteSql)),
