@@ -484,14 +484,23 @@ object Pipeline extends QueryPack {
     * and the plane literals are generated from the same
     * [[Vectors.planes]] call the engine uses — so buckets, candidates and
     * the cosine doubles are all bit-exact. */
+  // ---- float-accumulator replay helpers ------------------------------------
+  // The engine's vector expressions accumulate doubles SEQUENTIALLY in index
+  // order; double addition is non-associative, so the oracle must fold in
+  // the same order (an unordered SQL SUM would drift in the last ulp).
+  private def seqFold(terms: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, v) -> acc + v)"
+  private def seqDotArr(x: String, y: String): String = seqFold(
+    s"list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))")
+  private def seqCosine(x: String, y: String): String =
+    s"${seqDotArr(x, y)} / (sqrt(${seqDotArr(x, x)}) * sqrt(${seqDotArr(y, y)}))"
+  private def seqDotPlane(vec: String, p: Seq[Double]): String = seqFold(
+    s"list_transform(generate_series(1, 64), i -> CAST($vec[i] AS DOUBLE) * " +
+      s"(CAST([${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}] AS DOUBLE[]))[i])")
+
   private val qDedupEmbedSql = {
-    def fold(terms: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, v) -> acc + v)"
-    def dotArr(x: String, y: String) = fold(
-      s"list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))")
-    def dotPlane(p: Seq[Double]) = fold(
-      "list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * " +
-        s"(CAST([${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}] AS DOUBLE[]))[i])")
+    def dotArr(x: String, y: String) = seqDotArr(x, y)
+    def dotPlane(p: Seq[Double]) = seqDotPlane("embedding", p)
     val sigExprs = (0 until 4).map { b =>
       val ps = graft.pipelines.Vectors.planes(12, 64, seed = 7 + b)
       ps.zipWithIndex.map { case (p, j) =>
@@ -572,6 +581,75 @@ object Pipeline extends QueryPack {
     Similarity.lshTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
       .select("vec_id", "rnk")
       .orderBy("rnk")
+
+  /** Full replay of multiprobe banded sign-LSH top-k: 128 ±1 plane
+    * literals from the engine's own [[Vectors.planes]] call, signature
+    * dots and re-rank cosines as sequential folds, the hamming≤1 probe
+    * expansion as an XOR join — candidates and ranks gate exactly. */
+  private val qAnnLshSql = {
+    val ps = graft.pipelines.Vectors.planes(16 * 8, 64, seed = 7)
+    val keyExprs = (0 until 16).map { bi =>
+      (0 until 8).map { pi =>
+        s"(CASE WHEN ${seqDotPlane("embedding", ps(bi * 8 + pi))} >= 0 " +
+          s"THEN ${1 << pi} ELSE 0 END)"
+      }.mkString("(", "\n    + ", s") AS k$bi")
+    }
+    val bandSelects = (0 until 16).map(b =>
+      s"  SELECT vec_id, $b AS band, k$b AS bkey FROM sig").mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |sig AS (SELECT vec_id,
+       |  ${keyExprs.mkString(",\n  ")}
+       |  FROM e),
+       |bk AS (
+       |$bandSelects),
+       |qk AS (SELECT band, xor(bkey, m) AS pk
+       |       FROM bk, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m)
+       |       WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT b.vec_id AS vec_id
+       |         FROM bk b JOIN qk ON qk.band = b.band AND qk.pk = b.bkey
+       |         WHERE b.vec_id <> 0),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+       |sc AS (SELECT c.vec_id AS vec_id, ${seqCosine("e.embedding", "qe")} AS cosine
+       |       FROM cand c JOIN e ON e.vec_id = c.vec_id, q),
+       |r AS (SELECT vec_id,
+       |        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+       |      FROM sc)
+       |SELECT vec_id, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  }
+
+  /** Full replay of the SQ8 two-pass: per-dim min/max (exact float
+    * extremes), the same quantize/round arithmetic, the Sq8Cosine
+    * accumulators as three sequential folds over the decoded values, the
+    * k·rerank candidate cut, then the exact float re-rank. */
+  private val qAnnSq8Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |px AS (SELECT i AS pos, min(embedding[i]) AS mnf, max(embedding[i]) AS mxf
+       |       FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) ix
+       |       GROUP BY i),
+       |stats AS (SELECT pos, CAST(mnf AS DOUBLE) AS mn,
+       |            (CAST(mxf AS DOUBLE) - CAST(mnf AS DOUBLE)) / 255.0 AS step
+       |          FROM px),
+       |sl AS (SELECT list(mn ORDER BY pos) AS mns, list(step ORDER BY pos) AS steps
+       |       FROM stats),
+       |dec AS (SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      sl.mns[i] + (CASE WHEN sl.steps[i] > 0
+       |        THEN CAST(round((CAST(embedding[i] AS DOUBLE) - sl.mns[i]) / sl.steps[i])
+       |             AS INTEGER)
+       |        ELSE 0 END) * sl.steps[i]) AS dv
+       |  FROM e, sl),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+       |ap AS (SELECT d.vec_id AS vec_id,
+       |    ${seqFold("list_transform(generate_series(1, 64), i -> dv[i] * CAST(qe[i] AS DOUBLE))")} /
+       |      (sqrt(${seqDotArr("dv", "dv")}) * sqrt(${seqDotArr("qe", "qe")})) AS approx
+       |  FROM dec d, q WHERE d.vec_id <> 0),
+       |cand AS (SELECT vec_id FROM ap ORDER BY approx DESC, vec_id LIMIT 40),
+       |sc AS (SELECT c.vec_id AS vec_id, ${seqCosine("e.embedding", "qe")} AS cosine
+       |       FROM cand c JOIN e ON e.vec_id = c.vec_id, q),
+       |r AS (SELECT vec_id,
+       |        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+       |      FROM sc)
+       |SELECT vec_id, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
   private def qAnnIvf(s: SparkSession, sf: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
@@ -1398,9 +1476,9 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_embedding_exact", qDedupEmbedExact, Some(qDedupEmbedExactSql)),
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
     QueryDef("ann_ivf_index", qAnnIvfIndex, Some(qAnnBruteSql)),
-    QueryDef("ann_lsh", qAnnLsh, None),
+    QueryDef("ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     QueryDef("ann_ivf", qAnnIvf, None),
-    QueryDef("ann_sq8", qAnnSq8, None),
+    QueryDef("ann_sq8", qAnnSq8, Some(qAnnSq8Sql)),
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
