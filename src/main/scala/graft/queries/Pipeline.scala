@@ -651,6 +651,14 @@ object Pipeline extends QueryPack {
        |      FROM sc)
        |SELECT vec_id, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
+  /** ann_ivf shares the brute-force oracle because at the gate corpus
+    * sizes nProbe (32) ≥ nCells (√500 → 22 at sf0.01, floor 16 at
+    * sf0.001): every cell is probed, so the result is provably the exact
+    * brute-force top-k regardless of where k-means put the centroids —
+    * the one part of IVF (partition-order float centroid sums) no
+    * external oracle can replay. The actual approximation regime
+    * (nProbe < nCells) is gated by IvfRecallSpec's recall assertions and
+    * the partition-pruned plan pin. */
   private def qAnnIvf(s: SparkSession, sf: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
       .select("vec_id", "rnk")
@@ -1477,7 +1485,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
     QueryDef("ann_ivf_index", qAnnIvfIndex, Some(qAnnBruteSql)),
     QueryDef("ann_lsh", qAnnLsh, Some(qAnnLshSql)),
-    QueryDef("ann_ivf", qAnnIvf, None),
+    QueryDef("ann_ivf", qAnnIvf, Some(qAnnBruteSql)),
     QueryDef("ann_sq8", qAnnSq8, Some(qAnnSq8Sql)),
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
