@@ -797,17 +797,16 @@ object Dedup {
     * ~2^30 space would alias distinct windows into false spans, so portable
     * is for correctness gating and cross-engine reproducibility, not the
     * hot path. */
-  def duplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
-                      idCol: String = "doc_id", textCol: String = "text",
-                      portable: Boolean = false): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+  /** (idCol, pos, _x) window-hash stream — window hashes are built INSIDE
+    * arrays (transform → posexplode) so the token array is never replicated
+    * per window position. The portable window hash is a k-element fold over
+    * PER-TOKEN rolling hashes — each token's characters are walked once per
+    * document, not once per covering window (the joined-gram-string
+    * formulation cost k·|token| interpreted lambda steps per window and
+    * dominated the whole pass). */
+  private def spanGrams(docs: DataFrame, k: Int, idCol: String,
+                        textCol: String, portable: Boolean): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    // window hashes are built INSIDE arrays (transform → posexplode) so the
-    // token array is never replicated per window position. The portable
-    // window hash is a k-element fold over PER-TOKEN rolling hashes —
-    // each token's characters are walked once per document, not once per
-    // covering window (the joined-gram-string formulation cost k·|token|
-    // interpreted lambda steps per window and dominated the whole pass).
     val gramArr =
       if (portable)
         transform(sequence(lit(0), size(col("_t")) - k),
@@ -816,13 +815,39 @@ object Dedup {
       else
         transform(sequence(lit(0), size(col("_t")) - k),
           i => xxhash64(lower(concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))
-    val grams = docs.select(col(idCol), toks.as("_t"))
+    docs.select(col(idCol), toks.as("_t"))
       .where(size(col("_t")) >= k)
       .withColumn("_th",
         if (portable) transform(col("_t"), t => polyHash(lower(t)))
         else col("_t"))
       .select(col(idCol), posexplode(gramArr))
       .select(col(idCol), col("pos").cast(LongType).as("pos"), col("col").as("_x"))
+  }
+
+  /** Gaps-and-islands merge of flagged window positions into maximal spans:
+    * windows all span k tokens, so sorted by pos the running span end is
+    * lag(pos)+k-1 and a new island starts exactly when pos > lag(pos)+k
+    * (no overlap, no adjacency). Per-document window — fully parallel. */
+  private def mergeSpans(dupPos: DataFrame, k: Int, idCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("_lag", lag("pos", 1).over(w))
+      .withColumn("_brk",
+        when(col("_lag").isNull || col("pos") > col("_lag") + k, lit(1)).otherwise(lit(0)))
+      .withColumn("_isl", sum("_brk").over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      portable: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = spanGrams(docs, k, idCol, textCol, portable)
     // df >= 2 ⟺ min(doc) != max(doc): one combinable aggregation with O(1)
     // state per gram. The countDistinct rewrite shuffles one row per
     // distinct (gram, doc) into the gram's reducer — a web-scale
@@ -840,22 +865,61 @@ object Dedup {
           .agg(countDistinct(col(idCol)).as("_df"))
           .where(col("_df") >= minDocs)
           .select("_x")
-    val dupPos = grams.join(dupX, Seq("_x"), "left_semi").select(idCol, "pos")
-    // gaps-and-islands merge: windows all span k tokens, so sorted by pos
-    // the running span end is lag(pos)+k-1 and a new island starts exactly
-    // when pos > lag(pos)+k (no overlap, no adjacency)
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dupPos
-      .withColumn("_lag", lag("pos", 1).over(w))
-      .withColumn("_brk",
-        when(col("_lag").isNull || col("pos") > col("_lag") + k, lit(1)).otherwise(lit(0)))
-      .withColumn("_isl", sum("_brk").over(wRun))
-      .groupBy(col(idCol), col("_isl"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(k.toLong - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    mergeSpans(grams.join(dupX, Seq("_x"), "left_semi").select(idCol, "pos"),
+      k, idCol)
+  }
+
+  /** Persist a corpus' DISTINCT window hashes as a bucketed table — the
+    * span-dedup analogue of [[writeShingleIndex]]: the cross-crawl
+    * membership probe then reads co-located buckets with no exchange on
+    * the hash key, and old crawls are never re-scanned. */
+  def writeSpanIndex(docs: DataFrame, k: Int, table: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     portable: Boolean = false, buckets: Int = 64): Unit =
+    spanGrams(docs, k, idCol, textCol, portable)
+      .select(col("_x").as("x")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "x").sortBy("x")
+      .saveAsTable(table)
+
+  /** Append a snapshot's window hashes into the span index (bucketed files
+    * append per bucket, so co-location survives without a rebuild).
+    * Cross-snapshot repeats of a hash are harmless — every consumer probes
+    * with a semi-join — at the cost of index growth; compact by rebuilding
+    * when it matters. */
+  def appendSpanIndex(docs: DataFrame, k: Int, table: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      portable: Boolean = false, buckets: Int = 64): Unit =
+    spanGrams(docs, k, idCol, textCol, portable)
+      .select(col("_x").as("x")).distinct()
+      .write.mode("append")
+      .bucketBy(buckets, "x").sortBy("x")
+      .saveAsTable(table)
+
+  /** Cross-CRAWL duplicated spans without re-scanning prior crawls: a
+    * window in `incoming` is flagged when its hash exists in the persisted
+    * span index (it appeared in ANY earlier crawl) or repeats across
+    * incoming documents — exactly [[duplicatedSpans]](minDocs=2) over
+    * (prior ∪ incoming) restricted to incoming, proven by the spec's
+    * equivalence test, but the prior corpus costs one bucketed semi-join
+    * instead of a full re-shingle. (minDocs is pinned at 2: the index
+    * stores membership, not counts.) */
+  def duplicatedSpansIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, incoming: DataFrame, k: Int,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 portable: Boolean = false): DataFrame = {
+    val grams = spanGrams(incoming, k, idCol, textCol, portable)
+    val inIndex = grams
+      .join(spark.table(table).select(col("x").as("_x")), Seq("_x"), "left_semi")
+      .select(idCol, "pos")
+    val withinDup = grams.groupBy("_x")
+      .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+      .where(col("_mn") =!= col("_mx"))
+      .select("_x")
+    val withinPos = grams.join(withinDup, Seq("_x"), "left_semi")
+      .select(idCol, "pos")
+    mergeSpans(inIndex.unionByName(withinPos).distinct(), k, idCol)
   }
 
   /** Rebuild each document with every cross-document duplicated span removed

@@ -1379,6 +1379,34 @@ object Pipeline extends QueryPack {
        |SELECT doc_id, source FROM r JOIN q USING (source)
        |WHERE rn <= quota ORDER BY doc_id""".stripMargin
 
+  /** Cross-crawl duplicated spans through the persisted span index: src0-4
+    * play the prior crawls (their window hashes live in the bucketed
+    * index), the rest is the incoming snapshot. Equivalent by construction
+    * to the full-corpus span pass restricted to incoming docs — which is
+    * exactly what the oracle computes — without re-shingling the prior
+    * corpus. */
+  private def qDupSpansIncremental(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val table = "graft_span_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table) {
+      Dedup.writeSpanIndex(docs.where(col("source").isin(existingSrcs: _*)),
+        k = 8, table = table, portable = true)
+    }
+    Dedup.duplicatedSpansIncremental(s, table,
+        docs.where(!col("source").isin(existingSrcs: _*)), k = 8,
+        portable = true)
+      .orderBy("doc_id", "span_start")
+  }
+  private val qDupSpansIncrementalSql = {
+    val srcs = existingSrcs.map(s0 => s"'$s0'").mkString(", ")
+    s"""WITH $dupSpanCtes
+       |SELECT s.doc_id AS doc_id, span_start, span_end,
+       |  span_end - span_start + 1 AS span_tokens
+       |FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+       |WHERE d.source NOT IN ($srcs)
+       |ORDER BY s.doc_id, span_start""".stripMargin
+  }
+
   // ---- /_tsdb/stats equivalent --------------------------------------------
   /** seriesCountByLabelValuePair over the events-as-samples view (ref:
     * RestTSDBStatsAction flat format) — series identity = (name, user). */
@@ -1497,6 +1525,8 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_survivors_portable", qSurvivorsPortable, Some(qSurvivorsPortableSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
+    QueryDef("text_dup_spans_incremental", qDupSpansIncremental,
+      Some(qDupSpansIncrementalSql)),
     QueryDef("dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),

@@ -609,6 +609,42 @@ class PipelineSpec extends SparkTestBase {
     assert(nat == Map("big" -> 4L, "small" -> 1L))
   }
 
+  test("incremental span dedup equals the full run restricted to the snapshot") {
+    val prior = Seq((0L, "p1 p2 c1 c2 c3 c4 p3")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "z1 c1 c2 c3 c4 z2"),       // cross-crawl dup against the index
+      (11L, "w1 w2 q1 q2 q3 w3"),       // within-incoming dup pair...
+      (12L, "v1 q1 q2 q3 v2"),          // ...with doc 11
+      (13L, "u1 u2 u3 u4 u5"))          // clean
+      .toDF("doc_id", "text")
+    val later = Seq(
+      (20L, "y1 q1 q2 q3 y2"),          // dup against the APPENDED snapshot
+      (21L, "y3 y4 y5 y6"))             // clean
+      .toDF("doc_id", "text")
+    val t = "graft_span_idx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Dedup.writeSpanIndex(prior, k = 3, table = t, portable = true, buckets = 4)
+    def spans(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    def fullRestricted(all: org.apache.spark.sql.DataFrame, minId: Long) = spans(
+      Dedup.duplicatedSpans(all, k = 3, minDocs = 2, portable = true)
+        .where(col("doc_id") >= minId))
+    val inc1 = spans(Dedup.duplicatedSpansIncremental(spark, t, incoming,
+      k = 3, portable = true))
+    assert(inc1 == fullRestricted(prior.unionByName(incoming), 10L))
+    assert(inc1.map(_._1) == Set(10L, 11L, 12L))
+    // append maintenance: after folding the snapshot in, the NEXT crawl's
+    // incremental pass must equal the three-corpus full run
+    Dedup.appendSpanIndex(incoming, k = 3, table = t, portable = true, buckets = 4)
+    val inc2 = spans(Dedup.duplicatedSpansIncremental(spark, t, later,
+      k = 3, portable = true))
+    assert(inc2 == fullRestricted(
+      prior.unionByName(incoming).unionByName(later), 20L))
+    assert(inc2.map(_._1) == Set(20L))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("duplicatedSpans equals a serial reference on random corpora") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
