@@ -342,7 +342,13 @@ object TextAnalysis {
       .withColumn("n_chars_m", length(col("text")).cast(LongType))
       .withColumn("n_tokens", nTok.cast(LongType))
       .withColumn("stopword_ratio", stopHits / nTok)
-      .withColumn("punct_ratio", punct / length(col("text")).cast(DoubleType))
+      // empty text (possible after span removal empties a document) must
+      // score 0.0, not throw: ANSI division by a zero length is an error,
+      // and this ratio column is materialized for every row regardless of
+      // the quality CASE's short-circuit
+      .withColumn("punct_ratio",
+        when(length(col("text")) > 0,
+          punct / length(col("text")).cast(DoubleType)).otherwise(lit(0.0)))
       .withColumn("mean_word_len",
         length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / nTok)
       .withColumn("quality",

@@ -994,8 +994,11 @@ object Pipeline extends QueryPack {
     Dedup.removeDuplicatedSpans(Tables.documents(s, sf), k = 8, minDocs = 2,
         portable = true)
       .orderBy("doc_id")
-  private val qDupSpanRemovalSql =
-    s"""WITH $dupSpanCtes,
+  /** Removal CTE chain (extends [[dupSpanCtes]]), ending in
+    * `cleaned(doc_id, clean_text, n_removed)` — shared by the removal
+    * oracle and the composed cleaning-pipeline oracle. */
+  private val dupRemovalCtes =
+    s"""$dupSpanCtes,
        |tokpos AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
@@ -1006,10 +1009,54 @@ object Pipeline extends QueryPack {
        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
        |               count(*) AS n_kept
        |        FROM kept GROUP BY doc_id),
-       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks)
-       |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
-       |  t.n - coalesce(a.n_kept, 0) AS n_removed
-       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+       |cleaned AS (
+       |  SELECT t.doc_id AS doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |    t.n - coalesce(a.n_kept, 0) AS n_removed
+       |  FROM tot t LEFT JOIN agg a USING (doc_id))""".stripMargin
+  private val qDupSpanRemovalSql =
+    s"""WITH $dupRemovalCtes
+       |SELECT doc_id, clean_text, n_removed FROM cleaned ORDER BY doc_id""".stripMargin
+
+  /** The composed cleaning job v2 — the NEW operators chained the way a
+    * training-data team runs them: cross-document span removal feeds
+    * quality scoring over the CLEANED text, and an exact-rank floor keeps
+    * the top half. Each stage is oracle-checked alone; this pins their
+    * composition (including that removal's whitespace normalization feeds
+    * the quality formula identically in both engines). */
+  private def qCleanV2(s: SparkSession, sf: String): DataFrame = {
+    val cleaned = Dedup.removeDuplicatedSpans(Tables.documents(s, sf), k = 8,
+        minDocs = 2, portable = true)
+      .withColumnRenamed("clean_text", "text")
+    TextAnalysis.keepTopFraction(TextAnalysis.qualityScore(cleaned),
+        frac = 0.5, scoreCol = "quality")
+      .select("doc_id", "n_removed")
+      .orderBy("doc_id")
+  }
+  private val qCleanV2Sql = {
+    val stop = TextAnalysis.StopwordsSql
+    s"""WITH $dupRemovalCtes,
+       |qm AS (SELECT doc_id, clean_text AS ctext, n_removed,
+       |  CAST(len(clean_text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(regexp_split_to_array(trim(clean_text), '\\s+')) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+       |        w -> list_contains([$stop], w))) AS DOUBLE) AS stop_hits,
+       |  CAST(len(regexp_replace(clean_text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |FROM cleaned),
+       |sc2 AS (SELECT doc_id, n_removed,
+       |  CASE WHEN n_chars_m < 10 THEN 0.0 ELSE
+       |    least(1.0, n_chars_m / 500.0) * 0.4
+       |    + least(1.0, (stop_hits / n_tok) * 5.0) * 0.4
+       |    + (1.0 - least(1.0, (punct / CAST(len(ctext) AS DOUBLE)) * 4.0)) * 0.2
+       |  END AS quality
+       |  FROM qm),
+       |rk AS (SELECT doc_id, n_removed,
+       |         row_number() OVER (ORDER BY quality DESC, doc_id) AS rn
+       |       FROM sc2),
+       |cn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM cleaned)
+       |SELECT doc_id, n_removed FROM rk, cn
+       |WHERE rn <= CAST(floor(0.5 * cnt) AS BIGINT) ORDER BY doc_id""".stripMargin
+  }
 
   private def qSimhashPortable(s: SparkSession, sf: String): DataFrame =
     Dedup.simhashBucketsPortable(Tables.documents(s, sf), numBits = 32)
@@ -1527,6 +1574,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,
       Some(qDupSpansIncrementalSql)),
+    QueryDef("corpus_clean_v2", qCleanV2, Some(qCleanV2Sql)),
     QueryDef("dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),
