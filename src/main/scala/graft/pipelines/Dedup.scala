@@ -929,14 +929,17 @@ object Dedup {
     * dropped token count (0 for untouched documents, which pass through).
     * The per-doc span list rides a collect_list struct — bounded by the
     * document's own span count, never corpus-sized. */
-  def removeDuplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
-                            idCol: String = "doc_id", textCol: String = "text",
-                            portable: Boolean = false): DataFrame = {
-    val spans = duplicatedSpans(docs, k, minDocs, idCol, textCol, portable)
-      .groupBy(idCol)
+  /** Rebuild documents without the tokens covered by `spans`
+    * (doc_id, span_start, span_end): surviving tokens joined by single
+    * spaces, plus the removed-token count. The per-doc span list rides a
+    * collect_list struct — bounded by the document's own span count, never
+    * corpus-sized. */
+  private def removeSpans(docs: DataFrame, spans: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val byDoc = spans.groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
-      .join(spans, Seq(idCol), "left")
+      .join(byDoc, Seq(idCol), "left")
       .withColumn("_kept", expr(
         "filter(transform(_t, (tok, i) -> named_struct('tok', tok, 'i', i)), " +
           "p -> _spans IS NULL OR NOT exists(_spans, " +
@@ -945,4 +948,37 @@ object Dedup {
         expr("array_join(transform(_kept, p -> p.tok), ' ')").as("clean_text"),
         (size(col("_t")) - size(col("_kept"))).cast(LongType).as("n_removed"))
   }
+
+  def removeDuplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            portable: Boolean = false): DataFrame =
+    removeSpans(docs,
+      duplicatedSpans(docs, k, minDocs, idCol, textCol, portable), idCol, textCol)
+
+  /** WITHIN-document repeated k-token spans — the intra-doc counterpart of
+    * [[duplicatedSpans]] (boilerplate menus, chorus lines, copy-pasted
+    * paragraphs inside one page): every window whose hash already occurred
+    * EARLIER in the same document is flagged (the first occurrence always
+    * survives), and flagged positions merge into maximal spans. One
+    * (doc, hash) aggregate — grouped by document, so there is no cross-doc
+    * hot key at all — plus the per-document island merge. */
+  def selfRepeatedSpans(docs: DataFrame, k: Int,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        portable: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = spanGrams(docs, k, idCol, textCol, portable)
+    val firsts = grams.groupBy(col(idCol), col("_x")).agg(min("pos").as("_p0"))
+    val rep = grams.join(firsts, Seq(idCol, "_x"))
+      .where(col("pos") > col("_p0"))
+      .select(idCol, "pos")
+    mergeSpans(rep, k, idCol)
+  }
+
+  /** Rebuild documents without their self-repeated spans — first
+    * occurrences survive, later copies are cut. */
+  def removeSelfRepetition(docs: DataFrame, k: Int,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           portable: Boolean = false): DataFrame =
+    removeSpans(docs,
+      selfRepeatedSpans(docs, k, idCol, textCol, portable), idCol, textCol)
 }

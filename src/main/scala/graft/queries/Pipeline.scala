@@ -946,8 +946,9 @@ object Pipeline extends QueryPack {
     * flagged positions → gaps-and-islands merge, ending in
     * `spans(doc_id, span_start, span_end)`. Mirrors
     * [[Dedup.duplicatedSpans]] arithmetic exactly. */
-  private val dupSpanCtes = {
-    val k = 8
+  /** (doc_id, pos, x) window-hash CTE chain at window size k over the
+    * portable rolling hash — shared prefix of every span oracle. */
+  private def spanGramCtes(k: Int): String = {
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |th AS (
@@ -961,21 +962,40 @@ object Pipeline extends QueryPack {
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${k - 1}]),
        |      (acc, h) -> (acc * 1000003 + h) % 1000000007) AS x
        |  FROM th, LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1})) AS i) ix
-       |  WHERE len(t) >= $k),
-       |dupx AS (SELECT x FROM gpos GROUP BY x HAVING count(DISTINCT doc_id) >= 2),
-       |dp AS (SELECT doc_id, pos FROM gpos WHERE x IN (SELECT x FROM dupx)),
-       |isl AS (SELECT doc_id, pos,
+       |  WHERE len(t) >= $k)""".stripMargin
+  }
+
+  /** Gaps-and-islands merge of a flagged-position CTE `src(doc_id, pos)`
+    * into `spans(doc_id, span_start, span_end)` at window size k. */
+  private def spanMergeCtes(src: String, k: Int): String =
+    s"""isl AS (SELECT doc_id, pos,
        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k
        |         THEN 1 ELSE 0 END AS brk
-       |  FROM dp),
+       |  FROM $src),
        |gid AS (SELECT doc_id, pos,
        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
        |  FROM isl),
        |spans AS (
        |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end
        |  FROM gid GROUP BY doc_id, g)""".stripMargin
-  }
+
+  private val dupSpanCtes =
+    s"""${spanGramCtes(8)},
+       |dupx AS (SELECT x FROM gpos GROUP BY x HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, pos FROM gpos WHERE x IN (SELECT x FROM dupx)),
+       |${spanMergeCtes("dp", 8)}""".stripMargin
+
+  /** Within-document repetition (k=3 — self-repeats are shorter-range than
+    * cross-doc boilerplate in this corpus): windows whose hash occurred
+    * EARLIER in the same document (first occurrence survives). */
+  private val selfRepSpanCtes =
+    s"""${spanGramCtes(3)},
+       |firsts AS (SELECT doc_id, x, min(pos) AS p0 FROM gpos GROUP BY doc_id, x),
+       |rp AS (SELECT g.doc_id AS doc_id, g.pos AS pos
+       |       FROM gpos g JOIN firsts f ON f.doc_id = g.doc_id AND f.x = g.x
+       |       WHERE g.pos > f.p0),
+       |${spanMergeCtes("rp", 3)}""".stripMargin
 
   /** Cross-document duplicated 8-token spans over the portable hash — the
     * exact-substring dedup discovery pass, fully oracle-checked. */
@@ -994,26 +1014,28 @@ object Pipeline extends QueryPack {
     Dedup.removeDuplicatedSpans(Tables.documents(s, sf), k = 8, minDocs = 2,
         portable = true)
       .orderBy("doc_id")
-  /** Removal CTE chain (extends [[dupSpanCtes]]), ending in
-    * `cleaned(doc_id, clean_text, n_removed)` — shared by the removal
+  /** Removal tail over any `spans` CTE + `toks`, ending in
+    * `cleaned(doc_id, clean_text, n_removed)`. */
+  private val spanRemovalTail =
+    """tokpos AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.span_start AND s.span_end)),
+      |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+      |               count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+      |cleaned AS (
+      |  SELECT t.doc_id AS doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |    t.n - coalesce(a.n_kept, 0) AS n_removed
+      |  FROM tot t LEFT JOIN agg a USING (doc_id))""".stripMargin
+
+  /** Removal CTE chain (extends [[dupSpanCtes]]) — shared by the removal
     * oracle and the composed cleaning-pipeline oracle. */
-  private val dupRemovalCtes =
-    s"""$dupSpanCtes,
-       |tokpos AS (
-       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok
-       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
-       |kept AS (
-       |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
-       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-       |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.span_start AND s.span_end)),
-       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
-       |               count(*) AS n_kept
-       |        FROM kept GROUP BY doc_id),
-       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
-       |cleaned AS (
-       |  SELECT t.doc_id AS doc_id, coalesce(a.clean_text, '') AS clean_text,
-       |    t.n - coalesce(a.n_kept, 0) AS n_removed
-       |  FROM tot t LEFT JOIN agg a USING (doc_id))""".stripMargin
+  private val dupRemovalCtes = s"$dupSpanCtes,\n$spanRemovalTail"
   private val qDupSpanRemovalSql =
     s"""WITH $dupRemovalCtes
        |SELECT doc_id, clean_text, n_removed FROM cleaned ORDER BY doc_id""".stripMargin
@@ -1057,6 +1079,26 @@ object Pipeline extends QueryPack {
        |SELECT doc_id, n_removed FROM rk, cn
        |WHERE rn <= CAST(floor(0.5 * cnt) AS BIGINT) ORDER BY doc_id""".stripMargin
   }
+
+  /** Within-document repeated 8-token spans (first occurrence survives);
+    * same portable machinery as the cross-doc pass. */
+  private def qSelfRepSpans(s: SparkSession, sf: String): DataFrame =
+    Dedup.selfRepeatedSpans(Tables.documents(s, sf), k = 3, portable = true)
+      .orderBy("doc_id", "span_start")
+  private val qSelfRepSpansSql =
+    s"""WITH $selfRepSpanCtes
+       |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Self-repetition removal — documents keep the first copy of each
+    * repeated run, later copies are cut. */
+  private def qSelfRepRemoval(s: SparkSession, sf: String): DataFrame =
+    Dedup.removeSelfRepetition(Tables.documents(s, sf), k = 3, portable = true)
+      .orderBy("doc_id")
+  private val qSelfRepRemovalSql =
+    s"""WITH $selfRepSpanCtes,
+       |$spanRemovalTail
+       |SELECT doc_id, clean_text, n_removed FROM cleaned ORDER BY doc_id""".stripMargin
 
   private def qSimhashPortable(s: SparkSession, sf: String): DataFrame =
     Dedup.simhashBucketsPortable(Tables.documents(s, sf), numBits = 32)
@@ -1575,6 +1617,8 @@ object Pipeline extends QueryPack {
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,
       Some(qDupSpansIncrementalSql)),
     QueryDef("corpus_clean_v2", qCleanV2, Some(qCleanV2Sql)),
+    QueryDef("text_selfrep_spans", qSelfRepSpans, Some(qSelfRepSpansSql)),
+    QueryDef("text_selfrep_removal", qSelfRepRemoval, Some(qSelfRepRemovalSql)),
     QueryDef("dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("dedup_cluster_chain", qClusterChain, Some(qClusterChainSql)),
     QueryDef("dedup_keep_canonical", qKeepCanonical, Some(qKeepCanonicalSql)),

@@ -609,6 +609,28 @@ class PipelineSpec extends SparkTestBase {
     assert(nat == Map("big" -> 4L, "small" -> 1L))
   }
 
+  test("self-repetition spans flag later copies only, removal keeps the first") {
+    // doc 0: "a b c" repeats at positions 4-6 (k=3 window at pos 4) — the
+    // first copy at 0-2 must SURVIVE; doc 1 has no internal repeats even
+    // though it shares text with doc 0 (cross-doc is not self-repetition)
+    val docs = Seq(
+      (0L, "a b c X a b c Y"),
+      (1L, "a b c Z W V Q R"))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val spans = Dedup.selfRepeatedSpans(docs, k = 3, portable = portable)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(spans == Set((0L, 4L, 6L)), s"portable=$portable")
+      val out = Dedup.removeSelfRepetition(docs, k = 3, portable = portable)
+        .select("doc_id", "clean_text", "n_removed")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(out == Seq(
+        (0L, "a b c X Y", 3L),
+        (1L, "a b c Z W V Q R", 0L)), s"portable=$portable")
+    }
+  }
+
   test("incremental span dedup equals the full run restricted to the snapshot") {
     val prior = Seq((0L, "p1 p2 c1 c2 c3 c4 p3")).toDF("doc_id", "text")
     val incoming = Seq(
