@@ -106,6 +106,14 @@ object OracleSafe {
     * one copy at a time. */
   def hashFraction(key: Column): Column =
     conv(substring(md5(key), 1, 8), 16, 10).cast(LongType) / lit(4294967296.0)
+
+  /** The integer form of [[hashFraction]]: the same first-8-hex-chars md5
+    * value as a nonnegative 32-bit integer in a LONG — for bucket/shard
+    * assignment (`hashLong(k) % n`) where a double fraction could straddle
+    * a bucket boundary after rounding. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(k),1,8)) AS BIGINT)`. */
+  def hashLong(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
 }
 
 /** Distributed-scan primitives shared across the engine. */

@@ -457,4 +457,145 @@ object TextAnalysis {
         lit(0L),
         (acc, c) => pmod(acc * lit(31L) + c, lit(P))))
   }
+
+  /** Deterministic seeded GLOBAL SHUFFLE into training shards: every
+    * document gets a shard (its portable 32-bit hash mod `numShards` —
+    * near-uniform shard sizes at any scale) and a dense 0-based position
+    * within that shard in hash order (the shuffled read order an epoch
+    * iterates). Reshuffling is a seed change, not a data move decision; the
+    * assignment is reproducible across runs, partitionings and engines.
+    *
+    * Distributed shape: the hash is a per-row expression; the within-shard
+    * position is [[graft.core.Dist.prefixScan]] grouped by shard over
+    * (hash, id) — never a single-partition window, so an epoch-shuffle of a
+    * 100 TB corpus is two shuffles (range partition + the tiny offset
+    * broadcast), both bounded by the data, not the driver. */
+  def shuffleShards(docs: DataFrame, numShards: Int, seed: String = "graft",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val h = graft.core.OracleSafe.hashLong(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val keyed = docs.withColumn("_h", h)
+      .withColumn("shard", (col("_h") % numShards).cast(IntegerType))
+    val ord = Seq(col("_h").asc, col(idCol).asc)
+    graft.core.Dist.prefixScan(keyed, ord, lit(1L), ord, Seq("shard"))
+      .withColumn("pos", col("_scan") - 1)
+      .drop("_h", "_scan")
+  }
+
+  /** STRATIFIED hash-rate sampling: keep each document independently with
+    * its source's configured rate (sources absent from `rates` are
+    * dropped). The per-domain downsampling step of corpus construction
+    * when exact quotas ([[mixSources]]) are too rigid — rate-based keeps
+    * compose across snapshots (a document's keep decision never changes as
+    * the corpus grows) and need no counting pass at all: one stateless
+    * per-row hash comparison, zero shuffle, any scale. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+                       seed: String = "graft", idCol: String = "doc_id",
+                       sourceCol: String = "source"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val frac = graft.core.OracleSafe.hashFraction(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.where(frac < rate)
+  }
+
+  /** Sliding-window OVERLAP CHUNKING (the RAG/embedding-index splitter):
+    * cut each document's whitespace-token stream into chunks of
+    * `sizeTokens` advancing by `sizeTokens - overlapTokens`, the final
+    * chunk being the first one whose window reaches the document's end
+    * (shorter than `sizeTokens` when the tail is short — never an extra
+    * chunk fully contained in the previous one). Unlike [[chunkSequences]]
+    * documents never split across chunks and consecutive chunks share
+    * `overlapTokens` tokens of context.
+    *
+    * Pure per-row arithmetic: chunk count and slices are expressions over
+    * the token array, exploded to one row per chunk — zero shuffle, no
+    * window, a document's fan-out bounded by its own length. */
+  def chunkOverlap(docs: DataFrame, sizeTokens: Int, overlapTokens: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(sizeTokens >= 1, "sizeTokens must be >= 1")
+    require(overlapTokens >= 0 && overlapTokens < sizeTokens,
+      "overlapTokens must be in [0, sizeTokens)")
+    val stride = sizeTokens - overlapTokens
+    docs.withColumn("_toks", wsTokens(col("text")))
+      .withColumn("n_tokens", size(col("_toks")).cast(LongType))
+      .where(col("n_tokens") > 0)
+      // last chunk index: first i with i*stride + size >= n (0 when n <= size)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        when(col("n_tokens") <= sizeTokens, lit(0L))
+          .otherwise(expr(s"(n_tokens - $sizeTokens + $stride - 1) DIV $stride")))))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(sizeTokens.toLong), col("n_tokens") - col("tok_start")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("_toks"),
+          (col("tok_start") + 1).cast(IntegerType), lit(sizeTokens))))
+      .select(col(idCol), col("chunk_id"), col("tok_start"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
+
+  /** Multinomial NAIVE BAYES classifier, trained distributed and scored
+    * in the same plan — the classic fasttext-shaped quality/language/topic
+    * gate of a pre-training pipeline, here with the corpus's own labels as
+    * supervision. Laplace-smoothed:
+    *
+    *   score(d, c) = ln(N_c / N)
+    *               + Σ_{t ∈ d} tf_dt · ln(cnt_tc + 1)
+    *               − len_d · ln(T_c + V)
+    *
+    * (the Σ needs only OBSERVED (t, c) pairs — an unseen pair's smoothed
+    * numerator is cnt+1 = 1 whose ln is 0). Predicted class = argmax, ties
+    * to the lexicographically smallest class.
+    *
+    * Distributed shape: token↔class-count join shuffles on token, the
+    * per-(doc, class) reduction shuffles on the doc id, and the class
+    * table (priors, totals, vocab size — rows = #classes) rides a
+    * broadcast; no driver action, no per-class scan of the corpus. Every
+    * ln is quantized through DECIMAL(38,9) BEFORE entering products/sums so
+    * scores and the argmax reproduce bit-for-bit across engines (JVM and
+    * libm ln disagree in the last ulp on some inputs). */
+  def naiveBayes(docs: DataFrame, classCol: String = "lang",
+                 idCol: String = "doc_id"): DataFrame = {
+    val qln: Column => Column =
+      x => ln(x).cast(DecimalType(38, 9)).cast(DoubleType)
+    val toks = docs.select(col(idCol), col(classCol).as("_cls"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = toks.groupBy(col("_cls"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    // class table: priors and smoothing denominators; N and V are 1-row
+    // broadcast folds, never driver actions
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val vocab = counts.select("token").distinct()
+      .agg(count(lit(1)).as("_v"))
+    val classes = docs.groupBy(col(classCol).as("_cls"))
+      .agg(count(lit(1)).as("_ndc"))
+      .crossJoin(nDocs).crossJoin(vocab)
+      .join(counts.groupBy("_cls").agg(sum("cnt").as("_tc")), Seq("_cls"))
+      .withColumn("_prior", qln(col("_ndc").cast(DoubleType) / col("_n")))
+      .withColumn("_denom", qln((col("_tc") + col("_v")).cast(DoubleType)))
+      .select("_cls", "_prior", "_denom")
+    val termSums = tf.join(counts, Seq("token"))
+      .groupBy(col(idCol), col("_cls"))
+      .agg(graft.core.OracleSafe.dSum(col("tf") * qln(col("cnt") + 1))
+        .as("_tsum"))
+    val docLen = tf.groupBy(col(idCol)).agg(sum("tf").as("_len"))
+    val scored = docLen.crossJoin(broadcast(classes))
+      .join(termSums, Seq(idCol, "_cls"), "left")
+      .withColumn("score",
+        (col("_prior") + coalesce(col("_tsum"), lit(0.0)) -
+          col("_len") * col("_denom"))
+          .cast(DecimalType(38, 9)).cast(DoubleType))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("_cls").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col(idCol), col("_cls").as("predicted"), col("score"))
+  }
 }

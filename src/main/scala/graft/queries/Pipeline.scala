@@ -1412,6 +1412,100 @@ object Pipeline extends QueryPack {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic seeded global shuffle: 8 training shards, hash order
+    * within each — the oracle replays the portable md5 bucket and the
+    * within-shard rank. */
+  private def qShuffle(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.shuffleShards(Tables.documents(s, sf), numShards = 8,
+        seed = "epoch0")
+      .select("doc_id", "shard", "pos").orderBy("shard", "pos")
+  private val qShuffleSql =
+    """WITH h AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |FROM documents)
+      |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+      |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+
+  /** Stratified hash-rate sampling: distinct per-source rates, one source
+    * at 1.0, one at 0.0, one absent from the map (dropped). */
+  private def qSampleStratified(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.sampleStratified(Tables.documents(s, sf),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.0),
+        seed = "sample")
+      .select("doc_id", "source").orderBy("doc_id")
+  private val qSampleStratifiedSql =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS f
+      |  FROM documents)
+      |WHERE f < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+      |                      WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.0
+      |                      ELSE NULL END
+      |ORDER BY doc_id""".stripMargin
+
+  /** RAG-style overlap chunking: 64-token windows advancing by 48 (16
+    * tokens of shared context); the oracle replays the chunk-count
+    * arithmetic and the token-slice join. */
+  private def qChunkOverlap(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.chunkOverlap(Tables.documents(s, sf), sizeTokens = 64,
+        overlapTokens = 16)
+      .orderBy("doc_id", "chunk_id")
+  private val qChunkOverlapSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      |      FROM t WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, toks, n_tokens,
+      |        unnest(range(0, 1 + CASE WHEN n_tokens <= 64 THEN 0
+      |                                 ELSE (n_tokens - 64 + 47) // 48 END)) AS chunk_id
+      |      FROM n)
+      |SELECT doc_id, chunk_id, chunk_id * 48 AS tok_start,
+      |  least(CAST(64 AS BIGINT), n_tokens - chunk_id * 48) AS n_chunk_tokens,
+      |  coalesce(array_to_string(
+      |    list_slice(toks, chunk_id * 48 + 1, least(chunk_id * 48 + 64, n_tokens)),
+      |    ' '), '') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Multinomial Naive Bayes language classifier, trained and scored in one
+    * plan; the oracle replays the smoothed per-class fold with every ln
+    * quantized through DECIMAL(38,9) so the argmax cannot drift. */
+  private def qClassifyNb(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.naiveBayes(Tables.documents(s, sf), classCol = "lang")
+      .orderBy("doc_id")
+  private val qClassifyNbSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang AS cls,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM toks WHERE len(token) > 0),
+      |tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+      |cnts AS (SELECT cls, token, count(*) AS cnt FROM tok2 GROUP BY 1, 2),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |vq AS (SELECT count(DISTINCT token) AS v FROM cnts),
+      |clsq AS (SELECT lang AS cls, count(*) AS ndc FROM documents GROUP BY 1),
+      |tot AS (SELECT cls, sum(cnt) AS tc FROM cnts GROUP BY 1),
+      |ct AS (SELECT c.cls,
+      |    CAST(CAST(ln(CAST(c.ndc AS DOUBLE) / nd.n) AS DECIMAL(38,9)) AS DOUBLE) AS prior,
+      |    CAST(CAST(ln(CAST(t.tc + vq.v AS DOUBLE)) AS DECIMAL(38,9)) AS DOUBLE) AS denom
+      |  FROM clsq c JOIN tot t USING (cls), nd, vq),
+      |tsum AS (SELECT f.doc_id, k.cls,
+      |    CAST(sum(CAST(f.tf *
+      |      CAST(CAST(ln(CAST(k.cnt + 1 AS DOUBLE)) AS DECIMAL(38,9)) AS DOUBLE)
+      |      AS DECIMAL(38,9))) AS DOUBLE) AS ts
+      |  FROM tfq f JOIN cnts k USING (token) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dlen FROM tfq GROUP BY 1),
+      |sc AS (SELECT d.doc_id, c.cls,
+      |    CAST(CAST(c.prior + coalesce(t.ts, 0.0) - d.dlen * c.denom
+      |         AS DECIMAL(38,9)) AS DOUBLE) AS score
+      |  FROM dl d CROSS JOIN ct c
+      |  LEFT JOIN tsum t ON t.doc_id = d.doc_id AND t.cls = c.cls),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk FROM sc)
+      |SELECT doc_id, cls AS predicted, score FROM r WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -1647,5 +1741,9 @@ object Pipeline extends QueryPack {
     QueryDef("meta_series", qMetaSeries, Some(qMetaSeriesSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
     QueryDef("corpus_split", qSplit, Some(qSplitSql)),
-    QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
+    QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    QueryDef("corpus_shuffle", qShuffle, Some(qShuffleSql)),
+    QueryDef("corpus_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+    QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
+    QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)))
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.pipelines.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Seeded shuffle-sharding, stratified sampling, overlap chunking and the
+  * Naive Bayes classifier — structural properties the DuckDB oracles
+  * (corpus_shuffle, corpus_sample_stratified, text_chunk_overlap,
+  * text_classify_nb) don't pin: partition invariance, coverage, and
+  * seed behavior.
+  */
+class ShuffleClassifySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(n: Int) = spark.range(n).select(
+    col("id").as("doc_id"),
+    concat(lit("tok"), col("id") % 7, lit(" shared word "),
+      lit("x"), col("id") % 3).as("text"),
+    when(col("id") % 3 === 0, "de").otherwise("en").as("lang"),
+    concat(lit("src"), col("id") % 4).as("source"),
+    lit(20L).as("n_chars"))
+
+  test("shuffleShards: dense 0-based positions per shard, all docs present") {
+    val out = TextAnalysis.shuffleShards(docs(200), numShards = 4, seed = "s1")
+    assert(out.count() == 200)
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(byShard.length == 4)
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
+    }
+  }
+
+  test("shuffleShards is partition-invariant and seed-sensitive") {
+    val d = docs(120)
+    val a = TextAnalysis.shuffleShards(d.repartition(1), 4, "s1")
+      .select("doc_id", "shard", "pos").collect().toSet
+    val b = TextAnalysis.shuffleShards(d.repartition(13), 4, "s1")
+      .select("doc_id", "shard", "pos").collect().toSet
+    assert(a == b)
+    val c = TextAnalysis.shuffleShards(d, 4, "s2")
+      .select("doc_id", "shard", "pos").collect().toSet
+    assert(a != c)
+  }
+
+  test("sampleStratified: rate-1 sources keep everything, rate-0 and absent drop") {
+    val out = TextAnalysis.sampleStratified(docs(200),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), seed = "s")
+    val by = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(by("src0") == 50)                    // every 4th doc, all kept
+    assert(by.get("src2").isEmpty && by.get("src3").isEmpty)
+    assert(by("src1") > 5 && by("src1") < 45)   // ~half, hash-dependent
+    // keep decision is per-doc stable: a subset corpus keeps the same ids
+    val sub = TextAnalysis.sampleStratified(docs(100),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), seed = "s")
+      .select("doc_id").as[Long].collect().toSet
+    val full = out.select("doc_id").as[Long].collect().toSet
+    assert(sub == full.filter(_ < 100))
+  }
+
+  test("chunkOverlap: full coverage, exact stride, shared context") {
+    val d = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.chunkOverlap(d, sizeTokens = 10, overlapTokens = 4)
+      .orderBy("chunk_id")
+      .select("chunk_id", "tok_start", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    // stride 6: starts 0, 6, 12, 18 — 18+10 >= 25 ends the walk
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 10L), (1L, 6L, 10L), (2L, 12L, 10L), (3L, 18L, 7L)))
+    assert(out.head._4.startsWith("w1 w2"))
+    assert(out.last._4 == "w19 w20 w21 w22 w23 w24 w25")
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = out(0)._4.split(" ").toSeq
+    val t1 = out(1)._4.split(" ").toSeq
+    assert(t0.takeRight(4) == t1.take(4))
+  }
+
+  test("chunkOverlap: short doc yields exactly one chunk") {
+    val d = Seq((1L, "a b c", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.chunkOverlap(d, 10, 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("naiveBayes recovers class-marker vocabulary") {
+    // two classes with disjoint marker tokens plus shared filler
+    val d = (0 until 40).map { i =>
+      val cls = if (i % 2 == 0) "en" else "de"
+      val marker = if (cls == "en") "hello world common speak" else "hallo welt gemein sprech"
+      (i.toLong, s"$marker filler$i shared", cls, "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.naiveBayes(d, "lang")
+    val joined = out.join(d, "doc_id")
+      .where(col("predicted") === col("lang")).count()
+    assert(joined == 40, "marker-separated classes must classify perfectly")
+  }
+
+  test("naiveBayes is partition-invariant") {
+    val d = docs(100)
+    val a = TextAnalysis.naiveBayes(d.repartition(1), "lang")
+      .select("doc_id", "predicted", "score").collect().toSet
+    val b = TextAnalysis.naiveBayes(d.repartition(17), "lang")
+      .select("doc_id", "predicted", "score").collect().toSet
+    assert(a == b)
+  }
+}
