@@ -512,4 +512,60 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("probe_id"), col(idCol), col("cosine"), col("rnk"))
   }
+
+  /** Seeded PORTABLE K-MEANS over the embedding column — the topic/domain
+    * clustering pass of corpus curation (cluster-then-balance à la
+    * DSIR/SemDeDup cluster stages), built so an independent engine replays
+    * it bit-for-bit, unlike [[ivfTopK]]'s engine-internal kmeans:
+    *
+    *  - seeds = the `k` vectors ranked first by portable md5 hash (cluster
+    *    id = the seed's own `idCol`, no synthetic dense ids — and no
+    *    single-partition window);
+    *  - `iters` Lloyd rounds of { assign to nearest centroid by squared
+    *    euclidean, re-center as the per-position mean }, then the final
+    *    assignment is emitted;
+    *  - every cross-row sum (distances, means) quantizes its addends
+    *    through DECIMAL(38,9) (decimal addition is exact, so the sums are
+    *    partition-order-free and engine-portable); distance ties break to
+    *    the smallest cluster id. A cluster that loses all members simply
+    *    drops out (standard Lloyd; deterministic on both sides).
+    *
+    * Distributed shape: centroids are k·dim rows riding a broadcast; the
+    * position-keyed join fans each vector to k·dim addend rows reduced by
+    * (id, cluster) — one shuffle keyed by the vector id per round, no
+    * driver action, no global window. Plan depth grows with `iters`; at
+    * production scale checkpoint between rounds like `clusterPairs`. */
+  def kmeansTopics(emb: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val Dec = DecimalType(38, 9)
+    val ev = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
+      .withColumn("_val", col("_val").cast(DoubleType))
+    val hv = graft.core.OracleSafe.hashLong(
+      concat(lit("km:"), col(idCol).cast("string")))
+    val seeds = emb.withColumn("_h", hv)
+      .orderBy(col("_h"), col(idCol)).limit(k)
+      .select(col(idCol).as("cluster"), col(vecCol).as("_cvec"))
+    def assign(cents: DataFrame): DataFrame =
+      ev.join(broadcast(cents), Seq("_pos"))
+        .groupBy(col(idCol), col("cluster"))
+        .agg(sum(((col("_val") - col("_cval")) * (col("_val") - col("_cval")))
+          .cast(Dec)).cast(DoubleType).as("dist2"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("dist2").asc, col("cluster").asc)))
+        .where(col("_rn") === 1)
+        .select(col(idCol), col("cluster"), col("dist2"))
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.join(ev, Seq(idCol))
+        .groupBy(col("cluster"), col("_pos"))
+        .agg((sum(col("_val").cast(Dec)).cast(DoubleType) / count(col("_val")))
+          .as("_cval"))
+    var cents = seeds
+      .select(col("cluster"), posexplode(col("_cvec")).as(Seq("_pos", "_cval")))
+      .withColumn("_cval", col("_cval").cast(DoubleType))
+    for (_ <- 1 to iters) cents = recenter(assign(cents))
+    assign(cents)
+  }
 }

@@ -1506,6 +1506,48 @@ object Pipeline extends QueryPack {
       |SELECT doc_id, cls AS predicted, score FROM r WHERE rk = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Portable seeded k-means (k=8, 2 Lloyd rounds) over the embeddings —
+    * the oracle replays seed selection, both assign/re-center rounds and
+    * the final assignment with identical DECIMAL(38,9) quantization. */
+  private def qKmeansTopics(s: SparkSession, sf: String): DataFrame =
+    Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
+      .orderBy("vec_id")
+  private val qKmeansTopicsSql =
+    """WITH ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |                   CAST(unnest(embedding) AS DOUBLE) AS val
+      |            FROM embeddings),
+      |seed AS (SELECT vec_id AS cluster FROM (
+      |    SELECT vec_id,
+      |      CAST(('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |    FROM embeddings) ORDER BY hv, vec_id LIMIT 8),
+      |c0 AS (SELECT s.cluster, e.pos, e.val AS cval
+      |       FROM seed s JOIN ev e ON e.vec_id = s.cluster),
+      |a1 AS (SELECT vec_id, cluster,
+      |         CAST(sum(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS DOUBLE) AS dist2
+      |       FROM ev JOIN c0 USING (pos) GROUP BY 1, 2),
+      |b1 AS (SELECT vec_id, cluster FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+      |         FROM a1) WHERE rn = 1),
+      |c1 AS (SELECT b.cluster, e.pos,
+      |         CAST(sum(CAST(e.val AS DECIMAL(38,9))) AS DOUBLE) / count(e.val) AS cval
+      |       FROM b1 b JOIN ev e USING (vec_id) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cluster,
+      |         CAST(sum(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS DOUBLE) AS dist2
+      |       FROM ev JOIN c1 USING (pos) GROUP BY 1, 2),
+      |b2 AS (SELECT vec_id, cluster FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+      |         FROM a2) WHERE rn = 1),
+      |c2 AS (SELECT b.cluster, e.pos,
+      |         CAST(sum(CAST(e.val AS DECIMAL(38,9))) AS DOUBLE) / count(e.val) AS cval
+      |       FROM b2 b JOIN ev e USING (vec_id) GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, cluster,
+      |         CAST(sum(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS DOUBLE) AS dist2
+      |       FROM ev JOIN c2 USING (pos) GROUP BY 1, 2)
+      |SELECT vec_id, cluster, dist2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+      |  FROM a3) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -1745,5 +1787,6 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_shuffle", qShuffle, Some(qShuffleSql)),
     QueryDef("corpus_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
-    QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)))
+    QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
+    QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)))
 }
