@@ -690,6 +690,36 @@ object Dedup {
     * [[embeddingNearDupPairs]] (the scale path). Emits pair ids only — the
     * cosine itself stays float on the engine side and would not byte-match a
     * double-precision oracle. */
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): bucket the corpus by
+    * [[Similarity.kmeansTopics]] cluster, verify cosine similarity ONLY
+    * within each cluster, and drop the higher id of every qualifying pair
+    * (first-wins, the engine-wide survivor convention). The all-pairs
+    * near-dup search becomes candidate-proportional: one cluster-keyed
+    * equi-join instead of a corpus cross-join — with k ≈ √N cells the pair
+    * space shrinks from N² to ~N^1.5, and the miss risk is exactly
+    * SemDeDup's (a near-dup pair straddling a cluster boundary), which the
+    * portable seeded clustering makes deterministic and oracle-replayable.
+    * Cosine verification is the codegen'd [[graft.functions.VectorExprs]]
+    * scan, same as [[embeddingExactPairs]]. Returns the surviving ids. */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int,
+                    cosineThreshold: Double,
+                    idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val assigned = Similarity.kmeansTopics(emb, k, iters, idCol)
+      .select(col(idCol), col("cluster"))
+    val withVec = assigned.join(emb, Seq(idCol))
+    val a = withVec.select(col("cluster"), col(idCol).as("vec_id_a"),
+      col("embedding").as("ea"))
+    val b = withVec.select(col("cluster"), col(idCol).as("vec_id_b"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", graft.functions.VectorExprs.fastCosine("ea", "eb"))
+      .where(col("cosine") >= cosineThreshold)
+      .select(col("vec_id_b").as(idCol)).distinct()
+    emb.join(dropped, Seq(idCol), "left_anti").select(idCol)
+  }
+
   def embeddingExactPairs(emb: DataFrame, cosineThreshold: Double,
                           idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)

@@ -524,47 +524,56 @@ object Similarity {
     *  - `iters` Lloyd rounds of { assign to nearest centroid by squared
     *    euclidean, re-center as the per-position mean }, then the final
     *    assignment is emitted;
-    *  - every cross-row sum (distances, means) quantizes its addends
-    *    through DECIMAL(38,9) (decimal addition is exact, so the sums are
-    *    partition-order-free and engine-portable); distance ties break to
-    *    the smallest cluster id. A cluster that loses all members simply
-    *    drops out (standard Lloyd; deterministic on both sides).
+    *  - distances are SEQUENTIAL double folds in array-index order over the
+    *    broadcast centroid array (the engine-wide fold-replay discipline —
+    *    the oracle reproduces the accumulator bit-exactly with an ordered
+    *    `list_reduce`); re-centering means quantize addends through
+    *    DECIMAL(38,9) so the per-position means are partition-order-free;
+    *    distance ties break to the smallest cluster id. A cluster that
+    *    loses all members simply drops out (standard Lloyd; deterministic
+    *    on both sides).
     *
-    * Distributed shape: centroids are k·dim rows riding a broadcast; the
-    * position-keyed join fans each vector to k·dim addend rows reduced by
-    * (id, cluster) — one shuffle keyed by the vector id per round, no
-    * driver action, no global window. Plan depth grows with `iters`; at
-    * production scale checkpoint between rounds like `clusterPairs`. */
+    * Distributed shape: assignment is a broadcast of k centroid ARRAYS and
+    * one per-(vector × cluster) row-local fold — no dim-explosion, no
+    * shuffle; only re-centering shuffles (members exploded to position
+    * rows, reduced per (cluster, position)) — one narrow shuffle per
+    * round. No driver action, no global window. Plan depth grows with
+    * `iters`; at production scale checkpoint between rounds like
+    * `clusterPairs`. */
   def kmeansTopics(emb: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val Dec = DecimalType(38, 9)
-    val ev = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
-      .withColumn("_val", col("_val").cast(DoubleType))
     val hv = graft.core.OracleSafe.hashLong(
       concat(lit("km:"), col(idCol).cast("string")))
     val seeds = emb.withColumn("_h", hv)
       .orderBy(col("_h"), col(idCol)).limit(k)
-      .select(col(idCol).as("cluster"), col(vecCol).as("_cvec"))
+      .select(col(idCol).as("cluster"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("_carr"))
+    def dist2(v: Column, c: Column): Column =
+      aggregate(
+        zip_with(v, c, (x, y) =>
+          (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, t) => acc + t)
     def assign(cents: DataFrame): DataFrame =
-      ev.join(broadcast(cents), Seq("_pos"))
-        .groupBy(col(idCol), col("cluster"))
-        .agg(sum(((col("_val") - col("_cval")) * (col("_val") - col("_cval")))
-          .cast(Dec)).cast(DoubleType).as("dist2"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist2", dist2(col(vecCol), col("_carr")))
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col(idCol))
             .orderBy(col("dist2").asc, col("cluster").asc)))
         .where(col("_rn") === 1)
         .select(col(idCol), col("cluster"), col("dist2"))
     def recenter(assigned: DataFrame): DataFrame =
-      assigned.join(ev, Seq(idCol))
+      assigned.join(emb, Seq(idCol))
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
         .groupBy(col("cluster"), col("_pos"))
-        .agg((sum(col("_val").cast(Dec)).cast(DoubleType) / count(col("_val")))
-          .as("_cval"))
+        .agg((sum(col("_val").cast(DoubleType).cast(Dec)).cast(DoubleType) /
+          count(col("_val"))).as("_m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("_carr"))
     var cents = seeds
-      .select(col("cluster"), posexplode(col("_cvec")).as(Seq("_pos", "_cval")))
-      .withColumn("_cval", col("_cval").cast(DoubleType))
     for (_ <- 1 to iters) cents = recenter(assign(cents))
     assign(cents)
   }

@@ -1512,40 +1512,69 @@ object Pipeline extends QueryPack {
   private def qKmeansTopics(s: SparkSession, sf: String): DataFrame =
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
-  private val qKmeansTopicsSql =
-    """WITH ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-      |                   CAST(unnest(embedding) AS DOUBLE) AS val
+  /** The k=8 / 2-round Lloyd replay, shared by the clustering oracle and the
+    * SemDeDup oracle (which buckets its pair search by these clusters). */
+  private def kmDist(cents: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, len(e.embedding) + 1), i ->
+       |             (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
+       |             * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]))),
+       |           (acc, v) -> acc + v) AS dist2
+       |       FROM embeddings e CROSS JOIN $cents c""".stripMargin
+  private val kmRecenter =
+    """CAST(sum(CAST(CAST(e.val AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+      |           / count(e.val) AS cval
+      |       FROM %s b JOIN ev e USING (vec_id) GROUP BY 1, 2""".stripMargin
+  private val kmeansCtes =
+    s"""ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |                   unnest(embedding) AS val
       |            FROM embeddings),
       |seed AS (SELECT vec_id AS cluster FROM (
       |    SELECT vec_id,
       |      CAST(('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
       |    FROM embeddings) ORDER BY hv, vec_id LIMIT 8),
-      |c0 AS (SELECT s.cluster, e.pos, e.val AS cval
-      |       FROM seed s JOIN ev e ON e.vec_id = s.cluster),
-      |a1 AS (SELECT vec_id, cluster,
-      |         CAST(sum(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS DOUBLE) AS dist2
-      |       FROM ev JOIN c0 USING (pos) GROUP BY 1, 2),
+      |c0 AS (SELECT s.cluster, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS carr
+      |       FROM seed s JOIN embeddings e ON e.vec_id = s.cluster),
+      |a1 AS (SELECT e.vec_id, c.cluster,
+      |         ${kmDist("c0")}),
       |b1 AS (SELECT vec_id, cluster FROM (
       |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
       |         FROM a1) WHERE rn = 1),
-      |c1 AS (SELECT b.cluster, e.pos,
-      |         CAST(sum(CAST(e.val AS DECIMAL(38,9))) AS DOUBLE) / count(e.val) AS cval
-      |       FROM b1 b JOIN ev e USING (vec_id) GROUP BY 1, 2),
-      |a2 AS (SELECT vec_id, cluster,
-      |         CAST(sum(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS DOUBLE) AS dist2
-      |       FROM ev JOIN c1 USING (pos) GROUP BY 1, 2),
+      |m1 AS (SELECT b.cluster, e.pos,
+      |         ${kmRecenter.format("b1")}),
+      |c1 AS (SELECT cluster, list(cval ORDER BY pos) AS carr FROM m1 GROUP BY cluster),
+      |a2 AS (SELECT e.vec_id, c.cluster,
+      |         ${kmDist("c1")}),
       |b2 AS (SELECT vec_id, cluster FROM (
       |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
       |         FROM a2) WHERE rn = 1),
-      |c2 AS (SELECT b.cluster, e.pos,
-      |         CAST(sum(CAST(e.val AS DECIMAL(38,9))) AS DOUBLE) / count(e.val) AS cval
-      |       FROM b2 b JOIN ev e USING (vec_id) GROUP BY 1, 2),
-      |a3 AS (SELECT vec_id, cluster,
-      |         CAST(sum(CAST((val - cval) * (val - cval) AS DECIMAL(38,9))) AS DOUBLE) AS dist2
-      |       FROM ev JOIN c2 USING (pos) GROUP BY 1, 2)
-      |SELECT vec_id, cluster, dist2 FROM (
+      |m2 AS (SELECT b.cluster, e.pos,
+      |         ${kmRecenter.format("b2")}),
+      |c2 AS (SELECT cluster, list(cval ORDER BY pos) AS carr FROM m2 GROUP BY cluster),
+      |a3 AS (SELECT e.vec_id, c.cluster,
+      |         ${kmDist("c2")}),
+      |asg AS (SELECT vec_id, cluster, dist2 FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
-      |  FROM a3) WHERE rn = 1
+      |  FROM a3) WHERE rn = 1)""".stripMargin
+  private val qKmeansTopicsSql =
+    s"WITH $kmeansCtes\nSELECT vec_id, cluster, dist2 FROM asg ORDER BY vec_id"
+
+  /** SemDeDup: pair search bucketed by the k-means clusters above, higher id
+    * of each within-cluster cosine>=0.2 pair dropped. */
+  private def qSemanticDedup(s: SparkSession, sf: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, sf), k = 8, iters = 2,
+        cosineThreshold = 0.2)
+      .orderBy("vec_id")
+  private val qSemanticDedupSql =
+    s"""WITH $kmeansCtes,
+      |pairs AS (
+      |  SELECT b.vec_id AS vb
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.2)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vb FROM pairs)
       |ORDER BY vec_id""".stripMargin
 
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
@@ -1788,5 +1817,6 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
-    QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)))
+    QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
+    QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)))
 }
