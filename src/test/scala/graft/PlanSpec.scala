@@ -173,4 +173,45 @@ class PlanSpec extends AnyFunSuite {
         s"corpus gram stream must reach the semi join unshuffled:\n$j")
     }
   }
+
+  check("corpus_sample_stratified") { p =>
+    // a stateless per-row keep decision: the sampling itself must add NO
+    // exchange (the one in the plan is the orderBy for the dump's
+    // deterministic row order)
+    assert(count(p, "Exchange ") <= 1,
+      s"stratified sampling must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"no join in hash-rate sampling:\n$p")
+  }
+
+  check("text_chunk_overlap") { p =>
+    // per-row explode arithmetic: no join, and no exchange beyond the
+    // dump-order sort
+    assert(p.contains("Generate explode"), s"chunking must explode per row:\n$p")
+    assert(!p.contains("Join"), s"no join in overlap chunking:\n$p")
+    assert(count(p, "Exchange ") <= 1,
+      s"overlap chunking must not shuffle the corpus:\n$p")
+  }
+
+  check("cluster_topics_kmeans") { p =>
+    // assignment = k centroid ARRAYS on a broadcast against the corpus scan;
+    // a CartesianProduct or a SortMergeJoin there would be the N x k x dim
+    // blow-up this plan exists to avoid
+    assert(!p.contains("CartesianProduct"), s"no cartesian in kmeans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must ride a broadcast:\n$p")
+  }
+
+  check("dedup_semantic") { p =>
+    // the pair search must be a cluster-keyed equi-join, never an all-pairs
+    // nested loop over the corpus
+    assert(!p.contains("CartesianProduct"), s"no cartesian in semantic dedup:\n$p")
+  }
+
+  check("text_classify_nb") { p =>
+    // the class table (priors, totals, vocab size) rides a broadcast; the
+    // only non-broadcast joins are keyed by token / doc id
+    assert(!p.contains("CartesianProduct"), s"no cartesian in naive bayes:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"class table must broadcast:\n$p")
+  }
 }
