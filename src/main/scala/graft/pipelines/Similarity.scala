@@ -542,7 +542,25 @@ object Similarity {
     * `clusterPairs`. */
   def kmeansTopics(emb: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(emb, kmeansCentroids(emb, k, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** Squared euclidean distance as a SEQUENTIAL double fold in array-index
+    * order (fold-replay oracle discipline). */
+  private def sqDist(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, y) =>
+        (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** The refined centroids of [[kmeansTopics]]: `(cluster, _carr)` — cluster
+    * is the seeding vector's own id, `_carr` the double centroid array.
+    * Exposed so scoring can run where clustering didn't (a later snapshot, a
+    * stream). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val Dec = DecimalType(38, 9)
     val hv = graft.core.OracleSafe.hashLong(
@@ -551,19 +569,6 @@ object Similarity {
       .orderBy(col("_h"), col(idCol)).limit(k)
       .select(col(idCol).as("cluster"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("_carr"))
-    def dist2(v: Column, c: Column): Column =
-      aggregate(
-        zip_with(v, c, (x, y) =>
-          (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-        lit(0.0), (acc, t) => acc + t)
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .withColumn("dist2", dist2(col(vecCol), col("_carr")))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col(idCol))
-            .orderBy(col("dist2").asc, col("cluster").asc)))
-        .where(col("_rn") === 1)
-        .select(col(idCol), col("cluster"), col("dist2"))
     def recenter(assigned: DataFrame): DataFrame =
       assigned.join(emb, Seq(idCol))
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
@@ -574,7 +579,36 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
           s => s.getField("_m")).as("_carr"))
     var cents = seeds
-    for (_ <- 1 to iters) cents = recenter(assign(cents))
-    assign(cents)
+    for (_ <- 1 to iters)
+      cents = recenter(assignToCentroids(emb, cents, idCol, vecCol))
+    cents
+  }
+
+  /** Nearest-centroid scoring: the centroid set rides a 1-row broadcast as
+    * an array of (cluster, centroid) structs and the argmin is a PER-ROW
+    * fold — no shuffle, no window, so the same expression scores a batch
+    * corpus or a `readStream` in append mode (stateless stream-static
+    * join). Ties break to the smallest cluster id; the fold-min is
+    * order-independent, so the packing order of the centroid array never
+    * matters. */
+  def assignToCentroids(df: DataFrame, cents: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cluster"), col("_carr"))).as("_cents"))
+    val best = aggregate(col("_cents"),
+      struct(lit(Double.MaxValue).as("dist2"), lit(Long.MaxValue).as("cluster")),
+      (acc, c) => {
+        val d = sqDist(col(vecCol), c.getField("_carr"))
+        when(d < acc.getField("dist2") ||
+            (d === acc.getField("dist2") &&
+              c.getField("cluster") < acc.getField("cluster")),
+          struct(d.as("dist2"), c.getField("cluster").as("cluster")))
+          .otherwise(acc)
+      })
+    df.crossJoin(broadcast(packed))
+      .withColumn("_best", best)
+      .select(col(idCol), col("_best.cluster").as("cluster"),
+        col("_best.dist2").as("dist2"))
   }
 }

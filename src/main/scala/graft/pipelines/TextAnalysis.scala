@@ -304,27 +304,73 @@ object TextAnalysis {
     * and AQE broadcast-joins them while they fit). Only documents with
     * ≥2 tokens appear in the output. The mean folds in decimal
     * (OracleSafe) for cross-engine parity. */
-  def lmScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    lmScoreAgainst(docs, docs, idCol)
+
+  /** The document's bigram stream: one row per adjacent (w1, w2) pair. */
+  private def bigramPairs(docs: DataFrame, idCol: String): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val nBi = greatest(size(toks) - 1, lit(0))
-    val pairs = docs.select(col(idCol),
+    docs.select(col(idCol),
         explode(zip_with(
           slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-    val biCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+  }
+
+  /** Score `probe` documents under an add-one-smoothed bigram LM trained on
+    * `train` (train == probe is the self-trained [[lmScore]]). Bigrams the
+    * model never saw take the smoothed floor — LEFT joins with zero
+    * coalesce, so a cross-domain probe is penalized, never dropped. Same
+    * distributed shape as [[lmScore]]: the model stays a DataFrame, joined
+    * by bigram key; vocab is a 1-row broadcast. */
+  def lmScoreAgainst(train: DataFrame, probe: DataFrame,
+                     idCol: String = "doc_id"): DataFrame = {
+    val pairs = bigramPairs(probe, idCol)
+    val model = bigramPairs(train, idCol)
+    val biCounts = model.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
     val uniCounts = biCounts.groupBy("w1").agg(sum(col("_c2")).as("_c1"))
     // the smoothing event space: distinct successor words
     val vocab = biCounts.agg(count_distinct(col("w2")).as("_v"))
     pairs
-      .join(biCounts, Seq("w1", "w2"))
-      .join(uniCounts, Seq("w1"))
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(uniCounts, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("_lp",
-        log((col("_c2") + lit(1.0)) / (col("_c1") + col("_v"))))
+        log((coalesce(col("_c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("_c1"), lit(0L)) + col("_v"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         graft.core.OracleSafe.dAvg(col("_lp")).as("lm_score"))
+  }
+
+  /** DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, simplified to the
+    * bigram feature space): estimate per-document importance weights
+    * exp(log p_target − log p_corpus) from two add-one-smoothed bigram LMs
+    * — one trained on the `targetPred` subset (the domain to match), one on
+    * the whole corpus — and keep each document independently with
+    * probability min(weight, 1) via the portable hash fraction. Documents
+    * that look like the target survive; out-of-domain documents keep a
+    * smoothed (never zero) chance. `exp` quantizes through DECIMAL(38,9)
+    * (transcendental last-ulp discipline) so the keep decision is
+    * engine-portable. Documents with <2 tokens have no bigram evidence and
+    * are dropped. Two model scans + one probe scan, all joins keyed by
+    * bigram or id — no driver action, no unkeyed shuffle. */
+  def importanceResample(docs: DataFrame, targetPred: Column,
+                         seed: String = "graft",
+                         idCol: String = "doc_id"): DataFrame = {
+    val Dec = DecimalType(38, 9)
+    val tScore = lmScoreAgainst(docs.where(targetPred), docs, idCol)
+      .select(col(idCol), col("lm_score").as("_t"))
+    val sScore = lmScoreAgainst(docs, docs, idCol)
+      .select(col(idCol), col("lm_score").as("_s"))
+    val frac = graft.core.OracleSafe.hashFraction(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    tScore.join(sScore, Seq(idCol))
+      .withColumn("weight",
+        exp(col("_t") - col("_s")).cast(Dec).cast(DoubleType))
+      .where(frac < least(col("weight"), lit(1.0)))
+      .select(col(idCol), col("weight"))
   }
 
   val Stopwords = Seq(

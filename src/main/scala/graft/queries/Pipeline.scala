@@ -1558,6 +1558,9 @@ object Pipeline extends QueryPack {
       |  FROM a3) WHERE rn = 1)""".stripMargin
   private val qKmeansTopicsSql =
     s"WITH $kmeansCtes\nSELECT vec_id, cluster, dist2 FROM asg ORDER BY vec_id"
+  /** Shared with `streaming_topic_assign`: the stream scores against the
+    * same batch-trained centroids, so its oracle IS the batch clustering. */
+  private[queries] def kmeansAsgSql: String = qKmeansTopicsSql
 
   /** SemDeDup: pair search bucketed by the k-means clusters above, higher id
     * of each within-cluster cosine>=0.2 pair dropped. */
@@ -1576,6 +1579,54 @@ object Pipeline extends QueryPack {
       |SELECT vec_id FROM embeddings
       |WHERE vec_id NOT IN (SELECT vb FROM pairs)
       |ORDER BY vec_id""".stripMargin
+
+  /** DSIR-style importance resampling toward the English subset: weights
+    * from the target/corpus bigram-LM log-ratio, hash-rate keep at
+    * min(weight, 1). The oracle replays both smoothed LMs (left joins +
+    * zero coalesce for unseen bigrams), the decimal-quantized exp and the
+    * portable hash compare. */
+  private def qImportanceResample(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.importanceResample(Tables.documents(s, sf),
+        col("lang") === "en", seed = "dsir")
+      .orderBy("doc_id")
+  private val qImportanceResampleSql =
+    """WITH ptoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |ppairs AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM ptoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |ttoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE lang = 'en'),
+      |tpairs AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM ttoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |tbi AS (SELECT w1, w2, count(*) AS c2 FROM tpairs GROUP BY w1, w2),
+      |tuni AS (SELECT w1, sum(c2) AS c1 FROM tbi GROUP BY w1),
+      |tvoc AS (SELECT count(DISTINCT w2) AS v FROM tbi),
+      |sbi AS (SELECT w1, w2, count(*) AS c2 FROM ppairs GROUP BY w1, w2),
+      |suni AS (SELECT w1, sum(c2) AS c1 FROM sbi GROUP BY w1),
+      |svoc AS (SELECT count(DISTINCT w2) AS v FROM sbi),
+      |tscore AS (
+      |  SELECT p.doc_id,
+      |    CAST(sum(CAST(ln((coalesce(b.c2, 0) + 1.0) / (coalesce(u.c1, 0) + v))
+      |      AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS s
+      |  FROM ppairs p LEFT JOIN tbi b USING (w1, w2)
+      |  LEFT JOIN tuni u USING (w1) CROSS JOIN tvoc GROUP BY p.doc_id),
+      |sscore AS (
+      |  SELECT p.doc_id,
+      |    CAST(sum(CAST(ln((coalesce(b.c2, 0) + 1.0) / (coalesce(u.c1, 0) + v))
+      |      AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS s
+      |  FROM ppairs p LEFT JOIN sbi b USING (w1, w2)
+      |  LEFT JOIN suni u USING (w1) CROSS JOIN svoc GROUP BY p.doc_id)
+      |SELECT doc_id,
+      |  CAST(CAST(exp(t.s - s.s) AS DECIMAL(38,9)) AS DOUBLE) AS weight
+      |FROM tscore t JOIN sscore s USING (doc_id)
+      |WHERE CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 4294967296.0
+      |      < least(CAST(CAST(exp(t.s - s.s) AS DECIMAL(38,9)) AS DOUBLE), 1.0)
+      |ORDER BY doc_id""".stripMargin
 
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
@@ -1818,5 +1869,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
-    QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)))
+    QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
+    QueryDef("corpus_importance_resample", qImportanceResample,
+      Some(qImportanceResampleSql)))
 }

@@ -187,10 +187,39 @@ object StreamingQ extends QueryPack {
       |SELECT token, n, CAST(0 AS BIGINT) AS error FROM c
       |WHERE n >= 10 ORDER BY token""".stripMargin
 
+  /** STREAMING nearest-centroid topic assignment: the embedding corpus is
+    * serialized to a json stream (two triggers) and scored in APPEND mode
+    * against the BATCH-trained k-means centroids — the production shape of
+    * cluster-then-route ingestion (train offline, score the firehose
+    * statelessly). The scoring expression is the same per-row fold as the
+    * batch path ([[graft.pipelines.Similarity.assignToCentroids]]), so the
+    * stream's assignments and distances must be BIT-IDENTICAL to the batch
+    * clustering oracle — the json float roundtrip, the stream-static
+    * broadcast and the fold all have to preserve exactness for this entry
+    * to hash-match. */
+  private def qStreamTopics(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stopics")
+    val src = s"$base/src"
+    Tables.embeddings(s, sf).select("vec_id", "embedding")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val cents = graft.pipelines.Similarity.kmeansCentroids(
+      Tables.embeddings(s, sf), k = 8, iters = 2)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").json(src)
+    val out = graft.pipelines.Similarity.assignToCentroids(stream, cents)
+    val q = out.writeStream.format("memory").queryName("stopics_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    s.table("stopics_out").orderBy("vec_id")
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("streaming_dedup_docs", qStreamDedup, Some(qStreamDedupSql)),
     QueryDef("streaming_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
+    QueryDef("streaming_topic_assign", qStreamTopics,
+      Some(Pipeline.kmeansAsgSql)),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }
