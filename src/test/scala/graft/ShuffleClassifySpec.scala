@@ -108,4 +108,43 @@ class ShuffleClassifySpec extends SparkTestBase {
       .select("doc_id", "predicted", "score").collect().toSet
     assert(a == b)
   }
+
+  test("lmScoreAgainst: unseen bigrams take the smoothed floor, never drop") {
+    val train = Seq((1L, "a b", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val probe = Seq((2L, "x y x y x", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lmScoreAgainst(train, probe)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (_, nBigrams, score) = out.head
+    assert(nBigrams == 4L)
+    // every probe bigram is unseen: p = (0+1)/(0 + v) with v = 1 ('b' is
+    // the only successor in the model) -> avg log prob = ln(1) = 0
+    assert(score == 0.0)
+  }
+
+  test("lmScoreAgainst(d, d) equals the self-trained lmScore") {
+    val d = docs(60)
+    val a = TextAnalysis.lmScore(d).collect().toSet
+    val b = TextAnalysis.lmScoreAgainst(d, d).collect().toSet
+    assert(a == b)
+  }
+
+  test("importanceResample upweights the target domain") {
+    // two disjoint vocabularies; the en half is the target
+    val d = (0 until 80).map { i =>
+      val cls = if (i % 2 == 0) "en" else "de"
+      val text = if (cls == "en") s"alpha beta gamma delta tok${i % 5}"
+                 else s"eins zwei drei vier tok${i % 5}"
+      (i.toLong, text, cls, "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextAnalysis.importanceResample(d, col("lang") === "en")
+      .join(d, "doc_id").groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // target-domain docs have weight >= 1 (their own LM beats the mixed
+    // corpus LM) and must ALL survive the min(w, 1) hash keep
+    assert(kept("en") == 40L)
+    assert(kept.getOrElse("de", 0L) < 40L)
+  }
 }
