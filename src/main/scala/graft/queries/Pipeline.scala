@@ -1628,6 +1628,33 @@ object Pipeline extends QueryPack {
       |      < least(CAST(CAST(exp(t.s - s.s) AS DECIMAL(38,9)) AS DOUBLE), 1.0)
       |ORDER BY doc_id""".stripMargin
 
+  /** Funnel view → click → purchase within 2 h of the first view: the
+    * oracle replays the cascading first-touch minimum with per-step
+    * chained joins. */
+  private def qFunnel(s: SparkSession, sf: String): DataFrame =
+    graft.stages.TimeJoins.funnel(Tables.eventsMillis(s, sf),
+        Seq("view", "click", "purchase"), windowMs = 7200000L)
+      .orderBy("user_id")
+  private val qFunnelSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_type FROM events),
+      |s1 AS (SELECT user_id, min(tm) AS ts_1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.tm) AS ts_2
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click'
+      |         AND e.tm >= s1.ts_1 AND e.tm <= s1.ts_1 + 7200000
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.tm) AS ts_3
+      |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase'
+      |         AND e.tm >= s2.ts_2 AND e.tm <= s1.ts_1 + 7200000
+      |       GROUP BY 1)
+      |SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+      |  CASE WHEN s3.ts_3 IS NOT NULL THEN 3
+      |       WHEN s2.ts_2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -1871,5 +1898,6 @@ object Pipeline extends QueryPack {
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
-      Some(qImportanceResampleSql)))
+      Some(qImportanceResampleSql)),
+    QueryDef("events_funnel", qFunnel, Some(qFunnelSql)))
 }

@@ -133,4 +133,51 @@ object TimeJoins {
     l.join(r, cond, "inner")
       .drop("_lt" +: "_rt" +: keys.map(k => s"_rk_$k"): _*)
   }
+
+  /** FUNNEL analysis: for each key (user), the earliest first-touch
+    * completion of an ordered step sequence within `windowMs` of step 1 —
+    * the product-analytics staple (view → click → purchase). Semantics are
+    * the deterministic cascading minimum: t₁ = the key's earliest step-1
+    * event; tᵢ = the earliest step-i event with tᵢ ≥ tᵢ₋₁ and
+    * tᵢ ≤ t₁ + window. A missing step leaves every later step null (null
+    * comparisons drop all candidates), `reached` counts the contiguous
+    * prefix attained. Only keys that enter the funnel (have step 1) are
+    * emitted.
+    *
+    * Distributed shape: ONE shuffle — groupBy key collecting a sorted
+    * per-step timestamp array (state bounded by a single key's activity,
+    * like sessionization) — then the cascade is per-row array arithmetic:
+    * no self-joins, no per-step scans, no inequality join. Steps emit as
+    * `ts_1 … ts_n` (epoch millis) plus `reached`. */
+  def funnel(events: DataFrame, steps: Seq[String], windowMs: Long,
+             keyCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "tm"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(windowMs > 0, "funnel window must be positive")
+    val arrs = steps.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol))))
+        .as(s"_a$i")
+    }
+    val byKey = events.groupBy(col(keyCol)).agg(arrs.head, arrs.tail: _*)
+    // try_: an empty step-1 array must yield null (ANSI element_at throws)
+    val t0 = try_element_at(col("_a0"), lit(1))
+    val ts = steps.indices.tail.scanLeft(t0) { (prev, i) =>
+      array_min(filter(col(s"_a$i"),
+        x => x >= prev && x <= t0 + lit(windowMs)))
+    }
+    val withTs = ts.zipWithIndex.foldLeft(byKey) { case (df, (t, i)) =>
+      df.withColumn(s"ts_${i + 1}", t)
+    }
+    // ascending fold nests the HIGHEST step as the outermost test:
+    // reached = max i with ts_i non-null
+    val reached = steps.indices
+      .foldLeft(lit(0)) { (acc, i) =>
+        when(col(s"ts_${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+      }
+    withTs
+      .where(col("ts_1").isNotNull)
+      .withColumn("reached", reached)
+      .select(col(keyCol) +: steps.indices.map(i => col(s"ts_${i + 1}")) :+
+        col("reached"): _*)
+  }
 }

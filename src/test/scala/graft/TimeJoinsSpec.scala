@@ -103,4 +103,43 @@ class TimeJoinsSpec extends SparkTestBase {
       ("a", 100L, "p1", 90L, 1.0),
       ("a", 200L, "p2", 200L, 2.0)))
   }
+
+  test("funnel: cascade, window expiry, pre-entry steps, missing middle step") {
+    val ev = Seq(
+      // u1 completes in order within the window
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // u2: click BEFORE the first view never counts; the later one does
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "click", 150L),
+      // u3: purchase with no click — a skipped middle step stops the cascade
+      (3L, "view", 100L), (3L, "purchase", 200L),
+      // u4: click outside the window of the first view
+      (4L, "view", 100L), (4L, "click", 5000L),
+      // u5 never enters the funnel (no view)
+      (5L, "click", 100L), (5L, "purchase", 200L))
+      .toDF("user_id", "event_type", "tm")
+    val out = TimeJoins.funnel(ev, Seq("view", "click", "purchase"),
+        windowMs = 1000L)
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, Some(100L), Some(200L), Some(300L), 3),
+      (2L, Some(100L), Some(150L), None, 2),
+      (3L, Some(100L), None, None, 1),
+      (4L, Some(100L), None, None, 1)))
+  }
+
+  test("funnel: a step at exactly the window edge counts; reuse of one ts for two steps") {
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 1000L), (1L, "purchase", 1000L))
+      .toDF("user_id", "event_type", "tm")
+    val out = TimeJoins.funnel(ev, Seq("view", "click", "purchase"), 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    // click at t0+window is inside the closed window; purchase at the SAME
+    // instant satisfies ts >= click (simultaneous step completion)
+    assert(out == Seq((1L, 0L, 1000L, 1000L, 3)))
+  }
 }
