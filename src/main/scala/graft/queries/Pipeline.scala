@@ -1655,6 +1655,21 @@ object Pipeline extends QueryPack {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Daily retention cohorts over the 30-day event stream. */
+  private def qRetention(s: SparkSession, sf: String): DataFrame =
+    graft.stages.TimeJoins.retentionCohorts(Tables.eventsMillis(s, sf),
+        periodMs = 86400000L)
+      .orderBy("cohort", "period_offset")
+  private val qRetentionSql =
+    """WITH e AS (SELECT user_id,
+      |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS p FROM events),
+      |a AS (SELECT DISTINCT user_id, p FROM e),
+      |c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1)
+      |SELECT c.cohort, a.p - c.cohort AS period_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -1899,5 +1914,6 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),
-    QueryDef("events_funnel", qFunnel, Some(qFunnelSql)))
+    QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)))
 }

@@ -180,4 +180,32 @@ object TimeJoins {
       .select(col(keyCol) +: steps.indices.map(i => col(s"ts_${i + 1}")) :+
         col("reached"): _*)
   }
+
+  /** RETENTION COHORTS: group keys (users) by the period of their FIRST
+    * event, then count how many of each cohort are active again N periods
+    * later — the other product-analytics staple next to [[funnel]]. Emits
+    * `(cohort, period_offset, n_active)` for every offset ≥ 0 observed
+    * (offset 0 = the cohort's size: every member is active in its own
+    * first period by definition).
+    *
+    * Distributed shape: first-touch is one groupBy-key min; activity
+    * periods dedupe per (key, period) in the same aggregation pass; the
+    * cohort join broadcasts nothing wider than the first-touch frame keyed
+    * by the user — two keyed shuffles total, no window, no self-join of
+    * the raw events. */
+  def retentionCohorts(events: DataFrame, periodMs: Long,
+                       keyCol: String = "user_id",
+                       tsCol: String = "tm"): DataFrame = {
+    require(periodMs > 0, "retention period must be positive")
+    // floor division (not integer DIV, which truncates toward zero) so
+    // pre-epoch timestamps land in the right period
+    val periodFloor = floor(col(tsCol) / lit(periodMs.toDouble))
+      .cast(org.apache.spark.sql.types.LongType)
+    val active = events
+      .select(col(keyCol), periodFloor.as("_p")).distinct()
+    val cohorts = active.groupBy(col(keyCol)).agg(min(col("_p")).as("cohort"))
+    active.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -142,4 +142,23 @@ class TimeJoinsSpec extends SparkTestBase {
     // instant satisfies ts >= click (simultaneous step completion)
     assert(out == Seq((1L, 0L, 1000L, 1000L, 3)))
   }
+
+  test("retentionCohorts: first-touch cohorts, offset 0 is cohort size") {
+    // period 100: u1 first in p0, active p0/p1/p3; u2 first in p0, active
+    // p0 only; u3 first in p1, active p1/p3 (offset 2 from ITS cohort)
+    val ev = Seq(
+      (1L, 10L), (1L, 150L), (1L, 160L), (1L, 350L),
+      (2L, 50L),
+      (3L, 110L), (3L, 390L))
+      .toDF("user_id", "tm")
+    val out = TimeJoins.retentionCohorts(ev, periodMs = 100L)
+      .orderBy("cohort", "period_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L),   // u1, u2
+      (0L, 1L, 1L),   // u1
+      (0L, 3L, 1L),   // u1
+      (1L, 0L, 1L),   // u3
+      (1L, 2L, 1L)))  // u3
+  }
 }
