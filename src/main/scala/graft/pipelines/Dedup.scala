@@ -509,6 +509,51 @@ object Dedup {
     docs.join(nonCanonical, Seq(idCol), "left_anti")
   }
 
+  /** Keep the most CENTRAL document of each near-dup cluster: PageRank
+    * power iteration over the (undirected) pair graph, survivor = the
+    * cluster member with the highest rank (ties → lowest id) — the
+    * "representative = the doc most similar to the rest" policy, where
+    * [[keepCanonical]] is positional and [[keepBest]] needs an external
+    * score. Documents in no pair survive unchanged.
+    *
+    * `iters` fixed power-iteration rounds with damping 0.85 from a uniform
+    * start; per-edge contributions quantize through DECIMAL(38,9) before
+    * the neighbor sum, so ranks — and the argmax — replay bit-for-bit in
+    * the SQL oracle (the same fold discipline as the k-means replay).
+    * Distributed shape: each round is one join of the edge list against the
+    * rank frame plus one dst-keyed reduction — Pregel-shaped like
+    * [[clusterPairs]], with the edge list reused across rounds; no
+    * driver action, no window over the graph. */
+  def keepCentral(docs: DataFrame, pairs: DataFrame, iters: Int = 2,
+                  damping: Double = 0.85,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val Dec = DecimalType(38, 9)
+    val sym = pairs.select(col("doc_id_a").as("_src"), col("doc_id_b").as("_dst"))
+      .union(pairs.select(col("doc_id_b").as("_src"), col("doc_id_a").as("_dst")))
+    val deg = sym.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    var pr = deg.select(col("_src").as("_node"), lit(1.0).as("_pr"))
+    for (_ <- 1 to iters)
+      pr = sym.join(deg, Seq("_src"))
+        .join(pr, col("_src") === col("_node"))
+        .groupBy(col("_dst"))
+        .agg((lit(1.0 - damping) + lit(damping) *
+          sum((col("_pr") / col("_deg")).cast(Dec)).cast(DoubleType))
+          .cast(Dec).cast(DoubleType).as("_pr"))
+        .select(col("_dst").as("_node"), col("_pr"))
+    val labels = clusterPairs(pairs)
+    val winners = labels.join(pr, col("node") === col("_node"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("_pr").desc, col("node").asc)))
+      .where(col("_rn") === 1)
+      .select(col("node").as(idCol))
+    val singletons = docs
+      .join(labels.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol))
+    singletons.unionByName(winners)
+  }
+
   /** Keep the highest-scoring document per near-dup cluster (ties → lowest
     * id), plus every document not involved in any pair — the quality-aware
     * variant of [[keepCanonical]]: a real pipeline keeps the longest or

@@ -941,6 +941,35 @@ object Pipeline extends QueryPack {
        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Centrality-survivor selection: 2-round PageRank over the portable pair
+    * graph, per-cluster argmax — the oracle replays both power-iteration
+    * rounds with the same DECIMAL(38,9) per-edge quantization. */
+  private def qKeepCentral(s: SparkSession, sf: String): DataFrame =
+    Dedup.keepCentral(Tables.documents(s, sf), portablePairs(s, sf), iters = 2)
+      .orderBy("doc_id")
+  private val qKeepCentralSql =
+    s"""WITH RECURSIVE $portablePairCtes,
+       |$portableCcCtes,
+       |deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+       |pr1 AS (SELECT s.b AS node,
+       |    CAST(CAST(0.15 + 0.85 * CAST(sum(CAST(1.0 / d.deg AS DECIMAL(38,9)))
+       |      AS DOUBLE) AS DECIMAL(38,9)) AS DOUBLE) AS pr
+       |  FROM sym s JOIN deg d ON d.node = s.a GROUP BY 1),
+       |pr2 AS (SELECT s.b AS node,
+       |    CAST(CAST(0.15 + 0.85 * CAST(sum(CAST(p.pr / d.deg AS DECIMAL(38,9)))
+       |      AS DOUBLE) AS DECIMAL(38,9)) AS DOUBLE) AS pr
+       |  FROM sym s JOIN deg d ON d.node = s.a JOIN pr1 p ON p.node = s.a
+       |  GROUP BY 1),
+       |win AS (SELECT node FROM (
+       |    SELECT cc.node, row_number() OVER (
+       |      PARTITION BY cc.cluster_id ORDER BY p.pr DESC, cc.node) AS rn
+       |    FROM cc JOIN pr2 p ON p.node = cc.node) WHERE rn = 1)
+       |SELECT doc_id FROM (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id NOT IN (SELECT node FROM cc)
+       |  UNION ALL SELECT node AS doc_id FROM win)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared CTE chain of the duplicated-span oracles (k=8, minDocs=2,
     * portable rolling hash): window hashes → cross-doc duplicated hashes →
     * flagged positions → gaps-and-islands merge, ending in
@@ -1870,6 +1899,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_minhash_lsh_portable", qMinhashLshPortable, Some(qMinhashLshPortableSql)),
     QueryDef("dedup_cluster_portable", qClusterPortable, Some(qClusterPortableSql)),
     QueryDef("dedup_survivors_portable", qSurvivorsPortable, Some(qSurvivorsPortableSql)),
+    QueryDef("dedup_keep_central", qKeepCentral, Some(qKeepCentralSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,

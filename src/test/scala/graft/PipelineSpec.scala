@@ -130,6 +130,27 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("keepCentral picks the hub of a star, not the lowest id") {
+    // star: 5 is connected to 1,2,3 — PageRank makes the hub the survivor
+    // even though keepCanonical would pick 1; 4 is a singleton and survives
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id_a", "doc_id_b")
+    val kept = Dedup.keepCentral(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(4L, 5L))
+  }
+
+  test("keepCentral is partition-invariant and ties break to the lowest id") {
+    val docs = (1L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // symmetric pair: 1-2 have identical rank -> 1 survives
+    val pairs = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val a = Dedup.keepCentral(docs.repartition(1), pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Dedup.keepCentral(docs.repartition(7), pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a == Seq(1L, 3L, 4L))
+  }
+
   test("dedupIncremental: existing wins, within-incoming resolves first-wins") {
     // existing = {0}; incoming = {1 (near-dup of 0), 2 (exact dup of 0),
     // 3, 4 (unrelated)} → 1 and 2 drop against the existing corpus
