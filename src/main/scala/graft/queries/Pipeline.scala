@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.pipelines.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings` — the
@@ -1684,6 +1685,44 @@ object Pipeline extends QueryPack {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Per-source corpus report card: doc/token totals plus EXACT
+    * nearest-rank token-length quantiles (ceil(p·n)-th smallest — the
+    * deterministic quantile both engines agree on, where interpolated
+    * percentile definitions drift). Rank is a per-source window (bounded by
+    * source cardinality, the natural partitioning of a sharded corpus). */
+  private def qCorpusStats(s: SparkSession, sf: String): DataFrame = {
+    val toks = TextAnalysis.tokenStats(Tables.documents(s, sf))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    toks.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        min(when(col("_rn") === ceil(col("_n") * 0.5), col("n_tokens")))
+          .as("p50_tokens"),
+        min(when(col("_rn") === ceil(col("_n") * 0.9), col("n_tokens")))
+          .as("p90_tokens"))
+      .orderBy("source")
+  }
+  private val qCorpusStatsSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |      FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+      |  min(CASE WHEN rn = ceil(n * 0.5) THEN n_tokens END) AS p50_tokens,
+      |  min(CASE WHEN rn = ceil(n * 0.9) THEN n_tokens END) AS p90_tokens
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** Daily retention cohorts over the 30-day event stream. */
   private def qRetention(s: SparkSession, sf: String): DataFrame =
     graft.stages.TimeJoins.retentionCohorts(Tables.eventsMillis(s, sf),
@@ -1698,6 +1737,10 @@ object Pipeline extends QueryPack {
       |  CAST(count(*) AS BIGINT) AS n_active
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared with `streaming_funnel`: the streaming cascade's final snapshot
+    * must equal the batch funnel exactly. */
+  private[queries] def funnelSql: String = qFunnelSql
 
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
@@ -1945,5 +1988,6 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),
     QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
-    QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)))
+    QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),
+    QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)))
 }

@@ -214,8 +214,38 @@ object StreamingQ extends QueryPack {
     s.table("stopics_out").orderBy("vec_id")
   }
 
+  /** STREAMING funnel: the event stream in two triggers through the
+    * per-key custom-state cascade ([[graft.streaming.StreamingFunnel]]);
+    * the append-only sink reduces to the latest snapshot per user
+    * (max_by over the monotone events-seen counter), which must equal the
+    * BATCH funnel bit-for-bit — the shared oracle pins the parity. */
+  private def qStreamFunnel(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sfunnel")
+    val src = s"$base/src"
+    Tables.eventsMillis(s, sf).select("user_id", "event_type", "tm")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("user_id BIGINT, event_type STRING, tm BIGINT").json(src)
+    val out = graft.streaming.StreamingFunnel.funnel(
+      stream, Seq("view", "click", "purchase"), windowMs = 7200000L)
+    val q = out.writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("sfunnel_out")
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(ts, reached), n_seen)").as("_f"))
+      .select(col("user_id"),
+        col("_f.ts").getItem(0).as("ts_1"),
+        col("_f.ts").getItem(1).as("ts_2"),
+        col("_f.ts").getItem(2).as("ts_3"),
+        col("_f.reached").as("reached"))
+      .orderBy("user_id")
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
+    QueryDef("streaming_funnel", qStreamFunnel, Some(Pipeline.funnelSql)),
     QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("streaming_dedup_docs", qStreamDedup, Some(qStreamDedupSql)),
     QueryDef("streaming_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING funnel — the batch cascade of
+  * [[graft.stages.TimeJoins.funnel]] maintained incrementally over a live
+  * event stream with custom state.
+  *
+  * The first-touch cascade is NOT prefix-monotone under out-of-order
+  * arrival (a late, earlier step-1 event moves the whole window and can
+  * both enable and disable later steps), so per-key state keeps the step
+  * timestamps seen so far — bounded by one key's funnel activity, the same
+  * bound the batch groupBy carries — and re-derives the cascade per
+  * trigger. Each snapshot carries a monotone events-seen counter so an
+  * append-only sink can reduce to the latest snapshot per key
+  * (`max_by(..., n_seen)`); after the final trigger the snapshot equals
+  * the batch funnel EXACTLY (pinned by the shared oracle of
+  * `streaming_funnel` / `events_funnel`).
+  *
+  * Emits `(key, n_seen, ts ARRAY<LONG> — null-padded per unreached step,
+  * reached INT)` for keys that have entered the funnel. */
+object StreamingFunnel {
+
+  case class FState(seen: Map[Int, List[Long]], nEvents: Long)
+
+  def funnel(events: DataFrame, steps: Seq[String], windowMs: Long,
+             keyCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "tm"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(windowMs > 0, "funnel window must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    val rows = events
+      .select(col(keyCol).cast("long").as("_k"), stepCol.as("_step"),
+        col(tsCol).cast("long").as("_t"))
+      .where(col("_step") >= 0)
+      .as[(Long, Int, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[FState, (Long, Long, Seq[Option[Long]], Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Int, Long)], st: GroupState[FState]) =>
+          var m = st.getOption.map(_.seen).getOrElse(Map.empty[Int, List[Long]])
+          var n = st.getOption.map(_.nEvents).getOrElse(0L)
+          it.foreach { case (_, i, t) =>
+            m = m.updated(i, t :: m.getOrElse(i, Nil)); n += 1
+          }
+          st.update(FState(m, n))
+          val sorted = steps.indices.map(i => m.getOrElse(i, Nil).sorted)
+          sorted.head.headOption match {
+            case None => Iterator.empty
+            case Some(start) =>
+              val ts = steps.indices.tail.scanLeft(Option(start)) { (prev, i) =>
+                prev.flatMap(p =>
+                  sorted(i).find(t => t >= p && t <= start + windowMs))
+              }
+              Iterator.single((key, n, ts, ts.takeWhile(_.isDefined).size))
+          }
+      }
+      .toDF(keyCol, "n_seen", "ts", "reached")
+  }
+}

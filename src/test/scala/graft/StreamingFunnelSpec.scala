@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.StreamingFunnel
+import org.apache.spark.sql.functions._
+
+/** The streaming funnel's defining property: a LATE earlier step-1 event
+  * re-derives the whole cascade (first-touch moves, the window moves, later
+  * steps can be disabled) — snapshots are not append-only in the value, only
+  * the n_seen counter is monotone. */
+class StreamingFunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[(Long, String, Long)]]): Seq[(Long, Long, Int)] = {
+    val dir = java.nio.file.Files.createTempDirectory("sfunnel_spec")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "event_type", "tm").coalesce(1)
+        .write.json(s"$dir/src/b$i")
+    }
+    // one file per trigger, in batch order (file mtime ordering is not
+    // guaranteed, so write each batch to its own subdir and glob them)
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("user_id BIGINT, event_type STRING, tm BIGINT")
+      .json(s"$dir/src/*")
+    val name = s"sfunnel_spec_${System.nanoTime()}"
+    val q = StreamingFunnel.funnel(stream, Seq("view", "click"), windowMs = 100L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(ts, reached), n_seen)").as("f"),
+        max("n_seen").as("n"))
+      .select(col("user_id"), col("n"), col("f.reached"))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+  }
+
+  test("a late earlier first-touch re-derives and can DISABLE a completed funnel") {
+    // trigger 1: view@100, click@150 -> reached 2.
+    // trigger 2: a LATE view@0 arrives -> first touch moves to 0, window
+    // [0,100]; the click@150 is now outside -> reached drops to 1.
+    val out = run(Seq(
+      Seq((1L, "view", 100L), (1L, "click", 150L)),
+      Seq((1L, "view", 0L))))
+    assert(out == Seq((1L, 3L, 1)))
+  }
+
+  test("a late click can COMPLETE a funnel opened in an earlier trigger") {
+    val out = run(Seq(
+      Seq((2L, "view", 100L)),
+      Seq((2L, "click", 160L))))
+    assert(out == Seq((2L, 2L, 2)))
+  }
+}
