@@ -373,6 +373,55 @@ object TextAnalysis {
       .select(col(idCol), col("weight"))
   }
 
+  /** Distributed BPE MERGE TRAINING (Sennrich et al. 2016, the first
+    * `rounds` merge rules): start from characters, repeatedly count adjacent
+    * symbol pairs across the corpus (weighted by word frequency) and merge
+    * the most frequent pair (ties → lexicographically smallest). Exactly
+    * the tokenizer-induction loop of a pre-training pipeline, run as
+    * DataFrame plans.
+    *
+    * Symbol sequences live as unit-separator-joined strings (`chr(31)`,
+    * assumed absent from the corpus), so applying a merge is ONE builtin
+    * `replace` — whose left-to-right non-overlapping scan is exactly the
+    * BPE pass rule ("aaaa" + (a,a) → "aa","aa") and is engine-portable.
+    * Per round: one pair-count aggregation over the DISTINCT-word table
+    * (bounded by vocabulary, not corpus size), a 1-row broadcast argmax,
+    * and a per-row replace — no driver action. The round chain is lazy;
+    * at production vocabulary sizes checkpoint between rounds like
+    * `clusterPairs`. Returns (round, lhs, rhs, cnt) — one merge rule per
+    * round. */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val US = "\u001f"
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var st = words.select(col("freq"),
+      array_join(split(col("word"), ""), US).as("_s"))
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val arr = split(col("_s"), US)
+      val pairs = st
+        .select(col("freq"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("_p"))
+        .groupBy(col("_p.lhs").as("lhs"), col("_p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .select(col("lhs").as("_ml"), col("rhs").as("_mr"), col("cnt").as("_mc"))
+      st = st.crossJoin(broadcast(top))
+        .withColumn("_s", expr(
+          "replace(_s, concat(_ml, chr(31), _mr), concat(_ml, _mr))"))
+        .drop("_ml", "_mr", "_mc")
+      val rule = top.select(lit(r).as("round"), col("_ml").as("lhs"),
+        col("_mr").as("rhs"), col("_mc").as("cnt"))
+      merges = if (merges == null) rule else merges.unionByName(rule)
+    }
+    merges
+  }
+
   val Stopwords = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was", "for",
     "on", "with", "as", "by", "at", "it", "this", "that", "be", "from")

@@ -1742,6 +1742,43 @@ object Pipeline extends QueryPack {
     * must equal the batch funnel exactly. */
   private[queries] def funnelSql: String = qFunnelSql
 
+  /** Distributed BPE merge training, first 3 rules; the oracle replays the
+    * count → argmax → replace loop round by round (`replace` is
+    * left-to-right non-overlapping in both engines — the BPE pass rule). */
+  private def qBpeMerges(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.bpeMerges(Tables.documents(s, sf), rounds = 3)
+      .orderBy("round")
+  private val qBpeMergesSql = {
+    def pairCte(src: String, out: String): String =
+      s"""$out AS (SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(s, chr(31)) AS a FROM $src),
+         |       LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) ix
+         |  GROUP BY 1, 2)""".stripMargin
+    def topCte(src: String, out: String): String =
+      s"$out AS (SELECT lhs, rhs, cnt FROM $src ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+    def applyCte(st: String, rule: String, out: String): String =
+      s"""$out AS (SELECT freq,
+         |  replace(s, lhs || chr(31) || rhs, lhs || rhs) AS s FROM $st, $rule)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents) WHERE len(word) > 0 GROUP BY word),
+       |s1 AS (SELECT freq, array_to_string(string_split(word, ''), chr(31)) AS s FROM w),
+       |${pairCte("s1", "p1")},
+       |${topCte("p1", "t1")},
+       |${applyCte("s1", "t1", "s2")},
+       |${pairCte("s2", "p2")},
+       |${topCte("p2", "t2")},
+       |${applyCte("s2", "t2", "s3")},
+       |${pairCte("s3", "p3")},
+       |${topCte("p3", "t3")}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, lhs, rhs, cnt FROM t1
+       |  UNION ALL SELECT 2, lhs, rhs, cnt FROM t2
+       |  UNION ALL SELECT 3, lhs, rhs, cnt FROM t3)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -1989,5 +2026,6 @@ object Pipeline extends QueryPack {
       Some(qImportanceResampleSql)),
     QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),
-    QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)))
+    QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)),
+    QueryDef("text_bpe_merges", qBpeMerges, Some(qBpeMergesSql)))
 }

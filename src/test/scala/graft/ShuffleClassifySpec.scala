@@ -131,6 +131,28 @@ class ShuffleClassifySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("bpeMerges learns the dominant pair and applies passes left-to-right") {
+    // 10 copies of "aaaa": round 1 must merge (a,a) with count 30 (three
+    // adjacent pairs per word x 10); the BPE pass is left-to-right
+    // NON-overlapping, so "aaaa" -> ("aa","aa") and round 2 merges
+    // (aa,aa) with count 10 — an overlapping count would report 20.
+    val d = (0 until 10).map(i => (i.toLong, "aaaa", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpeMerges(d, rounds = 2)
+      .orderBy("round")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", "a", 30L), (2, "aa", "aa", 10L)))
+  }
+
+  test("bpeMerges tie-breaks lexicographically and weights by word frequency") {
+    // "xy" x3 + "ab" x3: equal counts -> (a,b) wins the tie
+    val d = Seq((1L, "xy xy xy ab ab ab", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpeMerges(d, rounds = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", "b", 3L)))
+  }
+
   test("importanceResample upweights the target domain") {
     // two disjoint vocabularies; the en half is the target
     val d = (0 until 80).map { i =>
