@@ -390,14 +390,20 @@ object TextAnalysis {
     * at production vocabulary sizes checkpoint between rounds like
     * `clusterPairs`. Returns (round, lhs, rhs, cnt) — one merge rule per
     * round. */
-  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTrain(docs, rounds)._1
+
+  /** The training loop shared by [[bpeMerges]] (the learned rules) and
+    * [[bpeTokenize]] (the post-merge segmented word table `(word, freq,
+    * _s)`). */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val US = "\u001f"
     val words = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var st = words.select(col("freq"),
+    var st = words.select(col("word"), col("freq"),
       array_join(split(col("word"), ""), US).as("_s"))
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
@@ -419,7 +425,26 @@ object TextAnalysis {
         col("_mr").as("rhs"), col("_mc").as("cnt"))
       merges = if (merges == null) rule else merges.unionByName(rule)
     }
-    merges
+    (merges, st)
+  }
+
+  /** APPLY the learned BPE merges: per-document token counts under the
+    * `rounds`-rule vocabulary (the compression-ratio readout of tokenizer
+    * training). Segmented forms are computed ONCE per distinct word and
+    * joined back to the document word stream — the corpus text is never
+    * re-segmented per occurrence. Returns (idCol, n_words, n_bpe). */
+  def bpeTokenize(docs: DataFrame, rounds: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    val US = "\u001f"
+    val seg = bpeTrain(docs, rounds)._2
+      .select(col("word"),
+        size(split(col("_s"), US)).cast(LongType).as("_nsym"))
+    docs.select(col(idCol),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(seg, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_nsym")).as("n_bpe"))
   }
 
   val Stopwords = Seq(

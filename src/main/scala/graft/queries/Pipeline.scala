@@ -1748,7 +1748,10 @@ object Pipeline extends QueryPack {
   private def qBpeMerges(s: SparkSession, sf: String): DataFrame =
     TextAnalysis.bpeMerges(Tables.documents(s, sf), rounds = 3)
       .orderBy("round")
-  private val qBpeMergesSql = {
+  /** The 3-round BPE training CTE chain, through the post-round-3 segmented
+    * word table `s4(word, freq, s)` — shared by the merges and tokenize
+    * oracles. */
+  private val bpeChainCtes = {
     def pairCte(src: String, out: String): String =
       s"""$out AS (SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, string_split(s, chr(31)) AS a FROM $src),
@@ -1757,13 +1760,13 @@ object Pipeline extends QueryPack {
     def topCte(src: String, out: String): String =
       s"$out AS (SELECT lhs, rhs, cnt FROM $src ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
     def applyCte(st: String, rule: String, out: String): String =
-      s"""$out AS (SELECT freq,
+      s"""$out AS (SELECT word, freq,
          |  replace(s, lhs || chr(31) || rhs, lhs || rhs) AS s FROM $st, $rule)""".stripMargin
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
        |    FROM documents) WHERE len(word) > 0 GROUP BY word),
-       |s1 AS (SELECT freq, array_to_string(string_split(word, ''), chr(31)) AS s FROM w),
+       |s1 AS (SELECT word, freq, array_to_string(string_split(word, ''), chr(31)) AS s FROM w),
        |${pairCte("s1", "p1")},
        |${topCte("p1", "t1")},
        |${applyCte("s1", "t1", "s2")},
@@ -1771,13 +1774,32 @@ object Pipeline extends QueryPack {
        |${topCte("p2", "t2")},
        |${applyCte("s2", "t2", "s3")},
        |${pairCte("s3", "p3")},
-       |${topCte("p3", "t3")}
+       |${topCte("p3", "t3")},
+       |${applyCte("s3", "t3", "s4")}""".stripMargin
+  }
+  private val qBpeMergesSql =
+    s"""WITH $bpeChainCtes
        |SELECT * FROM (
        |  SELECT 1 AS round, lhs, rhs, cnt FROM t1
        |  UNION ALL SELECT 2, lhs, rhs, cnt FROM t2
        |  UNION ALL SELECT 3, lhs, rhs, cnt FROM t3)
        |ORDER BY round""".stripMargin
-  }
+
+  /** Tokenize under the 3-rule vocabulary: per-doc word and symbol counts. */
+  private def qBpeTokenize(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.bpeTokenize(Tables.documents(s, sf), rounds = 3)
+      .orderBy("doc_id")
+  private val qBpeTokenizeSql =
+    s"""WITH $bpeChainCtes,
+       |seg AS (SELECT word, CAST(len(string_split(s, chr(31))) AS BIGINT) AS nsym FROM s4),
+       |dw AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nsym) AS BIGINT) AS n_bpe
+       |FROM dw JOIN seg USING (word)
+       |WHERE len(word) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
@@ -2027,5 +2049,6 @@ object Pipeline extends QueryPack {
     QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),
     QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)),
-    QueryDef("text_bpe_merges", qBpeMerges, Some(qBpeMergesSql)))
+    QueryDef("text_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
+    QueryDef("text_bpe_tokenize", qBpeTokenize, Some(qBpeTokenizeSql)))
 }
