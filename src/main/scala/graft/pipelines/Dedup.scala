@@ -750,9 +750,13 @@ object Dedup {
                     cosineThreshold: Double,
                     idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    // both pair-join sides read the same clustered frame — materialize the
+    // Lloyd rounds once instead of twice (the ngramJaccardPairs caching
+    // rationale; the session evicts it like every other derived index)
     val assigned = Similarity.kmeansTopics(emb, k, iters, idCol)
       .select(col(idCol), col("cluster"))
     val withVec = assigned.join(emb, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withVec.select(col("cluster"), col(idCol).as("vec_id_a"),
       col("embedding").as("ea"))
     val b = withVec.select(col("cluster"), col(idCol).as("vec_id_b"),
