@@ -569,7 +569,7 @@ object Pipeline extends QueryPack {
     * IvfRecallSpec). */
   private def qAnnIvfIndex(s: SparkSession, sf: String): DataFrame = {
     val table = "graft_ivf_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
-    Registry.ensureTable(s, table) {
+    Registry.ensureTable(s, table, companions = Seq(s"${table}_cents")) {
       Similarity.writeIvfIndex(Tables.embeddings(s, sf), table, nCentroids = 8)
     }
     Similarity.ivfTopKFromIndex(s, table, Tables.embeddings(s, sf),

@@ -22,13 +22,18 @@ object Registry {
   /** Build-once catalog table for a query pack: the in-memory catalog
     * forgets tables across sessions but their warehouse locations survive,
     * and CREATE refuses a non-empty location — so clear any stale one
-    * before building. */
-  def ensureTable(s: SparkSession, table: String)(build: => Unit): Unit =
+    * before building. `companions` = further tables the build writes under
+    * derived names (e.g. the IVF `_cents` table), whose stale locations
+    * break the build the same way. */
+  def ensureTable(s: SparkSession, table: String,
+                  companions: Seq[String] = Nil)(build: => Unit): Unit =
     if (!s.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))), table)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      (table +: companions).foreach { t =>
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
       build
     }
 
