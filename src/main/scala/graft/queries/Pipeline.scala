@@ -340,6 +340,76 @@ object Pipeline extends QueryPack {
        |SELECT doc_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
   }
 
+  /** The full RAG INDEXING chain end to end — overlap-chunk the corpus,
+    * feature-hash-embed every chunk, brute-force top-10 chunks for a query
+    * chunk — with the oracle replaying chunking arithmetic, the portable
+    * hash embedding AND the sequential float dot fold. Chunk key =
+    * doc_id·100000 + chunk_id (fan-out bound documented in chunkOverlap). */
+  private def qRagChunkSearch(s: SparkSession, sf: String): DataFrame = {
+    val chunks = TextAnalysis.chunkOverlap(Tables.documents(s, sf),
+        sizeTokens = 64, overlapTokens = 16)
+      .select((col("doc_id") * 100000L + col("chunk_id")).as("chunk_key"),
+        col("chunk_text"))
+    val emb = Similarity.hashedEmbedding(chunks, dim = 64, portable = true,
+      idCol = "chunk_key", textCol = "chunk_text")
+    Similarity.bruteForceTopK(emb, queryId = 0L, k = 10, idCol = "chunk_key")
+      .orderBy("rnk")
+  }
+  private val qRagChunkSearchSql = {
+    val (a, b) = Dedup.portableHashParams(1).head
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       |n0 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+       |       FROM t WHERE len(tk) > 0),
+       |cids AS (SELECT doc_id, tk, n_tokens,
+       |    unnest(range(0, 1 + CASE WHEN n_tokens <= 64 THEN 0
+       |                             ELSE (n_tokens - 64 + 47) // 48 END)) AS chunk_id
+       |  FROM n0),
+       |ch AS (SELECT doc_id * 100000 + chunk_id AS chunk_key,
+       |    coalesce(array_to_string(
+       |      list_slice(tk, chunk_id * 48 + 1, least(chunk_id * 48 + 64, n_tokens)),
+       |      ' '), '') AS chunk_text
+       |  FROM cids),
+       |toks AS (SELECT chunk_key,
+       |    unnest(regexp_split_to_array(trim(lower(chunk_text)), '\\s+')) AS token
+       |  FROM ch),
+       |t2 AS (SELECT chunk_key, token FROM toks WHERE len(token) > 0),
+       |hx AS (SELECT chunk_key,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(token, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS x
+       |  FROM t2),
+       |hb AS (SELECT chunk_key, x % 64 AS bucket,
+       |  CASE WHEN ((x * $a + $b) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM hx),
+       |c AS (SELECT chunk_key, bucket, CAST(sum(s) AS BIGINT) AS w FROM hb GROUP BY 1, 2),
+       |nz AS (SELECT * FROM c WHERE w <> 0),
+       |nrm AS (SELECT chunk_key, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
+       |        FROM nz GROUP BY chunk_key),
+       |dm AS (SELECT z.chunk_key AS chunk_key,
+       |         map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
+       |       FROM nz z GROUP BY z.chunk_key),
+       |dense AS (SELECT dm.chunk_key AS chunk_key,
+       |    list_transform(generate_series(0, 63), i ->
+       |      CAST(coalesce(m[CAST(i AS BIGINT)][1], 0) / nn AS REAL)) AS v
+       |  FROM dm JOIN nrm ON nrm.chunk_key = dm.chunk_key WHERE nn > 0),
+       |q AS (SELECT v AS qv FROM dense WHERE chunk_key = 0),
+       |scored AS (
+       |  SELECT d.chunk_key AS chunk_key,
+       |    ${dot("d.v", "q.qv")} /
+       |      (sqrt(${dot("d.v", "d.v")}) * sqrt(${dot("q.qv", "q.qv")})) AS cosine
+       |  FROM dense d, q WHERE d.chunk_key <> 0),
+       |r AS (SELECT chunk_key, cosine,
+       |        CAST(row_number() OVER (ORDER BY cosine DESC, chunk_key) AS INT) AS rnk
+       |      FROM scored)
+       |SELECT chunk_key, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  }
+
   /** Exact-rank quality floor: keep the top 40% of documents by quality
     * score — global distributed rank, deterministic tie-break, the
     * quantile-cut both engines replay exactly (the score formula is
@@ -2050,5 +2120,6 @@ object Pipeline extends QueryPack {
     QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),
     QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)),
     QueryDef("text_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
-    QueryDef("text_bpe_tokenize", qBpeTokenize, Some(qBpeTokenizeSql)))
+    QueryDef("text_bpe_tokenize", qBpeTokenize, Some(qBpeTokenizeSql)),
+    QueryDef("rag_chunk_search", qRagChunkSearch, Some(qRagChunkSearchSql)))
 }
