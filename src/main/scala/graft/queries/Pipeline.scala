@@ -1812,6 +1812,10 @@ object Pipeline extends QueryPack {
     * must equal the batch funnel exactly. */
   private[queries] def funnelSql: String = qFunnelSql
 
+  /** Shared with `streaming_retention_cohorts`: the streaming snapshot's
+    * cohort table must equal the batch one exactly. */
+  private[queries] def retentionSql: String = qRetentionSql
+
   /** Distributed BPE merge training, first 3 rules; the oracle replays the
     * count → argmax → replace loop round by round (`replace` is
     * left-to-right non-overlapping in both engines — the BPE pass rule). */

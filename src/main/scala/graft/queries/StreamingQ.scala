@@ -243,9 +243,39 @@ object StreamingQ extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** STREAMING retention cohorts: the event stream in two triggers through
+    * per-key custom state; the sink reduces to each user's latest snapshot
+    * (max_by over the monotone counter), offsets explode from the period
+    * set, and the cohort × offset counts must equal the BATCH cohort table
+    * exactly — late earlier events re-assign the cohort in-state. */
+  private def qStreamCohorts(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_scohort")
+    val src = s"$base/src"
+    Tables.eventsMillis(s, sf).select("user_id", "tm")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("user_id BIGINT, tm BIGINT").json(src)
+    val out = graft.streaming.StreamingCohorts.cohorts(stream,
+      periodMs = 86400000L)
+    val q = out.writeStream.format("memory").queryName("scohort_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("scohort_out")
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(cohort, periods), n_seen)").as("_s"))
+      .select(col("_s.cohort").as("cohort"),
+        explode(col("_s.periods")).as("_p"))
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "period_offset")
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("streaming_funnel", qStreamFunnel, Some(Pipeline.funnelSql)),
+    QueryDef("streaming_retention_cohorts", qStreamCohorts,
+      Some(Pipeline.retentionSql)),
     QueryDef("events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("streaming_dedup_docs", qStreamDedup, Some(qStreamDedupSql)),
     QueryDef("streaming_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),

@@ -64,3 +64,42 @@ object StreamingFunnel {
       .toDF(keyCol, "n_seen", "ts", "reached")
   }
 }
+
+/** STREAMING retention cohorts — the batch
+  * [[graft.stages.TimeJoins.retentionCohorts]] maintained incrementally.
+  * Cohort assignment is not monotone under out-of-order arrival (a late,
+  * EARLIER event moves the key's first touch, which shifts EVERY offset the
+  * key has reported), so per-key state holds the distinct activity periods
+  * seen so far — bounded by the observation span in periods, not by event
+  * count — and each trigger re-emits the key's full (cohort, periods)
+  * snapshot with a monotone events-seen counter for latest-snapshot
+  * reduction in the sink. */
+object StreamingCohorts {
+
+  case class CState(periods: Set[Long], nEvents: Long)
+
+  /** Emits `(key, n_seen, cohort, periods ARRAY<LONG> sorted)`. */
+  def cohorts(events: DataFrame, periodMs: Long,
+              keyCol: String = "user_id",
+              tsCol: String = "tm"): DataFrame = {
+    require(periodMs > 0, "retention period must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col(keyCol).cast("long").as("_k"),
+        floor(col(tsCol) / lit(periodMs.toDouble)).cast("long").as("_p"))
+      .as[(Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[CState, (Long, Long, Long, Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long)], st: GroupState[CState]) =>
+          var ps = st.getOption.map(_.periods).getOrElse(Set.empty[Long])
+          var n = st.getOption.map(_.nEvents).getOrElse(0L)
+          it.foreach { case (_, p) => ps += p; n += 1 }
+          st.update(CState(ps, n))
+          val sorted = ps.toSeq.sorted
+          Iterator.single((key, n, sorted.head, sorted))
+      }
+      .toDF(keyCol, "n_seen", "cohort", "periods")
+  }
+}

@@ -51,4 +51,29 @@ class StreamingFunnelSpec extends SparkTestBase {
       Seq((2L, "click", 160L))))
     assert(out == Seq((2L, 2L, 2)))
   }
+
+  test("streaming cohorts: a late earlier event re-assigns the cohort") {
+    val dir = java.nio.file.Files.createTempDirectory("scohort_spec")
+    // trigger A: periods 5 and 7 seen -> cohort 5, offsets {0, 2}
+    // trigger B: a LATE period-2 event -> cohort moves to 2, offsets {0,3,5}
+    Seq((1L, 520L), (1L, 790L)).toDF("user_id", "tm")
+      .coalesce(1).write.json(s"$dir/src/a")
+    Seq((1L, 250L)).toDF("user_id", "tm")
+      .coalesce(1).write.json(s"$dir/src/b")
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("user_id BIGINT, tm BIGINT")
+      .json(s"$dir/src/*")
+    val name = s"scohort_spec_${System.nanoTime()}"
+    val q = graft.streaming.StreamingCohorts.cohorts(stream, periodMs = 100L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table(name)
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(cohort, periods), n_seen)").as("s"))
+      .select(col("s.cohort"), col("s.periods"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(fin == Seq((2L, Seq(2L, 5L, 7L))))
+  }
 }
