@@ -509,6 +509,42 @@ object Dedup {
     docs.join(nonCanonical, Seq(idCol), "left_anti")
   }
 
+  /** Per-cluster GRAPH DIAGNOSTICS over the near-dup pair graph: node and
+    * edge counts, triangle count and edge density — the audit that tells a
+    * curation pipeline whether a "cluster" is a tight duplicate clique
+    * (density → 1, triangle-rich: safe to keep one survivor) or a strung-out
+    * transitive chain (density → 0: the threshold is linking near-misses and
+    * survivors should be reviewed).
+    *
+    * Triangles count each undirected triangle once via the oriented
+    * a<b<c wedge join — two self-joins of the (a<b) edge list plus a
+    * semi-join closing the wedge; all joins are keyed by vertex, no
+    * enumeration of non-edges. Density = 2E/(n(n−1)), quantized through
+    * DECIMAL(38,9). */
+  def clusterGraphStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_id_a").as("_a"), col("doc_id_b").as("_b"))
+    val labels = clusterPairs(pairs)
+      .select(col("node").as("_a"), col("cluster").as("cluster_id"))
+    val nNodes = clusterPairs(pairs).groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.join(labels, Seq("_a"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    val wedges = e.select(col("_a"), col("_b").as("_m"))
+      .join(e.select(col("_a").as("_m"), col("_b").as("_c")), Seq("_m"))
+    val tris = wedges
+      .join(e.select(col("_a"), col("_b").as("_c")), Seq("_a", "_c"), "left_semi")
+      .join(labels, Seq("_a"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_triangles"))
+    nNodes.join(nEdges, Seq("cluster_id"), "left")
+      .join(tris, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+          (col("n_nodes") * (col("n_nodes") - lit(1.0))))
+          .cast(DecimalType(38, 9)).cast(DoubleType).as("density"))
+  }
+
   /** Keep the most CENTRAL document of each near-dup cluster: PageRank
     * power iteration over the (undirected) pair graph, survivor = the
     * cluster member with the highest rank (ties → lowest id) — the

@@ -1012,6 +1012,33 @@ object Pipeline extends QueryPack {
        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-cluster graph diagnostics (nodes, edges, triangles, density) over
+    * the portable pair graph. */
+  private def qGraphStats(s: SparkSession, sf: String): DataFrame =
+    Dedup.clusterGraphStats(portablePairs(s, sf))
+      .orderBy("cluster_id")
+  private val qGraphStatsSql =
+    s"""WITH RECURSIVE $portablePairCtes,
+       |$portableCcCtes,
+       |nst AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_nodes
+       |        FROM cc GROUP BY 1),
+       |ec AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+       |       FROM ppairs p JOIN cc c ON c.node = p.doc_id_a GROUP BY 1),
+       |tri AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |        FROM ppairs e1
+       |        JOIN ppairs e2 ON e2.doc_id_a = e1.doc_id_b
+       |        JOIN ppairs e3 ON e3.doc_id_a = e1.doc_id_a
+       |                      AND e3.doc_id_b = e2.doc_id_b
+       |        JOIN cc c ON c.node = e1.doc_id_a
+       |        GROUP BY 1)
+       |SELECT n.cluster_id, n_nodes,
+       |  coalesce(n_edges, 0) AS n_edges,
+       |  coalesce(n_triangles, 0) AS n_triangles,
+       |  CAST(CAST(2.0 * coalesce(n_edges, 0) / (n_nodes * (n_nodes - 1.0))
+       |       AS DECIMAL(38,9)) AS DOUBLE) AS density
+       |FROM nst n LEFT JOIN ec USING (cluster_id) LEFT JOIN tri USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
   /** Centrality-survivor selection: 2-round PageRank over the portable pair
     * graph, per-cluster argmax — the oracle replays both power-iteration
     * rounds with the same DECIMAL(38,9) per-edge quantization. */
@@ -2076,6 +2103,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_cluster_portable", qClusterPortable, Some(qClusterPortableSql)),
     QueryDef("dedup_survivors_portable", qSurvivorsPortable, Some(qSurvivorsPortableSql)),
     QueryDef("dedup_keep_central", qKeepCentral, Some(qKeepCentralSql)),
+    QueryDef("dedup_graph_stats", qGraphStats, Some(qGraphStatsSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,

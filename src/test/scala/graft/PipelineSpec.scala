@@ -140,6 +140,20 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(4L, 5L))
   }
 
+  test("clusterGraphStats counts triangles once and computes density") {
+    // cluster A: triangle {1,2,3} plus pendant 4 — 4 nodes, 4 edges, 1 tri,
+    // density 4/6; cluster B: a bare edge {7,8} — density 1, no triangle
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.clusterGraphStats(pairs).orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // density is DECIMAL(38,9)-quantized (the cross-engine discipline)
+    assert(out == Seq(
+      (1L, 4L, 4L, 1L, 0.666666667),
+      (7L, 2L, 1L, 0L, 1.0)))
+  }
+
   test("keepCentral is partition-invariant and ties break to the lowest id") {
     val docs = (1L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // symmetric pair: 1-2 have identical rank -> 1 survives
