@@ -373,6 +373,82 @@ object TextAnalysis {
       .select(col(idCol), col("weight"))
   }
 
+  /** COLLOCATION extraction by pointwise mutual information over adjacent
+    * word pairs: PMI(a,b) = ln(c_ab · N / (cₗ(a) · cᵣ(b))) with N the total
+    * bigram count and the marginals taken from the bigram table itself
+    * (left-position and right-position counts). The corpus-phrase detector
+    * (word2vec's phrase pass, NLTK's collocation finder) as two hash
+    * aggregations plus two marginal joins; `minCount` suppresses the
+    * low-frequency PMI explosion; ln is DECIMAL(38,9)-quantized so the
+    * ranking replays cross-engine. Top `topK` by (pmi desc, pair). */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50,
+                   idCol: String = "doc_id"): DataFrame = {
+    val pairs = bigramPairs(docs, idCol)
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val left = bi.groupBy("w1").agg(sum("c2").as("cl"))
+    val right = bi.groupBy("w2").agg(sum("c2").as("cr"))
+    val n = bi.agg(sum("c2").as("_n"))
+    bi.where(col("c2") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        // marginal product in DOUBLE: two long marginals can overflow int64
+        // at corpus scale under ANSI
+        log(col("c2").cast(DoubleType) * col("_n") /
+            (col("cl").cast(DoubleType) * col("cr").cast(DoubleType)))
+          .cast(DecimalType(38, 9)).cast(DoubleType))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c2", "pmi")
+  }
+
+  /** Corpus-level PERPLEXITY of the self-trained bigram LM — the one-number
+    * health readout of [[lmScore]]: ppl = exp(−Σ lp / n) over every bigram
+    * token in the corpus. Decimal-quantized fold, exp quantized. */
+  def lmPerplexity(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val Dec = DecimalType(38, 9)
+    lmScoreAgainst(docs, docs, idCol)
+      .agg(sum(col("n_bigrams")).as("n_bigrams"),
+        (sum((col("lm_score") * col("n_bigrams")).cast(Dec)).cast(DoubleType) /
+          sum(col("n_bigrams"))).cast(Dec).cast(DoubleType).as("avg_logprob"))
+      .withColumn("perplexity",
+        exp(-col("avg_logprob")).cast(Dec).cast(DoubleType))
+  }
+
+  /** ZIPF-LAW FIT over the corpus vocabulary: least squares of
+    * ln(freq) against ln(rank) (rank = exact frequency rank, ties by
+    * token), slope ≈ −1 for natural text — the classic corpus-health
+    * diagnostic, computed distributed: the rank is a
+    * [[graft.core.Dist.prefixScan]] over the (small) per-token aggregate,
+    * the regression moments are decimal-quantized sums, and the closed-form
+    * slope/intercept arithmetic is a fixed parenthesization both engines
+    * replay bit-for-bit. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val Dec = DecimalType(38, 9)
+    val qln: Column => Column =
+      x => ln(x).cast(Dec).cast(DoubleType)
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ord = Seq(col("freq").desc, col("token").asc)
+    val xy = graft.core.Dist.prefixScan(vocab, ord, lit(1L), ord)
+      .select(qln(col("_scan").cast(DoubleType)).as("_x"),
+        qln(col("freq").cast(DoubleType)).as("_y"))
+    def dSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+    xy.agg(count(lit(1)).cast(DoubleType).as("_n"),
+        dSum(col("_x")).as("_sx"), dSum(col("_y")).as("_sy"),
+        dSum((col("_x") * col("_y"))).as("_sxy"),
+        dSum((col("_x") * col("_x"))).as("_sxx"))
+      .select(col("_n").cast(LongType).as("n_types"),
+        ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")))
+          .cast(Dec).cast(DoubleType).as("slope"),
+        ((col("_sy") - ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx"))) * col("_sx")) /
+          col("_n")).cast(Dec).cast(DoubleType).as("intercept"))
+  }
+
   /** Distributed BPE MERGE TRAINING (Sennrich et al. 2016, the first
     * `rounds` merge rules): start from characters, repeatedly count adjacent
     * symbol pairs across the corpus (weighted by word frequency) and merge

@@ -1902,6 +1902,83 @@ object Pipeline extends QueryPack {
        |WHERE len(word) > 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PMI collocations: top 50 adjacent pairs at min-count 5, ln quantized. */
+  private def qCollocations(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, sf), minCount = 5L,
+        topK = 50)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  private val qCollocationsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+      |l AS (SELECT w1, sum(c2) AS cl FROM bi GROUP BY 1),
+      |r AS (SELECT w2, sum(c2) AS cr FROM bi GROUP BY 1),
+      |nt AS (SELECT sum(c2) AS nn FROM bi)
+      |SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+      |  CAST(CAST(ln(CAST(c2 AS DOUBLE) * nn /
+      |    (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))) AS DECIMAL(38,9)) AS DOUBLE) AS pmi
+      |FROM bi JOIN l USING (w1) JOIN r USING (w2), nt
+      |WHERE c2 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
+  /** Corpus perplexity of the self-trained bigram LM — one row. */
+  private def qLmPerplexity(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.lmPerplexity(Tables.documents(s, sf))
+  private val qLmPerplexitySql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+      |voc AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+      |perdoc AS (
+      |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(sum(CAST(ln((c2 + 1.0) / (c1 + v)) AS DECIMAL(38,9))) AS DOUBLE)
+      |      / count(*) AS score
+      |  FROM pairs p JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
+      |  GROUP BY p.doc_id),
+      |agg AS (SELECT CAST(sum(nb) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(
+      |    CAST(sum(CAST(score * nb AS DECIMAL(38,9))) AS DOUBLE) / sum(nb)
+      |    AS DECIMAL(38,9)) AS DOUBLE) AS avg_logprob
+      |  FROM perdoc)
+      |SELECT n_bigrams, avg_logprob,
+      |  CAST(CAST(exp(-avg_logprob) AS DECIMAL(38,9)) AS DOUBLE) AS perplexity
+      |FROM agg""".stripMargin
+
+  /** Zipf-law least-squares fit over the vocabulary — one row. */
+  private def qZipfFit(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, sf))
+  private val qZipfFitSql =
+    """WITH v AS (
+      |  SELECT token, count(*) AS freq FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |    FROM documents) WHERE len(token) > 0 GROUP BY token),
+      |xy AS (SELECT
+      |    CAST(CAST(ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE))
+      |      AS DECIMAL(38,9)) AS DOUBLE) AS x,
+      |    CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(38,9)) AS DOUBLE) AS y
+      |  FROM v),
+      |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      |  FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_types,
+      |  CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |       AS DECIMAL(38,9)) AS DOUBLE) AS slope,
+      |  CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |       AS DECIMAL(38,9)) AS DOUBLE) AS intercept
+      |FROM m""".stripMargin
+
   /** Exact-quota source mixing: uneven quotas, one source over-asked (capped
     * at its size), one source absent from the map (dropped entirely). */
   private def qMixSources(s: SparkSession, sf: String): DataFrame =
@@ -2153,5 +2230,8 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)),
     QueryDef("text_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
     QueryDef("text_bpe_tokenize", qBpeTokenize, Some(qBpeTokenizeSql)),
-    QueryDef("rag_chunk_search", qRagChunkSearch, Some(qRagChunkSearchSql)))
+    QueryDef("rag_chunk_search", qRagChunkSearch, Some(qRagChunkSearchSql)),
+    QueryDef("text_collocations", qCollocations, Some(qCollocationsSql)),
+    QueryDef("corpus_lm_perplexity", qLmPerplexity, Some(qLmPerplexitySql)),
+    QueryDef("corpus_zipf_fit", qZipfFit, Some(qZipfFitSql)))
 }

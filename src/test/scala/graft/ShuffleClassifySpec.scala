@@ -153,6 +153,26 @@ class ShuffleClassifySpec extends SparkTestBase {
     assert(out == Seq((1, "a", "b", 3L)))
   }
 
+  test("zipfFit slope is negative and perplexity bounded by vocabulary") {
+    val d = docs(200)
+    val z = TextAnalysis.zipfFit(d).collect().head
+    assert(z.getAs[Double]("slope") < 0.0, "frequency must fall with rank")
+    val p = TextAnalysis.lmPerplexity(d).collect().head
+    val ppl = p.getAs[Double]("perplexity")
+    assert(ppl >= 1.0 && ppl < 1e6)
+  }
+
+  test("collocations rank the always-adjacent pair first") {
+    // "alpha beta" always adjacent; "shared" co-occurs with many partners
+    val d = (0 until 30).map(i =>
+      (i.toLong, s"alpha beta shared tok${i % 6} shared end${i % 5}",
+        "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = TextAnalysis.collocations(d, minCount = 5L, topK = 5)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(top.head == ("alpha", "beta"))
+  }
+
   test("importanceResample upweights the target domain") {
     // two disjoint vocabularies; the en half is the target
     val d = (0 until 80).map { i =>
