@@ -1820,6 +1820,40 @@ object Pipeline extends QueryPack {
       |  min(CASE WHEN rn = ceil(n * 0.9) THEN n_tokens END) AS p90_tokens
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-user autocorrelation of daily mean event value at lags 1..3 —
+    * the burstiness/seasonality diagnostic over the 30-day stream. */
+  private def qAcf(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.autocorrelation(daily, maxLag = 3)
+      .orderBy("user_id", "lag")
+  }
+  private val qAcfSql =
+    s"""WITH d AS (SELECT user_id,
+       |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+       |    ${graft.core.OracleSafe.sqlAvg("value")} AS x
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT user_id,
+       |    ${graft.core.OracleSafe.sqlSum("x")} / count(x) AS mean
+       |  FROM d GROUP BY 1),
+       |c AS (SELECT d.user_id, t, x - mean AS cx
+       |      FROM d JOIN m USING (user_id)),
+       |den AS (SELECT user_id, ${graft.core.OracleSafe.sqlSum("cx * cx")} AS ss
+       |        FROM c GROUP BY 1),
+       |num AS (
+       |  SELECT a.user_id, k.lag,
+       |    ${graft.core.OracleSafe.sqlSum("a.cx * b.cx")} AS num
+       |  FROM (SELECT unnest(generate_series(1, 3)) AS lag) k,
+       |       c a JOIN c b ON b.user_id = a.user_id
+       |  WHERE b.t = a.t + k.lag
+       |  GROUP BY 1, 2)
+       |SELECT n.user_id, CAST(n.lag AS INT) AS lag,
+       |  CAST(CAST(num / ss AS DECIMAL(38,9)) AS DOUBLE) AS acf
+       |FROM num n JOIN den USING (user_id)
+       |ORDER BY user_id, lag""".stripMargin
+
   /** Daily retention cohorts over the 30-day event stream. */
   private def qRetention(s: SparkSession, sf: String): DataFrame =
     graft.stages.TimeJoins.retentionCohorts(Tables.eventsMillis(s, sf),
@@ -2233,5 +2267,6 @@ object Pipeline extends QueryPack {
     QueryDef("rag_chunk_search", qRagChunkSearch, Some(qRagChunkSearchSql)),
     QueryDef("text_collocations", qCollocations, Some(qCollocationsSql)),
     QueryDef("corpus_lm_perplexity", qLmPerplexity, Some(qLmPerplexitySql)),
-    QueryDef("corpus_zipf_fit", qZipfFit, Some(qZipfFitSql)))
+    QueryDef("corpus_zipf_fit", qZipfFit, Some(qZipfFitSql)),
+    QueryDef("events_autocorrelation", qAcf, Some(qAcfSql)))
 }

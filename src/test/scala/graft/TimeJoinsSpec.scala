@@ -143,6 +143,27 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(out == Seq((1L, 0L, 1000L, 1000L, 3)))
   }
 
+  test("autocorrelation: perfect alternation gives acf(1) = -1, acf(2) = +1") {
+    val ev = (0L until 10L).map(t => (1L, t, if (t % 2 == 0) 1.0 else -1.0))
+      .toDF("user_id", "t", "x")
+    val out = graft.stages.SeriesStats.autocorrelation(ev, maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    // mean 0; lag-1 pairs all opposite-sign (9 of them / 10 squared terms),
+    // lag-2 all same-sign (8/10)
+    assert(out == Seq((1, -0.9), (2, 0.8)))
+  }
+
+  test("autocorrelation skips pairs across holes but keeps the full denominator") {
+    // periods 0,1,3 — lag 1 pairs only (0,1); period 2 missing
+    val ev = Seq((1L, 0L, 2.0), (1L, 1L, 4.0), (1L, 3L, 6.0))
+      .toDF("user_id", "t", "x")
+    val out = graft.stages.SeriesStats.autocorrelation(ev, maxLag = 1)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    // mean 4; centered (-2, 0, 2); num = (-2)(0) = 0; den = 8
+    assert(out == Seq((1, 0.0)))
+  }
+
   test("retentionCohorts: first-touch cohorts, offset 0 is cohort size") {
     // period 100: u1 first in p0, active p0/p1/p3; u2 first in p0, active
     // p0 only; u3 first in p1, active p1/p3 (offset 2 from ITS cohort)
