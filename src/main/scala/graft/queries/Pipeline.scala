@@ -1854,6 +1854,69 @@ object Pipeline extends QueryPack {
        |FROM num n JOIN den USING (user_id)
        |ORDER BY user_id, lag""".stripMargin
 
+  /** Per-user CUSUM change point over daily mean values. */
+  private def qCusum(s: SparkSession, sf: String): DataFrame =
+    graft.stages.SeriesStats.cusumChangePoint(
+        Tables.eventsMillis(s, sf).select(col("user_id"),
+          floor(col("tm") / lit(86400000.0)).cast("long").as("t"),
+          col("value")),
+        tCol = "t")
+      .orderBy("user_id")
+  private val qCusumSql =
+    """WITH d AS (SELECT user_id,
+      |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+      |    CAST(sum(CAST(floor(value * 1000000000.0) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT user_id, sum(x) AS s_n, CAST(count(*) AS HUGEINT) AS n
+      |        FROM d GROUP BY 1),
+      |sc AS (SELECT user_id, t,
+      |    sum(x) OVER (PARTITION BY user_id ORDER BY t
+      |                 ROWS UNBOUNDED PRECEDING) AS s_i,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY t) AS HUGEINT) AS i
+      |  FROM d),
+      |cs AS (SELECT sc.user_id, t,
+      |    CAST(n * s_i - i * s_n AS DOUBLE) AS cusum_scaled
+      |  FROM sc JOIN tot USING (user_id)),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY abs(cusum_scaled) DESC, t) AS rn
+      |      FROM cs)
+      |SELECT user_id, t AS change_t, cusum_scaled FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Which daily signal leads: cross-correlation of click vs purchase
+    * daily totals at lags −3..3. */
+  private def qCcf(s: SparkSession, sf: String): DataFrame = {
+    def daily(tpe: String) = Tables.eventsMillis(s, sf)
+      .where(col("event_type") === tpe)
+      .groupBy(floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dSum(col("value")).as("x"))
+    graft.stages.SeriesStats.crossCorrelation(
+        daily("click"), daily("purchase"), maxLag = 3)
+      .orderBy("lag")
+  }
+  private val qCcfSql = {
+    def daily(tpe: String, out: String) =
+      s"""$out AS (SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+         |    ${graft.core.OracleSafe.sqlSum("value")} AS x
+         |  FROM events WHERE event_type = '$tpe' GROUP BY 1)""".stripMargin
+    s"""WITH ${daily("click", "da")},
+       |${daily("purchase", "db")},
+       |ma AS (SELECT ${graft.core.OracleSafe.sqlSum("x")} / count(x) AS mean FROM da),
+       |mb AS (SELECT ${graft.core.OracleSafe.sqlSum("x")} / count(x) AS mean FROM db),
+       |ca AS (SELECT t, x - ma.mean AS cx FROM da, ma),
+       |cb AS (SELECT t, x - mb.mean AS cx FROM db, mb),
+       |sa AS (SELECT ${graft.core.OracleSafe.sqlSum("cx * cx")} AS s FROM ca),
+       |sb AS (SELECT ${graft.core.OracleSafe.sqlSum("cx * cx")} AS s FROM cb),
+       |num AS (SELECT k.lag,
+       |    ${graft.core.OracleSafe.sqlSum("a.cx * b.cx")} AS num
+       |  FROM (SELECT unnest(generate_series(-3, 3)) AS lag) k,
+       |       ca a JOIN cb b ON b.t = a.t + k.lag
+       |  GROUP BY 1)
+       |SELECT CAST(lag AS INT) AS lag,
+       |  CAST(CAST(num / sqrt(sa.s * sb.s) AS DECIMAL(38,9)) AS DOUBLE) AS ccf
+       |FROM num, sa, sb ORDER BY lag""".stripMargin
+  }
+
   /** Daily retention cohorts over the 30-day event stream. */
   private def qRetention(s: SparkSession, sf: String): DataFrame =
     graft.stages.TimeJoins.retentionCohorts(Tables.eventsMillis(s, sf),
@@ -2268,5 +2331,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_collocations", qCollocations, Some(qCollocationsSql)),
     QueryDef("corpus_lm_perplexity", qLmPerplexity, Some(qLmPerplexitySql)),
     QueryDef("corpus_zipf_fit", qZipfFit, Some(qZipfFitSql)),
-    QueryDef("events_autocorrelation", qAcf, Some(qAcfSql)))
+    QueryDef("events_autocorrelation", qAcf, Some(qAcfSql)),
+    QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
+    QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
 }

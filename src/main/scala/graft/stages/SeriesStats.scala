@@ -47,4 +47,78 @@ object SeriesStats {
       .select(col(keyCol), col("lag"),
         (col("_num") / col("_ss")).cast(Dec).cast(DoubleType).as("acf"))
   }
+
+  /** CUSUM CHANGE-POINT detection per series: the running sum of
+    * mean-centered values peaks (in absolute value) where the series'
+    * level shifts — the classic single-change-point locator. Takes RAW
+    * (key, period, value) rows; per-period totals, the running sum and
+    * the centering all stay in EXACT decimal arithmetic: the mean-centered
+    * CUSUM is computed SCALED by the period count,
+    * N·S_i − i·S_N = N·(S_i − i·x̄·…) (same argmax, no division, no
+    * double→decimal cast on any derived value — those casts round
+    * HALF_UP in the JVM and half-even in DuckDB and would tie-break
+    * differently). Returns each key's argmax |scaled CUSUM| period (ties
+    * → earliest) with the scaled value (N·1e9 × the conventional CUSUM
+    * of per-period totals).
+    *
+    * Distributed shape: one per-(key, period) aggregate, one per-key total,
+    * one two-phase prefix scan keyed by the series, one per-key argmax
+    * window (bounded by a series' period count). */
+  def cusumChangePoint(events: DataFrame,
+                       keyCol: String = "user_id",
+                       tCol: String = "t",
+                       vCol: String = "value"): DataFrame = {
+    // nano-quantized INTEGER values: floor(v·1e9) is the same double op in
+    // both engines, and every later step is scale-0 decimal (integer)
+    // arithmetic — no precision-capped decimal multiply, no rounding-mode
+    // exposure anywhere
+    val xq = floor(col(vCol) * lit(1e9)).cast(DecimalType(38, 0))
+    val per = events.groupBy(col(keyCol), col(tCol).as("_t"))
+      .agg(sum(xq).as("_x"))
+    val tot = per.groupBy(col(keyCol))
+      .agg(sum(col("_x")).as("_S"), count(lit(1)).as("_N"))
+    val scanned = graft.core.Dist.prefixScan(per,
+        Seq(col(keyCol), col("_t")), col("_x"), Seq(col("_t")), Seq(keyCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(col("_t").asc)
+    scanned
+      .withColumn("_i", row_number().over(w))
+      .join(tot, Seq(keyCol))
+      .withColumn("cusum_scaled",
+        (col("_N") * col("_scan") - col("_i") * col("_S")).cast(DoubleType))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+          .orderBy(abs(col("cusum_scaled")).desc, col("_t").asc)))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col("_t").as("change_t"), col("cusum_scaled"))
+  }
+
+  /** CROSS-CORRELATION of two aligned series at lags −`maxLag`..`maxLag`:
+    * r_k = Σ a_c(t)·b_c(t+k) / √(Σ a_c² · Σ b_c²) — which of two signals
+    * LEADS the other, and by how much. Pairs require both periods present;
+    * means and denominators cover every present period of each series.
+    * Same decimal discipline and join shape as [[autocorrelation]]. */
+  def crossCorrelation(a: DataFrame, b: DataFrame, maxLag: Int,
+                       tCol: String = "t", vCol: String = "x"): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    def centered(df: DataFrame, cName: String): DataFrame = {
+      val m = df.agg((dSum(col(vCol)) / count(col(vCol))).as("_mean"))
+      df.crossJoin(broadcast(m))
+        .select(col(tCol).as("_t"), (col(vCol) - col("_mean")).as(cName))
+    }
+    val ca = centered(a, "_ca")
+    val cb = centered(b, "_cb")
+    val da = ca.agg(dSum(col("_ca") * col("_ca")).as("_sa"))
+    val db = cb.agg(dSum(col("_cb") * col("_cb")).as("_sb"))
+    val lags = (-maxLag to maxLag).map { k =>
+      ca.join(cb.select((col("_t") - k).as("_t"), col("_cb")), Seq("_t"))
+        .agg(dSum(col("_ca") * col("_cb")).as("_num"))
+        .withColumn("lag", lit(k))
+    }
+    lags.reduce(_ unionByName _)
+      .crossJoin(broadcast(da)).crossJoin(broadcast(db))
+      .select(col("lag"),
+        (col("_num") / sqrt(col("_sa") * col("_sb")))
+          .cast(Dec).cast(DoubleType).as("ccf"))
+  }
 }

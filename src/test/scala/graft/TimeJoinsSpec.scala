@@ -164,6 +164,16 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(out == Seq((1, 0.0)))
   }
 
+  test("cusumChangePoint locates a clean level shift at the last low period") {
+    // 5 periods at 0, then 5 at 10: |CUSUM| peaks at t=4
+    val ev = (0L until 10L).map(t => (1L, t, if (t < 5) 0.0 else 10.0))
+      .toDF("user_id", "t", "value")
+    val out = graft.stages.SeriesStats.cusumChangePoint(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // scaled by N·1e9: 10·S_5 − 5·S_N = 0 − 5·50e9 = −2.5e11
+    assert(out == Seq((1L, 4L, -2.5e11)))
+  }
+
   test("retentionCohorts: first-touch cohorts, offset 0 is cohort size") {
     // period 100: u1 first in p0, active p0/p1/p3; u2 first in p0, active
     // p0 only; u3 first in p1, active p1/p3 (offset 2 from ITS cohort)
