@@ -158,7 +158,10 @@ object TimeJoins {
       sort_array(collect_list(when(col(typeCol) === s, col(tsCol))))
         .as(s"_a$i")
     }
-    val byKey = events.groupBy(col(keyCol)).agg(arrs.head, arrs.tail: _*)
+    // the step filter is an IN-list the scan can prune on — the funnel
+    // reads only its own event types, not the stream
+    val byKey = events.where(col(typeCol).isin(steps: _*))
+      .groupBy(col(keyCol)).agg(arrs.head, arrs.tail: _*)
     // try_: an empty step-1 array must yield null (ANSI element_at throws)
     val t0 = try_element_at(col("_a0"), lit(1))
     val ts = steps.indices.tail.scanLeft(t0) { (prev, i) =>

@@ -36,9 +36,10 @@ object StreamingFunnel {
       when(col(typeCol) === s, lit(i)).otherwise(acc)
     }
     val rows = events
+      // IN-list first: the scan prunes to the funnel's own event types
+      .where(col(typeCol).isin(steps: _*))
       .select(col(keyCol).cast("long").as("_k"), stepCol.as("_step"),
         col(tsCol).cast("long").as("_t"))
-      .where(col("_step") >= 0)
       .as[(Long, Int, Long)]
     rows.groupByKey(_._1)
       .flatMapGroupsWithState[FState, (Long, Long, Seq[Option[Long]], Int)](

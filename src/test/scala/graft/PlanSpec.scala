@@ -214,4 +214,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"class table must broadcast:\n$p")
   }
+
+  check("events_funnel") { p =>
+    // the step IN-list must reach the parquet scan: the funnel reads only
+    // its own event types (3 of 5 here), never the whole stream
+    assert(p.contains("PushedFilters: [In(event_type") ||
+      p.contains("PushedFilters: [IsNotNull(event_type), In(event_type"),
+      s"funnel step filter must push to the scan:\n$p")
+    assert(!p.contains("Join"), s"the funnel cascade has no join:\n$p")
+  }
+
+  check("events_retention_cohorts") { p =>
+    assert(!p.contains("CartesianProduct"), s"no cartesian in cohorts:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join must be keyed:\n$p")
+  }
+
+  check("events_cusum_changepoint") { p =>
+    // the running sum is the two-phase prefix scan: the only unkeyed window
+    // is the per-range-partition offset fold over the tiny totals frame
+    assert(!p.contains("CartesianProduct"), s"no cartesian in cusum:\n$p")
+  }
+
+  check("dedup_graph_stats") { p =>
+    // triangle counting must stay an equi-join of the edge list
+    assert(!p.contains("CartesianProduct"), s"no cartesian in graph stats:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"wedge joins must be hash equi-joins:\n$p")
+  }
 }
