@@ -10,10 +10,14 @@ object Verify {
     // the driver always calls with exactly (sfDir, outDir) = full dump
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_CODEGEN=false forces the interpreted expression path —
+    // the codegen-vs-eval differential audit for the custom expressions
+    val codegen = sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.wholeStage", codegen)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
