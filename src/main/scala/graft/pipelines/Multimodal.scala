@@ -37,6 +37,19 @@ object Multimodal {
     s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ rgb
   }
 
+  /** Minimal multi-frame video container ("GVID"): 4-byte magic + u8 frame
+    * count + u8 width + u8 height, then frameCount raw RGB frames of
+    * width·height·3 bytes — the dependency-free stand-in for a real video
+    * format, giving the frame-sampling path REAL frames to walk. */
+  def encodeGvid(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.size <= 255 && width <= 255 && height <= 255,
+      "GVID: u8 header fields")
+    require(frames.forall(_.length == width * height * 3),
+      s"GVID: each frame must be ${width * height * 3} bytes")
+    Array[Byte]('G', 'V', 'I', 'D',
+      frames.size.toByte, width.toByte, height.toByte) ++ frames.flatten
+  }
+
   /** Minimal canonical WAV: 44-byte RIFF/WAVE header (PCM, mono, 16-bit) +
     * little-endian samples. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -77,7 +90,16 @@ object Multimodal {
         case "audio" =>
           val samples = Array.tabulate(64)(i => (mix(id * 2027 + i) & 0xffff).toShort)
           encodeWavPcm16(16000, samples)
+        case _ if id % 2 == 0 =>
+          // even video ids: REAL multi-frame GVID (3–5 frames of 4×4 RGB)
+          val nF = (3 + (id / 3) % 3).toInt
+          val (w, h) = (4, 4)
+          val flat = Array.tabulate(nF * w * h * 3)(j =>
+            (mix(id * 3031 + j) & 0xff).toByte)
+          encodeGvid(w, h, flat.grouped(w * h * 3).toSeq)
         case _ =>
+          // odd video ids keep raw bytes — the undecodable-payload branch
+          // (the JNI/ONNX seam) stays exercised
           Option(text).getOrElse("").getBytes("UTF-8")
       }
     }
@@ -95,6 +117,7 @@ object Multimodal {
         (col("n_chars") * 10).as("duration_ms"),
         (when(modality === "image", "ppm")
           .when(modality === "audio", "wav")
+          .when(col("doc_id") % 2 === 0, "gvid")
           .otherwise("raw")).as("format")).as("meta"))
   }
 
@@ -186,6 +209,37 @@ object Multimodal {
       frames.map(f => math.sqrt(f / frameLen).toFloat)))
   }
 
+  /** GVID parse with FRAME SAMPLING: header (magic, frame count, w, h),
+    * then every SECOND frame's luminance mean — the decode-a-subset shape
+    * of real video feature extraction (a truncated payload decodes the
+    * frames present). level = mean of the sampled frames' means; feature =
+    * the first 8 sampled means scaled to [0,1]. */
+  private def decodeGvid(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 7 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D')
+      return None
+    val nF = b(4) & 0xff; val w = b(5) & 0xff; val h = b(6) & 0xff
+    if (nF <= 0 || w <= 0 || h <= 0) return None
+    val frameBytes = w * h * 3
+    val avail = math.min(nF, (b.length - 7) / frameBytes)
+    if (avail <= 0) return None
+    val means = (0 until avail by 2).map { f =>
+      val off = 7 + f * frameBytes
+      var s = 0.0
+      var p = 0
+      while (p < w * h) {
+        val o = off + p * 3
+        s += 0.299 * (b(o) & 0xff) + 0.587 * (b(o + 1) & 0xff) +
+          0.114 * (b(o + 2) & 0xff)
+        p += 1
+      }
+      s / (w * h)
+    }
+    val level = means.sum / means.length
+    val feature = Array.tabulate(8)(i =>
+      if (i < means.length) (means(i) / 255.0).toFloat else 0f)
+    Some(Decoded("gvid", w, h, null, means.length.toLong, level, feature))
+  }
+
   /** Fallback for undecodable payloads: deterministic byte statistics — the
     * seam where a real video/JPEG/FLAC decoder (JNI/ONNX/javacv, none of
     * which exist in this container) would slot in. */
@@ -207,7 +261,8 @@ object Multimodal {
 
   /** Sniff-and-decode: magic bytes pick the decoder, anything else is raw. */
   private def decode(payload: Array[Byte]): Decoded =
-    decodePpm(payload).orElse(decodeWav(payload)).getOrElse(decodeRaw(payload))
+    decodePpm(payload).orElse(decodeWav(payload)).orElse(decodeGvid(payload))
+      .getOrElse(decodeRaw(payload))
 
   private val featSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

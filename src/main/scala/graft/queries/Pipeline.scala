@@ -806,7 +806,7 @@ object Pipeline extends QueryPack {
       s"x -> ((((x % 4294967296) * ${lo(c)}) // 4294967296 + " +
         s"(((x % 4294967296) * ${hi(c)}) % 4294967296 + ((x // 4294967296) * ${lo(c)}) % 4294967296) % 4294967296) " +
         s"% 4294967296) * 4294967296 + (((x % 4294967296) * ${lo(c)}) % 4294967296)"
-    def mixChain(seed: String, count: Int, mask: Long): String = {
+    def mixChain(seed: String, count: String, mask: Long): String = {
       var s = s"list_transform(range(0, $count), i -> CAST($seed AS UBIGINT) + $golden)"
       s = s"list_transform($s, x -> xor(x, x // 1073741824))"
       s = s"list_transform($s, ${mulStep(c1)})"
@@ -814,8 +814,10 @@ object Pipeline extends QueryPack {
       s = s"list_transform($s, ${mulStep(c2)})"
       s"list_transform($s, x -> xor(x, x // 2147483648) % $mask)"
     }
-    val px = mixChain("doc_id*1021 + i", 144, 256)
-    val vs = mixChain("doc_id*2027 + i", 64, 65536)
+    val px = mixChain("doc_id*1021 + i", "144", 256)
+    val vs = mixChain("doc_id*2027 + i", "64", 65536)
+    // GVID pixel stream: (3 + (id/3)%3) frames x 48 bytes of 4x4 RGB
+    val gp = mixChain("doc_id*3031 + i", "(3 + (doc_id // 3) % 3) * 48", 256)
     s"""WITH img AS (
        |  SELECT doc_id, $px AS px FROM documents WHERE doc_id % 3 = 0),
        |img_f AS (
@@ -840,10 +842,30 @@ object Pipeline extends QueryPack {
        |      * (CAST(CASE WHEN v >= 32768 THEN CAST(v AS BIGINT) - 65536 ELSE CAST(v AS BIGINT) END AS DOUBLE) / 32768)))
        |      / 64) AS level
        |  FROM aud),
+       |gv AS (
+       |  SELECT doc_id, 3 + (doc_id // 3) % 3 AS nf, $gp AS px
+       |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+       |gv_f AS (
+       |  SELECT doc_id, 'video' AS modality,
+       |    CAST(7 + nf * 48 AS BIGINT) AS n_bytes,
+       |    CAST(306 + nf + list_sum(px) AS DOUBLE) / (7 + nf * 48) AS byte_mean,
+       |    'gvid' AS format_detected, CAST(4 AS INT) AS px_width, CAST(4 AS INT) AS px_height,
+       |    CAST(NULL AS INT) AS sample_rate,
+       |    CAST((nf + 1) // 2 AS BIGINT) AS n_samples,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, (nf + 1) // 2), f ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(0, 16), p ->
+       |            CAST(0.299 AS DOUBLE) * px[96*f + 3*p + 1]
+       |              + CAST(0.587 AS DOUBLE) * px[96*f + 3*p + 2]
+       |              + CAST(0.114 AS DOUBLE) * px[96*f + 3*p + 3])),
+       |          (a, b) -> a + b) / 16)),
+       |      (a, b) -> a + b) / ((nf + 1) // 2) AS level
+       |  FROM gv),
        |vid AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    least(octet_length(encode(text)), 256) AS n
-       |  FROM documents WHERE doc_id % 3 = 2),
+       |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 1),
        |vid_f AS (
        |  SELECT doc_id, 'video' AS modality, CAST(n AS BIGINT) AS n_bytes,
        |    CASE WHEN n = 0 THEN 0.0 ELSE
@@ -857,7 +879,8 @@ object Pipeline extends QueryPack {
        |  FROM vid)
        |SELECT doc_id AS media_id, modality, n_bytes, byte_mean, format_detected,
        |  px_width, px_height, sample_rate, n_samples, level
-       |FROM (SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f)
+       |FROM (SELECT * FROM img_f UNION ALL SELECT * FROM aud_f
+       |      UNION ALL SELECT * FROM gv_f UNION ALL SELECT * FROM vid_f)
        |ORDER BY media_id""".stripMargin
   }
 

@@ -422,8 +422,12 @@ class PipelineSpec extends SparkTestBase {
     assert(aud.getAs[Int]("sample_rate") == 16000)
     assert(aud.getAs[Long]("n_samples") == 64L)
     val vid = feats(2L)
-    assert(vid.getAs[String]("format_detected") == "raw")
-    assert(vid.getAs[Long]("n_bytes") == 43L)
+    // even video ids carry a REAL multi-frame GVID: 3 frames of 4x4 RGB,
+    // frame-sampled at stride 2 -> frames {0, 2} decoded
+    assert(vid.getAs[String]("format_detected") == "gvid")
+    assert(vid.getAs[Long]("n_bytes") == 7L + 3 * 48)
+    assert(vid.getAs[Int]("px_width") == 4 && vid.getAs[Int]("px_height") == 4)
+    assert(vid.getAs[Long]("n_samples") == 2L)
     feats.values.foreach(r => assert(r.getSeq[Float](r.fieldIndex("feature")).length == 8))
     // deterministic: rebuilding the media table reproduces the features
     val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
@@ -460,6 +464,28 @@ class PipelineSpec extends SparkTestBase {
     val rms = math.sqrt((0 until 16).map(i => math.pow(i * 1000 / 32768.0, 2)).sum / 16)
     assert(math.abs(aud.getAs[Double]("level") - rms) < 1e-12)
     assert(f(2L).getAs[String]("format_detected") == "raw")
+    // GVID: 4 frames of 2x1 RGB with known pixels; stride-2 sampling reads
+    // frames 0 and 2 only
+    val fr = (0 until 4).map(k => Array.tabulate(2 * 1 * 3)(i => (k * 60 + i).toByte))
+    val gvid = Multimodal.encodeGvid(2, 1, fr)
+    val gv = Multimodal.extractFeatures(
+        Seq((7L, "video", gvid)).toDF("media_id", "modality", "payload"))
+      .head()
+    assert(gv.getAs[String]("format_detected") == "gvid")
+    assert(gv.getAs[Long]("n_samples") == 2L)
+    def lum(frame: Array[Byte], p: Int): Double =
+      0.299 * (frame(p * 3) & 0xff) + 0.587 * (frame(p * 3 + 1) & 0xff) +
+        0.114 * (frame(p * 3 + 2) & 0xff)
+    val m0 = (lum(fr(0), 0) + lum(fr(0), 1)) / 2
+    val m2 = (lum(fr(2), 0) + lum(fr(2), 1)) / 2
+    assert(math.abs(gv.getAs[Double]("level") - (m0 + m2) / 2) < 1e-12)
+    // a truncated GVID decodes the frames present: cutting into frame 3
+    // leaves 3 full frames -> sampled {0, 2} unchanged
+    val gcut = Multimodal.extractFeatures(
+        Seq((8L, "video", gvid.take(7 + 3 * 6 + 2))).toDF("media_id", "modality", "payload"))
+      .head()
+    assert(gcut.getAs[String]("format_detected") == "gvid")
+    assert(gcut.getAs[Long]("n_samples") == 2L)
     // a truncated PPM (post-samplePayload) still decodes the pixels present
     val cut = Multimodal.extractFeatures(
         Seq((9L, "image", ppm.take(ppm.length - 6))).toDF("media_id", "modality", "payload"))
