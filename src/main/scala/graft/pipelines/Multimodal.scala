@@ -306,6 +306,59 @@ object Multimodal {
     media.withColumn("payload",
       expr(s"substring(payload, 1, $maxBytes)").cast(BinaryType))
 
+  /** REAL image resize: nearest-neighbor downsample of PPM payloads by an
+    * integer `factor` (output pixel (x, y) = source pixel (x·f, y·f)),
+    * re-encoded as a valid PPM — payload in, payload out, the batch
+    * transform shape of a real media pipeline. Non-PPM payloads pass
+    * through untouched. Runs per partition like [[extractFeatures]]. */
+  def resizePpm(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = media.sparkSession
+    val schema = media.schema
+    val rdd = media.rdd.mapPartitions { it =>
+      val pIdx = schema.fieldIndex("payload")
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](pIdx)
+        val out =
+          if (b.length < 2 || b(0) != 'P' || b(1) != '6') b
+          else {
+            var i = 2
+            def nextInt(): Int = {
+              while (i < b.length && (b(i).toChar.isWhitespace || b(i) == '#')) {
+                if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+                else i += 1
+              }
+              var v = 0
+              while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+              v
+            }
+            val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+            i += 1
+            val (w2, h2) = (w / factor, h / factor)
+            if (w <= 0 || h <= 0 || maxv <= 0 || w2 <= 0 || h2 <= 0 ||
+                i + w * h * 3 > b.length) b
+            else {
+              val px = Array.ofDim[Byte](w2 * h2 * 3)
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val src = i + ((y * factor) * w + x * factor) * 3
+                  val dst = (y * w2 + x) * 3
+                  px(dst) = b(src); px(dst + 1) = b(src + 1); px(dst + 2) = b(src + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              encodePpm(w2, h2, px)
+            }
+          }
+        Row.fromSeq(r.toSeq.updated(pIdx, out))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partitioning for 100TB media tables: bucket by media_id so joins against
     * per-media features co-locate, and keep payloads out of shuffles by
     * projecting them away before any wide operation. */

@@ -786,6 +786,42 @@ object Pipeline extends QueryPack {
       .orderBy("media_id")
   }
 
+  /** REAL nearest-neighbor resize end to end: the 8×6 PPM images downsample
+    * to 4×3 (output pixel (x,y) = source (2x,2y)) and re-extract; the
+    * oracle replays the generator and reads exactly the sub-sampled pixel
+    * positions out of the original stream. */
+  private def qMultimodalResize(s: SparkSession, sf: String): DataFrame = {
+    import graft.pipelines.Multimodal
+    val media = Multimodal.resizePpm(
+      Multimodal.syntheticMedia(Tables.documents(s, sf)), factor = 2)
+    Multimodal.extractFeatures(media)
+      .where(col("modality") === "image")
+      .select("media_id", "n_bytes", "byte_mean", "px_width", "px_height",
+        "n_samples", "level")
+      .orderBy("media_id")
+  }
+  private def qMultimodalResizeSql: String = {
+    val px = mmMixChain("doc_id*1021 + i", "144", 256)
+    // resized pixel j of the 4x3 output reads source pixel
+    // (2*(j%4), 2*(j//4)) of the 8x6 original = flat index 16*(j//4)+2*(j%4)
+    val src = "(16 * (j // 4) + 2 * (j % 4))"
+    s"""WITH img AS (
+       |  SELECT doc_id, $px AS px FROM documents WHERE doc_id % 3 = 0)
+       |SELECT doc_id AS media_id, CAST(47 AS BIGINT) AS n_bytes,
+       |  CAST(455 + list_sum(list_transform(range(0, 12), j ->
+       |    px[3 * $src + 1] + px[3 * $src + 2] + px[3 * $src + 3]))
+       |    AS DOUBLE) / 47 AS byte_mean,
+       |  CAST(4 AS INT) AS px_width, CAST(3 AS INT) AS px_height,
+       |  CAST(12 AS BIGINT) AS n_samples,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(0, 12), j ->
+       |      CAST(0.299 AS DOUBLE) * px[3 * $src + 1]
+       |        + CAST(0.587 AS DOUBLE) * px[3 * $src + 2]
+       |        + CAST(0.114 AS DOUBLE) * px[3 * $src + 3])),
+       |    (a, b) -> a + b) / 12 AS level
+       |FROM img ORDER BY media_id""".stripMargin
+  }
+
   /** Oracle for [[qMultimodal]]: the payloads are deterministic from doc_id
     * (Multimodal.syntheticMedia's splitmix-style generator), so the decoded
     * stats are REPLAYED in DuckDB — the generator's mod-2^64 arithmetic runs
@@ -797,7 +833,10 @@ object Pipeline extends QueryPack {
     * is exact in doubles (15-bit values over a power-of-two denominator), so
     * order is irrelevant there. Header byte sums (PPM 462 / WAV 2014) are
     * compile-time constants of the fixed 8×6 / 64-sample encodings. */
-  private def qMultimodalSql: String = {
+  /** DuckDB replay of Multimodal.syntheticMedia's splitmix-style generator:
+    * the mod-2^64 chain in 32-bit-split UBIGINT arithmetic. Shared by the
+    * base multimodal oracle and the resize oracle. */
+  private def mmMixChain(seed: String, count: String, mask: Long): String = {
     val golden = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
     def hi(c: Long) = (c >>> 32).toString
     def lo(c: Long) = (c & 0xffffffffL).toString
@@ -806,18 +845,19 @@ object Pipeline extends QueryPack {
       s"x -> ((((x % 4294967296) * ${lo(c)}) // 4294967296 + " +
         s"(((x % 4294967296) * ${hi(c)}) % 4294967296 + ((x // 4294967296) * ${lo(c)}) % 4294967296) % 4294967296) " +
         s"% 4294967296) * 4294967296 + (((x % 4294967296) * ${lo(c)}) % 4294967296)"
-    def mixChain(seed: String, count: String, mask: Long): String = {
-      var s = s"list_transform(range(0, $count), i -> CAST($seed AS UBIGINT) + $golden)"
-      s = s"list_transform($s, x -> xor(x, x // 1073741824))"
-      s = s"list_transform($s, ${mulStep(c1)})"
-      s = s"list_transform($s, x -> xor(x, x // 134217728))"
-      s = s"list_transform($s, ${mulStep(c2)})"
-      s"list_transform($s, x -> xor(x, x // 2147483648) % $mask)"
-    }
-    val px = mixChain("doc_id*1021 + i", "144", 256)
-    val vs = mixChain("doc_id*2027 + i", "64", 65536)
+    var s = s"list_transform(range(0, $count), i -> CAST($seed AS UBIGINT) + $golden)"
+    s = s"list_transform($s, x -> xor(x, x // 1073741824))"
+    s = s"list_transform($s, ${mulStep(c1)})"
+    s = s"list_transform($s, x -> xor(x, x // 134217728))"
+    s = s"list_transform($s, ${mulStep(c2)})"
+    s"list_transform($s, x -> xor(x, x // 2147483648) % $mask)"
+  }
+
+  private def qMultimodalSql: String = {
+    val px = mmMixChain("doc_id*1021 + i", "144", 256)
+    val vs = mmMixChain("doc_id*2027 + i", "64", 65536)
     // GVID pixel stream: (3 + (id/3)%3) frames x 48 bytes of 4x4 RGB
-    val gp = mixChain("doc_id*3031 + i", "(3 + (doc_id // 3) % 3) * 48", 256)
+    val gp = mmMixChain("doc_id*3031 + i", "(3 + (doc_id // 3) % 3) * 48", 256)
     s"""WITH img AS (
        |  SELECT doc_id, $px AS px FROM documents WHERE doc_id % 3 = 0),
        |img_f AS (
@@ -2294,6 +2334,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
+    QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
     QueryDef("dedup_minhash_portable", qMinhashPortable, Some(qMinhashPortableSql)),
     QueryDef("dedup_minhash_lsh_portable", qMinhashLshPortable, Some(qMinhashLshPortableSql)),
