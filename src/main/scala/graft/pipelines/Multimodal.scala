@@ -300,8 +300,11 @@ object Multimodal {
     spark.createDataFrame(rdd, featSchema)
   }
 
-  /** "Resize"/frame-sample stub: truncate payload to maxBytes — stands in for
-    * image resize / audio frame sampling; pure column expression (codegen). */
+  /** Payload truncation (the transport-level size cap): pure column
+    * expression, codegen'd. Every decoder tolerates the cut — PPM/GVID
+    * decode the pixels/frames present. The REAL media transforms live in
+    * [[resizePpm]] (image resize) and the GVID stride-2 frame sampling
+    * inside the decoder. */
   def samplePayload(media: DataFrame, maxBytes: Int): DataFrame =
     media.withColumn("payload",
       expr(s"substring(payload, 1, $maxBytes)").cast(BinaryType))
