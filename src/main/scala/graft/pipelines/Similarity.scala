@@ -562,7 +562,6 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
-    val Dec = DecimalType(38, 9)
     val hv = graft.core.OracleSafe.hashLong(
       concat(lit("km:"), col(idCol).cast("string")))
     val seeds = emb.withColumn("_h", hv)
@@ -573,8 +572,13 @@ object Similarity {
       assigned.join(emb, Seq(idCol))
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
         .groupBy(col("cluster"), col("_pos"))
-        .agg((sum(col("_val").cast(DoubleType).cast(Dec)).cast(DoubleType) /
-          count(col("_val"))).as("_m"))
+        // nano-quantized INTEGER mean (floor(v·1e9), scale-0 decimal sum,
+        // two double divisions): a double→DECIMAL(38,9) cast of raw floats
+        // TIES at scale and the JVM (HALF_UP) and DuckDB round ties
+        // differently — floor is the same double op in both engines
+        .agg((sum(floor(col("_val").cast(DoubleType) * lit(1e9))
+            .cast(DecimalType(38, 0))).cast(DoubleType) /
+          count(col("_val")) / lit(1e9)).as("_m"))
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
           s => s.getField("_m")).as("_carr"))

@@ -1712,8 +1712,8 @@ object Pipeline extends QueryPack {
        |           (acc, v) -> acc + v) AS dist2
        |       FROM embeddings e CROSS JOIN $cents c""".stripMargin
   private val kmRecenter =
-    """CAST(sum(CAST(CAST(e.val AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-      |           / count(e.val) AS cval
+    """CAST(sum(CAST(floor(CAST(e.val AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+      |           / count(e.val) / 1000000000.0 AS cval
       |       FROM %s b JOIN ev e USING (vec_id) GROUP BY 1, 2""".stripMargin
   private val kmeansCtes =
     s"""ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
