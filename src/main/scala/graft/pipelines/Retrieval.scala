@@ -1,0 +1,187 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Lexical (term-based) retrieval over the document corpus: inverted
+  * postings, Okapi BM25 scoring, and a bucketed on-disk postings index for
+  * the repeated-probe serving path.
+  *
+  * Counterpart of the reference's text search surface re-expressed
+  * Spark-first (the reference's per-field Lucene scoring lives in its index
+  * engine, e.g. index/mapper/TextFieldMapper.java — here the postings ARE a
+  * DataFrame and the ranking is one aggregation), and the lexical sibling of
+  * [[Similarity]]'s dense-vector retrieval: the same `documents` corpus,
+  * the same top-k contract (`(id, score, rnk)`), so hybrid lexical+dense
+  * reranking composes by joining the two outputs on id.
+  *
+  * == Cross-engine determinism ==
+  * BM25's idf is a transcendental (`ln`), and JVM vs libm `ln` can disagree
+  * in the last ulp, so the score is FLOOR-QUANTIZED to integer nano-units:
+  * `idf_units = floor(idf · 1e9)` (a 1-ulp input wobble only matters within
+  * ~1e-7 of an integer boundary), each per-term contribution is again
+  * floored to a LONG, and the per-document score is an exact integer sum —
+  * ranking compares longs, never rounding-mode-exposed doubles (the
+  * scale-0-integer discipline from the k-means/CUSUM oracles). The reported
+  * `bm25` column is `units / 1e9`, one final exact division.
+  *
+  * == 100 TB posture ==
+  * Ad-hoc scoring is two narrow aggregations over the token stream (postings
+  * and doc lengths) plus one broadcast semi-join that prunes the postings to
+  * the query's terms BEFORE any wide work; nothing joins doc×doc. The
+  * serving path ([[writeBm25Index]] / [[bm25TopKFromIndex]]) tokenizes the
+  * corpus exactly once into a term-bucketed table with df/dl/corpus stats
+  * denormalized onto each posting, so a probe is: IN-list filter on the
+  * bucket key (pushed to the parquet scan — reads only the query's terms'
+  * row groups), one partial-aggregated groupBy(doc), and a distributed
+  * TakeOrdered. No shuffle touches the corpus at probe time.
+  */
+object Retrieval {
+  import graft.core.Tables
+
+  /** Okapi BM25 defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Inverted postings: one row per (doc, term) with the term frequency.
+    * Tokenization is the corpus-wide rule shared with langid / vocabulary
+    * ([[TextAnalysis]]): lowercase, trim, split on runs of whitespace. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+
+  /** Per-term BM25 contribution in integer nano-units (see class doc).
+    * All inputs are integer columns; the only transcendental is quantized
+    * immediately. Column math is written in the exact op order the DuckDB
+    * oracle mirrors — changing association changes the floored value. */
+  private def scoreUnits(tf: Column, df: Column, dl: Column, nDocs: Column,
+                         sumLen: Column, k1: Double, b: Double): Column = {
+    val idfUnits = floor(
+      log(lit(1.0) + (nDocs.cast(DoubleType) - df + lit(0.5)) /
+        (df.cast(DoubleType) + lit(0.5))) * lit(1e9)).cast(LongType)
+    val lenRatio = dl.cast(DoubleType) * nDocs / sumLen
+    val tff = tf.cast(DoubleType) * lit(k1 + 1.0) /
+      (tf.cast(DoubleType) + lit(k1) * (lit(1.0 - b) + lit(b) * lenRatio))
+    floor(idfUnits.cast(DoubleType) * tff).cast(LongType)
+  }
+
+  private def rankUnits(unitsByDoc: DataFrame, k: Int, idCol: String): DataFrame =
+    unitsByDoc
+      .orderBy(col("units").desc, col(idCol))
+      .limit(k)
+      .withColumn("_q", lit(1))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("_q").orderBy(col("units").desc, col(idCol))))
+      .select(col(idCol), (col("units") / lit(1e9)).as("bm25"), col("rnk"))
+
+  /** Top-k documents by BM25 against the DISTINCT terms of document
+    * `queryId` (the query doc itself is excluded from results but counts
+    * toward df / corpus stats — it is part of the corpus). Repeated query
+    * terms score once: classic BM25 query-term saturation is per-term, and
+    * a distinct-term query keeps the oracle replay exact. */
+  def bm25TopK(docs: DataFrame, queryId: Long, k: Int,
+               k1: Double = K1, b: Double = B,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
+    val qTerms = post.where(col(idCol) === queryId).select("term")
+    // df over query terms only — the full-vocabulary df is never built
+    val dfq = post.join(broadcast(qTerms), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val units = post.where(col(idCol) =!= queryId)
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_units",
+        scoreUnits(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("sum_len"), k1, b))
+      .groupBy(col(idCol)).agg(sum(col("s_units")).as("units"))
+    rankUnits(units, k, idCol)
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — identical token rule, identical op
+    * order, identical floor-quantization; constants are embedded from the
+    * SAME Scala doubles the Spark plan uses (Double.toString round-trips). */
+  def bm25TopKSql(queryId: Long, k: Int, k1: Double = K1, b: Double = B): String = {
+    val k3 = (k1 + 1.0).toString
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_len FROM dl),
+       |qt AS (SELECT term FROM post WHERE doc_id = $queryId),
+       |dfq AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df
+       |        FROM post p JOIN qt USING (term) GROUP BY 1),
+       |sc AS (SELECT p.doc_id,
+       |    CAST(floor(
+       |      CAST(floor(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) /
+       |                          (CAST(f.df AS DOUBLE) + 0.5)) * 1e9) AS DOUBLE)
+       |      * (CAST(p.tf AS DOUBLE) * $k3 /
+       |         (CAST(p.tf AS DOUBLE) + $k1 *
+       |          (${1.0 - b} + $b * (CAST(d.dl AS DOUBLE) * s.n_docs / s.sum_len))))
+       |    ) AS BIGINT) AS s_units
+       |  FROM post p JOIN dfq f USING (term)
+       |  JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN stats s
+       |  WHERE p.doc_id <> $queryId),
+       |agg AS (SELECT doc_id, sum(s_units) AS units FROM sc GROUP BY 1),
+       |r AS (SELECT doc_id, units / 1e9 AS bm25,
+       |        CAST(row_number() OVER (ORDER BY units DESC, doc_id) AS INT) AS rnk
+       |      FROM agg)
+       |SELECT doc_id, bm25, rnk FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
+  /** Materialize the serving-path index: postings bucketed+sorted by `term`
+    * with df, dl DENORMALIZED onto each row (a probe never joins), plus a
+    * one-row `<table>_stats` companion holding (n_docs, sum_len). Built once
+    * per corpus snapshot; at 100 TB this is the only job that reads the
+    * text. */
+  def writeBm25Index(docs: DataFrame, table: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     buckets: Int = 64): Unit = {
+    val post = postings(docs, idCol, textCol)
+    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfAll = post.groupBy("term").agg(count(lit(1)).as("df"))
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
+      .write.mode("overwrite").saveAsTable(s"${table}_stats")
+    post
+      .join(dfAll, Seq("term"))
+      .join(dl, Seq(idCol))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(table)
+  }
+
+  /** Probe a [[writeBm25Index]] table with the distinct terms of document
+    * `queryId`. The term list is collected to the driver (bounded by ONE
+    * document's vocabulary — the same bounded-collect contract as the
+    * funnel's step list) and pushed as an IN-list into the parquet scan, so
+    * the probe reads only the matching term buckets' row groups: scan →
+    * partial-agg groupBy(doc) → TakeOrdered, zero corpus-wide shuffle. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                        queryId: Long, k: Int,
+                        k1: Double = K1, b: Double = B,
+                        idCol: String = "doc_id"): DataFrame = {
+    val idx = spark.table(table)
+    val stats = spark.table(s"${table}_stats")
+    val terms = idx.where(col(idCol) === queryId)
+      .select("term").collect().map(_.getString(0)).toSeq
+    val units = idx
+      .where(col("term").isin(terms: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(stats))
+      .withColumn("s_units",
+        scoreUnits(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("sum_len"), k1, b))
+      .groupBy(col(idCol)).agg(sum(col("s_units")).as("units"))
+    rankUnits(units, k, idCol)
+  }
+}

@@ -17,7 +17,7 @@ trait QueryPack {
 }
 
 object Registry {
-  def packs: Seq[QueryPack] = Seq(Tpch, M3, M3b, PromX, Pipeline, StreamingQ)
+  def packs: Seq[QueryPack] = Seq(Tpch, M3, M3b, PromX, Pipeline, StreamingQ, RetrievalQ)
 
   /** Build-once catalog table for a query pack: the in-memory catalog
     * forgets tables across sessions but their warehouse locations survive,

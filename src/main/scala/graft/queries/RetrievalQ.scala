@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.pipelines.Retrieval
+
+/** Lexical retrieval queries: BM25 over the documents corpus, ad-hoc and
+  * through the persisted term-bucketed postings index. */
+object RetrievalQ extends QueryPack {
+
+  /** Ad-hoc BM25: tokenize → postings → query-term prune → integer-unit
+    * score → top-10. Oracle replays the identical floor-quantized math. */
+  private def qBm25(s: SparkSession, sf: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, sf), queryId = 0L, k = 10)
+
+  /** Same ranking through the serving-path index (first call of a session
+    * builds it): IN-list term probe pushed to the bucketed parquet scan.
+    * Shares the ad-hoc oracle — identical output by construction. */
+  private def qBm25Indexed(s: SparkSession, sf: String): DataFrame = {
+    val table = "graft_bm25_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table, companions = Seq(s"${table}_stats")) {
+      Retrieval.writeBm25Index(Tables.documents(s, sf), table)
+    }
+    Retrieval.bm25TopKFromIndex(s, table, queryId = 0L, k = 10)
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("retrieval_bm25", qBm25, Some(Retrieval.bm25TopKSql(0L, 10))),
+    QueryDef("retrieval_bm25_indexed", qBm25Indexed, Some(Retrieval.bm25TopKSql(0L, 10))))
+}

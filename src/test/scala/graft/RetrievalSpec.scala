@@ -1,0 +1,85 @@
+package graft
+
+import graft.pipelines.Retrieval
+
+/** BM25 retrieval contract: hand-computed scores on a tiny corpus, ad-hoc ==
+  * indexed serving path, and the probe plan's two scale properties (IN-list
+  * pushed to the index scan; ranking is a distributed TakeOrdered, not a
+  * global sort). */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark query engine"),
+    (1L, "spark spark spark all about spark"),
+    (2L, "a distributed query engine for big data"),
+    (3L, "spark query engine spark query engine"),
+    (4L, "nothing relevant here at all")).toDF("doc_id", "text")
+
+  /** Reference BM25 re-derivation, same floor-quantization as the engine. */
+  private def expectedUnits(): Map[Long, Long] = {
+    val toks = Map(
+      0L -> Seq("spark", "query", "engine"),
+      1L -> Seq("spark", "spark", "spark", "all", "about", "spark"),
+      2L -> Seq("a", "distributed", "query", "engine", "for", "big", "data"),
+      3L -> Seq("spark", "query", "engine", "spark", "query", "engine"),
+      4L -> Seq("nothing", "relevant", "here", "at", "all"))
+    val n = toks.size.toLong
+    val sumLen = toks.values.map(_.size.toLong).sum
+    val qTerms = toks(0L).distinct
+    val df = qTerms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    (for {
+      (d, ts) <- toks if d != 0L
+      scores = qTerms.flatMap { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idfU = math.floor(math.log(
+            1.0 + (n.toDouble - df(t) + 0.5) / (df(t).toDouble + 0.5)) * 1e9).toLong
+          val r = ts.size.toDouble * n / sumLen
+          val tff = tf.toDouble * (Retrieval.K1 + 1.0) /
+            (tf.toDouble + Retrieval.K1 * ((1.0 - Retrieval.B) + Retrieval.B * r))
+          Some(math.floor(idfU.toDouble * tff).toLong)
+        }
+      }
+      if scores.nonEmpty
+    } yield d -> scores.sum).toMap
+  }
+
+  test("bm25TopK matches the hand-derivation and ranks by integer units") {
+    val got = Retrieval.bm25TopK(docs, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val want = expectedUnits()
+    assert(got.map(_._1).toSet == want.keySet.filter(want(_) != 0L) ||
+      got.map(_._1).toSet == want.keySet,
+      s"result docs ${got.map(_._1).toSet} vs expected ${want.keySet}")
+    got.foreach { case (d, s, _) =>
+      assert(math.abs(s - want(d) / 1e9) < 1e-12, s"doc $d: $s vs ${want(d) / 1e9}")
+    }
+    // rank order = units desc, doc_id asc
+    val sortedWant = want.toSeq.sortBy { case (d, u) => (-u, d) }.map(_._1)
+    assert(got.sortBy(_._3).map(_._1).toSeq == sortedWant)
+    // doc 3 repeats every query term twice: must outrank the spark-only doc 1
+    assert(got.find(_._1 == 3L).get._3 < got.find(_._1 == 1L).get._3)
+  }
+
+  test("indexed serving path matches ad-hoc, pushes the term IN-list, ranks via TakeOrdered") {
+    val table = "graft_test_bm25_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    Retrieval.writeBm25Index(docs, table, buckets = 4)
+
+    val fromIndex = Retrieval.bm25TopKFromIndex(spark, table, queryId = 0L, k = 10)
+    val adhoc = Retrieval.bm25TopK(docs, queryId = 0L, k = 10)
+    assert(fromIndex.collect().toSeq == adhoc.collect().toSeq)
+
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe ranking must be a distributed TakeOrdered:\n$plan")
+    assert(plan.contains("In(term,"),
+      s"query terms must push into the index scan as an IN filter:\n$plan")
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+  }
+}
