@@ -615,4 +615,110 @@ object Similarity {
       .select(col(idCol), col("_best.cluster").as("cluster"),
         col("_best.dist2").as("dist2"))
   }
+
+  /** Maximal-marginal-relevance diversified top-k: greedily pick the item
+    * maximizing `lambda * rel(query, c) - (1 - lambda) * max_{s in S} sim(c, s)`
+    * — the classic redundancy-penalized reranker for retrieval-augmented
+    * training-data selection (a plain cosine top-k returns k near-copies of
+    * the best hit; MMR spends the budget on coverage).
+    *
+    * Two-phase: the CORPUS-wide part is [[bruteForceTopK]]'s distributed
+    * TakeOrdered (top `poolSize` by relevance — any ANN variant could stand
+    * in at scale), then the greedy selection runs on the collected pool —
+    * driver work is bounded by poolSize² doubles (the pool is a top-k
+    * result, never corpus-proportional; same bounded-collect contract as
+    * the k-means centroid loop). Pairwise pool similarities are computed
+    * distributed BEFORE the collect, with the same codegen'd cosine as the
+    * relevance pass.
+    *
+    * Determinism: cosines fold in index order ([[graft.functions.FloatDotProduct]]),
+    * the MMR combination is two IEEE multiplies and a subtract (identical
+    * in any engine given identical inputs — `1.0 - lambda` is computed ONCE
+    * here and embedded by the oracle generator, never re-derived as a
+    * literal), and every argmax ties to the smaller id, so the whole greedy
+    * replays exactly in the DuckDB oracle ([[mmrTopKSql]]). Zero-norm
+    * vectors would make cosine NaN and are the caller's contract to exclude.
+    */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int, lambda: Double = 0.7,
+              poolSize: Int = 50, idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val q = emb.where(col(idCol) === queryId).select(col("embedding").as("q_emb"))
+    val pool = emb.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(poolSize)
+      .select(col(idCol).as("id"), col("rel"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pool.select(col("id").as("ia"), col("embedding").as("va"))
+    val b = pool.select(col("id").as("ib"), col("embedding").as("vb"))
+    val simRows = a.join(b, col("ia") =!= col("ib"))
+      .withColumn("s", graft.functions.VectorExprs.fastCosine("va", "vb"))
+      .select("ia", "ib", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rels = pool.select("id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    pool.unpersist(blocking = false)
+
+    val oneMinusLambda = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.Map(rels: _*)
+    var step = 0
+    while (step < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => simRows((id, s._1))).max
+        (id, lambda * rel - oneMinusLambda * maxSim)
+      }.reduce((x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      selected += best
+      remaining.remove(best._1)
+      step += 1
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, mmr), i) => (id, mmr, i + 1) }.toSeq
+      .toDF(idCol, "mmr", "rnk")
+  }
+
+  /** DuckDB replay of [[mmrTopK]]: identical index-order dot folds, the
+    * greedy unrolled into k chained CTE steps (the Lloyd-round replay
+    * pattern), constants embedded from the SAME Scala doubles. */
+  def mmrTopKSql(queryId: Long, k: Int, lambda: Double = 0.7,
+                 poolSize: Int = 50): String = {
+    val lam = lambda.toString
+    val oml = (1.0 - lambda).toString
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    def cos(x: String, y: String) =
+      s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      s"""c$i AS (SELECT p.id, $lam * p.rel - $oml *
+         |    (SELECT max(m.s) FROM sims m JOIN sel$prev t ON m.ib = t.id
+         |     WHERE m.ia = p.id) AS mmr
+         |  FROM pool p WHERE p.id NOT IN (SELECT id FROM sel$prev)),
+         |s$i AS (SELECT id, mmr, $i AS rnk FROM c$i ORDER BY mmr DESC, id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel$prev UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (SELECT e.vec_id AS id, ${cos("e.embedding", "q.qv")} AS rel,
+       |    e.embedding AS v
+       |  FROM embeddings e, q WHERE e.vec_id <> $queryId),
+       |pool AS (SELECT id, rel, v FROM (
+       |    SELECT id, rel, v, row_number() OVER (ORDER BY rel DESC, id) AS prnk
+       |    FROM scored) WHERE prnk <= $poolSize),
+       |sims AS (SELECT a.id AS ia, b.id AS ib, ${cos("a.v", "b.v")} AS s
+       |         FROM pool a JOIN pool b ON a.id <> b.id),
+       |s1 AS (SELECT id, $lam * rel AS mmr, 1 AS rnk FROM pool
+       |       ORDER BY mmr DESC, id LIMIT 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT id AS vec_id, mmr, CAST(rnk AS INT) AS rnk FROM sel$k ORDER BY rnk""".stripMargin
+  }
 }

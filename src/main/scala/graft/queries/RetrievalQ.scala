@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.pipelines.Retrieval
+import graft.pipelines.{Retrieval, Similarity}
 
 /** Lexical retrieval queries: BM25 over the documents corpus, ad-hoc and
   * through the persisted term-bucketed postings index. */
@@ -24,7 +24,14 @@ object RetrievalQ extends QueryPack {
     Retrieval.bm25TopKFromIndex(s, table, queryId = 0L, k = 10)
   }
 
+  /** MMR-diversified top-5 from a relevance pool of 50: the redundancy
+    * penalty that makes retrieval useful for data selection. Oracle unrolls
+    * the greedy into chained CTE steps. */
+  private def qMmr(s: SparkSession, sf: String): DataFrame =
+    Similarity.mmrTopK(Tables.embeddings(s, sf), queryId = 0L, k = 5)
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("retrieval_bm25", qBm25, Some(Retrieval.bm25TopKSql(0L, 10))),
-    QueryDef("retrieval_bm25_indexed", qBm25Indexed, Some(Retrieval.bm25TopKSql(0L, 10))))
+    QueryDef("retrieval_bm25_indexed", qBm25Indexed, Some(Retrieval.bm25TopKSql(0L, 10))),
+    QueryDef("retrieval_mmr", qMmr, Some(Similarity.mmrTopKSql(0L, 5))))
 }

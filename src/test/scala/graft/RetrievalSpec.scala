@@ -82,4 +82,26 @@ class RetrievalSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
   }
+
+  test("mmrTopK ranks by pure relevance first, then trades it against redundancy") {
+    // query 0 = (1,0); 1 is a near-copy of the best hit 2; 3 is orthogonal-ish.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.02f)),
+      (1L, Array(1.0f, 0.03f)),
+      (3L, Array(0.6f, -0.8f))).toDF("vec_id", "embedding")
+
+    // lambda=1: pure relevance order (2 edges out 1, then 3).
+    val pure = graft.pipelines.Similarity.mmrTopK(emb, queryId = 0L, k = 3, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(pure.sortBy(_._2).map(_._1).toSeq == Seq(2L, 1L, 3L), pure.mkString(","))
+
+    // lambda=0.5: the near-copy 1 is penalized by sim(1,2)~1, the diverse 3 wins rank 2.
+    val div = graft.pipelines.Similarity.mmrTopK(emb, queryId = 0L, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(div.sortBy(_._2).map(_._1).toSeq == Seq(2L, 3L, 1L), div.mkString(","))
+
+    // rank 1 is ALWAYS the max-relevance item regardless of lambda.
+    assert(div.find(_._2 == 1).get._1 == 2L)
+  }
 }
