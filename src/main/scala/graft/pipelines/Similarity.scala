@@ -683,6 +683,87 @@ object Similarity {
       .toDF(idCol, "mmr", "rnk")
   }
 
+  /** k-center greedy coreset (farthest-point sampling): start from `seedId`,
+    * then k-1 times pick the point maximizing its min squared-euclidean
+    * distance to the already-selected set — the classic diverse-subset
+    * selector for training-data curation (maximizes coverage radius, 2-approx
+    * of the optimal k-center cost).
+    *
+    * Scale shape: each round is ONE full scan — the selected centers ride a
+    * 1-row broadcast as a packed array, the per-candidate min-distance is a
+    * per-row fold (no shuffle, no window), and the farthest point is a
+    * distributed TakeOrdered of one row. Driver state is the k selected ids,
+    * never corpus-proportional. Rounds cost O(n·|selected|) distance folds;
+    * for large k an incremental min-distance column (persisted per round,
+    * Pregel-style) halves the arithmetic at the price of per-round
+    * materialization — at coreset-sized k the stateless rescan wins.
+    *
+    * Determinism: distances are index-order IEEE folds ((x−y)·(x−y), exact
+    * cast float→double), mins and the per-round argmax are rounding-free
+    * comparisons with ties to the smaller id — no cross-row sums anywhere,
+    * so the greedy replays bit-exactly in DuckDB ([[kcenterCoresetSql]]).
+    * Output: (idCol, dist2, rnk) where dist2 is the covering distance at
+    * selection time (0.0 for the seed). */
+  def kcenterCoreset(emb: DataFrame, k: Int, seedId: Long = 0L,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)](
+      (seedId, 0.0))
+    while (selected.size < k) {
+      val selIds = selected.map(_._1).toSeq
+      val packed = pts.where(col("id").isin(selIds: _*))
+        .agg(collect_list(col("v")).as("_cs"))
+      val mind = aggregate(col("_cs"), lit(Double.MaxValue),
+        (acc, c) => least(acc, sqDist(col("v"), c)))
+      val far = pts.where(!col("id").isin(selIds: _*))
+        .crossJoin(broadcast(packed))
+        .withColumn("_mind", mind)
+        .orderBy(col("_mind").desc, col("id"))
+        .limit(1).select(col("id"), col("_mind")).collect()
+      if (far.isEmpty) return selected.zipWithIndex
+        .map { case ((id, d), i) => (id, d, i + 1) }.toSeq
+        .toDF(idCol, "dist2", "rnk")
+      selected += ((far(0).getLong(0), far(0).getDouble(1)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, d), i) => (id, d, i + 1) }.toSeq
+      .toDF(idCol, "dist2", "rnk")
+  }
+
+  /** DuckDB replay of [[kcenterCoreset]]: the same greedy unrolled into
+    * chained CTE steps; each step's min-distance is a correlated min over
+    * the selected set with the identical index-order (x−y)·(x−y) fold. */
+  def kcenterCoresetSql(k: Int, seedId: Long = 0L): String = {
+    def d2(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64),
+         |        i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      s"""c$i AS (SELECT p.id, min(${d2("p.v", "q.v")}) AS mind
+         |  FROM p JOIN p q ON q.id IN (SELECT id FROM sel$prev)
+         |  WHERE p.id NOT IN (SELECT id FROM sel$prev)
+         |  GROUP BY p.id),
+         |s$i AS (SELECT id, mind AS dist2, $i AS rnk FROM c$i
+         |        ORDER BY mind DESC, id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel$prev UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val tail = if (k == 1) "" else s",\n$steps"
+    s"""WITH p AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sel1 AS (SELECT id, CAST(0.0 AS DOUBLE) AS dist2, 1 AS rnk
+       |         FROM p WHERE id = $seedId)$tail
+       |SELECT id AS vec_id, dist2, CAST(rnk AS INT) AS rnk
+       |FROM sel$k ORDER BY rnk""".stripMargin
+  }
+
   /** DuckDB replay of [[mmrTopK]]: identical index-order dot folds, the
     * greedy unrolled into k chained CTE steps (the Lloyd-round replay
     * pattern), constants embedded from the SAME Scala doubles. */

@@ -1702,6 +1702,13 @@ object Pipeline extends QueryPack {
   private def qKmeansTopics(s: SparkSession, sf: String): DataFrame =
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
+
+  /** Farthest-point coreset of 6 from the embedding corpus: the greedy
+    * covering-radius selector for diverse training subsets. Oracle unrolls
+    * the greedy into chained CTE steps (no cross-row sums → bit-exact). */
+  private def qKcenterCoreset(s: SparkSession, sf: String): DataFrame =
+    Similarity.kcenterCoreset(Tables.embeddings(s, sf), k = 6)
+  private val qKcenterCoresetSql: String = Similarity.kcenterCoresetSql(6)
   /** The k=8 / 2-round Lloyd replay, shared by the clustering oracle and the
     * SemDeDup oracle (which buckets its pair search by these clusters). */
   private def kmDist(cents: String): String =
@@ -2383,6 +2390,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
+    QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

@@ -45,4 +45,23 @@ class KmeansSpec extends SparkTestBase {
     val i3 = inertia(3)
     assert(i3 <= i1 + 1e-9, s"inertia rose: $i1 -> $i3")
   }
+
+  test("kcenterCoreset picks farthest-first with non-increasing radius") {
+    // 1-d line embedded in 2-d: 0@0, 1@1, 2@4, 3@10 — from seed 0 the greedy
+    // must walk 3 (d²=100), then 2 (min-d² to {0,3}: 16), then 1 (1).
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(4.0f, 0.0f)), (3L, Array(10.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterCoreset(pts, k = 4, seedId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3)
+    assert(got.map(_._1).toSeq == Seq(0L, 3L, 2L, 1L), got.mkString(","))
+    assert(got.map(_._2).toSeq == Seq(0.0, 100.0, 16.0, 1.0))
+    // covering radius is non-increasing after the seed
+    val radii = got.drop(1).map(_._2)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+    // k > n: returns all points, no crash
+    assert(Similarity.kcenterCoreset(pts, k = 10, seedId = 0L).count() == 4)
+  }
 }
