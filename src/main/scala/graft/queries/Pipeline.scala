@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.pipelines.{Dedup, Similarity, TextAnalysis}
+import graft.pipelines.{Dedup, Pca, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1703,6 +1703,14 @@ object Pipeline extends QueryPack {
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
 
+  /** First-principal-component projection of every embedding: distributed
+    * mean/Gram passes (4096-group shuffle, constant in corpus size), driver
+    * power iteration on the 64×64 matrix, distributed projection. Oracle
+    * replays the iteration over a list-of-lists Gram in chained CTEs. */
+  private def qPcaProjections(s: SparkSession, sf: String): DataFrame =
+    Pca.pc1Projections(Tables.embeddings(s, sf))
+  private val qPcaProjectionsSql: String = Pca.pc1ProjectionsSql()
+
   /** Farthest-point coreset of 6 from the embedding corpus: the greedy
     * covering-radius selector for diverse training subsets. Oracle unrolls
     * the greedy into chained CTE steps (no cross-row sums → bit-exact). */
@@ -2391,6 +2399,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
+    QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

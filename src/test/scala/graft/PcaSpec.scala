@@ -1,0 +1,45 @@
+package graft
+
+import graft.pipelines.Pca
+import org.apache.spark.sql.functions._
+
+/** PCA contract the oracle doesn't pin: the learned component recovers the
+  * dominant variance axis, projections are centered, and the distributed
+  * mean/Gram passes are partition-invariant. */
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 4-d cloud with variance concentrated on axis 0 (spread ±50) and only
+    * ±0.5-scale jitter elsewhere — deterministic, no RNG. */
+  private def cloud = spark.range(100).select(
+    col("id").as("vec_id"),
+    array(
+      (col("id").cast("double") - 49.5).cast("float"),
+      ((col("id") % 7).cast("double") / 7.0 - 0.5).cast("float"),
+      ((col("id") % 5).cast("double") / 5.0 - 0.5).cast("float"),
+      ((col("id") % 3).cast("double") / 3.0 - 0.5).cast("float"))
+      .as("embedding"))
+
+  test("pc1 recovers the dominant axis and projections are centered") {
+    val proj = Pca.pc1Projections(cloud, iters = 10, dim = 4)
+    val rows = proj.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 100)
+    // projections onto the dominant axis span ~±50; mean is ~0
+    val vals = rows.map(_._2)
+    assert(math.abs(vals.sum / vals.length) < 1e-6)
+    assert(vals.map(math.abs).max > 45.0, s"max |pc1| = ${vals.map(math.abs).max}")
+    // pc1 must be monotone in the id (the dominant axis IS id−49.5),
+    // up to a global sign flip
+    val sorted = rows.sortBy(_._1).map(_._2)
+    val diffs = sorted.zip(sorted.tail).map { case (a, b) => b - a }
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0))
+  }
+
+  test("mean/Gram passes are partition-invariant") {
+    val a = Pca.pc1Projections(cloud.repartition(1), iters = 5, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Pca.pc1Projections(cloud.repartition(13), iters = 5, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+}
