@@ -1,0 +1,190 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Product-quantization ANN: split each unit-normalized vector into `m`
+  * subspaces, train a `ks`-centroid codebook per subspace (the same
+  * hash-seeded Lloyd loop as [[Similarity.kmeansCentroids]]), encode every
+  * vector as m small codes, and serve top-k by an asymmetric-distance scan
+  * over the codes plus an exact re-rank of the survivors.
+  *
+  * Why it scales: the serving scan reads the CODE table — m dense ints per
+  * row instead of the float vector — so at 100 TB the approximate pass is
+  * I/O-bound on a table m·4/(dim·4) the size of the corpus (1/8 here), with
+  * the codebooks riding the plan as literals (no join, no shuffle; the only
+  * shuffle is the k·rerank TakeOrdered). Training cost is m bounded Lloyd
+  * runs; codebooks are m·ks·(dim/m) doubles — driver-bounded like the
+  * k-means centroid loop.
+  *
+  * Everything is oracle-replayable: normalization is an index-order norm
+  * fold; training reuses the nano-quantized-mean Lloyd discipline the
+  * `cluster_topics_kmeans` oracle already replays (same md5 seeding, same
+  * tie-to-smaller-cluster argmin); the ADC sum adds subspace distances in
+  * subspace order; candidates order by (approx asc, id) and the re-rank by
+  * exact cosine desc. [[pqTopKSql]] replays the full chain — m Lloyd
+  * trainings included — in one DuckDB query.
+  */
+object Pq {
+
+  /** Trained codebooks per (corpus plan, params) — driver-side arrays, so
+    * nothing to unpersist on eviction. */
+  private val booksCache =
+    new graft.core.PlanMemo[(String, String, Int, Int, Int),
+      Seq[Array[Array[Double]]]](_ => ())
+
+  /** Index-order squared-distance fold over two double arrays. */
+  private def sqd(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** PQ top-k for one probe. Trains ad-hoc (m Lloyd runs), encodes and
+    * scans in ONE pass over the corpus, exact-reranks `k*rerank`
+    * candidates. Result contract matches the other ANN variants:
+    * (idCol, cosine, rnk). */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 16, ks: Int = 16,
+             iters: Int = 2, rerank: Int = 16, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+
+    val unit = emb
+      .withColumn("_n", Vectors.norm(col(vecCol)))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("_n")).as("nv"))
+
+    // per-subspace codebooks, collected bounded (ks × dsub doubles each) and
+    // densified in cluster-id order so dense index asc == cluster id asc;
+    // trained ONCE per (corpus plan, params) — repeat probes reuse the
+    // codebooks like the SQ8/LSH/IVF variants reuse their indexes
+    val books: Seq[Array[Array[Double]]] =
+      booksCache(emb, (idCol, vecCol, m, ks, iters)) {
+        (0 until m).map { s =>
+          val sub = unit.select(col(idCol),
+            slice(col("nv"), s * dsub + 1, dsub).as("sv"))
+          Similarity.kmeansCentroids(sub, ks, iters, idCol, "sv")
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            .sortBy(_._1).map(_._2)
+        }
+      }
+
+    // encode: argmin over the literal codebook; strict < keeps the FIRST
+    // minimum, i.e. the smallest dense index == smallest cluster id — the
+    // oracle's (dist2, cluster) tie rule
+    def codeExpr(s: Int): Column = {
+      val packed = array(books(s).zipWithIndex.map { case (arr, di) =>
+        struct(lit(di).as("di"), array(arr.map(lit): _*).as("carr")) }: _*)
+      val sub = slice(col("nv"), s * dsub + 1, dsub)
+      aggregate(packed,
+        struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("di")),
+        (acc, c) => {
+          val d = sqd(sub, c.getField("carr"))
+          when(d < acc.getField("d2"),
+            struct(d.as("d2"), c.getField("di").as("di"))).otherwise(acc)
+        }).getField("di")
+    }
+
+    // ADC: per subspace, distance from the query's sub-vector to the row's
+    // assigned centroid (codebook literal lookup), summed in subspace order.
+    // Encoding and scan share one pass here; the offline form would persist
+    // the m code columns and scan only those.
+    val q = unit.where(col(idCol) === queryId).select(col("nv").as("qn"))
+    val approx = (0 until m).map { s =>
+      val qs = slice(col("qn"), s * dsub + 1, dsub)
+      val cents2d = array(books(s).map(arr => array(arr.map(lit): _*)): _*)
+      sqd(qs, element_at(cents2d, codeExpr(s) + 1))
+    }.reduceLeft(_ + _)
+    val candIds = unit.crossJoin(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .withColumn("approx", approx)
+      .orderBy(col("approx").asc, col(idCol))
+      .limit(k * rerank)
+      .select(idCol)
+
+    val qRaw = emb.where(col(idCol) === queryId).select(col(vecCol).as("q_emb"))
+    emb.join(candIds, idCol)
+      .crossJoin(broadcast(qRaw))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.fastCosine(vecCol, "q_emb"))
+      .orderBy(col("cosine").desc, col(idCol)).limit(k)
+      .withColumn("_q", lit(queryId))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
+      .select(col(idCol), col("cosine"), col("rnk"))
+  }
+
+  /** DuckDB replay of [[pqTopK]]: normalization, the m hash-seeded Lloyd
+    * trainings (shared seed CTE — seeding hashes ids only), dense-code
+    * assignment, the subspace-ordered ADC sum, and the exact re-rank. */
+  def pqTopKSql(queryId: Long, k: Int, m: Int = 16, ks: Int = 16,
+                iters: Int = 2, rerank: Int = 16, dim: Int = 64): String = {
+    val dsub = dim / m
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, x) -> acc + x)"
+    def d2(x: String, y: String) = fold(
+      s"list_transform(generate_series(1, $dsub), i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))")
+    def dotRaw(x: String, y: String) = fold(
+      s"list_transform(generate_series(1, $dim), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))")
+    def cosRaw(x: String, y: String) =
+      s"${dotRaw(x, y)} / (sqrt(${dotRaw(x, x)}) * sqrt(${dotRaw(y, y)}))"
+
+    def subspace(s: Int): String = {
+      val lo = s * dsub + 1
+      val hi = lo + dsub - 1
+      def assign(cents: String, out: String) =
+        s"""${out}_a AS (SELECT e.vec_id, c.cluster, ${d2("e.sv", "c.carr")} AS dist2
+           |  FROM sub$s e CROSS JOIN $cents c),
+           |$out AS (SELECT vec_id, cluster FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+           |  FROM ${out}_a) WHERE rn = 1)""".stripMargin
+      def recenter(asg: String, out: String) =
+        s"""${out}_m AS (SELECT b.cluster, p.i AS pos,
+           |    CAST(sum(CAST(floor(e.sv[p.i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           |      / count(*) / 1000000000.0 AS cval
+           |  FROM $asg b JOIN sub$s e USING (vec_id) CROSS JOIN possub p
+           |  GROUP BY 1, 2),
+           |$out AS (SELECT cluster, list(cval ORDER BY pos) AS carr
+           |         FROM ${out}_m GROUP BY cluster)""".stripMargin
+      val lloyd = (1 to iters).map { t =>
+        assign(s"c${t - 1}_$s", s"b${t}_$s") + ",\n" +
+          recenter(s"b${t}_$s", s"c${t}_$s")
+      }.mkString(",\n")
+      s"""sub$s AS (SELECT vec_id, nv[$lo:$hi] AS sv FROM en),
+         |c0_$s AS (SELECT s.cluster, e.nv[$lo:$hi] AS carr
+         |          FROM seed s JOIN en e ON e.vec_id = s.cluster),
+         |$lloyd,
+         |${assign(s"c${iters}_$s", s"code_$s")},
+         |ap_$s AS (SELECT cd.vec_id, ${d2("q.svq", "c.carr")} AS d
+         |  FROM code_$s cd JOIN c${iters}_$s c ON c.cluster = cd.cluster
+         |  CROSS JOIN (SELECT nv[$lo:$hi] AS svq FROM en WHERE vec_id = $queryId) q)""".stripMargin
+    }
+
+    val adcJoin = (1 until m).map(s => s"JOIN ap_$s a$s USING (vec_id)").mkString(" ")
+    val adcSum = (0 until m).map(s => s"a$s.d").mkString(" + ")
+    s"""WITH en AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS nv
+       |  FROM (SELECT vec_id, embedding,
+       |          sqrt(${dotRaw("embedding", "embedding")}) AS n
+       |        FROM embeddings)),
+       |possub AS (SELECT unnest(generate_series(1, $dsub)) AS i),
+       |seed AS (SELECT vec_id AS cluster FROM (
+       |    SELECT vec_id,
+       |      CAST(('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+       |    FROM embeddings) ORDER BY hv, vec_id LIMIT $ks),
+       |${(0 until m).map(subspace).mkString(",\n")},
+       |adc AS (SELECT a0.vec_id, $adcSum AS approx FROM ap_0 a0 $adcJoin),
+       |cand AS (SELECT vec_id FROM adc WHERE vec_id <> $queryId
+       |         ORDER BY approx, vec_id LIMIT ${k * rerank}),
+       |sc AS (SELECT c.vec_id, ${cosRaw("e.embedding", "q.qe")} AS cosine
+       |       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |       CROSS JOIN (SELECT embedding AS qe FROM embeddings
+       |                   WHERE vec_id = $queryId) q)
+       |SELECT vec_id, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn <= $k ORDER BY rnk""".stripMargin
+  }
+}

@@ -740,6 +740,16 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  /** Product-quantization serving path, end to end: per-subspace Lloyd
+    * codebooks, dense-code ADC scan, exact re-rank. The oracle replays the
+    * WHOLE chain including the 8 trainings (the kmeans-replay discipline),
+    * so this is oracle-exact — not a rows-only entry like LSH/IVF. */
+  private def qAnnPq(s: SparkSession, sf: String): DataFrame =
+    graft.pipelines.Pq.pqTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  private val qAnnPqSql: String = graft.pipelines.Pq.pqTopKSql(0L, 10)
+
   private def qAnnBatch(s: SparkSession, sf: String): DataFrame =
     Similarity.bruteForceTopKBatch(Tables.embeddings(s, sf),
         queryIds = Seq(0L, 7L, 42L), k = 5)
@@ -2348,6 +2358,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_sq8", qAnnSq8, Some(qAnnSq8Sql)),
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
+    QueryDef("ann_pq", qAnnPq, Some(qAnnPqSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),

@@ -199,4 +199,25 @@ class IvfRecallSpec extends SparkTestBase {
     info(f"sf0.1 recall@10: sq8=$sq8%.2f")
     assert(sq8 >= 0.9, s"sq8 recall@10 $sq8 below the 0.9 bar")
   }
+
+  test("pq adc + exact re-rank recall@10 at the largest corpus (sf0.1)") {
+    // PQ on the uniform corpus is the coarsest quantizer here (8 subspaces
+    // × 16 codes ≈ 32 bits/vector vs SQ8's 512): the ADC ranking carries
+    // real distortion and the rerank buffer does the recovering. Bar set
+    // from the measured panel below (see info line).
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, big)
+    val queries = Seq(0L, 7L, 42L, 100L, 499L)
+    // measured panel: m=8/rerank=4 → 0.40, m=8/16 → 0.62, m=16/8 → 0.80,
+    // m=16/16 → 0.86 — the defaults sit at the last point (64-bit codes,
+    // 8% rerank scan fraction at this corpus size)
+    val rs = queries.map { q =>
+      val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
+      exact.intersect(ids(graft.pipelines.Pq.pqTopK(emb, q, 10))).size / 10.0
+    }
+    val pq = rs.sum / rs.size
+    info(f"sf0.1 recall@10: pq=$pq%.2f (per-query ${rs.mkString(",")})")
+    assert(pq >= 0.7, s"pq recall@10 $pq below the operating point")
+  }
 }
