@@ -184,4 +184,68 @@ object Retrieval {
       .groupBy(col(idCol)).agg(sum(col("s_units")).as("units"))
     rankUnits(units, k, idCol)
   }
+
+  /** Reciprocal-rank-fusion hybrid retrieval: fuse the BM25 lexical top-pool
+    * with the exact-cosine semantic top-pool by
+    * `rrf = Σ 1/(kf + rank)` (Cormack et al.'s rank-only fusion — immune to
+    * the two scorers' incomparable scales). A doc missing from one list
+    * contributes 0 for that list.
+    *
+    * Scale shape: both inputs are already distributed TakeOrdereds of
+    * `pool` rows, so the fusion is a pool-sized full-outer join — constant
+    * work after the two scans. Determinism: ranks are ints, the two
+    * reciprocal terms add left-to-right, ties break to the smaller id —
+    * replays exactly in [[rrfHybridTopKSql]] (which embeds both existing
+    * oracles as subqueries).
+    *
+    * Requires the corpus convention that `docs.idCol` and `emb.idCol` share
+    * the id space (as the documents/embeddings tables do). */
+  def rrfHybridTopK(docs: DataFrame, emb: DataFrame, queryId: Long, k: Int,
+                    pool: Int = 20, kf: Int = 60,
+                    idCol: String = "doc_id",
+                    embIdCol: String = "vec_id"): DataFrame = {
+    val lex = bm25TopK(docs, queryId, pool, idCol = idCol)
+      .select(col(idCol).as("id"), col("rnk").as("lrnk"))
+    val sem = Similarity.bruteForceTopK(emb, queryId, pool, idCol = embIdCol)
+      .select(col(embIdCol).as("id"), col("rnk").as("srnk"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kf.toDouble) + col("lrnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kf.toDouble) + col("srnk")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .withColumn("_q", lit(1))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("_q").orderBy(col("rrf").desc, col("id"))))
+      .select(col("id").as(idCol), col("rrf"), col("rnk"))
+  }
+
+  /** DuckDB replay of [[rrfHybridTopK]]: the BM25 oracle and a cosine
+    * rank subquery fused with the identical reciprocal-rank arithmetic. */
+  def rrfHybridTopKSql(queryId: Long, k: Int, pool: Int = 20,
+                       kf: Int = 60): String = {
+    val kfd = kf.toDouble.toString
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    def cos(x: String, y: String) =
+      s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+    s"""WITH lex AS (SELECT doc_id AS id, rnk AS lrnk
+       |  FROM (${bm25TopKSql(queryId, pool)}) bm),
+       |sem AS (SELECT vec_id AS id, rnk AS srnk FROM (
+       |  SELECT e.vec_id, row_number() OVER (
+       |      ORDER BY ${cos("e.embedding", "q.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM embeddings e CROSS JOIN
+       |    (SELECT embedding FROM embeddings WHERE vec_id = $queryId) q
+       |  WHERE e.vec_id <> $queryId) WHERE rnk <= $pool),
+       |f AS (SELECT coalesce(l.id, s.id) AS id,
+       |    coalesce(1.0 / ($kfd + l.lrnk), 0.0) +
+       |    coalesce(1.0 / ($kfd + s.srnk), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id)
+       |SELECT id AS doc_id, rrf, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rn
+       |  FROM f) WHERE rn <= $k ORDER BY rnk""".stripMargin
+  }
 }

@@ -30,8 +30,16 @@ object RetrievalQ extends QueryPack {
   private def qMmr(s: SparkSession, sf: String): DataFrame =
     Similarity.mmrTopK(Tables.embeddings(s, sf), queryId = 0L, k = 5)
 
+  /** RRF hybrid: BM25 lexical pool ⊕ exact-cosine semantic pool, fused on
+    * reciprocal ranks — the standard hybrid-search combiner. Oracle embeds
+    * both existing oracles and replays the fusion arithmetic. */
+  private def qRrf(s: SparkSession, sf: String): DataFrame =
+    Retrieval.rrfHybridTopK(Tables.documents(s, sf), Tables.embeddings(s, sf),
+      queryId = 0L, k = 10)
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("retrieval_bm25", qBm25, Some(Retrieval.bm25TopKSql(0L, 10))),
     QueryDef("retrieval_bm25_indexed", qBm25Indexed, Some(Retrieval.bm25TopKSql(0L, 10))),
-    QueryDef("retrieval_mmr", qMmr, Some(Similarity.mmrTopKSql(0L, 5))))
+    QueryDef("retrieval_mmr", qMmr, Some(Similarity.mmrTopKSql(0L, 5))),
+    QueryDef("retrieval_rrf_hybrid", qRrf, Some(Retrieval.rrfHybridTopKSql(0L, 10))))
 }

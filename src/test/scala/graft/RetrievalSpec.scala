@@ -83,6 +83,35 @@ class RetrievalSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
   }
 
+  test("rrf fuses lexical and semantic ranks, both-list hits outrank single-list") {
+    // doc 1: strong in BOTH lists; doc 2: lexical-only; doc 3: semantic-only.
+    // Text overlap drives BM25; embeddings drive cosine.
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma extra"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "unrelated words entirely different")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.05f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Retrieval.rrfHybridTopK(docs, emb, queryId = 0L, k = 3, pool = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3)
+    // doc 1 is rank 1/2 in both pools → two reciprocal terms; 2 and 3 get one
+    assert(got.head._1 == 1L, got.mkString(","))
+    val fused = got.map(g => g._1 -> g._2).toMap
+    assert(fused(1L) > fused.getOrElse(2L, 0.0) &&
+      fused(1L) > fused.getOrElse(3L, 0.0))
+    // every emitted rrf equals 1/(60+lr) + 1/(60+sr) for some ranks <= pool
+    got.foreach { case (_, s, _) =>
+      val singles = (1 to 2).map(r => 1.0 / (60.0 + r))
+      val doubles = for (a <- singles; b <- singles) yield a + b
+      assert((singles ++ doubles).exists(v => math.abs(v - s) < 1e-15), s"odd rrf $s")
+    }
+  }
+
   test("mmrTopK ranks by pure relevance first, then trades it against redundancy") {
     // query 0 = (1,0); 1 is a near-copy of the best hit 2; 3 is orthogonal-ish.
     val emb = Seq(
