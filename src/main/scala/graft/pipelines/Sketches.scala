@@ -1,0 +1,84 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Cardinality sketches over arbitrary columns, built for cross-engine
+  * replay: the bucket/rank hash is the portable md5 pattern
+  * ([[graft.core.OracleSafe.hashLong]]), the register state is integer all
+  * the way (Z accumulates as Σ 2^(33−M_j) in BIGINT — no float sums), and
+  * the only floating-point op in the raw estimate is ONE IEEE division of
+  * an embedded double literal by that integer. The small-range branch is
+  * the lone transcendental (ln), quantized through DECIMAL(38,9) on both
+  * sides per the oracle discipline.
+  *
+  * Scale shape: a sketch group-by shuffles at most (groups × m) register
+  * rows with map-side partial max — constant in corpus size per group,
+  * mergeable across partitions/snapshots by construction (register-wise
+  * max), which is the whole point of HLL at 100 TB: count distincts
+  * without a distinct shuffle.
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-count estimate per group (2^b registers,
+    * default 64 → ~13% standard error; raise b for precision).
+    * Output: groupCols :+ (estimate: double). */
+  def hllDistinct(df: DataFrame, valueCol: Column, groupCols: Seq[Column],
+                  b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // the whole numerator folds into ONE driver-computed literal: the
+    // estimate is literal / integer — a single deterministic division
+    val amc = alpha * m * m * math.pow(2.0, 33)
+    val h = md5(concat(lit("hll:"), valueCol.cast("string")))
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast(LongType)
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast(LongType)
+    val bucket = h1 % m
+    // rank = leading zeros of the 32-bit h2, +1 == 33 - bitlength(h2);
+    // bin() prints without leading zeros in BOTH engines
+    val rho = when(h2 === 0, lit(33)).otherwise(lit(33) - length(bin(h2)))
+    val regs = df
+      .select(groupCols ++ Seq(bucket.as("_b"), rho.as("_r")): _*)
+      .groupBy(groupCols :+ col("_b"): _*).agg(max(col("_r")).as("_mr"))
+    val zPresent = sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - _mr)"))
+    val grouped = regs.groupBy(groupCols: _*)
+      .agg(zPresent.as("_zp"), count(lit(1)).as("_nb"))
+      .withColumn("_v", lit(m.toLong) - col("_nb"))
+      .withColumn("_z", col("_zp") + col("_v") * lit(1L << 33))
+    val raw = lit(amc) / col("_z")
+    val corrected = expr(
+      s"CAST(CAST($m.0 * ln($m.0 / _v) AS DECIMAL(38,9)) AS DOUBLE)")
+    grouped.withColumn("estimate",
+        when(raw <= lit(2.5 * m) && col("_v") > 0, corrected).otherwise(raw))
+      .select(groupCols :+ col("estimate"): _*)
+  }
+
+  /** DuckDB replay of [[hllDistinct]] for one value/group expression pair.
+    * `table`, `valueExpr`, `groupExpr` are SQL fragments; the constants are
+    * embedded from the SAME Scala doubles. */
+  def hllDistinctSql(table: String, valueExpr: String, groupExpr: String,
+                     b: Int = 6): String = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val amc = (alpha * m * m * math.pow(2.0, 33)).toString
+    s"""SELECT g AS $groupExpr, CASE WHEN $amc / zz <= ${2.5 * m} AND v > 0
+       |         THEN CAST(CAST($m.0 * ln($m.0 / v) AS DECIMAL(38,9)) AS DOUBLE)
+       |         ELSE $amc / zz END AS estimate
+       |FROM (
+       |  SELECT g, zp + v * (CAST(1 AS BIGINT) << 33) AS zz, v FROM (
+       |    SELECT g, sum(CAST(1 AS BIGINT) << (33 - mr)) AS zp,
+       |           $m - count(*) AS v
+       |    FROM (
+       |      SELECT g, bkt, max(r) AS mr FROM (
+       |        SELECT $groupExpr AS g,
+       |          CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % $m AS bkt,
+       |          CASE WHEN CAST(('0x' || substr(hh, 9, 8)) AS BIGINT) = 0 THEN 33
+       |               ELSE 33 - length(bin(CAST(('0x' || substr(hh, 9, 8)) AS BIGINT)))
+       |          END AS r
+       |        FROM (SELECT *, md5('hll:' || CAST($valueExpr AS VARCHAR)) AS hh
+       |              FROM $table))
+       |      GROUP BY g, bkt)
+       |    GROUP BY g))""".stripMargin
+  }
+}

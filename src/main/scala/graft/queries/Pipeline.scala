@@ -1713,6 +1713,17 @@ object Pipeline extends QueryPack {
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
 
+  /** HLL distinct orderkeys per returnflag: 64 integer registers, portable
+    * md5 bucketing, one IEEE division — the mergeable no-distinct-shuffle
+    * cardinality sketch, oracle-replayed register for register. */
+  private def qHllDistinct(s: SparkSession, sf: String): DataFrame =
+    graft.pipelines.Sketches.hllDistinct(Tables.lineitem(s, sf),
+        col("l_orderkey"), Seq(col("l_returnflag")))
+      .orderBy("l_returnflag")
+  private val qHllDistinctSql: String =
+    graft.pipelines.Sketches.hllDistinctSql(
+      "lineitem", "l_orderkey", "l_returnflag") + "\nORDER BY l_returnflag"
+
   /** First-principal-component projection of every embedding: distributed
     * mean/Gram passes (4096-group shuffle, constant in corpus size), driver
     * power iteration on the 64×64 matrix, distributed projection. Oracle
@@ -2411,6 +2422,7 @@ object Pipeline extends QueryPack {
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
+    QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

@@ -1,0 +1,41 @@
+package graft
+
+import graft.pipelines.Sketches
+import org.apache.spark.sql.functions._
+
+/** HLL contract the oracle doesn't pin: estimation accuracy vs exact
+  * distinct counts, partition invariance (register max is order-free), and
+  * the small-range correction branch. */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("estimate lands within 3 standard errors of the exact count") {
+    // m=64 → se ≈ 1.04/sqrt(64) ≈ 13%; 3σ ≈ 39%
+    val df = spark.range(20000).select(
+      (col("id") % 2).cast("string").as("g"),
+      (col("id") % 5000).as("v"))
+    val got = Sketches.hllDistinct(df, col("v"), Seq(col("g")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // each group sees 2500 distinct values
+    got.values.foreach { e =>
+      assert(math.abs(e - 2500.0) / 2500.0 < 0.39, s"estimate $e vs 2500")
+    }
+  }
+
+  test("register state is partition-invariant") {
+    val base = spark.range(5000).select(lit("x").as("g"), (col("id") % 700).as("v"))
+    val a = Sketches.hllDistinct(base.repartition(1), col("v"), Seq(col("g")))
+      .collect().map(_.getDouble(1)).head
+    val b = Sketches.hllDistinct(base.repartition(17), col("v"), Seq(col("g")))
+      .collect().map(_.getDouble(1)).head
+    assert(a == b)
+  }
+
+  test("small cardinalities route through the linear-counting branch") {
+    val tiny = spark.range(1000).select(lit("x").as("g"), (col("id") % 7).as("v"))
+    val e = Sketches.hllDistinct(tiny, col("v"), Seq(col("g")))
+      .collect().map(_.getDouble(1)).head
+    // linear counting m*ln(m/V) is near-exact at 7 of 64 buckets filled
+    assert(math.abs(e - 7.0) < 2.0, s"small-range estimate $e vs 7")
+  }
+}
