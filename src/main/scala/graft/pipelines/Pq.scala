@@ -40,6 +40,65 @@ object Pq {
     aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, t) => acc + t)
 
+  /** Train ALL m codebooks in one Lloyd loop: the corpus explodes ONCE into
+    * (id, s, sub-vector) rows, each round is one assignment scan (per-row
+    * fold against the broadcast per-subspace centroid pack) plus one
+    * recenter shuffle grouped by (s, cluster, pos) — so a round reads each
+    * vector once for all m codebooks instead of m sequential passes, and
+    * the job count is O(iters), not O(m·iters). Values are bit-identical
+    * to m independent [[Similarity.kmeansCentroids]] runs: the seeding
+    * hashes ids only (shared across subspaces), the assignment fold uses
+    * the same tie-to-smaller-cluster rule (order-free on exact doubles),
+    * and the recenter is the same nano-quantized mean per group. */
+  private def trainBooks(unit: DataFrame, m: Int, dsub: Int, ks: Int,
+                         iters: Int, idCol: String): Seq[Array[Array[Double]]] = {
+    val subs = unit.select(col(idCol), posexplode(
+        array((0 until m).map(s => slice(col("nv"), s * dsub + 1, dsub)): _*))
+      .as(Seq("s", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hv = graft.core.OracleSafe.hashLong(
+      concat(lit("km:"), col(idCol).cast("string")))
+    val seedIds = unit.withColumn("_h", hv)
+      .orderBy(col("_h"), col(idCol)).limit(ks)
+      .select(col(idCol).as("_sid"))
+    def assignAll(cents: DataFrame): DataFrame = {
+      val packed = cents.groupBy("s")
+        .agg(collect_list(struct(col("cluster"), col("_carr"))).as("_cs"))
+      val best = aggregate(col("_cs"),
+        struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cluster")),
+        (acc, c) => {
+          val d = sqd(col("sv"), c.getField("_carr"))
+          when(d < acc.getField("d2") ||
+              (d === acc.getField("d2") &&
+                c.getField("cluster") < acc.getField("cluster")),
+            struct(d.as("d2"), c.getField("cluster").as("cluster")))
+            .otherwise(acc)
+        })
+      subs.join(broadcast(packed), Seq("s"))
+        .withColumn("_b", best)
+        .select(col(idCol), col("s"), col("_b.cluster").as("cluster"))
+    }
+    var cents: DataFrame = subs
+      .join(broadcast(seedIds), col(idCol) === col("_sid"))
+      .select(col("s"), col(idCol).as("cluster"), col("sv").as("_carr"))
+    for (_ <- 1 to iters)
+      cents = assignAll(cents).join(subs, Seq(idCol, "s"))
+        .select(col("s"), col("cluster"),
+          posexplode(col("sv")).as(Seq("_pos", "_val")))
+        .groupBy("s", "cluster", "_pos")
+        .agg((sum(floor(col("_val") * lit(1e9))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast(DoubleType) /
+          count(col("_val")) / lit(1e9)).as("_m"))
+        .groupBy("s", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          x => x.getField("_m")).as("_carr"))
+    val rows = cents.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    subs.unpersist(blocking = false)
+    (0 until m).map(s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3): Array[Array[Double]])
+  }
+
   /** PQ top-k for one probe. Trains ad-hoc (m Lloyd runs), encodes and
     * scans in ONE pass over the corpus, exact-reranks `k*rerank`
     * candidates. Result contract matches the other ANN variants:
@@ -63,13 +122,7 @@ object Pq {
     // codebooks like the SQ8/LSH/IVF variants reuse their indexes
     val books: Seq[Array[Array[Double]]] =
       booksCache(emb, (idCol, vecCol, m, ks, iters)) {
-        (0 until m).map { s =>
-          val sub = unit.select(col(idCol),
-            slice(col("nv"), s * dsub + 1, dsub).as("sv"))
-          Similarity.kmeansCentroids(sub, ks, iters, idCol, "sv")
-            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-            .sortBy(_._1).map(_._2)
-        }
+        trainBooks(unit, m, dsub, ks, iters, idCol)
       }
 
     // encode: argmin over the literal codebook; strict < keeps the FIRST
