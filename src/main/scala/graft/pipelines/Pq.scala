@@ -125,39 +125,54 @@ object Pq {
         trainBooks(unit, m, dsub, ks, iters, idCol)
       }
 
-    // encode: argmin over the literal codebook; strict < keeps the FIRST
-    // minimum, i.e. the smallest dense index == smallest cluster id — the
-    // oracle's (dist2, cluster) tie rule
-    def codeExpr(s: Int): Column = {
-      val packed = array(books(s).zipWithIndex.map { case (arr, di) =>
-        struct(lit(di).as("di"), array(arr.map(lit): _*).as("carr")) }: _*)
-      val sub = slice(col("nv"), s * dsub + 1, dsub)
-      aggregate(packed,
-        struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("di")),
-        (acc, c) => {
-          val d = sqd(sub, c.getField("carr"))
-          when(d < acc.getField("d2"),
-            struct(d.as("d2"), c.getField("di").as("di"))).otherwise(acc)
-        }).getField("di")
-    }
-
     // ADC: per subspace, distance from the query's sub-vector to the row's
     // assigned centroid (codebook literal lookup), summed in subspace order.
-    // Encoding and scan share one pass here; the offline form would persist
-    // the m code columns and scan only those.
+    // Encoding and scan share one pass here; [[writePqIndex]] persists the
+    // codes so the offline form scans only those.
     val q = unit.where(col(idCol) === queryId).select(col("nv").as("qn"))
-    val approx = (0 until m).map { s =>
-      val qs = slice(col("qn"), s * dsub + 1, dsub)
-      val cents2d = array(books(s).map(arr => array(arr.map(lit): _*)): _*)
-      sqd(qs, element_at(cents2d, codeExpr(s) + 1))
-    }.reduceLeft(_ + _)
+    val codes = codesArr(books, col("nv"), dsub)
     val candIds = unit.crossJoin(broadcast(q))
       .where(col(idCol) =!= queryId)
-      .withColumn("approx", approx)
+      .withColumn("approx", adcFromCodes(books, col("qn"), codes, dsub))
       .orderBy(col("approx").asc, col(idCol))
       .limit(k * rerank)
       .select(idCol)
+    rerankTail(emb, candIds, queryId, k, idCol, vecCol)
+  }
 
+  /** Dense code per subspace: argmin over the literal codebook; strict <
+    * keeps the FIRST minimum, i.e. the smallest dense index == smallest
+    * cluster id — the oracle's (dist2, cluster) tie rule. */
+  private def codeExpr(book: Array[Array[Double]], sub: Column): Column = {
+    val packed = array(book.zipWithIndex.map { case (arr, di) =>
+      struct(lit(di).as("di"), array(arr.map(lit): _*).as("carr")) }: _*)
+    aggregate(packed,
+      struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("di")),
+      (acc, c) => {
+        val d = sqd(sub, c.getField("carr"))
+        when(d < acc.getField("d2"),
+          struct(d.as("d2"), c.getField("di").as("di"))).otherwise(acc)
+      }).getField("di")
+  }
+
+  /** All m dense codes of a normalized vector, as one int array column. */
+  private def codesArr(books: Seq[Array[Array[Double]]], nv: Column,
+                       dsub: Int): Column =
+    array(books.indices.map(s =>
+      codeExpr(books(s), slice(nv, s * dsub + 1, dsub))): _*)
+
+  /** Subspace-ordered ADC sum from stored codes: Σ_s d²(q_s, book_s[code_s]). */
+  private def adcFromCodes(books: Seq[Array[Array[Double]]], qn: Column,
+                           codes: Column, dsub: Int): Column =
+    books.indices.map { s =>
+      val cents2d = array(books(s).map(arr => array(arr.map(lit): _*)): _*)
+      sqd(slice(qn, s * dsub + 1, dsub),
+        element_at(cents2d, element_at(codes, s + 1) + 1))
+    }.reduceLeft(_ + _)
+
+  /** Exact-cosine re-rank of the candidate ids — the shared ANN tail. */
+  private def rerankTail(emb: DataFrame, candIds: DataFrame, queryId: Long,
+                         k: Int, idCol: String, vecCol: String): DataFrame = {
     val qRaw = emb.where(col(idCol) === queryId).select(col(vecCol).as("q_emb"))
     emb.join(candIds, idCol)
       .crossJoin(broadcast(qRaw))
@@ -168,6 +183,66 @@ object Pq {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
       .select(col(idCol), col("cosine"), col("rnk"))
+  }
+
+  /** Materialize the offline serving index: `<table>` = (idCol, codes) —
+    * m dense ints per vector, 1/(dim/m) the bytes of the float corpus —
+    * plus `<table>_books` = (s, di, carr) codebook rows. At 100 TB this is
+    * the one job that reads the embeddings; every probe afterwards scans
+    * only the code table. */
+  def writePqIndex(emb: DataFrame, table: String, m: Int = 16, ks: Int = 16,
+                   iters: Int = 2, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val spark = emb.sparkSession
+    val unit = emb
+      .withColumn("_n", Vectors.norm(col(vecCol)))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("_n")).as("nv"))
+    val books = booksCache(emb, (idCol, vecCol, m, ks, iters)) {
+      trainBooks(unit, m, dsub, ks, iters, idCol)
+    }
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (book, s) => book.zipWithIndex.map { case (arr, di) =>
+        (s, di, arr.toSeq) } }
+      .toDF("s", "di", "carr")
+      .write.mode("overwrite").saveAsTable(s"${table}_books")
+    unit.select(col(idCol), codesArr(books, col("nv"), dsub).as("codes"))
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Probe a [[writePqIndex]] table: the ADC pass scans ONLY the code
+    * table (m ints per row — the plan's ReadSchema shows no embedding
+    * column), with the codebooks collected bounded from the companion
+    * table and riding as literals; only the k·rerank candidate ids touch
+    * the float corpus for the exact re-rank. Identical results to
+    * [[pqTopK]] at the same params (spec-pinned). */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      emb: DataFrame, queryId: Long, k: Int,
+                      rerank: Int = 16, dim: Int = 64,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val bookRows = spark.table(s"${table}_books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val dsub = dim / m
+    val books: Seq[Array[Array[Double]]] =
+      (0 until m).map(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val q = emb.where(col(idCol) === queryId)
+      .withColumn("_n", Vectors.norm(col(vecCol)))
+      .select(transform(col(vecCol),
+        x => x.cast(DoubleType) / col("_n")).as("qn"))
+    val candIds = spark.table(table)
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("approx", adcFromCodes(books, col("qn"), col("codes"), dsub))
+      .orderBy(col("approx").asc, col(idCol))
+      .limit(k * rerank)
+      .select(idCol)
+    rerankTail(emb, candIds, queryId, k, idCol, vecCol)
   }
 
   /** DuckDB replay of [[pqTopK]]: normalization, the m hash-seeded Lloyd

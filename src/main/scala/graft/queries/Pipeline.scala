@@ -750,6 +750,21 @@ object Pipeline extends QueryPack {
       .orderBy("rnk")
   private val qAnnPqSql: String = graft.pipelines.Pq.pqTopKSql(0L, 10)
 
+  /** The same ranking through the PERSISTED code table (first call of a
+    * session builds it): the ADC pass scans m ints per vector, never the
+    * floats. Shares the ad-hoc oracle — identical output by construction
+    * (same codebooks, same candidate rule, same re-rank). */
+  private def qAnnPqIndex(s: SparkSession, sf: String): DataFrame = {
+    val table = "graft_pq_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table, companions = Seq(s"${table}_books")) {
+      graft.pipelines.Pq.writePqIndex(Tables.embeddings(s, sf), table)
+    }
+    graft.pipelines.Pq.pqTopKFromIndex(s, table, Tables.embeddings(s, sf),
+        queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  }
+
   private def qAnnBatch(s: SparkSession, sf: String): DataFrame =
     Similarity.bruteForceTopKBatch(Tables.embeddings(s, sf),
         queryIds = Seq(0L, 7L, 42L), k = 5)
@@ -2370,6 +2385,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_batch_topk", qAnnBatch, Some(qAnnBatchSql)),
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
     QueryDef("ann_pq", qAnnPq, Some(qAnnPqSql)),
+    QueryDef("ann_pq_index", qAnnPqIndex, Some(qAnnPqSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),

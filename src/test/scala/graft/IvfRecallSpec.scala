@@ -200,6 +200,36 @@ class IvfRecallSpec extends SparkTestBase {
     assert(sq8 >= 0.9, s"sq8 recall@10 $sq8 below the 0.9 bar")
   }
 
+  test("persisted pq index equals ad-hoc pq; adc scan reads codes only") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val table = "graft_test_pq_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_books")
+    graft.pipelines.Pq.writePqIndex(emb, table)
+
+    for (q <- Seq(0L, 7L)) {
+      val adhoc = graft.pipelines.Pq.pqTopK(emb, q, 10)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      val viaIdx = graft.pipelines.Pq.pqTopKFromIndex(spark, table, emb, q, 10)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      assert(viaIdx == adhoc, s"query $q: index path diverged")
+    }
+    // the approximate pass must scan the CODE table (ints), never the
+    // embedding floats: its file scan reads exactly (vec_id, codes)
+    val cand = spark.table(table).where(col("vec_id") =!= 0L)
+    val scan = cand.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScan over the code table"))
+    val readCols = scan.schema.fieldNames.toSet
+    assert(readCols == Set("vec_id", "codes"),
+      s"adc scan must read codes only, got $readCols")
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_books")
+  }
+
   test("pq adc + exact re-rank recall@10 at the largest corpus (sf0.1)") {
     // PQ on the uniform corpus is the coarsest quantizer here (8 subspaces
     // × 16 codes ≈ 32 bits/vector vs SQ8's 512): the ADC ranking carries
