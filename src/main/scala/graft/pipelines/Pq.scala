@@ -99,31 +99,17 @@ object Pq {
       rows.filter(_._1 == s).sortBy(_._2).map(_._3): Array[Array[Double]])
   }
 
-  /** PQ top-k for one probe. Trains ad-hoc (m Lloyd runs), encodes and
-    * scans in ONE pass over the corpus, exact-reranks `k*rerank`
-    * candidates. Result contract matches the other ANN variants:
+  /** PQ top-k for one probe: one-loop training (cached per corpus+params),
+    * encode + ADC scan in ONE pass over the corpus, exact re-rank of
+    * `k*rerank` candidates. Result contract matches the other ANN variants:
     * (idCol, cosine, rnk). */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 16, ks: Int = 16,
              iters: Int = 2, rerank: Int = 16, dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    val spark = emb.sparkSession
-    graft.functions.VectorExprs.register(spark)
-
-    val unit = emb
-      .withColumn("_n", Vectors.norm(col(vecCol)))
-      .select(col(idCol),
-        transform(col(vecCol), x => x.cast(DoubleType) / col("_n")).as("nv"))
-
-    // per-subspace codebooks, collected bounded (ks × dsub doubles each) and
-    // densified in cluster-id order so dense index asc == cluster id asc;
-    // trained ONCE per (corpus plan, params) — repeat probes reuse the
-    // codebooks like the SQ8/LSH/IVF variants reuse their indexes
-    val books: Seq[Array[Array[Double]]] =
-      booksCache(emb, (idCol, vecCol, m, ks, iters)) {
-        trainBooks(unit, m, dsub, ks, iters, idCol)
-      }
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val unit = unitize(emb, idCol, vecCol)
+    val books = trainCodebooks(emb, m, ks, iters, dim, idCol, vecCol)
 
     // ADC: per subspace, distance from the query's sub-vector to the row's
     // assigned centroid (codebook literal lookup), summed in subspace order.
@@ -170,6 +156,36 @@ object Pq {
         element_at(cents2d, element_at(codes, s + 1) + 1))
     }.reduceLeft(_ + _)
 
+  /** Unit-normalized projection `(idCol, nv)` — the shared front half. */
+  private def unitize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("_n", Vectors.norm(col(vecCol)))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("_n")).as("nv"))
+
+  /** Train (or fetch cached) codebooks for a corpus — the public handle for
+    * serving paths that encode elsewhere (a stream, a later snapshot). */
+  def trainCodebooks(emb: DataFrame, m: Int = 16, ks: Int = 16,
+                     iters: Int = 2, dim: Int = 64,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Seq[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    booksCache(emb, (idCol, vecCol, m, ks, iters)) {
+      trainBooks(unitize(emb, idCol, vecCol), m, dim / m, ks, iters, idCol)
+    }
+  }
+
+  /** Dense-encode a frame with trained codebooks: `(idCol, codes)`. Every
+    * expression is stateless per-row (norm fold, literal-codebook argmin),
+    * so the same call encodes a batch corpus or a `readStream` in append
+    * mode — the stream-static serving shape, parity-pinned by the
+    * `streaming_pq_encode` oracle. */
+  def encode(df: DataFrame, books: Seq[Array[Array[Double]]], dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / books.length
+    unitize(df, idCol, vecCol)
+      .select(col(idCol), codesArr(books, col("nv"), dsub).as("codes"))
+  }
+
   /** Exact-cosine re-rank of the candidate ids — the shared ANN tail. */
   private def rerankTail(emb: DataFrame, candIds: DataFrame, queryId: Long,
                          k: Int, idCol: String, vecCol: String): DataFrame = {
@@ -194,22 +210,15 @@ object Pq {
                    iters: Int = 2, dim: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val dsub = dim / m
     val spark = emb.sparkSession
-    val unit = emb
-      .withColumn("_n", Vectors.norm(col(vecCol)))
-      .select(col(idCol),
-        transform(col(vecCol), x => x.cast(DoubleType) / col("_n")).as("nv"))
-    val books = booksCache(emb, (idCol, vecCol, m, ks, iters)) {
-      trainBooks(unit, m, dsub, ks, iters, idCol)
-    }
+    val books = trainCodebooks(emb, m, ks, iters, dim, idCol, vecCol)
     import spark.implicits._
     books.zipWithIndex
       .flatMap { case (book, s) => book.zipWithIndex.map { case (arr, di) =>
         (s, di, arr.toSeq) } }
       .toDF("s", "di", "carr")
       .write.mode("overwrite").saveAsTable(s"${table}_books")
-    unit.select(col(idCol), codesArr(books, col("nv"), dsub).as("codes"))
+    encode(emb, books, dim, idCol, vecCol)
       .write.mode("overwrite").saveAsTable(table)
   }
 
@@ -260,6 +269,41 @@ object Pq {
     def cosRaw(x: String, y: String) =
       s"${dotRaw(x, y)} / (sqrt(${dotRaw(x, x)}) * sqrt(${dotRaw(y, y)}))"
 
+    def apCte(s: Int): String = {
+      val lo = s * dsub + 1
+      val hi = lo + dsub - 1
+      s"""ap_$s AS (SELECT cd.vec_id, ${d2("q.svq", "c.carr")} AS d
+         |  FROM code_$s cd JOIN c${iters}_$s c ON c.cluster = cd.cluster
+         |  CROSS JOIN (SELECT nv[$lo:$hi] AS svq FROM en WHERE vec_id = $queryId) q)""".stripMargin
+    }
+
+    val adcJoin = (1 until m).map(s => s"JOIN ap_$s a$s USING (vec_id)").mkString(" ")
+    val adcSum = (0 until m).map(s => s"a$s.d").mkString(" + ")
+    s"""WITH ${trainCtes(m, ks, iters, dim)},
+       |${(0 until m).map(apCte).mkString(",\n")},
+       |adc AS (SELECT a0.vec_id, $adcSum AS approx FROM ap_0 a0 $adcJoin),
+       |cand AS (SELECT vec_id FROM adc WHERE vec_id <> $queryId
+       |         ORDER BY approx, vec_id LIMIT ${k * rerank}),
+       |sc AS (SELECT c.vec_id, ${cosRaw("e.embedding", "q.qe")} AS cosine
+       |       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |       CROSS JOIN (SELECT embedding AS qe FROM embeddings
+       |                   WHERE vec_id = $queryId) q)
+       |SELECT vec_id, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn <= $k ORDER BY rnk""".stripMargin
+  }
+
+  /** Shared oracle prefix: normalization, the md5 seed set, and per
+    * subspace the Lloyd CTEs ending in `code_$s` (vec_id → cluster) and
+    * the final codebook `c<iters>_$s`. */
+  private def trainCtes(m: Int, ks: Int, iters: Int, dim: Int): String = {
+    val dsub = dim / m
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, x) -> acc + x)"
+    def d2(x: String, y: String) = fold(
+      s"list_transform(generate_series(1, $dsub), i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))")
+    def dotRaw(x: String, y: String) = fold(
+      s"list_transform(generate_series(1, $dim), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))")
     def subspace(s: Int): String = {
       val lo = s * dsub + 1
       val hi = lo + dsub - 1
@@ -285,15 +329,9 @@ object Pq {
          |c0_$s AS (SELECT s.cluster, e.nv[$lo:$hi] AS carr
          |          FROM seed s JOIN en e ON e.vec_id = s.cluster),
          |$lloyd,
-         |${assign(s"c${iters}_$s", s"code_$s")},
-         |ap_$s AS (SELECT cd.vec_id, ${d2("q.svq", "c.carr")} AS d
-         |  FROM code_$s cd JOIN c${iters}_$s c ON c.cluster = cd.cluster
-         |  CROSS JOIN (SELECT nv[$lo:$hi] AS svq FROM en WHERE vec_id = $queryId) q)""".stripMargin
+         |${assign(s"c${iters}_$s", s"code_$s")}""".stripMargin
     }
-
-    val adcJoin = (1 until m).map(s => s"JOIN ap_$s a$s USING (vec_id)").mkString(" ")
-    val adcSum = (0 until m).map(s => s"a$s.d").mkString(" + ")
-    s"""WITH en AS (SELECT vec_id,
+    s"""en AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS nv
        |  FROM (SELECT vec_id, embedding,
        |          sqrt(${dotRaw("embedding", "embedding")}) AS n
@@ -303,16 +341,28 @@ object Pq {
        |    SELECT vec_id,
        |      CAST(('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
        |    FROM embeddings) ORDER BY hv, vec_id LIMIT $ks),
-       |${(0 until m).map(subspace).mkString(",\n")},
-       |adc AS (SELECT a0.vec_id, $adcSum AS approx FROM ap_0 a0 $adcJoin),
-       |cand AS (SELECT vec_id FROM adc WHERE vec_id <> $queryId
-       |         ORDER BY approx, vec_id LIMIT ${k * rerank}),
-       |sc AS (SELECT c.vec_id, ${cosRaw("e.embedding", "q.qe")} AS cosine
-       |       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
-       |       CROSS JOIN (SELECT embedding AS qe FROM embeddings
-       |                   WHERE vec_id = $queryId) q)
-       |SELECT vec_id, CAST(rn AS INT) AS rnk FROM (
-       |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
-       |  FROM sc) WHERE rn <= $k ORDER BY rnk""".stripMargin
+       |${(0 until m).map(subspace).mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB replay of [[encode]] output as `(vec_id, codes_str)`: the
+    * subspace cluster assignments densified (rank of the cluster id within
+    * the subspace's surviving codebook — exactly the cluster-id-sorted
+    * dense index the Scala side uses) and joined into one comma string. */
+  def encodeSql(m: Int = 16, ks: Int = 16, iters: Int = 2,
+                dim: Int = 64): String = {
+    val dense = (0 until m).map(s =>
+      s"""dr_$s AS (SELECT cluster,
+         |  row_number() OVER (ORDER BY cluster) - 1 AS di FROM c${iters}_$s),
+         |dc_$s AS (SELECT cd.vec_id, d.di FROM code_$s cd
+         |          JOIN dr_$s d ON d.cluster = cd.cluster)""".stripMargin)
+      .mkString(",\n")
+    val joins = (1 until m).map(s => s"JOIN dc_$s x$s USING (vec_id)").mkString(" ")
+    val codeList = (0 until m).map(s => s"x$s.di").mkString(", ")
+    s"""WITH ${trainCtes(m, ks, iters, dim)},
+       |$dense
+       |SELECT x0.vec_id,
+       |  array_to_string([$codeList], ',') AS codes_str
+       |FROM dc_0 x0 $joins
+       |ORDER BY x0.vec_id""".stripMargin
   }
 }

@@ -214,6 +214,31 @@ object StreamingQ extends QueryPack {
     s.table("stopics_out").orderBy("vec_id")
   }
 
+  /** STREAMING PQ encode: the embedding stream dense-coded against
+    * codebooks trained on the batch corpus — the stream-static serving
+    * shape (stateless per-row norm fold + literal-codebook argmin, append
+    * mode). The oracle replays the batch training + encode, so stream
+    * parity with batch IS the check. */
+  private def qStreamPqEncode(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_spq")
+    val src = s"$base/src"
+    Tables.embeddings(s, sf).select("vec_id", "embedding")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val books = graft.pipelines.Pq.trainCodebooks(Tables.embeddings(s, sf))
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").json(src)
+    val out = graft.pipelines.Pq.encode(stream, books)
+    val q = out.writeStream.format("memory").queryName("spq_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    s.table("spq_out")
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_str"))
+      .orderBy("vec_id")
+  }
+
   /** STREAMING funnel: the event stream in two triggers through the
     * per-key custom-state cascade ([[graft.streaming.StreamingFunnel]]);
     * the append-only sink reduces to the latest snapshot per user
@@ -281,5 +306,7 @@ object StreamingQ extends QueryPack {
     QueryDef("streaming_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("streaming_topic_assign", qStreamTopics,
       Some(Pipeline.kmeansAsgSql)),
+    QueryDef("streaming_pq_encode", qStreamPqEncode,
+      Some(graft.pipelines.Pq.encodeSql())),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }
