@@ -74,41 +74,78 @@ object Pca {
     v
   }
 
+  /** Shared prelude: nano-quantized means, centered frame, Gram matrix. */
+  private def prepare(emb: DataFrame, dim: Int, idCol: String,
+                      vecCol: String): (DataFrame, Array[Array[Double]]) = {
+    val m = means(emb, vecCol)
+    require(m.length == dim, s"corpus dim ${m.length} != configured $dim")
+    val mLit = array(m.map(lit): _*)
+    val centered = emb.select(col(idCol),
+      zip_with(col(vecCol), mLit, (x, mm) => x.cast(DoubleType) - mm).as("c"))
+    (centered, gram(centered, dim))
+  }
+
+  /** Index-order projection fold (x−mean)·v as a per-row expression. */
+  private def projExpr(v: Array[Double]): Column =
+    aggregate(
+      zip_with(col("c"), array(v.map(lit): _*), (x, w) => x * w),
+      lit(0.0), (acc, t) => acc + t)
+
   /** Projection of every vector onto the first principal component:
     * `(idCol, pc1)` where pc1 = (x − mean)·v₁, the fold in index order.
     * The mean and loading vectors ride the plan as literals (no join). */
   def pc1Projections(emb: DataFrame, iters: Int = 10, dim: Int = 64,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val m = means(emb, vecCol)
-    require(m.length == dim, s"corpus dim ${m.length} != configured $dim")
-    val mLit = array(m.map(lit): _*)
-    val centered = emb.select(col(idCol),
-      zip_with(col(vecCol), mLit, (x, mm) => x.cast(DoubleType) - mm).as("c"))
-    val v = powerIterate(gram(centered, dim), iters)
-    val vLit = array(v.map(lit): _*)
-    val pc1: Column = aggregate(
-      zip_with(col("c"), vLit, (x, w) => x * w),
-      lit(0.0), (acc, t) => acc + t)
-    centered.select(col(idCol), pc1.as("pc1")).orderBy(col(idCol))
+    val (centered, g) = prepare(emb, dim, idCol, vecCol)
+    val v = powerIterate(g, iters)
+    centered.select(col(idCol), projExpr(v).as("pc1")).orderBy(col(idCol))
   }
+
+  /** First TWO components via Hotelling deflation: v₂ is the top
+    * eigenvector of G − λ₁·v₁v₁ᵀ where λ₁ = v₁·(G·v₁) — all driver
+    * arithmetic on the collected dim×dim matrix, sequential folds
+    * throughout, so the oracle replays it term for term. Output
+    * `(idCol, pc1, pc2)`. */
+  def pc2Projections(emb: DataFrame, iters: Int = 10, dim: Int = 64,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val (centered, g) = prepare(emb, dim, idCol, vecCol)
+    val v1 = powerIterate(g, iters)
+    val gv = Array.tabulate(dim)(i => dotSeq(g(i), v1))
+    val lam = dotSeq(v1, gv)
+    val g2 = Array.tabulate(dim, dim)((i, j) => g(i)(j) - lam * v1(i) * v1(j))
+    val v2 = powerIterate(g2, iters)
+    centered.select(col(idCol), projExpr(v1).as("pc1"), projExpr(v2).as("pc2"))
+      .orderBy(col(idCol))
+  }
+
+  private def sqlFold(terms: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** Power-iteration CTE chain `<vp>1..<vp>iters` over gram CTE `$gramCte`,
+    * starting from `<vp>0`. */
+  private def sqlSteps(gramCte: String, vp: String, iters: Int,
+                       dim: Int): String =
+    (1 to iters).map { t =>
+      s"""${vp}w$t AS (SELECT list_transform(generate_series(1, $dim), i ->
+         |    ${sqlFold(s"list_transform(generate_series(1, $dim), j -> $gramCte.rows[i][j] * p.v[j])")}) AS w
+         |  FROM $gramCte, $vp${t - 1} p),
+         |$vp$t AS (SELECT list_transform(w.w, x -> x / sqrt(
+         |    ${sqlFold("list_transform(w.w, y -> y * y)")})) AS v FROM ${vp}w$t w)""".stripMargin
+    }.mkString(",\n")
+
+  private def sqlProj(vCte: String, dim: Int): String =
+    sqlFold(s"list_transform(generate_series(1, $dim), j -> (CAST(e.embedding[j] AS DOUBLE) - ml.m[j]) * $vCte.v[j])")
 
   /** DuckDB replay of [[pc1Projections]]: the same mean/Gram decimal sums,
     * the power iteration unrolled into chained CTEs over a list-of-lists
     * Gram, every fold a `list_reduce` in index order. */
-  def pc1ProjectionsSql(iters: Int = 10, dim: Int = 64): String = {
-    def fold(terms: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms),
-         |      (acc, x) -> acc + x)""".stripMargin
-    val steps = (1 to iters).map { t =>
-      val prev = if (t == 1) "v0" else s"v${t - 1}"
-      s"""w$t AS (SELECT list_transform(generate_series(1, $dim), i ->
-         |    ${fold(s"list_transform(generate_series(1, $dim), j -> gl.rows[i][j] * p.v[j])")}) AS w
-         |  FROM gl, $prev p),
-         |v$t AS (SELECT list_transform(w.w, x -> x / sqrt(
-         |    ${fold("list_transform(w.w, y -> y * y)")})) AS v FROM w$t w)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pos AS (SELECT unnest(generate_series(1, $dim)) AS i),
+  /** Shared oracle prefix: positions, nano-quantized means, the Gram
+    * list-of-lists `gl`, and the exact-literal start vector `v0`. */
+  private def sqlPrefix(dim: Int): String =
+    s"""pos AS (SELECT unnest(generate_series(1, $dim)) AS i),
        |means AS (SELECT p.i,
        |    CAST(sum(CAST(floor(CAST(e.embedding[p.i] AS DOUBLE) * 1e9)
        |      AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1e9 AS m
@@ -125,11 +162,35 @@ object Pca {
        |gl AS (SELECT list(gr ORDER BY i) AS rows FROM
        |  (SELECT i, list(g ORDER BY j) AS gr FROM gram GROUP BY i)),
        |v0 AS (SELECT list_transform(generate_series(1, $dim),
-       |    i -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS v),
-       |$steps
-       |SELECT e.vec_id,
-       |  ${fold(s"list_transform(generate_series(1, $dim), j -> (CAST(e.embedding[j] AS DOUBLE) - ml.m[j]) * p.v[j])")} AS pc1
+       |    i -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS v)""".stripMargin
+
+  def pc1ProjectionsSql(iters: Int = 10, dim: Int = 64): String =
+    s"""WITH ${sqlPrefix(dim)},
+       |${sqlSteps("gl", "v", iters, dim)}
+       |SELECT e.vec_id, ${sqlProj("p", dim)} AS pc1
        |FROM embeddings e CROSS JOIN ml CROSS JOIN v$iters p
        |ORDER BY e.vec_id""".stripMargin
-  }
+
+  /** DuckDB replay of [[pc2Projections]]: the pc1 chain, then
+    * λ₁ = v₁·(G·v₁), the deflated Gram G − λ₁v₁v₁ᵀ as a second
+    * list-of-lists, and a second iteration chain — term order identical
+    * to the driver arithmetic. */
+  def pc2ProjectionsSql(iters: Int = 10, dim: Int = 64): String =
+    s"""WITH ${sqlPrefix(dim)},
+       |${sqlSteps("gl", "v", iters, dim)},
+       |gv AS (SELECT list_transform(generate_series(1, $dim), i ->
+       |    ${sqlFold(s"list_transform(generate_series(1, $dim), j -> gl.rows[i][j] * p.v[j])")}) AS w
+       |  FROM gl, v$iters p),
+       |lam AS (SELECT ${sqlFold(s"list_transform(generate_series(1, $dim), i -> p.v[i] * gv.w[i])")} AS l
+       |        FROM v$iters p, gv),
+       |gl2 AS (SELECT list_transform(generate_series(1, $dim), i ->
+       |    list_transform(generate_series(1, $dim), j ->
+       |      gl.rows[i][j] - ((lam.l * p.v[i]) * p.v[j]))) AS rows
+       |  FROM gl, lam, v$iters p),
+       |u0 AS (SELECT list_transform(generate_series(1, $dim),
+       |    i -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS v),
+       |${sqlSteps("gl2", "u", iters, dim)}
+       |SELECT e.vec_id, ${sqlProj("p", dim)} AS pc1, ${sqlProj("u", dim)} AS pc2
+       |FROM embeddings e CROSS JOIN ml CROSS JOIN v$iters p CROSS JOIN u$iters u
+       |ORDER BY e.vec_id""".stripMargin
 }

@@ -1747,6 +1747,12 @@ object Pipeline extends QueryPack {
     Pca.pc1Projections(Tables.embeddings(s, sf))
   private val qPcaProjectionsSql: String = Pca.pc1ProjectionsSql()
 
+  /** Two components via Hotelling deflation — the oracle replays the pc1
+    * chain, λ₁, the deflated Gram and the second iteration chain. */
+  private def qPca2Projections(s: SparkSession, sf: String): DataFrame =
+    Pca.pc2Projections(Tables.embeddings(s, sf))
+  private val qPca2ProjectionsSql: String = Pca.pc2ProjectionsSql()
+
   /** Farthest-point coreset of 6 from the embedding corpus: the greedy
     * covering-radius selector for diverse training subsets. Oracle unrolls
     * the greedy into chained CTE steps (no cross-row sums → bit-exact). */
@@ -2439,6 +2445,7 @@ object Pipeline extends QueryPack {
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
     QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),
+    QueryDef("embeddings_pca_pc2", qPca2Projections, Some(qPca2ProjectionsSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

@@ -35,6 +35,32 @@ class PcaSpec extends SparkTestBase {
     assert(diffs.forall(_ > 0) || diffs.forall(_ < 0))
   }
 
+  test("pc2 recovers the second axis, decorrelated from pc1") {
+    // axis 0 dominates (±50), axis 1 is second (±5 via id*7 mod pattern),
+    // axes 2-3 are noise-scale
+    val c2 = spark.range(100).select(
+      col("id").as("vec_id"),
+      array(
+        (col("id").cast("double") - 49.5).cast("float"),
+        (((col("id") * 7) % 100).cast("double") / 10.0 - 4.95).cast("float"),
+        ((col("id") % 5).cast("double") / 5.0 - 0.5).cast("float"),
+        ((col("id") % 3).cast("double") / 3.0 - 0.5).cast("float"))
+        .as("embedding"))
+    val rows = graft.pipelines.Pca.pc2Projections(c2, iters = 20, dim = 4)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // pc1 spans the ±50 axis, pc2 the ±5 axis
+    assert(rows.map(r => math.abs(r._1)).max > 45.0)
+    val p2max = rows.map(r => math.abs(r._2)).max
+    assert(p2max > 4.0 && p2max < 10.0, s"pc2 span $p2max")
+    // sample correlation of the two projections is ~0 (deflation removed v1)
+    val n = rows.length
+    val (m1, m2) = (rows.map(_._1).sum / n, rows.map(_._2).sum / n)
+    val cov = rows.map(r => (r._1 - m1) * (r._2 - m2)).sum / n
+    val s1 = math.sqrt(rows.map(r => (r._1 - m1) * (r._1 - m1)).sum / n)
+    val s2 = math.sqrt(rows.map(r => (r._2 - m2) * (r._2 - m2)).sum / n)
+    assert(math.abs(cov / (s1 * s2)) < 0.05, s"corr ${cov / (s1 * s2)}")
+  }
+
   test("mean/Gram passes are partition-invariant") {
     val a = Pca.pc1Projections(cloud.repartition(1), iters = 5, dim = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
