@@ -126,35 +126,28 @@ object Pq {
     rerankTail(emb, candIds, queryId, k, idCol, vecCol)
   }
 
-  /** Dense code per subspace: argmin over the literal codebook; strict <
-    * keeps the FIRST minimum, i.e. the smallest dense index == smallest
+  /** All m dense codes of a normalized vector, as one int array column —
+    * the codegen'd [[graft.functions.PqEncode]] kernel (codebooks ride as a
+    * referenced flat array, not literal trees: the literal form's ~1024
+    * unrolled doubles made codegen compilation dominate the scan). Argmin
+    * keeps the FIRST minimum (strict <): smallest dense index == smallest
     * cluster id — the oracle's (dist2, cluster) tie rule. */
-  private def codeExpr(book: Array[Array[Double]], sub: Column): Column = {
-    val packed = array(book.zipWithIndex.map { case (arr, di) =>
-      struct(lit(di).as("di"), array(arr.map(lit): _*).as("carr")) }: _*)
-    aggregate(packed,
-      struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("di")),
-      (acc, c) => {
-        val d = sqd(sub, c.getField("carr"))
-        when(d < acc.getField("d2"),
-          struct(d.as("d2"), c.getField("di").as("di"))).otherwise(acc)
-      }).getField("di")
+  private def codesArr(books: Seq[Array[Array[Double]]], nv: Column,
+                       dsub: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val (flat, off, cnt) = graft.functions.PqLayout.flatten(books, dsub)
+    column(graft.functions.PqEncode(expression(nv), flat, off, cnt, dsub))
   }
 
-  /** All m dense codes of a normalized vector, as one int array column. */
-  private def codesArr(books: Seq[Array[Array[Double]]], nv: Column,
-                       dsub: Int): Column =
-    array(books.indices.map(s =>
-      codeExpr(books(s), slice(nv, s * dsub + 1, dsub))): _*)
-
-  /** Subspace-ordered ADC sum from stored codes: Σ_s d²(q_s, book_s[code_s]). */
+  /** Subspace-ordered ADC sum from stored codes: Σ_s d²(q_s, book_s[code_s]),
+    * as the codegen'd [[graft.functions.PqAdc]] kernel. */
   private def adcFromCodes(books: Seq[Array[Array[Double]]], qn: Column,
-                           codes: Column, dsub: Int): Column =
-    books.indices.map { s =>
-      val cents2d = array(books(s).map(arr => array(arr.map(lit): _*)): _*)
-      sqd(slice(qn, s * dsub + 1, dsub),
-        element_at(cents2d, element_at(codes, s + 1) + 1))
-    }.reduceLeft(_ + _)
+                           codes: Column, dsub: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val (flat, off, _) = graft.functions.PqLayout.flatten(books, dsub)
+    column(graft.functions.PqAdc(
+      expression(codes), expression(qn), flat, off, dsub))
+  }
 
   /** Unit-normalized projection `(idCol, nv)` — the shared front half. */
   private def unitize(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -21,16 +21,13 @@ import org.apache.spark.sql.types.LongType
   */
 object Sketches {
 
-  /** HyperLogLog distinct-count estimate per group (2^b registers,
-    * default 64 → ~13% standard error; raise b for precision).
-    * Output: groupCols :+ (estimate: double). */
-  def hllDistinct(df: DataFrame, valueCol: Column, groupCols: Seq[Column],
-                  b: Int = 6): DataFrame = {
+  /** Raw HLL register table per group: `groupCols :+ (_b, _mr)` — one row
+    * per nonempty register. This IS the sketch: registers merge across
+    * tables/partitions/snapshots with a plain `max` ([[hllMerge]]), which
+    * is what makes the sketch worth persisting at scale. */
+  def hllRegisters(df: DataFrame, valueCol: Column, groupCols: Seq[Column],
+                   b: Int = 6): DataFrame = {
     val m = 1 << b
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    // the whole numerator folds into ONE driver-computed literal: the
-    // estimate is literal / integer — a single deterministic division
-    val amc = alpha * m * m * math.pow(2.0, 33)
     val h = md5(concat(lit("hll:"), valueCol.cast("string")))
     val h1 = conv(substring(h, 1, 8), 16, 10).cast(LongType)
     val h2 = conv(substring(h, 9, 8), 16, 10).cast(LongType)
@@ -38,9 +35,23 @@ object Sketches {
     // rank = leading zeros of the 32-bit h2, +1 == 33 - bitlength(h2);
     // bin() prints without leading zeros in BOTH engines
     val rho = when(h2 === 0, lit(33)).otherwise(lit(33) - length(bin(h2)))
-    val regs = df
-      .select(groupCols ++ Seq(bucket.as("_b"), rho.as("_r")): _*)
+    df.select(groupCols ++ Seq(bucket.as("_b"), rho.as("_r")): _*)
       .groupBy(groupCols :+ col("_b"): _*).agg(max(col("_r")).as("_mr"))
+  }
+
+  /** Merge register tables (or collapse groups of one) by register-wise
+    * max — the union-of-sets sketch. `groupCols` are the SURVIVING keys. */
+  def hllMerge(regs: DataFrame, groupCols: Seq[Column]): DataFrame =
+    regs.groupBy(groupCols :+ col("_b"): _*).agg(max(col("_mr")).as("_mr"))
+
+  /** Estimate from a register table: `groupCols :+ (estimate: double)`. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[Column],
+                  b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // the whole numerator folds into ONE driver-computed literal: the
+    // estimate is literal / integer — a single deterministic division
+    val amc = alpha * m * m * math.pow(2.0, 33)
     val zPresent = sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - _mr)"))
     val grouped = regs.groupBy(groupCols: _*)
       .agg(zPresent.as("_zp"), count(lit(1)).as("_nb"))
@@ -54,15 +65,23 @@ object Sketches {
       .select(groupCols :+ col("estimate"): _*)
   }
 
+  /** HyperLogLog distinct-count estimate per group (2^b registers,
+    * default 64 → ~13% standard error; raise b for precision).
+    * Output: groupCols :+ (estimate: double). */
+  def hllDistinct(df: DataFrame, valueCol: Column, groupCols: Seq[Column],
+                  b: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, groupCols, b), groupCols, b)
+
   /** DuckDB replay of [[hllDistinct]] for one value/group expression pair.
     * `table`, `valueExpr`, `groupExpr` are SQL fragments; the constants are
     * embedded from the SAME Scala doubles. */
   def hllDistinctSql(table: String, valueExpr: String, groupExpr: String,
-                     b: Int = 6): String = {
+                     b: Int = 6, outName: String = ""): String = {
     val m = 1 << b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val amc = (alpha * m * m * math.pow(2.0, 33)).toString
-    s"""SELECT g AS $groupExpr, CASE WHEN $amc / zz <= ${2.5 * m} AND v > 0
+    val out = if (outName.nonEmpty) outName else groupExpr
+    s"""SELECT g AS $out, CASE WHEN $amc / zz <= ${2.5 * m} AND v > 0
        |         THEN CAST(CAST($m.0 * ln($m.0 / v) AS DECIMAL(38,9)) AS DOUBLE)
        |         ELSE $amc / zz END AS estimate
        |FROM (
@@ -81,4 +100,12 @@ object Sketches {
        |      GROUP BY g, bkt)
        |    GROUP BY g))""".stripMargin
   }
+
+  /** Global (ungrouped) replay: registers of disjoint groups merge by max
+    * into exactly the direct global registers, so the oracle for a merged
+    * sketch IS the direct global sketch. */
+  def hllDistinctGlobalSql(table: String, valueExpr: String,
+                           b: Int = 6): String =
+    s"""SELECT estimate FROM (
+       |${hllDistinctSql(table, valueExpr, "0", b, outName = "grp")})""".stripMargin
 }

@@ -1747,6 +1747,20 @@ object Pipeline extends QueryPack {
     Pca.pc1Projections(Tables.embeddings(s, sf))
   private val qPcaProjectionsSql: String = Pca.pc1ProjectionsSql()
 
+  /** Register-merge path: per-returnflag sketches merged by register max
+    * into ONE global estimate — the persisted-sketch serving shape (merge
+    * beats rescan). Merging disjoint groups' registers reproduces the
+    * direct global registers exactly, so the oracle is the direct global
+    * sketch. */
+  private def qHllMerge(s: SparkSession, sf: String): DataFrame = {
+    val regs = graft.pipelines.Sketches.hllRegisters(Tables.lineitem(s, sf),
+      col("l_orderkey"), Seq(col("l_returnflag")))
+    val merged = graft.pipelines.Sketches.hllMerge(regs, Seq.empty)
+    graft.pipelines.Sketches.hllEstimate(merged, Seq.empty)
+  }
+  private val qHllMergeSql: String =
+    graft.pipelines.Sketches.hllDistinctGlobalSql("lineitem", "l_orderkey")
+
   /** Two components via Hotelling deflation — the oracle replays the pc1
     * chain, λ₁, the deflated Gram and the second iteration chain. */
   private def qPca2Projections(s: SparkSession, sf: String): DataFrame =
@@ -2446,6 +2460,7 @@ object Pipeline extends QueryPack {
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
     QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),
     QueryDef("embeddings_pca_pc2", qPca2Projections, Some(qPca2ProjectionsSql)),
+    QueryDef("sketch_hll_merge", qHllMerge, Some(qHllMergeSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

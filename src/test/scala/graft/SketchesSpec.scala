@@ -31,6 +31,18 @@ class SketchesSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("merging disjoint groups' registers equals the direct global sketch") {
+    val df = spark.range(8000).select(
+      (col("id") % 3).cast("string").as("g"), (col("id") % 1100).as("v"))
+    val direct = Sketches.hllDistinct(df, col("v"), Seq(lit(1).as("one")))
+      .collect().map(_.getDouble(1)).head
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMerge(
+        Sketches.hllRegisters(df, col("v"), Seq(col("g"))), Seq.empty),
+      Seq.empty).collect().map(_.getDouble(0)).head
+    assert(merged == direct, s"merged $merged != direct $direct")
+  }
+
   test("small cardinalities route through the linear-counting branch") {
     val tiny = spark.range(1000).select(lit("x").as("g"), (col("id") % 7).as("v"))
     val e = Sketches.hllDistinct(tiny, col("v"), Seq(col("g")))
