@@ -126,6 +126,55 @@ object Pq {
     rerankTail(emb, candIds, queryId, k, idCol, vecCol)
   }
 
+  /** Batched PQ: N probes share ONE encode+ADC pass over the corpus — the
+    * probe set broadcasts, the [[graft.functions.PqAdc]] kernel scores every
+    * (row, probe) pair, per-probe WindowGroupLimit keeps k·rerank
+    * candidates, and one id-join fetches the candidate floats for the exact
+    * re-rank. Per-probe results are identical to [[pqTopK]] (same candidate
+    * rule — top k·rerank by (approx asc, id) — and same re-rank ordering),
+    * so the oracle is the per-probe oracle unioned. */
+  def pqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 16,
+                  ks: Int = 16, iters: Int = 2, rerank: Int = 16,
+                  dim: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val unit = unitize(emb, idCol, vecCol)
+    val books = trainCodebooks(emb, m, ks, iters, dim, idCol, vecCol)
+    val probes = unit.where(col(idCol).isin(queryIds.map(x => x: Any): _*))
+      .select(col(idCol).as("probe_id"), col("nv").as("qn"))
+    val candIds = unit
+      .withColumn("_codes", codesArr(books, col("nv"), dsub))
+      .crossJoin(broadcast(probes))
+      .where(col(idCol) =!= col("probe_id"))
+      .withColumn("approx", adcFromCodes(books, col("qn"), col("_codes"), dsub))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("approx").asc, col(idCol))))
+      .where(col("arnk") <= k * rerank)
+      .select(col("probe_id"), col(idCol))
+    val probesRaw = emb.where(col(idCol).isin(queryIds.map(x => x: Any): _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("q_emb"))
+    emb.join(candIds, idCol)
+      .join(broadcast(probesRaw), Seq("probe_id"))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.fastCosine(vecCol, "q_emb"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol), col("cosine"), col("rnk"))
+  }
+
+  /** Per-probe oracles unioned — [[pqTopKBatch]] equals [[pqTopK]] probe
+    * by probe (spec-pinned), so the batch oracle is the single-probe
+    * replay repeated. */
+  def pqTopKBatchSql(queryIds: Seq[Long], k: Int, m: Int = 16, ks: Int = 16,
+                     iters: Int = 2, rerank: Int = 16,
+                     dim: Int = 64): String =
+    queryIds.map(q =>
+      s"SELECT $q AS probe_id, vec_id, rnk FROM (\n${pqTopKSql(q, k, m, ks, iters, rerank, dim)})")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY probe_id, rnk")
+
   /** All m dense codes of a normalized vector, as one int array column —
     * the codegen'd [[graft.functions.PqEncode]] kernel (codebooks ride as a
     * referenced flat array, not literal trees: the literal form's ~1024

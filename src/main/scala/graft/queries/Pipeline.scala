@@ -1728,6 +1728,17 @@ object Pipeline extends QueryPack {
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
 
+  /** Batched PQ probes: one encode+ADC pass serves all three queries.
+    * Identical per probe to ann_pq, so the oracle is the single-probe
+    * replay unioned. */
+  private def qAnnPqBatch(s: SparkSession, sf: String): DataFrame =
+    graft.pipelines.Pq.pqTopKBatch(Tables.embeddings(s, sf),
+        queryIds = Seq(0L, 7L, 42L), k = 5)
+      .select("probe_id", "vec_id", "rnk")
+      .orderBy("probe_id", "rnk")
+  private val qAnnPqBatchSql: String =
+    graft.pipelines.Pq.pqTopKBatchSql(Seq(0L, 7L, 42L), 5)
+
   /** HLL distinct orderkeys per returnflag: 64 integer registers, portable
     * md5 bucketing, one IEEE division — the mergeable no-distinct-shuffle
     * cardinality sketch, oracle-replayed register for register. */
@@ -2406,6 +2417,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_sq8_batch", qAnnSq8Batch, Some(qAnnSq8BatchSql)),
     QueryDef("ann_pq", qAnnPq, Some(qAnnPqSql)),
     QueryDef("ann_pq_index", qAnnPqIndex, Some(qAnnPqSql)),
+    QueryDef("ann_pq_batch", qAnnPqBatch, Some(qAnnPqBatchSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),

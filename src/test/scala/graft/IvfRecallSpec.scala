@@ -200,6 +200,20 @@ class IvfRecallSpec extends SparkTestBase {
     assert(sq8 >= 0.9, s"sq8 recall@10 $sq8 below the 0.9 bar")
   }
 
+  test("batched pq probes equal per-query pq (sf0.001)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = Seq(0L, 7L, 42L)
+    val batch = graft.pipelines.Pq.pqTopKBatch(emb, queries, 10)
+      .select("probe_id", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = queries.flatMap { q =>
+      graft.pipelines.Pq.pqTopK(emb, q, 10).select("vec_id", "rnk")
+        .collect().map(r => (q, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("persisted pq index equals ad-hoc pq; adc scan reads codes only") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
     import org.apache.spark.sql.functions.col
