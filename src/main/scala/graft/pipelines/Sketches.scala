@@ -101,6 +101,38 @@ object Sketches {
        |    GROUP BY g))""".stripMargin
   }
 
+  /** Count-min sketch counters over weighted values: `(j, b, cnt)` for
+    * `d` hash rows × `w` buckets — a fixed d·w-cell frequency table that
+    * merges across partitions/snapshots by plain addition, with every
+    * estimate an over-count (never under). Hash j of value v is the
+    * portable md5 of `"cms:<j>:<v>"`, so the oracle replays the counters
+    * cell for cell (integer-exact end to end). */
+  def cmsCounters(df: DataFrame, valueCol: Column, weightCol: Column,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    def bucket(j: Int): Column =
+      conv(substring(md5(concat(lit(s"cms:$j:"), valueCol.cast("string"))),
+        1, 8), 16, 10).cast(LongType) % w
+    df.select(weightCol.as("_wt"),
+        posexplode(array((0 until d).map(bucket): _*)).as(Seq("j", "b")))
+      .groupBy("j", "b").agg(sum(col("_wt")).as("cnt"))
+  }
+
+  /** Point estimates from a counter table: for each probe value, the min
+    * over the d hashed cells — `probes.cols :+ (est: long)`. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, valueCol: Column,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    def bucket(j: Int): Column =
+      conv(substring(md5(concat(lit(s"cms:$j:"), valueCol.cast("string"))),
+        1, 8), 16, 10).cast(LongType) % w
+    val probeCols = probes.columns.map(col).toSeq
+    probes
+      .select(probeCols :+ posexplode(array((0 until d).map(bucket): _*))
+        .as(Seq("j", "b")): _*)
+      .join(counters, Seq("j", "b"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Global (ungrouped) replay: registers of disjoint groups merge by max
     * into exactly the direct global registers, so the oracle for a merged
     * sketch IS the direct global sketch. */

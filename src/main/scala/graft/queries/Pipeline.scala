@@ -1739,6 +1739,40 @@ object Pipeline extends QueryPack {
   private val qAnnPqBatchSql: String =
     graft.pipelines.Pq.pqTopKBatchSql(Seq(0L, 7L, 42L), 5)
 
+  /** CMS term-frequency estimates for the 10 heaviest terms, next to their
+    * exact counts: a 4×256 integer counter table (mergeable by addition,
+    * estimates never under-count), replayed cell for cell in the oracle. */
+  private def qCmsTerms(s: SparkSession, sf: String): DataFrame = {
+    val post = graft.pipelines.Retrieval.postings(Tables.documents(s, sf))
+    val counters = graft.pipelines.Sketches.cmsCounters(
+      post, col("term"), col("tf"))
+    val top = post.groupBy("term").agg(sum("tf").as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(10)
+    graft.pipelines.Sketches.cmsEstimate(counters, top, col("term"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+  private val qCmsTermsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |         FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+      |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |counters AS (SELECT j,
+      |    CAST(('0x' || substr(md5('cms:' || CAST(j AS VARCHAR) || ':' || term), 1, 8))
+      |      AS BIGINT) % 256 AS b,
+      |    CAST(sum(tf) AS BIGINT) AS cnt
+      |  FROM post CROSS JOIN js GROUP BY 1, 2),
+      |top AS (SELECT term, CAST(sum(tf) AS BIGINT) AS exact FROM post
+      |        GROUP BY 1 ORDER BY exact DESC, term LIMIT 10),
+      |probes AS (SELECT t.term, t.exact, j.j,
+      |    CAST(('0x' || substr(md5('cms:' || CAST(j AS VARCHAR) || ':' || t.term), 1, 8))
+      |      AS BIGINT) % 256 AS b
+      |  FROM top t CROSS JOIN js j)
+      |SELECT p.term, p.exact, min(coalesce(c.cnt, 0)) AS est
+      |FROM probes p LEFT JOIN counters c USING (j, b)
+      |GROUP BY 1, 2 ORDER BY exact DESC, term""".stripMargin
+
   /** HLL distinct orderkeys per returnflag: 64 integer registers, portable
     * md5 bucketing, one IEEE division — the mergeable no-distinct-shuffle
     * cardinality sketch, oracle-replayed register for register. */
@@ -2473,6 +2507,7 @@ object Pipeline extends QueryPack {
     QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),
     QueryDef("embeddings_pca_pc2", qPca2Projections, Some(qPca2ProjectionsSql)),
     QueryDef("sketch_hll_merge", qHllMerge, Some(qHllMergeSql)),
+    QueryDef("sketch_cms_terms", qCmsTerms, Some(qCmsTermsSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

@@ -43,6 +43,37 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == direct, s"merged $merged != direct $direct")
   }
 
+  test("cms never under-counts; tight at generous width, loose when crowded") {
+    val df = spark.range(3000).select(
+      concat(lit("v"), (col("id") % 50).cast("string")).as("v"), lit(1L).as("wt"))
+    val probes = df.groupBy("v").agg(sum("wt").as("exact"))
+    // width 256 >> 50 values: estimates may still collide but never under
+    val wide = Sketches.cmsEstimate(
+        Sketches.cmsCounters(df, col("v"), col("wt")), probes, col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(wide.forall { case (exact, est) => est >= exact })
+    // width 4 << 50 values: collisions are forced, some estimate must exceed
+    val tight = Sketches.cmsEstimate(
+        Sketches.cmsCounters(df, col("v"), col("wt"), w = 4),
+        probes, col("v"), w = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (exact, est) => est >= exact })
+    assert(tight.exists { case (exact, est) => est > exact })
+  }
+
+  test("cms counters merge by addition into the direct counters") {
+    val df = spark.range(4000).select(
+      (col("id") % 2).as("half"),
+      concat(lit("v"), (col("id") % 90).cast("string")).as("v"), lit(1L).as("wt"))
+    val direct = Sketches.cmsCounters(df, col("v"), col("wt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.cmsCounters(df.where(col("half") === 0), col("v"), col("wt"))
+      .union(Sketches.cmsCounters(df.where(col("half") === 1), col("v"), col("wt")))
+      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)
+  }
+
   test("small cardinalities route through the linear-counting branch") {
     val tiny = spark.range(1000).select(lit("x").as("g"), (col("id") % 7).as("v"))
     val e = Sketches.hllDistinct(tiny, col("v"), Seq(col("g")))
