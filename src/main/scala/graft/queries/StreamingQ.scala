@@ -239,6 +239,30 @@ object StreamingQ extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** STREAMING HLL: the orderkey stream maintains the 64 distinct-count
+    * registers as a stateful max aggregate (update mode). Register max is
+    * MONOTONE, so reducing the update-snapshot log with another max yields
+    * exactly the final batch registers — the oracle is the direct batch
+    * sketch. The streaming sketch never holds more than 64 rows of state
+    * however large the stream. */
+  private def qStreamHll(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_shll")
+    val src = s"$base/src"
+    Tables.lineitem(s, sf).select("l_orderkey")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("l_orderkey BIGINT").json(src)
+    val regs = graft.pipelines.Sketches.hllRegisters(
+      stream, col("l_orderkey"), Seq.empty)
+    val q = regs.writeStream.format("memory").queryName("shll_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val finalRegs = s.table("shll_out")
+      .groupBy("_b").agg(max("_mr").as("_mr"))
+    graft.pipelines.Sketches.hllEstimate(finalRegs, Seq.empty)
+  }
+
   /** STREAMING funnel: the event stream in two triggers through the
     * per-key custom-state cascade ([[graft.streaming.StreamingFunnel]]);
     * the append-only sink reduces to the latest snapshot per user
@@ -308,5 +332,8 @@ object StreamingQ extends QueryPack {
       Some(Pipeline.kmeansAsgSql)),
     QueryDef("streaming_pq_encode", qStreamPqEncode,
       Some(graft.pipelines.Pq.encodeSql())),
+    QueryDef("streaming_hll_distinct", qStreamHll,
+      Some(graft.pipelines.Sketches.hllDistinctGlobalSql(
+        "lineitem", "l_orderkey"))),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }
