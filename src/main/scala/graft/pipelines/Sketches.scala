@@ -133,6 +133,36 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Fixed-boundary histogram sketch: bucket = floor(value·scale) —
+    * integer counts, mergeable across partitions/snapshots by plain
+    * addition, quantile error bounded by the bucket width 1/scale. The
+    * whole sketch is integers plus ONE final division per quantile, so the
+    * oracle replays it exactly. Bucket count is value-range·scale, not
+    * row count — pick `scale` for the precision/size trade. */
+  def histCounts(df: DataFrame, valueCol: Column, scale: Double): DataFrame =
+    df.select(floor(valueCol.cast("double") * lit(scale)).cast(LongType).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+
+  /** Nearest-rank quantile estimates from a histogram: for each p, the
+    * LOWER BOUNDARY of the first bucket whose cumulative count reaches
+    * `ceil(p·N)`. The cumulative runs through [[graft.core.Dist.prefixScan]]
+    * (two-phase — no single-partition window over the buckets), and the
+    * per-p probe is a broadcast threshold join + min. Output (p, est). */
+  def histQuantiles(counts: DataFrame, ps: Seq[Double],
+                    scale: Double): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val cum = graft.core.Dist.prefixScan(
+      counts, Seq(col("b")), col("cnt"), Seq(col("b")))
+    val total = cum.agg(sum(col("cnt")).as("n"))
+    val probes = ps.toDF("p")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(probes))
+      .where(col("_scan") >= ceil(col("p") * col("n")))
+      .groupBy("p").agg(min(col("b")).as("_qb"))
+      .select(col("p"), (col("_qb").cast("double") / lit(scale)).as("est"))
+      .orderBy("p")
+  }
+
   /** Global (ungrouped) replay: registers of disjoint groups merge by max
     * into exactly the direct global registers, so the oracle for a merged
     * sketch IS the direct global sketch. */

@@ -1773,6 +1773,28 @@ object Pipeline extends QueryPack {
       |FROM probes p LEFT JOIN counters c USING (j, b)
       |GROUP BY 1, 2 ORDER BY exact DESC, term""".stripMargin
 
+  /** Histogram-sketch quantiles of extended price (bucket width 100):
+    * integer counts + a two-phase prefix scan + one division per
+    * quantile — the mergeable quantile sketch, replayed exactly. */
+  private def qHistQuantiles(s: SparkSession, sf: String): DataFrame = {
+    val counts = graft.pipelines.Sketches.histCounts(
+      Tables.lineitem(s, sf), col("l_extendedprice"), scale = 0.01)
+    graft.pipelines.Sketches.histQuantiles(
+      counts, Seq(0.5, 0.95, 0.99), scale = 0.01)
+  }
+  private val qHistQuantilesSql: String =
+    """WITH h AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 0.01) AS BIGINT) AS b,
+      |                  CAST(count(*) AS BIGINT) AS cnt
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT b, sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS scan FROM h),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+      |p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+      |                     CAST(0.99 AS DOUBLE)]) AS p)
+      |SELECT p.p, CAST(min(c.b) AS DOUBLE) / 0.01 AS est
+      |FROM c CROSS JOIN n CROSS JOIN p
+      |WHERE c.scan >= ceil(p.p * n.n)
+      |GROUP BY 1 ORDER BY p""".stripMargin
+
   /** HLL distinct orderkeys per returnflag: 64 integer registers, portable
     * md5 bucketing, one IEEE division — the mergeable no-distinct-shuffle
     * cardinality sketch, oracle-replayed register for register. */
@@ -2508,6 +2530,7 @@ object Pipeline extends QueryPack {
     QueryDef("embeddings_pca_pc2", qPca2Projections, Some(qPca2ProjectionsSql)),
     QueryDef("sketch_hll_merge", qHllMerge, Some(qHllMergeSql)),
     QueryDef("sketch_cms_terms", qCmsTerms, Some(qCmsTermsSql)),
+    QueryDef("sketch_hist_quantiles", qHistQuantiles, Some(qHistQuantilesSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),

@@ -74,6 +74,30 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == direct)
   }
 
+  test("histogram quantiles land within one bucket width of exact") {
+    val df = spark.range(10000).select((col("id").cast("double") / 7.0).as("v"))
+    val est = Sketches.histQuantiles(
+        Sketches.histCounts(df, col("v"), scale = 1.0), Seq(0.5, 0.9), scale = 1.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // exact nearest-rank: value at ceil(p*n) of 0/7, 1/7, ... 9999/7
+    def exact(p: Double): Double = (math.ceil(p * 10000).toLong - 1) / 7.0
+    Seq(0.5, 0.9).foreach { p =>
+      assert(math.abs(est(p) - exact(p)) <= 1.0, s"p=$p est=${est(p)} exact=${exact(p)}")
+    }
+  }
+
+  test("histogram counts merge by addition into the direct histogram") {
+    val df = spark.range(5000).select((col("id") % 2).as("half"),
+      (col("id").cast("double") / 3.0).as("v"))
+    val direct = Sketches.histCounts(df, col("v"), 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Sketches.histCounts(df.where(col("half") === 0), col("v"), 1.0)
+      .union(Sketches.histCounts(df.where(col("half") === 1), col("v"), 1.0))
+      .groupBy("b").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+  }
+
   test("small cardinalities route through the linear-counting branch") {
     val tiny = spark.range(1000).select(lit("x").as("g"), (col("id") % 7).as("v"))
     val e = Sketches.hllDistinct(tiny, col("v"), Seq(col("g")))
