@@ -2023,6 +2023,41 @@ object Pipeline extends QueryPack {
 
   /** Per-user autocorrelation of daily mean event value at lags 1..3 —
     * the burstiness/seasonality diagnostic over the 30-day stream. */
+  /** Weekly seasonal decomposition of each user's daily mean series:
+    * full-window centered trend, phase-mean seasonal, residual — both
+    * aggregates in the floor(v·1e9) integer discipline, replayed exactly. */
+  private def qSeasonal(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.seasonalDecompose(daily, period = 7)
+      .orderBy("user_id", "t")
+  }
+  private val qSeasonalSql =
+    s"""WITH d AS (SELECT user_id,
+       |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+       |    ${graft.core.OracleSafe.sqlAvg("value")} AS x
+       |  FROM events GROUP BY 1, 2),
+       |u AS (SELECT user_id, t, x,
+       |    CAST(floor(x * 1000000000.0) AS BIGINT) AS ux FROM d),
+       |tr AS (SELECT a.user_id, a.t,
+       |    CAST(sum(b.ux) AS DOUBLE) / count(*) / 1000000000.0 AS trend
+       |  FROM u a JOIN u b ON b.user_id = a.user_id
+       |    AND abs(b.t - a.t) <= 3
+       |  GROUP BY 1, 2 HAVING count(*) = 7),
+       |det AS (SELECT u.user_id, u.t, tr.trend, u.x - tr.trend AS det,
+       |    u.t % 7 AS ph
+       |  FROM u JOIN tr ON tr.user_id = u.user_id AND tr.t = u.t),
+       |sea AS (SELECT user_id, ph,
+       |    CAST(sum(CAST(floor(det * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1000000000.0 AS seasonal
+       |  FROM det GROUP BY 1, 2)
+       |SELECT d2.user_id, d2.t, d2.trend, s.seasonal,
+       |  d2.det - s.seasonal AS resid
+       |FROM det d2 JOIN sea s ON s.user_id = d2.user_id AND s.ph = d2.ph
+       |ORDER BY d2.user_id, d2.t""".stripMargin
+
   private def qAcf(s: SparkSession, sf: String): DataFrame = {
     val daily = Tables.eventsMillis(s, sf)
       .groupBy(col("user_id"),
@@ -2544,6 +2579,7 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_lm_perplexity", qLmPerplexity, Some(qLmPerplexitySql)),
     QueryDef("corpus_zipf_fit", qZipfFit, Some(qZipfFitSql)),
     QueryDef("events_autocorrelation", qAcf, Some(qAcfSql)),
+    QueryDef("events_seasonal_decompose", qSeasonal, Some(qSeasonalSql)),
     QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
     QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
 }

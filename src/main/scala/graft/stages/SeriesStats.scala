@@ -121,4 +121,50 @@ object SeriesStats {
         (col("_num") / sqrt(col("_sa") * col("_sb")))
           .cast(Dec).cast(DoubleType).as("ccf"))
   }
+
+  /** Classical additive SEASONAL DECOMPOSITION per series with an ODD
+    * period P: trend = the calendar-centered moving mean over ±(P−1)/2
+    * periods (emitted only where the full P-point window exists, so trend
+    * never leans on imputed values); seasonal = the per-phase (t mod P)
+    * mean of the detrended values; residual = the rest. Output
+    * `(key, t, trend, seasonal, resid)` on the trend-covered interior.
+    *
+    * Cross-engine exactness: the inputs are typically DERIVED doubles
+    * (per-period means), and casting derived doubles to DECIMAL ties
+    * HALF_UP on the JVM vs half-even in DuckDB — so both aggregates use
+    * the k-means discipline instead: quantize once with floor(v·1e9)
+    * (the same double op in both engines), sum as integers, divide twice.
+    * Subtractions on the resulting doubles are exact IEEE ops.
+    *
+    * Distributed shape: the input is already one row per (key, period) —
+    * tiny relative to the raw events — and the trend window is a
+    * key-equi-join with |Δt| ≤ h (≤ P-fold amplification of that small
+    * frame), then two grouped integer aggregates. No window function, no
+    * single-partition funnel. */
+  def seasonalDecompose(series: DataFrame, period: Int,
+                        keyCol: String = "user_id", tCol: String = "t",
+                        vCol: String = "x"): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd and >= 3")
+    val h = (period - 1) / 2
+    val u = series.select(col(keyCol), col(tCol).as("_t"), col(vCol).as("_x"),
+      floor(col(vCol) * lit(1e9)).cast(DecimalType(38, 0)).as("_u"))
+    val nb = u.select(col(keyCol), col("_t").as("_tb"), col("_u").as("_ub"))
+    val trend = u.join(nb, Seq(keyCol))
+      .where(abs(col("_tb") - col("_t")) <= h)
+      .groupBy(col(keyCol), col("_t"))
+      .agg(count(col("_ub")).as("_n"),
+        (sum(col("_ub")).cast(DoubleType) / count(col("_ub")) / lit(1e9))
+          .as("trend"))
+      .where(col("_n") === period)
+      .drop("_n")
+    val det = u.join(trend, Seq(keyCol, "_t"))
+      .withColumn("_det", col("_x") - col("trend"))
+      .withColumn("_ph", pmod(col("_t"), lit(period)))
+    val seasonal = det.groupBy(col(keyCol), col("_ph"))
+      .agg((sum(floor(col("_det") * lit(1e9)).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / count(col("_det")) / lit(1e9)).as("seasonal"))
+    det.join(seasonal, Seq(keyCol, "_ph"))
+      .select(col(keyCol), col("_t").as(tCol), col("trend"), col("seasonal"),
+        (col("_det") - col("seasonal")).as("resid"))
+  }
 }

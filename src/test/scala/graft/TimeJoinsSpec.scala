@@ -174,6 +174,38 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(out == Seq((1L, 4L, -2.5e11)))
   }
 
+  test("seasonalDecompose recovers a linear trend + zero-sum weekly pattern") {
+    // x = 10 + 0.5t + s(t mod 7), s sums to 0 over the 7 phases: the
+    // centered 7-mean reproduces the linear part exactly (each phase
+    // appears once per window), so seasonal == s and residual == 0 up to
+    // the 1e-9 quantization grain
+    val s7 = Array(3.0, -2.0, 1.0, 0.0, -1.0, 2.0, -3.0)
+    val ev = (0L until 28L).map(t => (1L, t, 10.0 + 0.5 * t + s7((t % 7).toInt)))
+      .toDF("user_id", "t", "x")
+    val out = graft.stages.SeriesStats.seasonalDecompose(ev, period = 7)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // trend defined on the interior t = 3..24
+    assert(out.map(_._1).toSeq == (3L to 24L))
+    out.foreach { case (t, trend, seasonal, resid) =>
+      assert(math.abs(trend - (10.0 + 0.5 * t)) < 1e-8, s"t=$t trend=$trend")
+      assert(math.abs(seasonal - s7((t % 7).toInt)) < 1e-8, s"t=$t s=$seasonal")
+      assert(math.abs(resid) < 1e-8, s"t=$t resid=$resid")
+    }
+  }
+
+  test("seasonalDecompose emits no trend rows across gaps") {
+    // a missing period breaks every window that would span it
+    val ev = ((0L until 10L) ++ (11L until 21L)).map(t => (1L, t, 1.0))
+      .toDF("user_id", "t", "x")
+    val ts = graft.stages.SeriesStats.seasonalDecompose(ev, period = 3)
+      .collect().map(_.getLong(1)).toSet
+    // windows centered at 9, 10 (absent), 11, 12 need t=10 — wait: period 3,
+    // h=1: center 9 needs {8,9,10} → missing; 11 needs {10,11,12} → missing
+    assert(!ts.contains(9L) && !ts.contains(11L) && !ts.contains(10L))
+    assert(ts.contains(8L) && ts.contains(12L))
+  }
+
   test("retentionCohorts: first-touch cohorts, offset 0 is cohort size") {
     // period 100: u1 first in p0, active p0/p1/p3; u2 first in p0, active
     // p0 only; u3 first in p1, active p1/p3 (offset 2 from ITS cohort)
