@@ -2058,6 +2058,34 @@ object Pipeline extends QueryPack {
        |FROM det d2 JOIN sea s ON s.user_id = d2.user_id AND s.ph = d2.ph
        |ORDER BY d2.user_id, d2.t""".stripMargin
 
+  /** Residual z-score anomalies over the weekly decomposition: what
+    * remains anomalous after trend and seasonality are explained away.
+    * All moments integer-quantized; oracle extends the decompose replay. */
+  private def qSeasonalAnomalies(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.seasonalAnomalies(daily, period = 7, z = 2.0)
+      .orderBy("user_id", "t")
+  }
+  private val qSeasonalAnomaliesSql =
+    s"""WITH dec AS (${qSeasonalSql.replace("ORDER BY d2.user_id, d2.t", "")}),
+       |mr AS (SELECT user_id,
+       |    CAST(sum(CAST(floor(resid * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1000000000.0 AS mr
+       |  FROM dec GROUP BY 1),
+       |vr AS (SELECT d.user_id, m.mr,
+       |    CAST(sum(CAST(floor((d.resid - m.mr) * (d.resid - m.mr)
+       |      * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1000000000.0 AS var
+       |  FROM dec d JOIN mr m USING (user_id) GROUP BY 1, 2),
+       |zr AS (SELECT d.user_id, d.t, d.resid,
+       |    (d.resid - v.mr) / sqrt(v.var) AS zscore
+       |  FROM dec d JOIN vr v ON v.user_id = d.user_id AND v.var > 0)
+       |SELECT user_id, t, resid, zscore FROM zr
+       |WHERE abs(zscore) >= 2.0 ORDER BY user_id, t""".stripMargin
+
   private def qAcf(s: SparkSession, sf: String): DataFrame = {
     val daily = Tables.eventsMillis(s, sf)
       .groupBy(col("user_id"),
@@ -2580,6 +2608,8 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_zipf_fit", qZipfFit, Some(qZipfFitSql)),
     QueryDef("events_autocorrelation", qAcf, Some(qAcfSql)),
     QueryDef("events_seasonal_decompose", qSeasonal, Some(qSeasonalSql)),
+    QueryDef("events_seasonal_anomalies", qSeasonalAnomalies,
+      Some(qSeasonalAnomaliesSql)),
     QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
     QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
 }

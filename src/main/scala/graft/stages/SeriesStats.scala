@@ -167,4 +167,33 @@ object SeriesStats {
       .select(col(keyCol), col("_t").as(tCol), col("trend"), col("seasonal"),
         (col("_det") - col("seasonal")).as("resid"))
   }
+
+  /** SEASONAL ANOMALIES: periods whose [[seasonalDecompose]] residual sits
+    * ≥ `z` standard deviations from the series' residual mean — level
+    * shifts and spikes that survive after trend and seasonality are
+    * explained away. Residual moments use the same floor(v·1e9) integer
+    * discipline (residuals are doubly-derived doubles — the decimal-cast
+    * tie trap at its worst); the σ is one IEEE sqrt and the z one
+    * subtraction and division, so flagged rows replay exactly. Series
+    * with zero residual variance flag nothing. */
+  def seasonalAnomalies(series: DataFrame, period: Int, z: Double = 2.0,
+                        keyCol: String = "user_id", tCol: String = "t",
+                        vCol: String = "x"): DataFrame = {
+    val dec = seasonalDecompose(series, period, keyCol, tCol, vCol)
+    def q9(c: Column): Column =
+      floor(c * lit(1e9)).cast(DecimalType(38, 0))
+    val m = dec.groupBy(col(keyCol))
+      .agg((sum(q9(col("resid"))).cast(DoubleType) / count(lit(1)) / lit(1e9))
+        .as("_mr"))
+    val v = dec.join(m, Seq(keyCol))
+      .groupBy(col(keyCol), col("_mr"))
+      .agg((sum(q9((col("resid") - col("_mr")) * (col("resid") - col("_mr"))))
+          .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("_var"))
+      .where(col("_var") > 0)
+      .withColumn("_sigma", sqrt(col("_var")))
+    dec.join(v, Seq(keyCol))
+      .withColumn("zscore", (col("resid") - col("_mr")) / col("_sigma"))
+      .where(abs(col("zscore")) >= z)
+      .select(col(keyCol), col(tCol), col("resid"), col("zscore"))
+  }
 }

@@ -206,6 +206,23 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(ts.contains(8L) && ts.contains(12L))
   }
 
+  test("seasonalAnomalies flags a planted spike, stays silent on clean seasonality") {
+    val s7 = Array(3.0, -2.0, 1.0, 0.0, -1.0, 2.0, -3.0)
+    def x(t: Long, spike: Boolean) =
+      10.0 + 0.5 * t + s7((t % 7).toInt) + (if (spike && t == 14L) 40.0 else 0.0)
+    // user 1 clean, user 2 with a one-period spike at t=14
+    val ev = (0L until 28L).flatMap(t =>
+      Seq((1L, t, x(t, spike = false)), (2L, t, x(t, spike = true))))
+      .toDF("user_id", "t", "x")
+    val out = graft.stages.SeriesStats.seasonalAnomalies(ev, period = 7, z = 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // clean series: zero residual variance → filtered, nothing flagged
+    assert(!out.exists(_._1 == 1L), out.mkString(","))
+    // spiked series flags t=14 with a positive z
+    val hit = out.filter(r => r._1 == 2L && r._2 == 14L)
+    assert(hit.nonEmpty && hit.head._3 > 3.0, out.mkString(","))
+  }
+
   test("retentionCohorts: first-touch cohorts, offset 0 is cohort size") {
     // period 100: u1 first in p0, active p0/p1/p3; u2 first in p0, active
     // p0 only; u3 first in p1, active p1/p3 (offset 2 from ITS cohort)
