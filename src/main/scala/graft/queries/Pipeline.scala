@@ -2058,6 +2058,38 @@ object Pipeline extends QueryPack {
        |FROM det d2 JOIN sea s ON s.user_id = d2.user_id AND s.ph = d2.ph
        |ORDER BY d2.user_id, d2.t""".stripMargin
 
+  /** Robust trend per user over the daily means: integer Mann-Kendall S
+    * plus the Theil-Sen median slope — outlier-immune trend evidence. */
+  private def qRobustTrend(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.robustTrend(daily)
+      .orderBy("user_id")
+  }
+  private val qRobustTrendSql =
+    s"""WITH d AS (SELECT user_id,
+       |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+       |    ${graft.core.OracleSafe.sqlAvg("value")} AS x
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT a.user_id,
+       |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+       |    (b.x - a.x) / (b.t - a.t) AS slope
+       |  FROM d a JOIN d b ON b.user_id = a.user_id AND b.t > a.t),
+       |s AS (SELECT user_id, CAST(sum(sgn) AS BIGINT) AS mk_s,
+       |             CAST(count(*) AS BIGINT) AS n_pairs
+       |      FROM p GROUP BY 1),
+       |r AS (SELECT user_id, slope,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn
+       |      FROM p),
+       |med AS (SELECT r.user_id, r.slope AS sen_slope
+       |        FROM r JOIN s ON s.user_id = r.user_id
+       |        WHERE r.rn = CAST(ceil(s.n_pairs / 2.0) AS BIGINT))
+       |SELECT s.user_id, s.mk_s, m.sen_slope, s.n_pairs
+       |FROM s JOIN med m ON m.user_id = s.user_id
+       |ORDER BY s.user_id""".stripMargin
+
   /** Residual z-score anomalies over the weekly decomposition: what
     * remains anomalous after trend and seasonality are explained away.
     * All moments integer-quantized; oracle extends the decompose replay. */
@@ -2610,6 +2642,7 @@ object Pipeline extends QueryPack {
     QueryDef("events_seasonal_decompose", qSeasonal, Some(qSeasonalSql)),
     QueryDef("events_seasonal_anomalies", qSeasonalAnomalies,
       Some(qSeasonalAnomaliesSql)),
+    QueryDef("events_robust_trend", qRobustTrend, Some(qRobustTrendSql)),
     QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
     QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
 }

@@ -168,6 +168,44 @@ object SeriesStats {
         (col("_det") - col("seasonal")).as("resid"))
   }
 
+  /** ROBUST TREND per series: the Mann-Kendall statistic
+    * S = Σ_{i<j} sign(x_j − x_i) (pure integer — monotone-trend evidence
+    * immune to outliers) and the Theil-Sen slope (the nearest-rank median
+    * of all pairwise slopes (x_j − x_i)/(t_j − t_i) — the robust rate of
+    * change). Output `(key, mk_s, sen_slope, n_pairs)`.
+    *
+    * Cross-engine exactness: S is integer; each slope is one IEEE
+    * subtraction pair and division; the median picks the VALUE at rank
+    * ceil(n/2) of the slope order — well-defined on the multiset, no
+    * cross-row float sums anywhere.
+    *
+    * Distributed shape: one keyed self-join builds the O(n²)-per-series
+    * pair frame (n = periods per series, corpus-bounded per key — this is
+    * a per-series diagnostic, not a corpus-pairs operator), one grouped
+    * integer sum, one per-key rank window over that bounded pair frame. */
+  def robustTrend(series: DataFrame,
+                  keyCol: String = "user_id", tCol: String = "t",
+                  vCol: String = "x"): DataFrame = {
+    val a = series.select(col(keyCol), col(tCol).as("_ta"), col(vCol).as("_xa"))
+    val b = series.select(col(keyCol), col(tCol).as("_tb"), col(vCol).as("_xb"))
+    val pairs = a.join(b, Seq(keyCol)).where(col("_tb") > col("_ta"))
+      .withColumn("_sgn",
+        when(col("_xb") > col("_xa"), 1L)
+          .when(col("_xb") < col("_xa"), -1L).otherwise(0L))
+      .withColumn("_slope",
+        (col("_xb") - col("_xa")) / (col("_tb") - col("_ta")))
+    val s = pairs.groupBy(col(keyCol))
+      .agg(sum(col("_sgn")).as("mk_s"), count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("_slope"))
+    val med = pairs.withColumn("_rn", row_number().over(w))
+      .join(s, Seq(keyCol))
+      .where(col("_rn") === ceil(col("n_pairs") / lit(2.0)).cast("long"))
+      .select(col(keyCol), col("_slope").as("sen_slope"))
+    s.join(med, Seq(keyCol))
+      .select(col(keyCol), col("mk_s"), col("sen_slope"), col("n_pairs"))
+  }
+
   /** SEASONAL ANOMALIES: periods whose [[seasonalDecompose]] residual sits
     * ≥ `z` standard deviations from the series' residual mean — level
     * shifts and spikes that survive after trend and seasonality are

@@ -223,6 +223,26 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(hit.nonEmpty && hit.head._3 > 3.0, out.mkString(","))
   }
 
+  test("robustTrend: Theil-Sen shrugs off an outlier that wrecks the mean slope") {
+    // clean line slope 2 with one wild outlier at t=5
+    val ev = (0L until 11L).map(t =>
+      (1L, t, if (t == 5L) 1000.0 else 2.0 * t)).toDF("user_id", "t", "x")
+    val out = graft.stages.SeriesStats.robustTrend(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).head
+    // 55 pairs; median pairwise slope stays exactly 2
+    assert(out._4 == 55L)
+    assert(out._3 == 2.0, s"sen_slope ${out._3}")
+    // S: all pairs increasing except those crossing the spike downward —
+    // still strongly positive
+    assert(out._2 > 30L, s"mk_s ${out._2}")
+
+    // perfectly decreasing series: S = -n_pairs, negative slope
+    val dec = (0L until 10L).map(t => (2L, t, -3.0 * t)).toDF("user_id", "t", "x")
+    val o2 = graft.stages.SeriesStats.robustTrend(dec).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).head
+    assert(o2 == ((-45L, -3.0, 45L)))
+  }
+
   test("retentionCohorts: first-touch cohorts, offset 0 is cohort size") {
     // period 100: u1 first in p0, active p0/p1/p3; u2 first in p0, active
     // p0 only; u3 first in p1, active p1/p3 (offset 2 from ITS cohort)
