@@ -794,4 +794,37 @@ object TextAnalysis {
       .where(col("_rk") === 1)
       .select(col(idCol), col("_cls").as("predicted"), col("score"))
   }
+
+  /** Per-document CHARACTER ENTROPY H = −Σ p·ln p over the raw character
+    * distribution — the compression-style quality signal (gibberish and
+    * boilerplate sit at the distribution's extremes). Computed in integer
+    * units: per (doc, char), `cnt · floor(ln(cnt/n)·1e9)` — the BM25
+    * floored-ln discipline, so the single transcendental is quantized once
+    * and every sum is exact integer arithmetic; the result is two double
+    * divisions at the end. Output `(idCol, n_chars, entropy)`.
+    *
+    * Distributed shape: the explode is per-character but collapses
+    * immediately into the per-(doc, char) count — the shuffle carries at
+    * most |alphabet| rows per doc, not the text. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val chars = docs
+      .select(col(idCol), length(col(textCol)).cast(LongType).as("_n"),
+        col(textCol).as("_txt"))
+      .where(col("_n") > 0)
+      .select(col(idCol), col("_n"),
+        explode(sequence(lit(1), col("_n").cast("int"))).as("_i"), col("_txt"))
+      .select(col(idCol), col("_n"),
+        expr("substring(_txt, _i, 1)").as("_ch"))
+    chars.groupBy(col(idCol), col("_n"), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_lnU",
+        floor(log(col("_c").cast(DoubleType) / col("_n")) * lit(1e9))
+          .cast(LongType))
+      .groupBy(col(idCol), col("_n"))
+      .agg(sum(col("_c") * col("_lnU")).as("_units"))
+      .select(col(idCol), col("_n").as("n_chars"),
+        ((-col("_units")).cast(DoubleType) / col("_n") / lit(1e9))
+          .as("entropy"))
+  }
 }

@@ -2058,6 +2058,25 @@ object Pipeline extends QueryPack {
        |FROM det d2 JOIN sea s ON s.user_id = d2.user_id AND s.ph = d2.ph
        |ORDER BY d2.user_id, d2.t""".stripMargin
 
+  /** Character entropy per document — the compression-style quality
+    * signal, in the BM25 floored-ln integer-unit discipline. */
+  private def qCharEntropy(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, sf))
+      .orderBy("doc_id")
+  private val qCharEntropySql =
+    """WITH ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text,
+      |    unnest(generate_series(1, length(text))) AS i
+      |  FROM documents WHERE length(text) > 0),
+      |cnt AS (SELECT doc_id, n, substr(text, i, 1) AS ch,
+      |        CAST(count(*) AS BIGINT) AS c
+      |        FROM ch GROUP BY 1, 2, 3),
+      |u AS (SELECT doc_id, n, c,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000000.0) AS BIGINT) AS lnu
+      |  FROM cnt)
+      |SELECT doc_id, n AS n_chars,
+      |  CAST(-CAST(sum(c * lnu) AS BIGINT) AS DOUBLE) / n / 1000000000.0 AS entropy
+      |FROM u GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   /** Robust trend per user over the daily means: integer Mann-Kendall S
     * plus the Theil-Sen median slope — outlier-immune trend evidence. */
   private def qRobustTrend(s: SparkSession, sf: String): DataFrame = {
@@ -2643,6 +2662,7 @@ object Pipeline extends QueryPack {
     QueryDef("events_seasonal_anomalies", qSeasonalAnomalies,
       Some(qSeasonalAnomaliesSql)),
     QueryDef("events_robust_trend", qRobustTrend, Some(qRobustTrendSql)),
+    QueryDef("text_char_entropy", qCharEntropy, Some(qCharEntropySql)),
     QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
     QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
 }

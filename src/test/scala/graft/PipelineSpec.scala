@@ -772,4 +772,23 @@ class PipelineSpec extends SparkTestBase {
       .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
     assert(fast == port)
   }
+
+  test("charEntropy: ln(k) for uniform alphabets, 0 for a single repeated char") {
+    val docs = Seq(
+      (1L, "aaaa"),                    // 1 symbol → H = 0
+      (2L, "abababab"),                // 2 uniform → H = ln 2
+      (3L, "abcdabcdabcdabcd"),        // 4 uniform → H = ln 4
+      (4L, "")).toDF("doc_id", "text") // empty → dropped
+    val got = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(4L))
+    assert(got(1L)._1 == 4L && got(1L)._2 == 0.0)
+    assert(math.abs(got(2L)._2 - math.log(2.0)) < 1e-8)
+    assert(math.abs(got(3L)._2 - math.log(4.0)) < 1e-8)
+    // skewed beats uniform at the same alphabet: aab < abc-uniform entropy
+    val skew = TextAnalysis.charEntropy(
+        Seq((9L, "aab"), (10L, "abc")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(skew(9L) < skew(10L))
+  }
 }
