@@ -242,4 +242,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"wedge joins must be hash equi-joins:\n$p")
   }
+
+  check("ann_pq") { p =>
+    // the serving scan rides the codegen'd kernels (not an unrolled
+    // literal-tree fold) and the candidate cut is a distributed TakeOrdered
+    assert(p.contains("pq_adc"), s"ADC must be the native kernel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate cut must be a TakeOrdered:\n$p")
+  }
+
+  check("retrieval_bm25") { p =>
+    // scoring aggregates per doc with partial (map-side) combine before the
+    // shuffle, and the final ranking is a distributed TakeOrdered
+    assert(p.contains("partial_"), s"doc-score agg must map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 ranking must be a TakeOrdered:\n$p")
+  }
+
+  check("retrieval_rrf_hybrid") { p =>
+    // the fusion never materializes a global sort over either corpus —
+    // both pools are TakeOrdereds, the fuse is a pool-sized join
+    assert(p.contains("TakeOrderedAndProject"), s"pools must TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the fuse:\n$p")
+  }
+
+  check("sketch_hll_distinct") { p =>
+    // register max must partial-aggregate before the shuffle (the whole
+    // point: group×64 register rows move, not values)
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"register max must map-side combine:\n$p")
+  }
+
+  check("events_seasonal_decompose") { p =>
+    // the trend window is a keyed equi-join (range predicate post-join),
+    // never a cartesian or single-partition window over the data
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the trend join:\n$p")
+  }
 }
