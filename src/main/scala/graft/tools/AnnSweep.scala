@@ -72,6 +72,12 @@ object AnnSweep {
       val nc = math.max(16, math.sqrt(n.toDouble).round.toInt)
       println(f"ivf  nProbe=$np%-3d nCells=$nc recall@10=$r%.2f  fraction~${np.toDouble / nc}%.2f  (${dt}%.1fs all-queries)")
     }
+    for ((m, rr) <- Seq((8, 4), (8, 16), (16, 8), (16, 16), (16, 32))) {
+      val t0 = System.nanoTime()
+      val r = recall(q => graft.pipelines.Pq.pqTopK(emb, q, 10, m = m, rerank = rr))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"pq   m=$m%-3d rerank=$rr%-3d bits=${m * 4} recall@10=$r%.2f  fraction=${10.0 * rr / n}%.3f  (${dt}%.1fs all-queries)")
+    }
     for ((b, ppb, h) <- Seq((8, 10, 2), (8, 10, 1), (12, 10, 1), (8, 12, 2), (16, 8, 1))) {
       val t0 = System.nanoTime()
       val r = recall(q => Similarity.lshTopK(emb, q, 10,
