@@ -126,6 +126,47 @@ object Pq {
     rerankTail(emb, candIds, queryId, k, idCol, vecCol)
   }
 
+  /** IVF-PQ: the production ANN composition — IVF cells prune the corpus
+    * to the query's `nProbe` nearest cells, then the PQ ADC kernel scores
+    * only the surviving members' codes and the exact re-rank touches
+    * k·rerank floats. At 100 TB the two levers stack: partition pruning
+    * cuts the rows scanned (nProbe/nCells of the corpus), the code table
+    * cuts the bytes per row scanned (1/16) — the FAISS IVFPQ shape as two
+    * already-indexed Spark structures joined by cell id. With
+    * `nProbe ≥ nCells` the cell filter is a no-op and the result is
+    * provably identical to [[pqTopK]] (the registered query's oracle);
+    * the genuine pruning regime is recall-gated in `IvfRecallSpec`. */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 32,
+                nCentroids: Int = 0, m: Int = 16, ks: Int = 16,
+                iters: Int = 2, rerank: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val (cents, assigned, _) =
+      Similarity.ivfCells(emb, idCol, nCentroids, lloydIters = 2)
+    val books = trainCodebooks(emb, m, ks, iters, dim, idCol, vecCol)
+    val qCells = assigned.where(col(idCol) === queryId)
+      .select(col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim",
+        graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
+      .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
+      .select(col("cent_id"))
+    val members = assigned.join(broadcast(qCells), Seq("cent_id"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), col("embedding").as(vecCol))
+    val q = unitize(emb.where(col(idCol) === queryId), idCol, vecCol)
+      .select(col("nv").as("qn"))
+    val unitM = unitize(members, idCol, vecCol)
+    val codes = codesArr(books, col("nv"), dsub)
+    val candIds = unitM.crossJoin(broadcast(q))
+      .withColumn("approx", adcFromCodes(books, col("qn"), codes, dsub))
+      .orderBy(col("approx").asc, col(idCol))
+      .limit(k * rerank)
+      .select(idCol)
+    rerankTail(emb, candIds, queryId, k, idCol, vecCol)
+  }
+
   /** Batched PQ: N probes share ONE encode+ADC pass over the corpus — the
     * probe set broadcasts, the [[graft.functions.PqAdc]] kernel scores every
     * (row, probe) pair, per-probe WindowGroupLimit keeps k·rerank

@@ -294,6 +294,16 @@ object Similarity {
     })
   }
 
+  /** The IVF cell structures for composition by other ANN paths (IVF-PQ):
+    * (centroids, assignments, nCells) — cached/persisted like every probe
+    * through [[ivfTopK]]. */
+  private[pipelines] def ivfCells(emb: DataFrame, idCol: String,
+                                  nCentroids: Int,
+                                  lloydIters: Int): (DataFrame, DataFrame, Int) = {
+    val idx = ivfIndex(emb, idCol, nCentroids, lloydIters)
+    (idx.cents, idx.assigned, idx.nCentroids)
+  }
+
   /** Batched exact top-k: N probe vectors against ONE corpus scan — the
     * production shape (probes arrive in batches, and the corpus scan is the
     * dominant cost, so it must amortize across them). The probe set rides as

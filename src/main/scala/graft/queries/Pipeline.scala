@@ -1728,6 +1728,16 @@ object Pipeline extends QueryPack {
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
 
+  /** IVF-PQ at nProbe=64 ≥ nCells at every check scale (45 cells at
+    * sf0.1), so the cell filter is provably a no-op and the result equals
+    * ad-hoc PQ — the oracle is shared. The genuine pruning regime
+    * (nProbe < nCells) is recall-gated in IvfRecallSpec. */
+  private def qAnnIvfPq(s: SparkSession, sf: String): DataFrame =
+    graft.pipelines.Pq.ivfPqTopK(Tables.embeddings(s, sf), queryId = 0L,
+        k = 10, nProbe = 64)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+
   /** Batched PQ probes: one encode+ADC pass serves all three queries.
     * Identical per probe to ann_pq, so the oracle is the single-probe
     * replay unioned. */
@@ -2588,6 +2598,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_pq", qAnnPq, Some(qAnnPqSql)),
     QueryDef("ann_pq_index", qAnnPqIndex, Some(qAnnPqSql)),
     QueryDef("ann_pq_batch", qAnnPqBatch, Some(qAnnPqBatchSql)),
+    QueryDef("ann_ivfpq", qAnnIvfPq, Some(qAnnPqSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),

@@ -264,4 +264,30 @@ class IvfRecallSpec extends SparkTestBase {
     info(f"sf0.1 recall@10: pq=$pq%.2f (per-query ${rs.mkString(",")})")
     assert(pq >= 0.7, s"pq recall@10 $pq below the operating point")
   }
+
+  test("ivf-pq: all-cell probe equals plain pq; pruned probes measured (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, big)
+    // nProbe >= nCells (45 here): the cell filter is a no-op, so the
+    // composed path must equal plain PQ exactly — the registered query's
+    // oracle-sharing precondition
+    for (q <- Seq(0L, 7L)) {
+      val full = graft.pipelines.Pq.ivfPqTopK(emb, q, 10, nProbe = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      val plain = graft.pipelines.Pq.pqTopK(emb, q, 10)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      assert(full == plain, s"query $q: all-cell ivf-pq diverged from pq")
+    }
+    // genuine pruning: recall vs exact at shrinking probe counts
+    val queries = Seq(0L, 7L, 42L, 100L, 499L)
+    for (np <- Seq(16, 32)) {
+      val rs = queries.map { q =>
+        val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
+        exact.intersect(ids(graft.pipelines.Pq.ivfPqTopK(emb, q, 10,
+          nProbe = np))).size / 10.0
+      }
+      info(f"sf0.1 recall@10: ivfpq(nProbe=$np)=${rs.sum / rs.size}%.2f (45 cells)")
+    }
+  }
 }
