@@ -1761,7 +1761,7 @@ object Pipeline extends QueryPack {
     graft.pipelines.Sketches.cmsEstimate(counters, top, col("term"))
       .orderBy(col("exact").desc, col("term"))
   }
-  private val qCmsTermsSql: String =
+  private[queries] val qCmsTermsSql: String =
     """WITH toks AS (SELECT doc_id,
       |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
       |  FROM documents),

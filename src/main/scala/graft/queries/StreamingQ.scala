@@ -263,6 +263,33 @@ object StreamingQ extends QueryPack {
     graft.pipelines.Sketches.hllEstimate(finalRegs, Seq.empty)
   }
 
+  /** STREAMING CMS: the token stream maintains the 4×256 count-min
+    * counters as a stateful sum (update mode; ≤ 1024 rows of state).
+    * Counter sums are MONOTONE under the all-positive tf weights, so the
+    * final counter per cell is the max over update snapshots — and the
+    * estimates probed from the reduced counters equal the batch sketch,
+    * which is the oracle (shared with `sketch_cms_terms`). */
+  private def qStreamCms(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_scms")
+    val src = s"$base/src"
+    val post = graft.pipelines.Retrieval.postings(Tables.documents(s, sf))
+    post.coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("doc_id BIGINT, term STRING, tf BIGINT").json(src)
+    val counters = graft.pipelines.Sketches.cmsCounters(
+      stream, col("term"), col("tf"))
+    val q = counters.writeStream.format("memory").queryName("scms_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val finalCounters = s.table("scms_out")
+      .groupBy("j", "b").agg(max("cnt").as("cnt"))
+    val top = post.groupBy("term").agg(sum("tf").as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(10)
+    graft.pipelines.Sketches.cmsEstimate(finalCounters, top, col("term"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
   /** STREAMING funnel: the event stream in two triggers through the
     * per-key custom-state cascade ([[graft.streaming.StreamingFunnel]]);
     * the append-only sink reduces to the latest snapshot per user
@@ -335,5 +362,6 @@ object StreamingQ extends QueryPack {
     QueryDef("streaming_hll_distinct", qStreamHll,
       Some(graft.pipelines.Sketches.hllDistinctGlobalSql(
         "lineitem", "l_orderkey"))),
+    QueryDef("streaming_cms_terms", qStreamCms, Some(Pipeline.qCmsTermsSql)),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }
