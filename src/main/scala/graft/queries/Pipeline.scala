@@ -1627,6 +1627,40 @@ object Pipeline extends QueryPack {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE split: the hash split, then any train document that is a
+    * near-duplicate (portable MinHash-LSH pair, either direction) of a
+    * held-out document is dropped from train — eval contamination through
+    * near-copies is the leak a plain hash split can't see. Held-out rows
+    * are never dropped (the benchmark stays intact); only train pays. */
+  private def qSplitSafe(s: SparkSession, sf: String): DataFrame = {
+    val split = TextAnalysis.assignSplit(Tables.documents(s, sf),
+        trainFrac = 0.8, valFrac = 0.1)
+      .select(col("doc_id"), col("split"))
+    val pairs = portablePairs(s, sf).select("doc_id_a", "doc_id_b")
+    val sym = pairs.unionByName(pairs.select(
+      col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
+    val leaky = sym
+      .join(split.select(col("doc_id").as("doc_id_a"), col("split").as("_sa")),
+        Seq("doc_id_a"))
+      .join(split.select(col("doc_id").as("doc_id_b"), col("split").as("_sb")),
+        Seq("doc_id_b"))
+      .where(col("_sa") === "train" && col("_sb") =!= "train")
+      .select(col("doc_id_a").as("doc_id")).distinct()
+    split.join(leaky, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+  private val qSplitSafeSql =
+    s"""WITH $portablePairCtes,
+       |splits AS (${qSplitSql.replace("ORDER BY doc_id", "")}),
+       |sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM ppairs
+       |        UNION ALL SELECT doc_id_b, doc_id_a FROM ppairs),
+       |leaky AS (SELECT DISTINCT sym.a AS doc_id
+       |  FROM sym JOIN splits sa ON sa.doc_id = sym.a
+       |  JOIN splits sb ON sb.doc_id = sym.b
+       |  WHERE sa.split = 'train' AND sb.split <> 'train')
+       |SELECT s.doc_id, s.split FROM splits s
+       |WHERE s.doc_id NOT IN (SELECT doc_id FROM leaky)
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Deterministic seeded global shuffle: 8 training shards, hash order
     * within each — the oracle replays the portable md5 bucket and the
     * within-shard rank. */
@@ -2643,6 +2677,7 @@ object Pipeline extends QueryPack {
     QueryDef("meta_series", qMetaSeries, Some(qMetaSeriesSql)),
     QueryDef("dedup_keep_best", qKeepBest, Some(qKeepBestSql)),
     QueryDef("corpus_split", qSplit, Some(qSplitSql)),
+    QueryDef("corpus_split_leakage_safe", qSplitSafe, Some(qSplitSafeSql)),
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("corpus_shuffle", qShuffle, Some(qShuffleSql)),
     QueryDef("corpus_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
