@@ -305,6 +305,25 @@ object Pq {
       .write.mode("overwrite").saveAsTable(table)
   }
 
+  /** Append a new snapshot to a [[writePqIndex]] table under FROZEN
+    * codebooks: the standard incremental-index contract (retraining would
+    * re-code the whole corpus; frozen books keep old codes valid, at the
+    * price of codebooks drifting from the corpus distribution over many
+    * appends — rebuild cadence is the operator's call). Only the new rows
+    * are normalized and encoded; the append is one write. */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    newEmb: DataFrame, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val bookRows = spark.table(s"${table}_books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val books: Seq[Array[Array[Double]]] =
+      (0 until m).map(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    encode(newEmb, books, dim, idCol, vecCol)
+      .write.mode("append").saveAsTable(table)
+  }
+
   /** Probe a [[writePqIndex]] table: the ADC pass scans ONLY the code
     * table (m ints per row — the plan's ReadSchema shows no embedding
     * column), with the codebooks collected bounded from the companion
@@ -341,7 +360,8 @@ object Pq {
     * trainings (shared seed CTE — seeding hashes ids only), dense-code
     * assignment, the subspace-ordered ADC sum, and the exact re-rank. */
   def pqTopKSql(queryId: Long, k: Int, m: Int = 16, ks: Int = 16,
-                iters: Int = 2, rerank: Int = 16, dim: Int = 64): String = {
+                iters: Int = 2, rerank: Int = 16, dim: Int = 64,
+                trainPred: String = "TRUE"): String = {
     val dsub = dim / m
     def fold(terms: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, x) -> acc + x)"
@@ -362,7 +382,7 @@ object Pq {
 
     val adcJoin = (1 until m).map(s => s"JOIN ap_$s a$s USING (vec_id)").mkString(" ")
     val adcSum = (0 until m).map(s => s"a$s.d").mkString(" + ")
-    s"""WITH ${trainCtes(m, ks, iters, dim)},
+    s"""WITH ${trainCtes(m, ks, iters, dim, trainPred)},
        |${(0 until m).map(apCte).mkString(",\n")},
        |adc AS (SELECT a0.vec_id, $adcSum AS approx FROM ap_0 a0 $adcJoin),
        |cand AS (SELECT vec_id FROM adc WHERE vec_id <> $queryId
@@ -378,8 +398,11 @@ object Pq {
 
   /** Shared oracle prefix: normalization, the md5 seed set, and per
     * subspace the Lloyd CTEs ending in `code_$s` (vec_id → cluster) and
-    * the final codebook `c<iters>_$s`. */
-  private def trainCtes(m: Int, ks: Int, iters: Int, dim: Int): String = {
+    * the final codebook `c<iters>_$s`. `trainPred` restricts which rows
+    * TRAIN the codebooks (seeding + Lloyd); codes always cover every row
+    * — the frozen-codebook incremental-index semantics. */
+  private def trainCtes(m: Int, ks: Int, iters: Int, dim: Int,
+                        trainPred: String = "TRUE"): String = {
     val dsub = dim / m
     def fold(terms: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, x) -> acc + x)"
@@ -390,9 +413,9 @@ object Pq {
     def subspace(s: Int): String = {
       val lo = s * dsub + 1
       val hi = lo + dsub - 1
-      def assign(cents: String, out: String) =
+      def assign(cents: String, out: String, src: String) =
         s"""${out}_a AS (SELECT e.vec_id, c.cluster, ${d2("e.sv", "c.carr")} AS dist2
-           |  FROM sub$s e CROSS JOIN $cents c),
+           |  FROM $src e CROSS JOIN $cents c),
            |$out AS (SELECT vec_id, cluster FROM (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
            |  FROM ${out}_a) WHERE rn = 1)""".stripMargin
@@ -400,30 +423,33 @@ object Pq {
         s"""${out}_m AS (SELECT b.cluster, p.i AS pos,
            |    CAST(sum(CAST(floor(e.sv[p.i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
            |      / count(*) / 1000000000.0 AS cval
-           |  FROM $asg b JOIN sub$s e USING (vec_id) CROSS JOIN possub p
+           |  FROM $asg b JOIN subt$s e USING (vec_id) CROSS JOIN possub p
            |  GROUP BY 1, 2),
            |$out AS (SELECT cluster, list(cval ORDER BY pos) AS carr
            |         FROM ${out}_m GROUP BY cluster)""".stripMargin
       val lloyd = (1 to iters).map { t =>
-        assign(s"c${t - 1}_$s", s"b${t}_$s") + ",\n" +
+        assign(s"c${t - 1}_$s", s"b${t}_$s", s"subt$s") + ",\n" +
           recenter(s"b${t}_$s", s"c${t}_$s")
       }.mkString(",\n")
       s"""sub$s AS (SELECT vec_id, nv[$lo:$hi] AS sv FROM en),
+         |subt$s AS (SELECT vec_id, nv[$lo:$hi] AS sv FROM ent),
          |c0_$s AS (SELECT s.cluster, e.nv[$lo:$hi] AS carr
          |          FROM seed s JOIN en e ON e.vec_id = s.cluster),
          |$lloyd,
-         |${assign(s"c${iters}_$s", s"code_$s")}""".stripMargin
+         |${assign(s"c${iters}_$s", s"code_$s", s"sub$s")}""".stripMargin
     }
     s"""en AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS nv
        |  FROM (SELECT vec_id, embedding,
        |          sqrt(${dotRaw("embedding", "embedding")}) AS n
        |        FROM embeddings)),
+       |ent AS (SELECT e.* FROM en e JOIN embeddings t ON t.vec_id = e.vec_id
+       |        WHERE $trainPred),
        |possub AS (SELECT unnest(generate_series(1, $dsub)) AS i),
        |seed AS (SELECT vec_id AS cluster FROM (
        |    SELECT vec_id,
        |      CAST(('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-       |    FROM embeddings) ORDER BY hv, vec_id LIMIT $ks),
+       |    FROM embeddings t WHERE $trainPred) ORDER BY hv, vec_id LIMIT $ks),
        |${(0 until m).map(subspace).mkString(",\n")}""".stripMargin
   }
 

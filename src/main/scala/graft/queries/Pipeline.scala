@@ -1772,6 +1772,26 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  /** Incremental PQ index: codebooks train on the even-id half (the first
+    * crawl), the odd-id half appends under FROZEN books, and the probe
+    * serves from the grown code table. The oracle trains on the same
+    * even-id predicate while coding every row — the frozen-book semantics
+    * expressed declaratively. */
+  private def qAnnPqIncremental(s: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(s, sf)
+    val table = "graft_pq_inc_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table, companions = Seq(s"${table}_books")) {
+      graft.pipelines.Pq.writePqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), table)
+      graft.pipelines.Pq.appendPqIndex(s, table,
+        emb.where(pmod(col("vec_id"), lit(2)) === 1))
+    }
+    graft.pipelines.Pq.pqTopKFromIndex(s, table, emb, queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  }
+  private val qAnnPqIncrementalSql: String =
+    graft.pipelines.Pq.pqTopKSql(0L, 10, trainPred = "t.vec_id % 2 = 0")
+
   /** Batched PQ probes: one encode+ADC pass serves all three queries.
     * Identical per probe to ann_pq, so the oracle is the single-probe
     * replay unioned. */
@@ -2633,6 +2653,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_pq_index", qAnnPqIndex, Some(qAnnPqSql)),
     QueryDef("ann_pq_batch", qAnnPqBatch, Some(qAnnPqBatchSql)),
     QueryDef("ann_ivfpq", qAnnIvfPq, Some(qAnnPqSql)),
+    QueryDef("ann_pq_incremental", qAnnPqIncremental, Some(qAnnPqIncrementalSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
