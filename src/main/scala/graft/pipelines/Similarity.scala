@@ -294,6 +294,27 @@ object Similarity {
     })
   }
 
+  /** PRE-FILTERED exact top-k: cosine ranking restricted to the ids in
+    * `allowed` (an ids-only frame from any predicate — language, source,
+    * license). Pre-filtering keeps recall exact by construction — the
+    * filter lands BEFORE the ranking, so k survivors always exist if the
+    * corpus has them (post-filtering an ANN result can starve); at scale
+    * the filter rides the scan (predicate pushdown / a semi-join on ids)
+    * and the ranking is the same distributed TakeOrdered. */
+  def filteredTopK(emb: DataFrame, allowed: DataFrame, queryId: Long, k: Int,
+                   idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val q = emb.where(col(idCol) === queryId)
+      .select(col("embedding").as("q_emb"))
+    val scored = emb.join(allowed.select(col(idCol)).distinct(), Seq(idCol),
+        "left_semi")
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+    rankTail(scored, queryId, k, idCol)
+  }
+
   /** The IVF cell structures for composition by other ANN paths (IVF-PQ):
     * (centroids, assignments, nCells) — cached/persisted like every probe
     * through [[ivfTopK]]. */

@@ -1772,6 +1772,57 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  /** Lexical diversity per doc: type-token ratio and hapax-legomenon
+    * fraction — repetition/templating quality signals. Integer counts plus
+    * two single divisions, exact cross-engine. */
+  private def qLexicalDiversity(s: SparkSession, sf: String): DataFrame =
+    graft.pipelines.Retrieval.postings(Tables.documents(s, sf))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+      .orderBy("doc_id")
+  private val qLexicalDiversitySql =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |         FROM toks WHERE len(term) > 0 GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(tf) AS BIGINT) AS ttr,
+      |  CAST(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS BIGINT) AS hapax_frac
+      |FROM post GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Pre-filtered exact ANN: nearest neighbors among ENGLISH documents
+    * only (ids share the doc/vec id space). Pre-filter semantics keep
+    * recall exact by construction — the common metadata-constrained
+    * search a post-filtered ANN result can starve on. */
+  private def qAnnFiltered(s: SparkSession, sf: String): DataFrame = {
+    val allowed = Tables.documents(s, sf).where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    Similarity.filteredTopK(Tables.embeddings(s, sf), allowed,
+        queryId = 0L, k = 10)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  }
+  private val qAnnFilteredSql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |a AS (SELECT DISTINCT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+       |sc AS (SELECT e.vec_id, ${seqCosine("e.embedding", "q.qe")} AS cosine
+       |       FROM embeddings e JOIN a ON a.vec_id = e.vec_id CROSS JOIN q
+       |       WHERE e.vec_id <> 0)
+       |SELECT vec_id, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn <= 10 ORDER BY rnk""".stripMargin
+
   /** Incremental PQ index: codebooks train on the even-id half (the first
     * crawl), the odd-id half appends under FROZEN books, and the probe
     * serves from the grown code table. The oracle trains on the same
@@ -2654,6 +2705,9 @@ object Pipeline extends QueryPack {
     QueryDef("ann_pq_batch", qAnnPqBatch, Some(qAnnPqBatchSql)),
     QueryDef("ann_ivfpq", qAnnIvfPq, Some(qAnnPqSql)),
     QueryDef("ann_pq_incremental", qAnnPqIncremental, Some(qAnnPqIncrementalSql)),
+    QueryDef("ann_filtered", qAnnFiltered, Some(qAnnFilteredSql)),
+    QueryDef("text_lexical_diversity", qLexicalDiversity,
+      Some(qLexicalDiversitySql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
