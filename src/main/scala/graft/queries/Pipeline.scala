@@ -2192,6 +2192,38 @@ object Pipeline extends QueryPack {
       |  CAST(-CAST(sum(c * lnu) AS BIGINT) AS DOUBLE) / n / 1000000000.0 AS entropy
       |FROM u GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** 10%-trimmed mean of each user's event values: drop the lowest and
+    * highest floor(n·0.1) observations, decimal-mean the interior — the
+    * robust location estimate. Rank ties share a value, so the interior
+    * SUM is order-independent; the mean is one dAvg over raw doubles. */
+  private def qTrimmedMean(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsMillis(s, sf).select(
+      col("user_id"), col("tm"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("value"), col("tm"))
+    val n = ev.groupBy("user_id").agg(count(lit(1)).as("_n"))
+    ev.withColumn("_rn", row_number().over(w))
+      .join(n, Seq("user_id"))
+      .withColumn("_lo", floor(col("_n") * lit(0.1)).cast("long"))
+      .where(col("_rn") > col("_lo") && col("_rn") <= col("_n") - col("_lo"))
+      .groupBy("user_id")
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("trimmed_mean"),
+        count(lit(1)).as("n_used"))
+      .orderBy("user_id")
+  }
+  private val qTrimmedMeanSql =
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS tm, value FROM events),
+       |r AS (SELECT user_id, value,
+       |        row_number() OVER (PARTITION BY user_id
+       |                           ORDER BY value, tm) AS rn,
+       |        count(*) OVER (PARTITION BY user_id) AS n
+       |      FROM ev)
+       |SELECT user_id,
+       |  ${graft.core.OracleSafe.sqlAvg("value")} AS trimmed_mean,
+       |  CAST(count(*) AS BIGINT) AS n_used
+       |FROM r
+       |WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Robust trend per user over the daily means: integer Mann-Kendall S
     * plus the Theil-Sen median slope — outlier-immune trend evidence. */
   private def qRobustTrend(s: SparkSession, sf: String): DataFrame = {
@@ -2783,6 +2815,7 @@ object Pipeline extends QueryPack {
     QueryDef("events_seasonal_anomalies", qSeasonalAnomalies,
       Some(qSeasonalAnomaliesSql)),
     QueryDef("events_robust_trend", qRobustTrend, Some(qRobustTrendSql)),
+    QueryDef("events_trimmed_mean", qTrimmedMean, Some(qTrimmedMeanSql)),
     QueryDef("text_char_entropy", qCharEntropy, Some(qCharEntropySql)),
     QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
     QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
