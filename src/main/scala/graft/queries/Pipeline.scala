@@ -5,6 +5,7 @@ import graft.pipelines.{Dedup, Pca, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data pipeline operators over `documents` / `embeddings` — the
   * beyond-reference surface (dedup, similarity search, text analysis). Each
@@ -1800,6 +1801,46 @@ object Pipeline extends QueryPack {
       |    / CAST(count(*) AS BIGINT) AS hapax_frac
       |FROM post GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Trigram repetition per doc: 1 − distinct/total over the token
+    * 3-gram stream — the RefinedWeb-style template/boilerplate signal at
+    * n-gram granularity (lexical diversity sees tokens only). Integer
+    * counts + one division. */
+  private def qNgramRepetition(s: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(s, sf)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("_t"))
+      // sequence(1, 0) DESCENDS in Spark and ANSI [] throws out-of-bounds,
+      // so short docs must short-circuit to an empty gram list
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(_t) >= 3
+          |  THEN transform(sequence(1, size(_t) - 2),
+          |    i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1]))
+          |  ELSE array() END""".stripMargin).as("_g"))
+      .where(size(col("_g")) > 0)
+      .select(col("doc_id"), explode(col("_g")).as("gram"))
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .as("repetition"))
+      .orderBy("doc_id")
+  }
+  private val qNgramRepetitionSql =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+      |  FROM (SELECT doc_id, tok,
+      |          unnest(generate_series(1, greatest(len(tok) - 2, 0))) AS i
+      |        FROM t))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_ngrams,
+      |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+      |  1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS repetition
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Pre-filtered exact ANN: nearest neighbors among ENGLISH documents
     * only (ids share the doc/vec id space). Pre-filter semantics keep
     * recall exact by construction — the common metadata-constrained
@@ -2191,6 +2232,51 @@ object Pipeline extends QueryPack {
       |SELECT doc_id, n AS n_chars,
       |  CAST(-CAST(sum(c * lnu) AS BIGINT) AS DOUBLE) / n / 1000000000.0 AS entropy
       |FROM u GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  /** Inter-arrival burstiness per user: mean gap, coefficient of
+    * variation, and B = (σ−μ)/(σ+μ) over the millisecond gaps between
+    * consecutive events (B→−1 periodic, 0 Poisson, →1 bursty). Gaps are
+    * INTEGERS, so S and SS accumulate exactly in decimal and
+    * variance = (n·SS − S²)/n² needs no derived-double casts — one sqrt,
+    * three divisions at the end. */
+  private def qBurstiness(s: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.eventsMillis(s, sf).select(col("user_id"), col("tm"))
+    val w = Window.partitionBy("user_id").orderBy(col("tm"))
+    val gaps = ev.withColumn("_gap", col("tm") - lag(col("tm"), 1).over(w))
+      .where(col("_gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_gap").cast(DecimalType(38, 0))).as("_s"),
+        sum((col("_gap") * col("_gap")).cast(DecimalType(38, 0))).as("_ss"))
+      .where(col("_n") > 1)
+      .withColumn("mean_gap", col("_s").cast("double") / col("_n"))
+      .withColumn("_var",
+        (col("_n") * col("_ss") - col("_s") * col("_s")).cast("double") /
+          col("_n") / col("_n"))
+      .withColumn("_sigma", sqrt(col("_var")))
+      .select(col("user_id"), col("mean_gap"),
+        (col("_sigma") / col("mean_gap")).as("cv"),
+        ((col("_sigma") - col("mean_gap")) /
+          (col("_sigma") + col("mean_gap"))).as("burstiness"))
+      .orderBy("user_id")
+  }
+  private val qBurstinessSql =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tm FROM events),
+      |g AS (SELECT user_id,
+      |        tm - lag(tm) OVER (PARTITION BY user_id ORDER BY tm) AS gap
+      |      FROM ev),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |        sum(CAST(gap AS DECIMAL(38,0))) AS s,
+      |        sum(CAST(gap * gap AS DECIMAL(38,0))) AS ss
+      |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT user_id,
+      |  CAST(s AS DOUBLE) / n AS mean_gap,
+      |  sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n)
+      |    / (CAST(s AS DOUBLE) / n) AS cv,
+      |  (sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n) - CAST(s AS DOUBLE) / n)
+      |    / (sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n) + CAST(s AS DOUBLE) / n)
+      |    AS burstiness
+      |FROM m WHERE n > 1 ORDER BY user_id""".stripMargin
 
   /** 10%-trimmed mean of each user's event values: drop the lowest and
     * highest floor(n·0.1) observations, decimal-mean the interior — the
@@ -2740,6 +2826,8 @@ object Pipeline extends QueryPack {
     QueryDef("ann_filtered", qAnnFiltered, Some(qAnnFilteredSql)),
     QueryDef("text_lexical_diversity", qLexicalDiversity,
       Some(qLexicalDiversitySql)),
+    QueryDef("text_ngram_repetition", qNgramRepetition,
+      Some(qNgramRepetitionSql)),
     QueryDef("multimodal_features", qMultimodal, Some(qMultimodalSql)),
     QueryDef("multimodal_resize", qMultimodalResize, Some(qMultimodalResizeSql)),
     QueryDef("dedup_minhash_sig", qMinhashSig, None),
@@ -2816,6 +2904,7 @@ object Pipeline extends QueryPack {
       Some(qSeasonalAnomaliesSql)),
     QueryDef("events_robust_trend", qRobustTrend, Some(qRobustTrendSql)),
     QueryDef("events_trimmed_mean", qTrimmedMean, Some(qTrimmedMeanSql)),
+    QueryDef("events_burstiness", qBurstiness, Some(qBurstinessSql)),
     QueryDef("text_char_entropy", qCharEntropy, Some(qCharEntropySql)),
     QueryDef("events_cusum_changepoint", qCusum, Some(qCusumSql)),
     QueryDef("events_crosscorrelation", qCcf, Some(qCcfSql)))
