@@ -161,13 +161,17 @@ object VectorExprs {
       "sq8_cosine", exprs => Sq8Cosine(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
-  import org.apache.spark.sql.functions.{expr, sqrt}
+  import org.apache.spark.sql.functions.{expr, sqrt, when}
 
   def floatDot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
-  /** Cosine similarity via the codegen'd dot product (register() first). */
-  def fastCosine(a: String, b: String): Column =
-    floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
+  /** Cosine similarity via the codegen'd dot product (register() first).
+    * A zero-norm operand yields 0.0 (no similarity) rather than an ANSI
+    * divide-by-zero — real corpora do contain all-zero embeddings. */
+  def fastCosine(a: String, b: String): Column = {
+    val denom = sqrt(floatDot(a, a)) * sqrt(floatDot(b, b))
+    when(denom === 0d, 0d).otherwise(floatDot(a, b) / denom)
+  }
 
   /** Codegen'd SQ8 ADC cosine (register() first): codes ARRAY<INT>, query
     * ARRAY<FLOAT>, stats ARRAY<STRUCT<mn, step>>. */

@@ -239,11 +239,13 @@ object Pq {
       expression(codes), expression(qn), flat, off, dsub))
   }
 
-  /** Unit-normalized projection `(idCol, nv)` — the shared front half. */
+  /** Unit-normalized projection `(idCol, nv)` — the shared front half.
+    * All-zero vectors stay all-zero instead of tripping ANSI divide-by-zero. */
   private def unitize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.withColumn("_n", Vectors.norm(col(vecCol)))
       .select(col(idCol),
-        transform(col(vecCol), x => x.cast(DoubleType) / col("_n")).as("nv"))
+        transform(col(vecCol), x => when(col("_n") === 0d, 0d)
+          .otherwise(x.cast(DoubleType) / col("_n"))).as("nv"))
 
   /** Train (or fetch cached) codebooks for a corpus — the public handle for
     * serving paths that encode elsewhere (a stream, a later snapshot). */
@@ -345,7 +347,8 @@ object Pq {
     val q = emb.where(col(idCol) === queryId)
       .withColumn("_n", Vectors.norm(col(vecCol)))
       .select(transform(col(vecCol),
-        x => x.cast(DoubleType) / col("_n")).as("qn"))
+        x => when(col("_n") === 0d, 0d)
+          .otherwise(x.cast(DoubleType) / col("_n"))).as("qn"))
     val candIds = spark.table(table)
       .where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))

@@ -15,7 +15,12 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm operands yield 0.0 (no similarity) rather than an ANSI
+    * divide-by-zero — real corpora do contain all-zero embeddings. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0d, 0d).otherwise(dot(a, b) / denom)
+  }
 
   /** Deterministic +-1 hyperplane for sign-LSH (seeded; same plane set on every
     * call → signatures are reproducible across jobs). `private[graft]` so the

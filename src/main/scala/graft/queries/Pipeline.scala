@@ -2254,10 +2254,15 @@ object Pipeline extends QueryPack {
         (col("_n") * col("_ss") - col("_s") * col("_s")).cast("double") /
           col("_n") / col("_n"))
       .withColumn("_sigma", sqrt(col("_var")))
+      // mean_gap = 0 means every gap is 0 (all events share one timestamp):
+      // sigma is 0 too, both ratios are 0/0 — undefined, so NULL (mirrored
+      // by NULLIF in the oracle) instead of an ANSI divide-by-zero.
       .select(col("user_id"), col("mean_gap"),
-        (col("_sigma") / col("mean_gap")).as("cv"),
-        ((col("_sigma") - col("mean_gap")) /
-          (col("_sigma") + col("mean_gap"))).as("burstiness"))
+        when(col("mean_gap") === 0d, lit(null).cast("double"))
+          .otherwise(col("_sigma") / col("mean_gap")).as("cv"),
+        when(col("mean_gap") === 0d, lit(null).cast("double"))
+          .otherwise((col("_sigma") - col("mean_gap")) /
+            (col("_sigma") + col("mean_gap"))).as("burstiness"))
       .orderBy("user_id")
   }
   private val qBurstinessSql =
@@ -2272,9 +2277,10 @@ object Pipeline extends QueryPack {
       |SELECT user_id,
       |  CAST(s AS DOUBLE) / n AS mean_gap,
       |  sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n)
-      |    / (CAST(s AS DOUBLE) / n) AS cv,
+      |    / NULLIF(CAST(s AS DOUBLE) / n, 0) AS cv,
       |  (sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n) - CAST(s AS DOUBLE) / n)
-      |    / (sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n) + CAST(s AS DOUBLE) / n)
+      |    / NULLIF(sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n)
+      |              + CAST(s AS DOUBLE) / n, 0)
       |    AS burstiness
       |FROM m WHERE n > 1 ORDER BY user_id""".stripMargin
 

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition-invariance sweep over the round-9 operators: every result must
+  * be byte-identical at 1 partition and at a deliberately awkward 13 —
+  * the distribution-correctness property the oracles can't see (DuckDB has
+  * no partitions). Operators with their own invariance tests (PCA, HLL,
+  * k-means) aren't repeated here. */
+class PartitionInvarianceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.range(60).select(
+    col("id").as("doc_id"),
+    concat_ws(" ",
+      concat(lit("w"), (col("id") % 7).cast("string")),
+      concat(lit("w"), (col("id") % 5).cast("string")),
+      concat(lit("w"), (col("id") % 3).cast("string")),
+      concat(lit("w"), (col("id") % 11).cast("string"))).as("text"))
+
+  private def emb = spark.range(80).select(
+    col("id").as("vec_id"),
+    transform(sequence(lit(0), lit(7)), i =>
+      (sin(col("id") * (i + lit(1)) * 0.7) * 10).cast("float")).as("embedding"))
+
+  private def events = spark.range(300).select(
+    (col("id") % 5).as("user_id"),
+    (col("id") * 37 % 2000 + col("id")).as("tm"),
+    (col("id") % 13).cast("double").as("value"))
+
+  private def same(f: DataFrame => DataFrame, base: DataFrame): Unit = {
+    val a = f(base.repartition(1)).collect().map(_.toString).sorted.toSeq
+    val b = f(base.repartition(13)).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"partitioning changed the result:\n${a.take(3)}\nvs\n${b.take(3)}")
+  }
+
+  test("kcenterCoreset is partition-invariant") {
+    same(df => graft.pipelines.Similarity.kcenterCoreset(df, k = 5), emb)
+  }
+
+  test("mmrTopK is partition-invariant") {
+    same(df => graft.pipelines.Similarity.mmrTopK(df, queryId = 0L, k = 5,
+      poolSize = 20), emb)
+  }
+
+  test("pq encode is partition-invariant (books fixed)") {
+    val books = graft.pipelines.Pq.trainCodebooks(emb, m = 4, ks = 4, dim = 8)
+    same(df => graft.pipelines.Pq.encode(df, books, dim = 8)
+      .select(col("vec_id"), concat_ws(",",
+        transform(col("codes"), _.cast("string"))).as("c")), emb)
+  }
+
+  test("cms counters are partition-invariant") {
+    same(df => graft.pipelines.Sketches.cmsCounters(
+      df.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("w", lit(1L)), col("t"), col("w")), docs)
+  }
+
+  test("histogram quantiles are partition-invariant") {
+    same(df => graft.pipelines.Sketches.histQuantiles(
+      graft.pipelines.Sketches.histCounts(df, col("value"), 1.0),
+      Seq(0.5, 0.9), 1.0), events)
+  }
+
+  test("robustTrend is partition-invariant") {
+    same(df => graft.stages.SeriesStats.robustTrend(
+      df.select(col("user_id"), col("tm").as("t"), col("value").as("x"))),
+      events)
+  }
+
+  test("charEntropy is partition-invariant") {
+    same(df => graft.pipelines.TextAnalysis.charEntropy(df), docs)
+  }
+
+  test("seasonalDecompose is partition-invariant") {
+    val daily = spark.range(100).select(
+      (col("id") % 4).as("user_id"), (col("id") / 4).as("t"),
+      (col("id") % 9).cast("double").as("x"))
+    same(df => graft.stages.SeriesStats.seasonalDecompose(df, period = 5,
+      keyCol = "user_id"), daily)
+  }
+
+  test("rrf hybrid fusion is partition-invariant") {
+    val emb2 = spark.range(60).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        (cos(col("id") * (i + lit(2)) * 0.3) * 5).cast("float")).as("embedding"))
+    val a = graft.pipelines.Retrieval.rrfHybridTopK(
+        docs.repartition(1), emb2.repartition(1), 0L, 5, pool = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.pipelines.Retrieval.rrfHybridTopK(
+        docs.repartition(13), emb2.repartition(7), 0L, 5, pool = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
