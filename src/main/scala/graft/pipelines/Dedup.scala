@@ -104,6 +104,58 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** PPJoin-style EXACT set-similarity join: every pair with shingle
+    * Jaccard >= threshold — no document-frequency band, no approximation.
+    * The scalable exact alternative to [[ngramJaccardPairs]] (whose maxDf
+    * heuristic drops true pairs sharing only frequent shingles) and to
+    * MinHash (probabilistic). Prefix filtering (SSJoin/PPJoin): under one
+    * global shingle order — ascending document frequency, rarest first,
+    * ties by text — any pair with Jaccard >= t must collide inside both
+    * docs' first `sz - ceil(t*sz) + 1` shingles, so only those short
+    * prefixes enter the candidate equi-join. Frequent shingles sort LAST
+    * and almost never reach a prefix, so the hot-bucket skew the df band
+    * capped disappears structurally instead of by dropping data.
+    * Shuffles: df count, per-doc rank window (doc-bounded partitions), the
+    * prefix join (prefix-proportional), and the exact verify
+    * (candidate-proportional) — nothing quadratic in corpus size, nothing
+    * dropped. Prefer an exactly-representable threshold (0.5, 0.75):
+    * `ceil(t*sz)` on a repeating-binary t can round a prefix one short on
+    * pathological sizes. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                         idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("df").asc, col("shingle").asc)
+    // both sides of the candidate self-join read this frame — persist it
+    // or the df-count shuffle and the rank window run twice
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq(idCol))
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = prefix.select(col(idCol).as("doc_id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("doc_id_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val inter = cands
+      .join(sh.select(col(idCol).as("doc_id_a"), col("shingle")), Seq("doc_id_a"))
+      .join(sh.select(col(idCol).as("doc_id_b"), col("shingle")),
+        Seq("doc_id_b", "shingle"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")),
+        Seq("doc_id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
   /** The min-hash family over a shingle column: hash the string ONCE, then
     * derive each of the `numHashes` members by hashing the 8-byte value with
     * the seed — numHashes× cheaper than re-hashing the string bytes per seed,

@@ -158,6 +158,33 @@ object Pipeline extends QueryPack {
     s"""WITH $ngramPairCtes
        |SELECT count(*) AS n_entries, count(DISTINCT doc_id) AS n_docs FROM sh""".stripMargin
 
+  /** PPJoin exact set-similarity join: EVERY Jaccard >= 0.5 pair, no df
+    * band. The oracle is the NAIVE all-shared-shingle-pairs join —
+    * exactness is the operator's whole claim, so the engine's prefix
+    * filter must reproduce the brute-force answer bit for bit. */
+  private def qDedupPrefixJoin(s: SparkSession, sf: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(s, sf), n = 3, threshold = 0.5)
+      .orderBy("doc_id_a", "doc_id_b")
+  private val qDedupPrefixJoinSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) ix
+      |  WHERE len(array_to_string(t[i:i+2], ' ')) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_id_a
+      |JOIN sizes sb ON sb.doc_id = doc_id_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   private def qDedupMinhash(s: SparkSession, sf: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, sf), shingleN = 3, numHashes = 32, bands = 8,
       threshold = 0.5)
@@ -1806,18 +1833,17 @@ object Pipeline extends QueryPack {
     * n-gram granularity (lexical diversity sees tokens only). Integer
     * counts + one division. */
   private def qNgramRepetition(s: SparkSession, sf: String): DataFrame = {
+    // slice(), not _t[i] indexing: per-element GetArrayItem on a lambda
+    // variable runs ~30x slower than slice's single array copy (14s -> 0.5s
+    // on the sf0.1 gram stream). Docs under 3 tokens have no trigram and
+    // drop here, matching the oracle's empty generate_series.
     val toks = Tables.documents(s, sf)
       .select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("_t"))
-      // sequence(1, 0) DESCENDS in Spark and ANSI [] throws out-of-bounds,
-      // so short docs must short-circuit to an empty gram list
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(_t) >= 3
-          |  THEN transform(sequence(1, size(_t) - 2),
-          |    i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1]))
-          |  ELSE array() END""".stripMargin).as("_g"))
-      .where(size(col("_g")) > 0)
-      .select(col("doc_id"), explode(col("_g")).as("gram"))
+      .where(size(col("_t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("_t")) - 3),
+          i => concat_ws(" ", slice(col("_t"), i + 1, lit(3))))).as("gram"))
     toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"),
         countDistinct(col("gram")).as("n_distinct"))
@@ -2811,6 +2837,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_fingerprint", qFingerprint, Some(qFingerprintSql)),
     QueryDef("dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("dedup_ngram_jaccard", qDedupNgram, Some(qDedupNgramSql)),
+    QueryDef("dedup_prefix_join", qDedupPrefixJoin, Some(qDedupPrefixJoinSql)),
     QueryDef("dedup_ngram_index", qDedupNgramIndex, Some(qDedupNgramSql)),
     QueryDef("dedup_ngram_index_build", qDedupNgramIndexBuild, Some(qDedupNgramIndexBuildSql)),
     QueryDef("dedup_minhash_lsh", qDedupMinhash, None),

@@ -28,6 +28,33 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered exact join equals brute force over every pair") {
+    // 5 shifted groups: docs at word-shift distance d share 10-d of their
+    // 10 shingles (J = (10-d)/(10+d): d=0..3 pass 0.5, d=4 fails), plus an
+    // empty doc (no shingles) and two one-word docs (whole-text shingle).
+    val corpus = (0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${j + (i % 5)}").mkString(" "))
+    } ++ Seq((40L, ""), (41L, "w3"), (42L, "w3"))
+    val df = corpus.toDF("doc_id", "text")
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      (0 to math.max(toks.length - 3, 0))
+        .map(i => toks.slice(i, i + 3).mkString(" ")).filter(_.nonEmpty).toSet
+    }
+    val sets = corpus.map { case (i, t) => i -> shingleSet(t) }.toMap
+    val ids = corpus.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sets(a) & sets(b)).size
+      if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    val got = Dedup.prefixJaccardPairs(df, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("minhash LSH recovers the same near-dups") {
     val pairs = Dedup.minhashLshPairs(docs, shingleN = 2, numHashes = 32, bands = 16,
       threshold = 0.5)
