@@ -134,22 +134,37 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .join(sizes, Seq(idCol))
       .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol), col("shingle"), col("pos"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = prefix.select(col(idCol).as("doc_id_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("doc_id_b"), col("shingle")), Seq("shingle"))
-      .where(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b").distinct()
+    val a = prefix.select(col(idCol).as("doc_id_a"), col("shingle"),
+      col("pos").as("_pa"), col("sz").as("sz_a"))
+    val b = prefix.select(col(idCol).as("doc_id_b"), col("shingle"),
+      col("pos").as("_pb"), col("sz").as("sz_b"))
+    // Two further LOSSLESS prunes before the expensive verify (both keep a
+    // 1e-6 slack under the integer grid so float rounding can only ever
+    // keep an extra candidate, never drop a true pair):
+    //  - length: J >= t forces t·max(sz) <= min(sz);
+    //  - positional: positions are order-consistent across docs, so the
+    //    FIRST shared shingle (the collision row maximizing this bound)
+    //    caps the overlap at 1 + min(sz_a - pa, sz_b - pb), and
+    //    J >= t needs overlap >= t/(1+t)·(sz_a + sz_b).
+    val cands = a.join(b, Seq("shingle"))
+      .where(col("doc_id_a") < col("doc_id_b") &&
+        col("sz_a") >= col("sz_b") * threshold - 1e-6 &&
+        col("sz_b") >= col("sz_a") * threshold - 1e-6)
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(max(lit(1) + least(col("sz_a") - col("_pa"),
+          col("sz_b") - col("_pb"))).as("_ub"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .where(col("_ub").cast(DoubleType) >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - 1e-6)
     val inter = cands
       .join(sh.select(col(idCol).as("doc_id_a"), col("shingle")), Seq("doc_id_a"))
       .join(sh.select(col(idCol).as("doc_id_b"), col("shingle")),
         Seq("doc_id_b", "shingle"))
-      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
     inter
-      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")),
-        Seq("doc_id_a"))
-      .join(sizes.select(col(idCol).as("doc_id_b"), col("sz").as("sz_b")),
-        Seq("doc_id_b"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
