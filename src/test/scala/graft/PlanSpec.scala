@@ -243,6 +243,14 @@ class PlanSpec extends AnyFunSuite {
       s"wedge joins must be hash equi-joins:\n$p")
   }
 
+  check("dedup_prefix_join") { p =>
+    // every join is keyed (shingle / pair ids) — the exactness comes from
+    // prefix-filter completeness, never from an all-pairs comparison
+    assert(!p.contains("CartesianProduct"), s"no cartesian in prefix join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate and verify joins must be hash equi-joins:\n$p")
+  }
+
   check("ann_pq") { p =>
     // the serving scan rides the codegen'd kernels (not an unrolled
     // literal-tree fold) and the candidate cut is a distributed TakeOrdered
