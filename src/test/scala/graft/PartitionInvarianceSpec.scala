@@ -81,6 +81,14 @@ class PartitionInvarianceSpec extends SparkTestBase {
       keyCol = "user_id"), daily)
   }
 
+  test("prefixJaccardPairs is partition-invariant (and finds pairs)") {
+    // ids congruent mod 15 share their middle bigram: J = 1/5 >= 0.2
+    same(df => graft.pipelines.Dedup.prefixJaccardPairs(df, n = 2,
+      threshold = 0.2), docs)
+    assert(graft.pipelines.Dedup.prefixJaccardPairs(docs.repartition(13),
+      n = 2, threshold = 0.2).count() > 0)
+  }
+
   test("rrf hybrid fusion is partition-invariant") {
     val emb2 = spark.range(60).select(
       col("id").as("vec_id"),
