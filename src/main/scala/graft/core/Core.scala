@@ -163,6 +163,23 @@ object Dist {
       .drop("_pid", "_scan0", "_off")
   }
 
+  /** Distributed bottom-k: the k smallest rows by `ord` — which must be a
+    * TOTAL order (add a unique tiebreaker), or ranks are partition-
+    * dependent. Local bottom-k inside `buckets` disjoint hash-buckets of
+    * `bucketOn` first (any row outside its bucket's bottom-k cannot be in
+    * the global bottom-k), so the global [[prefixScan]] ranks at most
+    * buckets·k survivors — no sort ever funnels the full frame. Appends
+    * `_rn`, the 1-based global rank. */
+  def bottomK(df: DataFrame, ord: Seq[Column], k: Int, bucketOn: Column,
+              buckets: Int = 32): DataFrame = {
+    val wLocal = Window.partitionBy(pmod(bucketOn, lit(buckets)))
+      .orderBy(ord: _*)
+    val pruned = df.withColumn("_rl", row_number().over(wLocal))
+      .where(col("_rl") <= k).drop("_rl")
+    prefixScan(pruned, ord, lit(1L), ord)
+      .where(col("_scan") <= k).withColumnRenamed("_scan", "_rn")
+  }
+
   /** Drop the block-manager storage behind a `localCheckpoint(eager=true)`d
     * frame. A local checkpoint truncates lineage, so Spark itself only frees
     * the blocks when the driver GCs the RDD handle — on a large driver heap

@@ -193,4 +193,79 @@ object Pca {
        |SELECT e.vec_id, ${sqlProj("p", dim)} AS pc1, ${sqlProj("u", dim)} AS pc2
        |FROM embeddings e CROSS JOIN ml CROSS JOIN v$iters p CROSS JOIN u$iters u
        |ORDER BY e.vec_id""".stripMargin
+
+  /** Achlioptas sparse random projection (Johnson–Lindenstrauss) into
+    * `dOut` dimensions: R(j,i) ∈ {+1, 0, −1} with probability
+    * {1/6, 2/3, 1/6}, drawn from the portable hash of "jl:j:i" — the
+    * data-INDEPENDENT complement to the trained PCA above: no pass over
+    * the corpus, no model to ship, any executor (or any other engine)
+    * reconstructs R from the seed string alone, so at 100 TB the
+    * reduction is a single narrow map with nothing broadcast but a
+    * dOut×dim sign table built from literals. yⱼ = √(3/dOut)·Σᵢ xᵢR(j,i),
+    * the fold index-order sequential so the oracle replays it bit for
+    * bit. Output (idCol, y00 … y{dOut−1}). */
+  def jlProject(emb: DataFrame, dOut: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    jlCols(emb, dOut, dim, idCol, vecCol).orderBy(col(idCol))
+
+  private def jlCols(emb: DataFrame, dOut: Int, dim: Int, idCol: String,
+                     vecCol: String): DataFrame = {
+    val scale = math.sqrt(3.0 / dOut)
+    def signCase(j: Int, i: Column): Column = {
+      val h = graft.core.OracleSafe.hashLong(
+        concat(lit(s"jl:$j:"), i.cast("string"))) % 6
+      when(h === 0, lit(1.0)).when(h === 1, lit(-1.0)).otherwise(lit(0.0))
+    }
+    val signs = (0 until dOut).map { j =>
+      transform(sequence(lit(0), lit(dim - 1)), i => signCase(j, i))
+        .as(s"_s$j")
+    }
+    val signsDf = emb.sparkSession.range(1).select(signs: _*)
+    val proj = (0 until dOut).map { j =>
+      (aggregate(
+        zip_with(col(vecCol), col(s"_s$j"),
+          (x, s0) => x.cast(DoubleType) * s0),
+        lit(0.0), (acc, t) => acc + t) * lit(scale)).as(f"y$j%02d")
+    }
+    emb.crossJoin(broadcast(signsDf))
+      .select(col(idCol) +: proj: _*)
+  }
+
+  /** [[jlProject]] emitting ONE array<double> column `yv` instead of dOut
+    * scalar columns — the form downstream vector ops (projected-space ANN)
+    * consume, without the presentation sort. Same sign draws, same fold,
+    * same values. */
+  def jlProjectVec(emb: DataFrame, dOut: Int = 16, dim: Int = 64,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    jlCols(emb, dOut, dim, idCol, vecCol).select(col(idCol),
+      array((0 until dOut).map(j => col(f"y$j%02d")): _*).as("yv"))
+
+  /** SQL fragment: component j of the JL projection (the hash-drawn sign
+    * fold times the scale literal). */
+  private def jlComponentSql(j: Int, dOut: Int, dim: Int): String = {
+    val scale = math.sqrt(3.0 / dOut)
+    val sign =
+      s"""(CASE CAST(('0x' || substr(md5('jl:$j:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 6
+         |        WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)""".stripMargin
+    sqlFold(s"""list_transform(generate_series(1, $dim), i ->
+         |      CAST(embedding[i] AS DOUBLE) * $sign)""".stripMargin) +
+      s" * $scale"
+  }
+
+  /** DuckDB replay of [[jlProject]]: the same hash-drawn sign table, the
+    * same index-order list_reduce fold, ONE scale multiply at the end. */
+  def jlProjectSql(dOut: Int = 16, dim: Int = 64): String = {
+    val cols = (0 until dOut).map(j =>
+      jlComponentSql(j, dOut, dim) + f" AS y$j%02d")
+    s"""SELECT vec_id,
+       |${cols.mkString(",\n")}
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** SQL fragment: the projected vector as a LIST — the input the
+    * projected-space ANN oracle folds over ([[jlProjectVec]]'s `yv`). */
+  def jlListSql(dOut: Int = 16, dim: Int = 64): String =
+    "[" + (0 until dOut).map(jlComponentSql(_, dOut, dim)).mkString(",\n") + "]"
 }

@@ -215,6 +215,32 @@ object Similarity {
     rankTail(scored, queryId, k, idCol)
   }
 
+  /** Top-k by cosine in the Johnson–Lindenstrauss PROJECTED space
+    * ([[Pca.jlProjectVec]], 64→`dOut` dims): the reduce-then-search scale
+    * path — at 100 TB the scan reads and folds dOut doubles per vector
+    * instead of 64 floats, and the projection itself is a data-independent
+    * narrow map (no training pass, nothing shipped but a seed string).
+    * Candidates are ranked directly by projected cosine; because every op
+    * on the path (hash-drawn signs, index-order folds, sqrt, one divide)
+    * is basic IEEE arithmetic with no transcendental, the scores — not
+    * just the ids — are oracle-exact bit for bit. Zero-norm projections
+    * score 0 (mirrors every other cosine path). */
+  def jlTopK(emb: DataFrame, queryId: Long, k: Int, dOut: Int = 16,
+             dim: Int = 64, idCol: String = "vec_id"): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    val proj = Pca.jlProjectVec(emb, dOut, dim, idCol)
+    val q = proj.where(col(idCol) === queryId).select(col("yv").as("qv"))
+    val scored = proj.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("_na", sqrt(dot(col("yv"), col("yv"))))
+      .withColumn("_nb", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("cosine",
+        when(col("_na") === 0.0 || col("_nb") === 0.0, lit(0.0))
+          .otherwise(dot(col("yv"), col("qv")) / (col("_na") * col("_nb"))))
+    rankTail(scored, queryId, k, idCol)
+  }
+
   /** Batched multiprobe LSH: N probes resolve in ONE pass over the banded
     * signature index — the probe-key set (now keyed by probe_id) still rides
     * as a broadcast, the bucket probe is still an ids-only equi-join, and

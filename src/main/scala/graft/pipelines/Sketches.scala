@@ -170,4 +170,88 @@ object Sketches {
                            b: Int = 6): String =
     s"""SELECT estimate FROM (
        |${hllDistinctSql(table, valueExpr, "0", b, outName = "grp")})""".stripMargin
+
+  /** KMV ("k minimum values" / bottom-k theta) sketch: the k smallest
+    * distinct 32-bit portable hashes of `valueCol` per group, as rows
+    * `groupCols :+ _h`. The payoff over HLL is SET ALGEBRA: two sketches
+    * intersect ([[kmvOverlap]]) because any hash below the union's k-th
+    * minimum is a uniform sample of the union, and membership of a sampled
+    * hash in both input sketches is decidable from the sketches alone —
+    * so crawl-vs-crawl overlap at 100 TB costs two sketch scans and a
+    * 2k-row combine, not a join of the crawls. Integer state end to end.
+    *
+    * Scale shape: one distinct shuffle on (group, hash) — two longs a
+    * row — then a TWO-PHASE min-k: local min-k inside each of `buckets`
+    * hash-buckets, global min-k over the ≤ buckets·k survivors. No
+    * single-partition sort ever sees more than buckets·k rows per group.
+    */
+  def kmvSketch(df: DataFrame, valueCol: Column, groupCols: Seq[Column],
+                k: Int = 256, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.core.OracleSafe.hashLong(
+      concat(lit("kmv:"), valueCol.cast("string")))
+    val hashed = df.select(groupCols :+ h.as("_h"): _*).distinct()
+    val gNames = hashed.columns.dropRight(1).toSeq
+    val wLocal = Window
+      .partitionBy(gNames.map(col) :+ pmod(col("_h"), lit(buckets.toLong)): _*)
+      .orderBy(col("_h"))
+    val pruned = hashed
+      .withColumn("_rl", row_number().over(wLocal)).where(col("_rl") <= k)
+      .drop("_rl")
+    graft.core.Dist.prefixScan(pruned, Seq(col("_h")), lit(1L),
+        Seq(col("_h")), keyNames = gNames)
+      .where(col("_scan") <= k).withColumnRenamed("_scan", "_rn")
+  }
+
+  /** Distinct estimate from a KMV sketch: (k−1)·2^32 / h₍k₎ — the numerator
+    * an exact driver-side double literal, ONE IEEE division per group — or
+    * the exact count when the group never filled its k slots. */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[Column],
+                  k: Int = 256): DataFrame =
+    sketch.groupBy(groupCols: _*)
+      .agg(max(col("_h")).as("_hk"), count(lit(1)).as("_n"))
+      .withColumn("estimate",
+        when(col("_n") < k, col("_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("_hk")))
+      .select(groupCols :+ col("estimate"): _*)
+
+  /** Overlap estimates from two KMV sketches (each `(_h, _rn)` rows): one
+    * row `(est_a, est_b, est_union, est_inter)`. The combined bottom-k of
+    * the two sketches' hashes samples the union; θ = its k-th minimum;
+    * est_union = (k−1)·2^32/θ and est_inter = |{h < θ : h ∈ A ∧ h ∈ B}|
+    * ·2^32/θ — sound because θ ≤ either input's own k-th minimum, so a
+    * hash below θ present in a set is necessarily IN that set's sketch.
+    * Degenerate exact branch: if the combined distinct hashes never fill
+    * k slots, both inputs are complete hash sets and every output is the
+    * exact cardinality. All frames after the inputs are ≤ 2k rows. */
+  def kmvOverlap(skA: DataFrame, skB: DataFrame, k: Int = 256): DataFrame = {
+    val ha = skA.select(col("_h")).withColumn("_ina", lit(1L))
+    val hb = skB.select(col("_h")).withColumn("_inb", lit(1L))
+    val comb0 = ha.join(hb, Seq("_h"), "full")
+      .select(col("_h"), coalesce(col("_ina"), lit(0L)).as("_ina"),
+        coalesce(col("_inb"), lit(0L)).as("_inb"))
+    // rank by hash via the shared two-phase scan (distinct hashes ⇒ the
+    // inclusive count IS the rank) — no single-partition window even here
+    val comb = graft.core.Dist.prefixScan(
+        comb0, Seq(col("_h")), lit(1L), Seq(col("_h")))
+      .where(col("_scan") <= k)
+    val stats = comb.agg(
+      max(col("_h")).as("_theta"), count(lit(1)).as("_nu"),
+      sum(when(col("_ina") + col("_inb") === 2L && col("_scan") < k, 1L)
+        .otherwise(0L)).as("_common"),
+      sum(when(col("_ina") + col("_inb") === 2L, 1L).otherwise(0L))
+        .as("_commonAll"))
+    val sa = skA.agg(count(lit(1)).as("_na"), max(col("_h")).as("_hka"))
+    val sb = skB.agg(count(lit(1)).as("_nb"), max(col("_h")).as("_hkb"))
+    def est(n: Column, hk: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) / hk)
+    stats.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)).select(
+      est(col("_na"), col("_hka")).as("est_a"),
+      est(col("_nb"), col("_hkb")).as("est_b"),
+      est(col("_nu"), col("_theta")).as("est_union"),
+      when(col("_nu") < k, col("_commonAll").cast("double"))
+        .otherwise(col("_common") * lit(4294967296.0) / col("_theta"))
+        .as("est_inter"))
+  }
 }

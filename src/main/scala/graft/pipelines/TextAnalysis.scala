@@ -699,6 +699,39 @@ object TextAnalysis {
     docs.where(frac < rate)
   }
 
+  /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis by
+    * exponential keys): the k survivors are distributed exactly as k
+    * sequential weighted draws, each without replacement — keyᵢ =
+    * −ln(1−uᵢ)/wᵢ with uᵢ the portable hash fraction of (seed, id), keep
+    * the k SMALLEST keys. This is how a quality-weighted subcorpus is cut
+    * when independent rate sampling ([[sampleStratified]]) can't hit a
+    * size target and unweighted top-k would ignore quality entirely.
+    *
+    * Cross-engine determinism: ln is the one transcendental, and the
+    * RANKED value must not ride a raw double (last-ulp ln divergence could
+    * reorder the boundary), so the sort key is floor(key·1e9) — one floor,
+    * identical in both engines — with `idCol` breaking ties. Zero/negative
+    * weights are excluded up front (they can never be drawn; keeping them
+    * would divide by zero under ANSI).
+    *
+    * Distributed shape: a per-row key then [[graft.core.Dist.bottomK]] —
+    * local prune inside 32 hash-buckets, global rank over ≤ 32·k
+    * survivors; nothing global ever sorts the corpus. Output: the
+    * surviving rows + `rnk` (1-based draw order). */
+  def sampleWeighted(docs: DataFrame, k: Int, weightCol: Column,
+                     seed: String = "graft",
+                     idCol: String = "doc_id"): DataFrame = {
+    val u = graft.core.OracleSafe.hashFraction(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val key = -log(lit(1.0) - u) / weightCol.cast(DoubleType)
+    val keyed = docs.where(weightCol > 0)
+      .withColumn("_sk", floor(key * lit(1e9)).cast(LongType))
+    graft.core.Dist.bottomK(keyed,
+        Seq(col("_sk").asc, col(idCol).asc), k,
+        graft.core.OracleSafe.hashLong(col(idCol).cast("string")))
+      .withColumnRenamed("_rn", "rnk").drop("_sk")
+  }
+
   /** Sliding-window OVERLAP CHUNKING (the RAG/embedding-index splitter):
     * cut each document's whitespace-token stream into chunks of
     * `sizeTokens` advancing by `sizeTokens - overlapTokens`, the final

@@ -290,4 +290,30 @@ class IvfRecallSpec extends SparkTestBase {
       info(f"sf0.1 recall@10: ivfpq(nProbe=$np)=${rs.sum / rs.size}%.2f (45 cells)")
     }
   }
+
+  test("jl projected-space recall@10 measured; exact in projected space (sf0.001)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = Seq(0L, 7L, 42L)
+    def recallAt(dOut: Int): Double = {
+      val rs = queries.map { q =>
+        val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
+        val jl = top(Similarity.jlTopK(emb, q, 10, dOut = dOut))
+        assert(jl.size == 10)
+        assert(jl.map(_._2) == jl.map(_._2).sorted.reverse)
+        (jl.map(_._1).toSet & exact).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    // 64→dOut on the uniform worst-case corpus: JL distortion
+    // ~sqrt(ln n / dOut) is large and neighbors barely separated, so
+    // absolute recall is modest — the properties pinned are (a) projected
+    // search is far above random (recall@10 for k=10/n=500 random picks
+    // ≈ 0.02) and (b) recall improves as dOut buys distortion back
+    val r16 = recallAt(16)
+    val r32 = recallAt(32)
+    assert(r16 >= 0.1, s"jl dOut=16 mean recall@10 $r16")
+    assert(r32 >= r16, s"recall must not degrade with dOut: $r32 < $r16")
+    info(f"sf0.001 recall@10: jl(dOut=16)=$r16%.2f jl(dOut=32)=$r32%.2f")
+  }
 }

@@ -81,6 +81,22 @@ class PartitionInvarianceSpec extends SparkTestBase {
       keyCol = "user_id"), daily)
   }
 
+  test("sampleWeighted is partition-invariant") {
+    same(df => graft.pipelines.TextAnalysis.sampleWeighted(
+      df.withColumn("n_chars", length(col("text"))), k = 10,
+      weightCol = col("n_chars")), docs)
+  }
+
+  test("kmv overlap is partition-invariant") {
+    same({ df =>
+      val skA = graft.pipelines.Sketches.kmvSketch(
+        df.where(col("doc_id") % 3 =!= 0), col("text"), Seq.empty, k = 16)
+      val skB = graft.pipelines.Sketches.kmvSketch(
+        df.where(col("doc_id") % 3 =!= 1), col("text"), Seq.empty, k = 16)
+      graft.pipelines.Sketches.kmvOverlap(skA, skB, k = 16)
+    }, docs)
+  }
+
   test("prefixJaccardPairs is partition-invariant (and finds pairs)") {
     // ids congruent mod 15 share their middle bigram: J = 1/5 >= 0.2
     same(df => graft.pipelines.Dedup.prefixJaccardPairs(df, n = 2,

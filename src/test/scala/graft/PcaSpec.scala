@@ -68,4 +68,28 @@ class PcaSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(a == b)
   }
+
+  test("jl projection preserves expected squared norms and is partition-invariant") {
+    // 200 vectors of dim 64, varied magnitudes
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (sin(i.cast("double") * 0.7 + col("id").cast("double") * 0.13) *
+          (lit(1.0) + (col("id") % 5).cast("double"))).cast("float"))
+        .as("embedding"))
+    val y = Pca.jlProject(emb).collect()
+    val yNorm = y.map(r => (1 to 16).map(c => {
+      val v = r.getDouble(c); v * v
+    }).sum)
+    val xNorm = emb.select(
+        aggregate(col("embedding"), lit(0.0),
+          (a, v) => a + v.cast("double") * v.cast("double")).as("n"))
+      .collect().map(_.getDouble(0))
+    // E[‖y‖²] = ‖x‖² for Achlioptas signs; corpus-mean ratio should be near 1
+    val ratio = yNorm.sum / xNorm.sum
+    assert(ratio > 0.7 && ratio < 1.3, s"norm-preservation ratio $ratio")
+    // per-row op ⇒ byte-identical under any partitioning
+    val a = Pca.jlProject(emb.repartition(1)).collect().map(_.toSeq).toSet
+    val b = Pca.jlProject(emb.repartition(13)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

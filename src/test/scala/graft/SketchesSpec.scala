@@ -105,4 +105,52 @@ class SketchesSpec extends SparkTestBase {
     // linear counting m*ln(m/V) is near-exact at 7 of 64 buckets filled
     assert(math.abs(e - 7.0) < 2.0, s"small-range estimate $e vs 7")
   }
+
+  test("kmv estimate lands within 3 standard errors of the exact count") {
+    // k=256 → se ≈ 1/sqrt(k-2) ≈ 6.3%; 3σ ≈ 19%
+    val df = spark.range(40000).select((col("id") % 10000).as("v"))
+    val e = Sketches.kmvEstimate(
+        Sketches.kmvSketch(df, col("v"), Seq.empty), Seq.empty)
+      .collect().map(_.getDouble(0)).head
+    assert(math.abs(e - 10000.0) / 10000.0 < 0.19, s"kmv estimate $e vs 10000")
+  }
+
+  test("kmv below k slots is the exact distinct count; sketch is partition-invariant") {
+    val tiny = spark.range(2000).select((col("id") % 97).as("v"))
+    val e = Sketches.kmvEstimate(
+        Sketches.kmvSketch(tiny, col("v"), Seq.empty), Seq.empty)
+      .collect().map(_.getDouble(0)).head
+    assert(e == 97.0, s"exact branch gave $e")
+    val big = spark.range(30000).select((col("id") % 8000).as("v"))
+    val a = Sketches.kmvSketch(big.repartition(1), col("v"), Seq.empty)
+      .orderBy("_h").collect().map(_.getLong(0)).toSeq
+    val b = Sketches.kmvSketch(big.repartition(17), col("v"), Seq.empty)
+      .orderBy("_h").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 256)
+  }
+
+  test("kmv overlap estimates track exact set algebra within 3σ") {
+    // A = [0, 6000), B = [3000, 9000): |A∪B| = 9000, |A∩B| = 3000
+    val df = spark.range(40000).select((col("id") % 9000).as("v"))
+    val skA = Sketches.kmvSketch(df.where(col("v") < 6000), col("v"), Seq.empty)
+    val skB = Sketches.kmvSketch(df.where(col("v") >= 3000), col("v"), Seq.empty)
+    val r = Sketches.kmvOverlap(skA, skB).collect().head
+    val (ea, eb, eu, ei) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(ea - 6000.0) / 6000.0 < 0.19, s"est_a $ea")
+    assert(math.abs(eb - 6000.0) / 6000.0 < 0.19, s"est_b $eb")
+    assert(math.abs(eu - 9000.0) / 9000.0 < 0.19, s"est_union $eu")
+    // intersection samples ~k/3 hashes → wider band
+    assert(math.abs(ei - 3000.0) / 3000.0 < 0.35, s"est_inter $ei")
+  }
+
+  test("kmv overlap of small exact sets is exact") {
+    val a = spark.range(100).select(col("id").as("v"))       // [0, 100)
+    val b = spark.range(150).select((col("id") + 60).as("v")) // [60, 210)
+    val r = Sketches.kmvOverlap(
+      Sketches.kmvSketch(a, col("v"), Seq.empty),
+      Sketches.kmvSketch(b, col("v"), Seq.empty)).collect().head
+    assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 150.0 &&
+      r.getDouble(2) == 210.0 && r.getDouble(3) == 40.0)
+  }
 }
