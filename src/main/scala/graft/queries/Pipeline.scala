@@ -658,6 +658,34 @@ object Pipeline extends QueryPack {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY rnk LIMIT 10""".stripMargin
 
+  /** JL reduce-then-search: exact top-k in the hash-projected 16-dim
+    * space — and because every op on the path is basic IEEE arithmetic
+    * (no transcendentals), the oracle checks the SCORES bit for bit, not
+    * just the ids — the only ANN variant where that is possible. */
+  private def qAnnJl(s: SparkSession, sf: String): DataFrame =
+    Similarity.jlTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
+      .orderBy("rnk")
+  private val qAnnJlSql = {
+    val fold16 = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, 16), i -> $a[i] * $b[i])),
+         |    (acc, x) -> acc + x)""".stripMargin
+    s"""WITH p AS (SELECT vec_id,
+       |${Pca.jlListSql()} AS yv
+       |FROM embeddings),
+       |q AS (SELECT yv AS qv FROM p WHERE vec_id = 0),
+       |sc AS (SELECT vec_id,
+       |    sqrt(${fold16("p.yv", "p.yv")}) AS na,
+       |    sqrt(${fold16("q.qv", "q.qv")}) AS nb,
+       |    ${fold16("p.yv", "q.qv")} AS dotv
+       |  FROM p CROSS JOIN q WHERE vec_id <> 0),
+       |cs AS (SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |                           ELSE dotv / (na * nb) END AS cosine FROM sc)
+       |SELECT vec_id, cosine,
+       |       row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+       |FROM cs ORDER BY rnk LIMIT 10""".stripMargin
+  }
+
   /** The PERSISTED partitioned IVF index probed with nProbe = nCells, so
     * every cell is scanned and the result is ORACLE-EXACT against the same
     * brute-force SQL (the role the oversized rerank buffer plays for
@@ -1722,6 +1750,24 @@ object Pipeline extends QueryPack {
       |                      ELSE NULL END
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted sample without replacement (Efraimidis–Spirakis
+    * exponential keys, weight = document length): 50 draws, the oracle
+    * replaying every hash, ln, floor-quantized key and the (key, id)
+    * rank. */
+  private def qSampleWeighted(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.sampleWeighted(Tables.documents(s, sf), k = 50,
+        weightCol = col("n_chars"), seed = "wsamp")
+      .select("doc_id", "source", "n_chars", "rnk").orderBy("rnk")
+  private val qSampleWeightedSql =
+    """WITH keyed AS (SELECT doc_id, source, n_chars,
+      |    CAST(floor(-ln(1 - CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |                    / 4294967296.0)
+      |               / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS sk
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, source, n_chars, rnk FROM (
+      |  SELECT *, row_number() OVER (ORDER BY sk, doc_id) AS rnk FROM keyed)
+      |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+
   /** RAG-style overlap chunking: 64-token windows advancing by 48 (16
     * tokens of shared context); the oracle replays the chunk-count
     * arithmetic and the token-slice join. */
@@ -1977,6 +2023,49 @@ object Pipeline extends QueryPack {
       |WHERE c.scan >= ceil(p.p * n.n)
       |GROUP BY 1 ORDER BY p""".stripMargin
 
+  /** Crawl-overlap estimation without a join: KMV bottom-256 sketches of
+    * two overlapping crawl slices' text sets (doc_id thirds {1,2} vs
+    * {0,2}, plus whatever exact duplicates cross the cut), combined into
+    * union AND intersection cardinality estimates — the set algebra HLL
+    * registers cannot express. At 100 TB this is two sketch scans and a
+    * ≤2k-row combine instead of a crawl×crawl join; the oracle replays
+    * every hash, rank and division. */
+  private def qKmvOverlap(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    def sk(r: Int) = graft.pipelines.Sketches.kmvSketch(
+      docs.where(col("doc_id") % 3 =!= r), col("text"), Seq.empty)
+    graft.pipelines.Sketches.kmvOverlap(sk(0), sk(1))
+  }
+  private val qKmvOverlapSql: String = {
+    val k = 256
+    val num = (k - 1).toDouble * 4294967296.0
+    s"""WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || text), 1, 8)) AS BIGINT) AS h
+       |            FROM documents WHERE doc_id % 3 != 0),
+       |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || text), 1, 8)) AS BIGINT) AS h
+       |       FROM documents WHERE doc_id % 3 != 1),
+       |ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |sa AS (SELECT count(*) AS na, max(h) AS hka FROM ka),
+       |sb AS (SELECT count(*) AS nb, max(h) AS hkb FROM kb),
+       |comb AS (SELECT coalesce(a.h, b.h) AS h,
+       |                CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ina,
+       |                CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS inb
+       |         FROM ka a FULL JOIN kb b ON a.h = b.h),
+       |ck AS (SELECT * FROM (
+       |         SELECT h, ina, inb, row_number() OVER (ORDER BY h) AS rn
+       |         FROM comb) WHERE rn <= $k),
+       |st AS (SELECT max(h) AS theta, count(*) AS nu,
+       |              sum(CASE WHEN ina + inb = 2 AND rn < $k THEN 1 ELSE 0 END) AS com,
+       |              sum(CASE WHEN ina + inb = 2 THEN 1 ELSE 0 END) AS comall
+       |       FROM ck)
+       |SELECT CASE WHEN na < $k THEN CAST(na AS DOUBLE) ELSE $num / hka END AS est_a,
+       |       CASE WHEN nb < $k THEN CAST(nb AS DOUBLE) ELSE $num / hkb END AS est_b,
+       |       CASE WHEN nu < $k THEN CAST(nu AS DOUBLE) ELSE $num / theta END AS est_union,
+       |       CASE WHEN nu < $k THEN CAST(comall AS DOUBLE)
+       |            ELSE com * 4294967296.0 / theta END AS est_inter
+       |FROM st CROSS JOIN sa CROSS JOIN sb""".stripMargin
+  }
+
   /** HLL distinct orderkeys per returnflag: 64 integer registers, portable
     * md5 bucketing, one IEEE division — the mergeable no-distinct-shuffle
     * cardinality sketch, oracle-replayed register for register. */
@@ -2015,6 +2104,14 @@ object Pipeline extends QueryPack {
   private def qPca2Projections(s: SparkSession, sf: String): DataFrame =
     Pca.pc2Projections(Tables.embeddings(s, sf))
   private val qPca2ProjectionsSql: String = Pca.pc2ProjectionsSql()
+
+  /** Johnson–Lindenstrauss sparse random projection 64→16: hash-seeded
+    * ±1/0 signs, no training pass, no shuffle — the data-independent
+    * reduction you run BEFORE anything trained when the corpus is 100 TB.
+    * Oracle replays every sign draw and fold term. */
+  private def qJlProject(s: SparkSession, sf: String): DataFrame =
+    Pca.jlProject(Tables.embeddings(s, sf))
+  private val qJlProjectSql: String = Pca.jlProjectSql()
 
   /** Farthest-point coreset of 6 from the embedding corpus: the greedy
     * covering-radius selector for diverse training subsets. Oracle unrolls
@@ -2909,6 +3006,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("corpus_shuffle", qShuffle, Some(qShuffleSql)),
     QueryDef("corpus_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+    QueryDef("corpus_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
@@ -2919,6 +3017,9 @@ object Pipeline extends QueryPack {
     QueryDef("sketch_hll_merge", qHllMerge, Some(qHllMergeSql)),
     QueryDef("sketch_cms_terms", qCmsTerms, Some(qCmsTermsSql)),
     QueryDef("sketch_hist_quantiles", qHistQuantiles, Some(qHistQuantilesSql)),
+    QueryDef("sketch_kmv_overlap", qKmvOverlap, Some(qKmvOverlapSql)),
+    QueryDef("embeddings_jl_project", qJlProject, Some(qJlProjectSql)),
+    QueryDef("ann_jl", qAnnJl, Some(qAnnJlSql)),
     QueryDef("dedup_semantic", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),
