@@ -195,9 +195,16 @@ object Sketches {
     val wLocal = Window
       .partitionBy(gNames.map(col) :+ pmod(col("_h"), lit(buckets.toLong)): _*)
       .orderBy(col("_h"))
+    // localCheckpoint the ≤ groups·buckets·k survivors: the global rank
+    // below reads its input twice (prefixScan's two phases) and overlap
+    // consumers re-reference the sketch 3-4×; without the cut each
+    // reference replays the corpus scan + distinct (measured 24 parquet
+    // scans in the two-sketch overlap plan). One corpus pass, then
+    // everything downstream reads the sketch-sized checkpoint.
     val pruned = hashed
       .withColumn("_rl", row_number().over(wLocal)).where(col("_rl") <= k)
       .drop("_rl")
+      .localCheckpoint(true)
     graft.core.Dist.prefixScan(pruned, Seq(col("_h")), lit(1L),
         Seq(col("_h")), keyNames = gNames)
       .where(col("_scan") <= k).withColumnRenamed("_scan", "_rn")

@@ -828,6 +828,77 @@ object TextAnalysis {
       .select(col(idCol), col("_cls").as("predicted"), col("score"))
   }
 
+  /** Binary LOGISTIC-REGRESSION classifier trained by full-batch gradient
+    * descent, entirely inside the plan — the trained-on-features
+    * complement to the word-count [[naiveBayes]] (the shape of a
+    * fastText-style quality filter: small dense features, linear model,
+    * one pass per iteration). Features are exact integer-derived ratios
+    * (bias, token count, type-token ratio, mean token length); each
+    * iteration is ONE corpus aggregate: zᵢ = w·xᵢ (fixed-order sum),
+    * pᵢ = σ(zᵢ), and the gradient Σ(pᵢ−yᵢ)xᵢⱼ accumulated as
+    * floor(·1e9) BIGINTs — the one transcendental (exp) is quantized
+    * through the floor before any cross-row sum, so the weight path
+    * reproduces bit for bit cross-engine. Weights ride 1-row broadcasts;
+    * no driver action anywhere.
+    *
+    * Scale shape: `iters` passes over the corpus, each a map + one
+    * 4-long aggregate — gradient descent at 100 TB is exactly as
+    * expensive as `iters` scans, nothing else shuffles.
+    * Output 1 row: (w0..w3, acc) — final weights and training accuracy. */
+  def logisticRegression(docs: DataFrame, iters: Int = 2, lr: Double = 1.0,
+                         positiveLang: String = "en"): DataFrame = {
+    val toksE = split(trim(col("text")), "\\s+")
+    val feat = docs
+      .select(
+        when(col("lang") === positiveLang, lit(1.0)).otherwise(lit(0.0))
+          .as("y"),
+        size(toksE).cast(DoubleType).as("_nt"),
+        size(array_distinct(toksE)).cast(DoubleType).as("_dt"),
+        col("n_chars").cast(DoubleType).as("_nc"))
+      .where(col("_nt") > 0)
+      .select(col("y"), lit(1.0).as("x0"), (col("_nt") / 32.0).as("x1"),
+        (col("_dt") / col("_nt")).as("x2"),
+        (col("_nc") / col("_nt") / 8.0).as("x3"))
+    logisticRegressionOn(feat, iters, lr)
+  }
+
+  /** The gradient-descent core of [[logisticRegression]] over an already-
+    * built feature frame `(y, x0..x3)` — exposed so specs (and other
+    * feature sets) can drive the same trainer. */
+  def logisticRegressionOn(feat: DataFrame, iters: Int,
+                           lr: Double): DataFrame = {
+    def z: Column =
+      col("w0") * col("x0") + col("w1") * col("x1") +
+        col("w2") * col("x2") + col("w3") * col("x3")
+    // the weight frame re-enters its own next-iteration plan TWICE (the
+    // gradient aggregate and the update), so an unchecked loop doubles the
+    // lineage per round — localCheckpoint the 1-row state each iteration
+    // (the clusterPairs discipline) and free the previous round's blocks
+    var w = feat.sparkSession.range(1).select(
+      (0 to 3).map(j => lit(0.0).as(s"w$j")): _*)
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val gCols = (0 to 3).map(j =>
+        sum(floor((p - col("y")) * col(s"x$j") * lit(1e9))
+          .cast(LongType)).as(s"_g$j")) :+ count(lit(1)).as("_n")
+      val grads = feat.crossJoin(broadcast(w)).agg(gCols.head, gCols.tail: _*)
+      val prev = w
+      w = grads.crossJoin(broadcast(w)).select(
+        (0 to 3).map(j => (col(s"w$j") -
+          lit(lr) * (col(s"_g$j").cast(DoubleType) / lit(1e9) / col("_n")))
+          .as(s"w$j")): _*)
+        .localCheckpoint(true)
+      graft.core.Dist.freeLocalCheckpoint(prev)
+    }
+    val acc = feat.crossJoin(broadcast(w)).agg(
+      sum(when((z > 0) === (col("y") === 1.0), lit(1L)).otherwise(lit(0L)))
+        .as("_c"),
+      count(lit(1)).as("_n"))
+    w.crossJoin(broadcast(acc)).select(
+      (0 to 3).map(j => col(s"w$j")) :+
+        (col("_c").cast(DoubleType) / col("_n")).as("acc"): _*)
+  }
+
   /** Per-document CHARACTER ENTROPY H = −Σ p·ln p over the raw character
     * distribution — the compression-style quality signal (gibberish and
     * boilerplate sit at the distribution's extremes). Computed in integer

@@ -189,4 +189,35 @@ class ShuffleClassifySpec extends SparkTestBase {
     assert(kept("en") == 40L)
     assert(kept.getOrElse("de", 0L) < 40L)
   }
+
+  test("logistic regression learns a separable boundary to high accuracy") {
+    // y = 1 iff x1 > 1.0, margin 0.4 — linearly separable in (x0, x1)
+    val feat = spark.range(200).select(
+      when(col("id") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"),
+      lit(1.0).as("x0"),
+      when(col("id") % 2 === 0,
+        lit(1.2) + (col("id") % 7).cast("double") * 0.1)
+        .otherwise(lit(0.8) - (col("id") % 7).cast("double") * 0.1).as("x1"),
+      lit(0.0).as("x2"), lit(0.0).as("x3"))
+    val r = graft.pipelines.TextAnalysis
+      .logisticRegressionOn(feat, iters = 60, lr = 4.0).collect().head
+    val acc = r.getDouble(4)
+    assert(acc >= 0.95, s"separable training accuracy $acc")
+    // boundary weight signs: positive slope on x1, negative bias
+    assert(r.getDouble(1) > 0 && r.getDouble(0) < 0)
+  }
+
+  test("logistic regression gradients are partition-invariant") {
+    val docs = spark.range(80).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+      concat_ws(" ", (0 to 6).map(i =>
+        concat(lit("w"), ((col("id") + i) % 9).cast("string"))): _*).as("text"))
+      .withColumn("n_chars", length(col("text")))
+    val a = graft.pipelines.TextAnalysis.logisticRegression(
+      docs.repartition(1)).collect().head.toSeq
+    val b = graft.pipelines.TextAnalysis.logisticRegression(
+      docs.repartition(13)).collect().head.toSeq
+    assert(a == b)
+  }
 }

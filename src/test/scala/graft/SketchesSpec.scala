@@ -144,6 +144,16 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(ei - 3000.0) / 3000.0 < 0.35, s"est_inter $ei")
   }
 
+  test("streaming kmv bucket states reduce to the batch sketch") {
+    val df = spark.range(30000).select((col("id") % 8000).as("v"))
+    val red = graft.streaming.KmvStream.finalizeSketch(
+        graft.streaming.KmvStream.kmvBuckets(df, col("v")))
+      .orderBy("_h").collect().map(_.getLong(0)).toSeq
+    val batch = Sketches.kmvSketch(df, col("v"), Seq.empty)
+      .orderBy("_h").collect().map(_.getLong(0)).toSeq
+    assert(red == batch && red.size == 256)
+  }
+
   test("kmv overlap of small exact sets is exact") {
     val a = spark.range(100).select(col("id").as("v"))       // [0, 100)
     val b = spark.range(150).select((col("id") + 60).as("v")) // [60, 210)
