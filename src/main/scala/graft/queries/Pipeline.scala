@@ -1791,6 +1791,54 @@ object Pipeline extends QueryPack {
       |    ' '), '') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Logistic-regression quality classifier trained by 2 rounds of
+    * full-batch gradient descent inside the plan (each round one corpus
+    * scan + a 4-long aggregate); the oracle unrolls both rounds as
+    * chained CTEs with every gradient addend floor-quantized to integer
+    * nanos, so the weight path — and the final accuracy — replay bit for
+    * bit. */
+  private def qClassifyLr(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.logisticRegression(Tables.documents(s, sf))
+  private val qClassifyLrSql = {
+    val feat =
+      """feat AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS x0,
+        |    CAST(len(toks) AS DOUBLE) / 32.0 AS x1,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS x2,
+        |    CAST(n_chars AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0 AS x3
+        |  FROM (SELECT lang, n_chars, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0)""".stripMargin
+    def zOf(w: String) =
+      s"($w.w0 * f.x0 + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3)"
+    def step(wIn: String, g: String, wOut: String) =
+      s"""$g AS (SELECT
+         |    sum(CAST(floor((p - y) * x0 * 1000000000.0) AS BIGINT)) AS g0,
+         |    sum(CAST(floor((p - y) * x1 * 1000000000.0) AS BIGINT)) AS g1,
+         |    sum(CAST(floor((p - y) * x2 * 1000000000.0) AS BIGINT)) AS g2,
+         |    sum(CAST(floor((p - y) * x3 * 1000000000.0) AS BIGINT)) AS g3,
+         |    count(*) AS n
+         |  FROM (SELECT f.*, 1.0 / (1.0 + exp(-${zOf("w")})) AS p
+         |        FROM feat f CROSS JOIN $wIn w)),
+         |$wOut AS (SELECT
+         |    w.w0 - 1.0 * (CAST(g.g0 AS DOUBLE) / 1000000000.0 / g.n) AS w0,
+         |    w.w1 - 1.0 * (CAST(g.g1 AS DOUBLE) / 1000000000.0 / g.n) AS w1,
+         |    w.w2 - 1.0 * (CAST(g.g2 AS DOUBLE) / 1000000000.0 / g.n) AS w2,
+         |    w.w3 - 1.0 * (CAST(g.g3 AS DOUBLE) / 1000000000.0 / g.n) AS w3
+         |  FROM $wIn w CROSS JOIN $g g)""".stripMargin
+    s"""WITH $feat,
+       |winit AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${step("winit", "g1", "w1c")},
+       |${step("w1c", "g2", "w2c")},
+       |accs AS (SELECT
+       |    sum(CASE WHEN (${zOf("w")} > 0) = (f.y = 1.0) THEN 1 ELSE 0 END) AS c,
+       |    count(*) AS n
+       |  FROM feat f CROSS JOIN w2c w)
+       |SELECT w.w0, w.w1, w.w2, w.w3,
+       |       CAST(a.c AS DOUBLE) / a.n AS acc
+       |FROM w2c w CROSS JOIN accs a""".stripMargin
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and scored in one
     * plan; the oracle replays the smoothed per-class fold with every ln
     * quantized through DECIMAL(38,9) so the argmax cannot drift. */
@@ -3009,6 +3057,7 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
+    QueryDef("text_classify_lr", qClassifyLr, Some(qClassifyLrSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),

@@ -245,6 +245,40 @@ object StreamingQ extends QueryPack {
     * exactly the final batch registers — the oracle is the direct batch
     * sketch. The streaming sketch never holds more than 64 rows of state
     * however large the stream. */
+  /** STREAMING KMV: per-shard bottom-k custom state over the orderkey
+    * stream in two triggers; the union of emitted snapshots reduces to
+    * the exact batch sketch (see KmvStream's eviction argument), so the
+    * streamed estimate equals the batch KMV estimate and the oracle is
+    * the direct batch replay. */
+  private def qStreamKmv(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_skmv")
+    val src = s"$base/src"
+    Tables.lineitem(s, sf).select("l_orderkey")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("l_orderkey BIGINT").json(src)
+    val snaps = graft.streaming.KmvStream.kmvBuckets(
+      stream, col("l_orderkey"))
+    val q = snaps.writeStream.format("memory").queryName("skmv_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    graft.pipelines.Sketches.kmvEstimate(
+      graft.streaming.KmvStream.finalizeSketch(s.table("skmv_out")),
+      Seq.empty)
+  }
+  private val qStreamKmvSql = {
+    val k = 256
+    val num = (k - 1).toDouble * 4294967296.0
+    s"""WITH h AS (SELECT DISTINCT
+       |    CAST(('0x' || substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |  FROM lineitem),
+       |kk AS (SELECT h FROM h ORDER BY h LIMIT $k)
+       |SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |            ELSE $num / max(h) END AS estimate
+       |FROM kk""".stripMargin
+  }
+
   private def qStreamHll(s: SparkSession, sf: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_shll")
     val src = s"$base/src"
@@ -363,5 +397,6 @@ object StreamingQ extends QueryPack {
       Some(graft.pipelines.Sketches.hllDistinctGlobalSql(
         "lineitem", "l_orderkey"))),
     QueryDef("streaming_cms_terms", qStreamCms, Some(Pipeline.qCmsTermsSql)),
+    QueryDef("streaming_kmv_distinct", qStreamKmv, Some(qStreamKmvSql)),
     QueryDef("rollup_summarize_avg", qRollup, Some(qRollupSql)))
 }
