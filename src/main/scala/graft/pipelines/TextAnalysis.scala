@@ -828,6 +828,40 @@ object TextAnalysis {
       .select(col(idCol), col("_cls").as("predicted"), col("score"))
   }
 
+  /** OUT-OF-VOCABULARY rate of a new corpus against a reference crawl's
+    * vocabulary — the drift/coverage check run before pointing a trained
+    * tokenizer or LM at fresh data: vocabulary = reference tokens with
+    * frequency ≥ `minFreq`, then per-source token OOV fraction on the new
+    * corpus. Integer counts and ONE division per source, so the oracle
+    * replays exactly.
+    *
+    * Scale shape: two token aggregations plus one anti join on the token
+    * key; nothing is collected and the vocabulary never leaves the
+    * cluster. Output (sourceCol, n_tokens, n_oov, oov_rate). */
+  def oovRate(reference: DataFrame, fresh: DataFrame, minFreq: Long = 3,
+              bigrams: Boolean = false,
+              sourceCol: String = "source"): DataFrame = {
+    def toks(df: DataFrame) =
+      if (bigrams)
+        bigramPairs(df, sourceCol).select(col(sourceCol),
+          concat_ws(" ", col("w1"), col("w2")).as("token"))
+      else df
+        .select(col(sourceCol),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+    val vocab = toks(reference).groupBy("token")
+      .agg(count(lit(1)).as("_f")).where(col("_f") >= minFreq)
+      .select("token")
+    val t = toks(fresh)
+    val tot = t.groupBy(sourceCol).agg(count(lit(1)).as("n_tokens"))
+    val oov = t.join(vocab, Seq("token"), "left_anti")
+      .groupBy(sourceCol).agg(count(lit(1)).as("n_oov"))
+    tot.join(oov, Seq(sourceCol), "left")
+      .na.fill(0L, Seq("n_oov"))
+      .select(col(sourceCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Binary LOGISTIC-REGRESSION classifier trained by full-batch gradient
     * descent, entirely inside the plan — the trained-on-features
     * complement to the word-count [[naiveBayes]] (the shape of a

@@ -234,4 +234,55 @@ object SeriesStats {
       .where(abs(col("zscore")) >= z)
       .select(col(keyCol), col(tCol), col("resid"), col("zscore"))
   }
+
+  /** SAX symbolization (Lin et al. 2003): each series becomes a `word`-
+    * character string over alphabet {a,b,c,d} — PAA segment means
+    * z-scored against the series' own mean/std and cut at the N(0,1)
+    * quartile breakpoints ±0.6745 and 0. The discretization that makes
+    * series indexable/joinable by shape: equal words ⇒ similar shape,
+    * motif mining is a groupBy(word), and a 10⁶-point series shrinks to
+    * `word` bytes.
+    *
+    * Cross-engine: mean and variance ride the floor(v·1e9)/DECIMAL(38,0)
+    * integer discipline (no derived-double decimal casts — those
+    * tie-break differently across engines); the symbol cut compares two
+    * deterministic doubles, and sqrt is exact IEEE, so the word replays
+    * bit for bit. A zero-variance series z-scores every segment to the
+    * top cell: flat ⇒ all-'d', deterministic in both engines.
+    *
+    * Distributed shape: the per-key rank is the two-phase prefix scan;
+    * segments aggregate per (key, seg); the word assembles from ≤ `word`
+    * rows per key. Input one row per (key, period). */
+  def sax(series: DataFrame, word: Int = 8,
+          keyCol: String = "user_id", tCol: String = "t",
+          vCol: String = "x"): DataFrame = {
+    require(word >= 1, "word must be >= 1")
+    def q9(c: Column): Column = floor(c * lit(1e9)).cast(DecimalType(38, 0))
+    val stats0 = series.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"),
+        (sum(q9(col(vCol))).cast(DoubleType) / count(lit(1)) / lit(1e9))
+          .as("_mean"))
+    val stats = series.join(stats0, Seq(keyCol))
+      .groupBy(col(keyCol), col("_n"), col("_mean"))
+      .agg((sum(q9((col(vCol) - col("_mean")) * (col(vCol) - col("_mean"))))
+        .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("_var"))
+      .withColumn("_std", sqrt(col("_var")))
+    val ranked = graft.core.Dist.prefixScan(series, Seq(col(tCol)), lit(1L),
+      Seq(col(tCol)), Seq(keyCol))
+    val segs = ranked.join(stats, Seq(keyCol))
+      .withColumn("_seg",
+        expr(s"CAST(((_scan - 1) * $word) DIV _n AS INT)"))
+      .groupBy(col(keyCol), col("_seg"), col("_mean"), col("_std"))
+      .agg((sum(q9(col(vCol))).cast(DoubleType) / count(lit(1)) / lit(1e9))
+        .as("_m"))
+    val d = col("_m") - col("_mean")
+    val sym = when(d < lit(-0.6745) * col("_std"), lit("a"))
+      .when(d < lit(0.0), lit("b"))
+      .when(d < lit(0.6745) * col("_std"), lit("c"))
+      .otherwise(lit("d"))
+    segs.withColumn("_sym", sym)
+      .groupBy(col(keyCol))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(_seg, _sym))), p -> p._sym), '')").as("sax"))
+  }
 }

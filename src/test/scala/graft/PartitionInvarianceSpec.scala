@@ -81,6 +81,23 @@ class PartitionInvarianceSpec extends SparkTestBase {
       keyCol = "user_id"), daily)
   }
 
+  test("oovRate is partition-invariant (and sees injected OOV bigrams)") {
+    val withSrc = docs.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    // fresh half gets a doc full of never-seen bigrams
+    val fresh = withSrc.where(col("doc_id") % 2 === 1)
+      .unionByName(spark.range(1).select(lit(999L).as("doc_id"),
+        lit("zz qq zz qq zz").as("text"), lit("s1").as("source")))
+    same(df => graft.pipelines.TextAnalysis.oovRate(
+      df, fresh, minFreq = 2, bigrams = true),
+      withSrc.where(col("doc_id") % 2 === 0))
+    val r = graft.pipelines.TextAnalysis.oovRate(
+        withSrc.where(col("doc_id") % 2 === 0), fresh,
+        minFreq = 2, bigrams = true)
+      .where(col("n_oov") > 0).count()
+    assert(r > 0)
+  }
+
   test("sampleWeighted is partition-invariant") {
     same(df => graft.pipelines.TextAnalysis.sampleWeighted(
       df.withColumn("n_chars", length(col("text"))), k = 10,
