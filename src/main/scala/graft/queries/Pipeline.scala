@@ -1791,6 +1791,73 @@ object Pipeline extends QueryPack {
       |    ' '), '') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** SAX symbolization of the per-user daily series: 8-segment PAA,
+    * alphabet {a,b,c,d} at the N(0,1) quartile cuts — series become
+    * joinable/groupable shape words; mean/variance ride the
+    * floor(·1e9)/DECIMAL(38,0) integer discipline so each word replays
+    * bit for bit. */
+  private def qSax(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.sax(daily, word = 8).orderBy("user_id")
+  }
+  private val qSaxSql = {
+    def q9sum(e: String) =
+      s"CAST(sum(CAST(floor(($e) * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)"
+    s"""WITH d AS (SELECT user_id,
+       |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+       |    ${graft.core.OracleSafe.sqlAvg("value")} AS x
+       |  FROM events GROUP BY 1, 2),
+       |n0 AS (SELECT user_id, count(*) AS n,
+       |    ${q9sum("x")} / count(*) / 1000000000.0 AS mean
+       |  FROM d GROUP BY 1),
+       |v0 AS (SELECT d.user_id, n, mean,
+       |    sqrt(${q9sum("(x - mean) * (x - mean)")} / count(*) / 1000000000.0) AS std
+       |  FROM d JOIN n0 USING (user_id) GROUP BY 1, 2, 3),
+       |r AS (SELECT user_id, t, x,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY t) AS rk FROM d),
+       |sg AS (SELECT r.user_id, CAST(((rk - 1) * 8) // n AS INT) AS seg,
+       |    mean, std, ${q9sum("x")} / count(*) / 1000000000.0 AS m
+       |  FROM r JOIN v0 USING (user_id) GROUP BY 1, 2, 3, 4),
+       |sy AS (SELECT user_id, seg,
+       |    CASE WHEN m - mean < -0.6745 * std THEN 'a'
+       |         WHEN m - mean < 0.0 THEN 'b'
+       |         WHEN m - mean < 0.6745 * std THEN 'c' ELSE 'd' END AS sym
+       |  FROM sg)
+       |SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax
+       |FROM sy GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
+  /** BIGRAM OOV rate of the odd-doc_id half against the even half's
+    * frequency-≥10 bigram vocabulary — the tokenizer/LM coverage check
+    * before a new crawl joins the corpus (bigram units because this
+    * corpus's unigram vocabulary is fully shared); integer counts, one
+    * division per source. */
+  private def qOovRate(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    TextAnalysis.oovRate(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), minFreq = 10, bigrams = true)
+      .orderBy("source")
+  }
+  private val qOovRateSql =
+    """WITH ta AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |pa AS (SELECT t[i] || ' ' || t[i + 1] AS token
+      |  FROM ta, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |vocab AS (SELECT token FROM pa GROUP BY 1 HAVING count(*) >= 10),
+      |tb AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |tok AS (SELECT source, t[i] || ' ' || t[i + 1] AS token
+      |  FROM tb, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+      |oov AS (SELECT source, CAST(count(*) AS BIGINT) AS n_oov FROM tok
+      |        WHERE token NOT IN (SELECT token FROM vocab) GROUP BY 1)
+      |SELECT t.source, t.n_tokens, coalesce(o.n_oov, 0) AS n_oov,
+      |       CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+      |FROM tot t LEFT JOIN oov o USING (source) ORDER BY t.source""".stripMargin
+
   /** Logistic-regression quality classifier trained by 2 rounds of
     * full-batch gradient descent inside the plan (each round one corpus
     * scan + a 4-long aggregate); the oracle unrolls both rounds as
@@ -3058,6 +3125,8 @@ object Pipeline extends QueryPack {
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
     QueryDef("text_classify_lr", qClassifyLr, Some(qClassifyLrSql)),
+    QueryDef("events_sax_words", qSax, Some(qSaxSql)),
+    QueryDef("corpus_oov_rate", qOovRate, Some(qOovRateSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
