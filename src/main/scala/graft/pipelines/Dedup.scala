@@ -104,6 +104,33 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** DIRECTIONAL containment pairs: C(a→b) = |S(a) ∩ S(b)| / |S(a)| over
+    * n-gram shingle sets — the asymmetric overlap measure symmetric
+    * Jaccard misses (a short document quoted whole inside a long one has
+    * tiny Jaccard but containment 1.0). Emits every ORDERED pair with
+    * containment >= threshold; `doc_id_a` is the contained (quoted) side.
+    * Same inverted-index shape and `maxDf` stop-shingle guard as
+    * [[ngramJaccardPairs]] — candidate-proportional shuffle, nothing
+    * quadratic in corpus size. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       idCol: String = "doc_id", maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, n, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf && col("df") >= 2),
+      Seq("shingle"), "left_semi")
+    val a = filtered.select(col(idCol).as("doc_id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("doc_id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_id_a") =!= col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .withColumn("containment", col("inter").cast(DoubleType) / col("sz_a"))
+      .where(col("containment") >= threshold)
+      .select("doc_id_a", "doc_id_b", "containment")
+  }
+
   /** PPJoin-style EXACT set-similarity join: every pair with shingle
     * Jaccard >= threshold — no document-frequency band, no approximation.
     * The scalable exact alternative to [[ngramJaccardPairs]] (whose maxDf
@@ -1163,4 +1190,77 @@ object Dedup {
                            portable: Boolean = false): DataFrame =
     removeSpans(docs,
       selfRepeatedSpans(docs, k, idCol, textCol, portable), idCol, textCol)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS selection rule): over the per-position k-token window hashes of
+    * [[spanGrams]] (portable chain), every run of `w` consecutive hashes
+    * contributes its MINIMUM, so any match of at least `w + k - 1` tokens
+    * between two documents is guaranteed to share a fingerprint while only
+    * ~2/(w+1) of all hashes are kept. Tie-break is leftmost-position via
+    * key packing `hash * 2^32 + pos` (hash < 2^30 under [[PortableP]]; pos
+    * < 2^32 covers any real document), which turns selection into one
+    * trailing-window `min` — a per-document partitioned window, fully
+    * parallel, no cross-document traffic. Documents with fewer than `w`
+    * windows contribute their single overall minimum (the short-document
+    * rule). Returns `(idCol, pos, fp)` — distinct selected positions with
+    * the fingerprint hash.
+    *
+    * Reference analogue: the span index stores EVERY window hash
+    * ([[writeSpanIndex]]); winnowing is the sublinear-storage variant of
+    * the same guarantee, the right trade at 100 TB where a full gram
+    * index is larger than the corpus. */
+  def winnowingFingerprints(docs: DataFrame, k: Int, w: Int,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(w >= 1, "w must be >= 1")
+    val grams = spanGrams(docs, k, idCol, textCol, portable = true)
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val trail = win.rowsBetween(-(w - 1), 0)
+    val keyed = grams
+      .withColumn("_key", shiftleft(col("_x"), 32) + col("pos"))
+      .withColumn("_rn", row_number().over(win))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(idCol)))
+      .withColumn("_m", min(col("_key")).over(trail))
+    keyed
+      .where(col("_rn") >= least(lit(w.toLong), col("_cnt")))
+      .select(col(idCol),
+        col("_m").bitwiseAND(lit(0xFFFFFFFFL)).as("pos"),
+        shiftright(col("_m"), 32).as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS: inverted
+    * join on the selected hashes, overlap counted per pair, Jaccard over
+    * the two fingerprint SETS. `maxDf` drops boilerplate fingerprints
+    * selected in more than that many documents (MOSS's over-common-hash
+    * cull — the skew guard that keeps a site-wide footer from fanning a
+    * single hash into millions of pairs); `minShared` floors the overlap.
+    * Shuffles: the per-document selection window, one df aggregation, the
+    * fingerprint equi-join (candidate-proportional after the cull), and
+    * the pair count — nothing quadratic in corpus size. */
+  def winnowingPairs(docs: DataFrame, k: Int, w: Int,
+                     minShared: Int = 2, maxDf: Int = 1000,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val fp = winnowingFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf && col("_df") >= 2),
+      Seq("fp"), "left_semi")
+    val sizes = fp.groupBy(idCol).agg(count(lit(1)).as("_sz"))
+    val a = kept.select(col(idCol).as("doc_id_a"), col("fp"))
+    val b = kept.select(col(idCol).as("doc_id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+      .join(sizes.select(col(idCol).as("doc_id_a"), col("_sz").as("_sa")), Seq("doc_id_a"))
+      .join(sizes.select(col(idCol).as("doc_id_b"), col("_sz").as("_sb")), Seq("doc_id_b"))
+      .withColumn("jaccard_fp",
+        col("shared_fp").cast(DoubleType) / (col("_sa") + col("_sb") - col("shared_fp")))
+      .select("doc_id_a", "doc_id_b", "shared_fp", "jaccard_fp")
+  }
 }

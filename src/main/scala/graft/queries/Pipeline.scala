@@ -154,6 +154,24 @@ object Pipeline extends QueryPack {
        |SELECT doc_id_a, doc_id_b, jaccard FROM pr
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** DIRECTIONAL containment C(a→b) = inter/|S(a)| over the same trigram
+    * shingle chain — catches a short document quoted whole inside a long
+    * one, which symmetric Jaccard dilutes below any threshold. */
+  private def qDedupContainment(s: SparkSession, sf: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, sf), n = 3, threshold = 0.6)
+      .orderBy("doc_id_a", "doc_id_b")
+  private val qDedupContainmentSql =
+    s"""WITH $ngramPairCtes,
+       |co AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_id_a, doc_id_b,
+       |       CAST(inter AS DOUBLE) / sa.sz AS containment
+       |FROM co JOIN sizes sa ON sa.doc_id = doc_id_a
+       |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.6
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   private val qDedupNgramIndexBuildSql =
     s"""WITH $ngramPairCtes
        |SELECT count(*) AS n_entries, count(DISTINCT doc_id) AS n_docs FROM sh""".stripMargin
@@ -1267,6 +1285,41 @@ object Pipeline extends QueryPack {
        |       FROM gpos g JOIN firsts f ON f.doc_id = g.doc_id AND f.x = g.x
        |       WHERE g.pos > f.p0),
        |${spanMergeCtes("rp", 3)}""".stripMargin
+
+  /** Winnowing near-dup candidates (k=3 token grams, window w=4): the MOSS
+    * selection rule — every run of w consecutive gram hashes contributes
+    * its minimum, leftmost tie-break via `hash*2^32+pos` key packing, the
+    * short-document overall-min rule, the over-common-fingerprint cull,
+    * pair overlap and fingerprint-set Jaccard — replayed bit-exact by the
+    * oracle's window functions over the shared span-gram CTE chain. */
+  private def qDedupWinnow(s: SparkSession, sf: String): DataFrame =
+    Dedup.winnowingPairs(Tables.documents(s, sf), k = 3, w = 4,
+        minShared = 2, maxDf = 1000)
+      .orderBy("doc_id_a", "doc_id_b")
+  private val qDedupWinnowSql =
+    s"""WITH ${spanGramCtes(3)},
+       |keyed AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS cnt,
+       |    min(x * 4294967296 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+       |  FROM gpos),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, m // 4294967296 AS fp
+       |  FROM keyed WHERE rn >= least(4, cnt)),
+       |kept AS (SELECT doc_id, fp FROM fp WHERE fp IN (
+       |  SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 1000)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS shared_fp
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT doc_id_a, doc_id_b, shared_fp,
+       |  CAST(shared_fp AS DOUBLE) / (sa.sz + sb.sz - shared_fp) AS jaccard_fp
+       |FROM pairs JOIN sz sa ON sa.doc_id = pairs.doc_id_a
+       |           JOIN sz sb ON sb.doc_id = pairs.doc_id_b
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   /** Cross-document duplicated 8-token spans over the portable hash — the
     * exact-substring dedup discovery pass, fully oracle-checked. */
@@ -3050,6 +3103,8 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("dedup_ngram_jaccard", qDedupNgram, Some(qDedupNgramSql)),
     QueryDef("dedup_prefix_join", qDedupPrefixJoin, Some(qDedupPrefixJoinSql)),
+    QueryDef("dedup_winnowing", qDedupWinnow, Some(qDedupWinnowSql)),
+    QueryDef("dedup_containment", qDedupContainment, Some(qDedupContainmentSql)),
     QueryDef("dedup_ngram_index", qDedupNgramIndex, Some(qDedupNgramSql)),
     QueryDef("dedup_ngram_index_build", qDedupNgramIndexBuild, Some(qDedupNgramIndexBuildSql)),
     QueryDef("dedup_minhash_lsh", qDedupMinhash, None),

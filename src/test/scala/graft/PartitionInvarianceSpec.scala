@@ -122,6 +122,20 @@ class PartitionInvarianceSpec extends SparkTestBase {
       n = 2, threshold = 0.2).count() > 0)
   }
 
+  test("winnowingPairs is partition-invariant (and finds pairs)") {
+    same(df => graft.pipelines.Dedup.winnowingPairs(df, k = 2, w = 2,
+      minShared = 1), docs)
+    assert(graft.pipelines.Dedup.winnowingPairs(docs.repartition(13),
+      k = 2, w = 2, minShared = 1).count() > 0)
+  }
+
+  test("containmentPairs is partition-invariant (and finds pairs)") {
+    same(df => graft.pipelines.Dedup.containmentPairs(df, n = 2,
+      threshold = 0.3), docs)
+    assert(graft.pipelines.Dedup.containmentPairs(docs.repartition(13),
+      n = 2, threshold = 0.3).count() > 0)
+  }
+
   test("rrf hybrid fusion is partition-invariant") {
     val emb2 = spark.range(60).select(
       col("id").as("vec_id"),

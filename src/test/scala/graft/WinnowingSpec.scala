@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Winnowing contract the oracle doesn't pin: the coverage GUARANTEE
+  * (any shared run of >= w+k-1 tokens yields a shared fingerprint),
+  * the short-document rule, and selection determinism. */
+class WinnowingSpec extends SparkTestBase {
+
+  private val k = 3
+  private val w = 4
+
+  private def docsOf(texts: (Long, String)*) =
+    spark.createDataFrame(texts).toDF("doc_id", "text")
+
+  private def fps(texts: (Long, String)*): Map[Long, Set[Long]] =
+    graft.pipelines.Dedup.winnowingFingerprints(docsOf(texts: _*), k, w)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(2)).toSet }
+
+  test("docs sharing a >= w+k-1 token run share a fingerprint") {
+    // shared run of w+k-1 = 6 tokens, embedded at different offsets
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val m = fps(
+      1L -> s"one two three $shared x y z",
+      2L -> s"$shared p q r s t u v")
+    assert(m(1L).intersect(m(2L)).nonEmpty,
+      s"guarantee violated: ${m(1L)} vs ${m(2L)}")
+  }
+
+  test("short document (fewer than w windows) emits exactly one fingerprint") {
+    // 4 tokens -> 2 grams of k=3 < w=4 windows -> the overall minimum only
+    val m = fps(1L -> "a b c d")
+    assert(m(1L).size == 1, s"short-doc rule: ${m(1L)}")
+  }
+
+  test("identical documents select identical fingerprint sets") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val m = fps(1L -> t, 2L -> t)
+    assert(m(1L) == m(2L))
+  }
+
+  test("density: selection keeps at most one fingerprint per window position") {
+    val t = (1 to 40).map(i => s"tok${i % 17}").mkString(" ")
+    val grams = 40 - k + 1
+    val m = fps(1L -> t)
+    assert(m(1L).nonEmpty && m(1L).size <= grams - w + 1,
+      s"selected ${m(1L).size} of ${grams - w + 1} windows")
+  }
+
+  test("disjoint documents emit no pairs") {
+    val pairs = graft.pipelines.Dedup.winnowingPairs(
+      docsOf(
+        1L -> "a b c d e f g h i j",
+        2L -> "k l m n o p q r s t"), k, w).collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("containment flags a quoted subset that jaccard misses") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 80).map(i => s"f$i").mkString(" ")
+    val docs = docsOf(1L -> quote, 2L -> s"$filler $quote")
+    val c = graft.pipelines.Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .collect()
+    assert(c.length == 1 && c.head.getLong(0) == 1L && c.head.getLong(1) == 2L,
+      s"containment rows: ${c.toSeq}")
+    assert(c.head.getDouble(2) == 1.0)
+    val j = graft.pipelines.Dedup.ngramJaccardPairs(docs, n = 3,
+      threshold = 0.5).collect()
+    assert(j.isEmpty, "jaccard should dilute the quote below 0.5")
+  }
+
+  test("near-identical documents pair with jaccard near 1") {
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val row = graft.pipelines.Dedup.winnowingPairs(
+      docsOf(1L -> base, 2L -> (base + " tail")), k, w, minShared = 2,
+      maxDf = 1000).collect()
+    assert(row.length == 1)
+    assert(row.head.getDouble(3) > 0.8, s"jaccard ${row.head.getDouble(3)}")
+  }
+}
