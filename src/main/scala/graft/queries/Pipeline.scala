@@ -2430,6 +2430,38 @@ object Pipeline extends QueryPack {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** First-order Markov transition matrix of the event stream — the
+    * product-analytics "what happens next" view beside funnel/retention.
+    * Deterministic consecutive-pair order via (tm, event_id). */
+  private def qTransitions(s: SparkSession, sf: String): DataFrame =
+    graft.stages.TimeJoins.transitionMatrix(Tables.eventsMillis(s, sf))
+      .orderBy("from_type", "to_type")
+  private val qTransitionsSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_id, event_type FROM events),
+      |pr AS (SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS to_type
+      |       FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** Top-20 five-step user paths: the path-analysis complement of the
+    * transition matrix (exact multi-step sequences, not marginals). */
+  private def qTopPaths(s: SparkSession, sf: String): DataFrame =
+    graft.stages.TimeJoins.topPaths(Tables.eventsMillis(s, sf),
+      pathLen = 5, topN = 20)
+  private val qTopPathsSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_id, event_type FROM events),
+      |r AS (SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY tm, event_id) AS rn
+      |      FROM e),
+      |pth AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |        FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM pth GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
   /** Per-source corpus report card: doc/token totals plus EXACT
     * nearest-rank token-length quantiles (ceil(p·n)-th smallest — the
     * deterministic quantile both engines agree on, where interpolated
@@ -3197,6 +3229,8 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),
     QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("events_transition_matrix", qTransitions, Some(qTransitionsSql)),
+    QueryDef("events_top_paths", qTopPaths, Some(qTopPathsSql)),
     QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),
     QueryDef("corpus_source_stats", qCorpusStats, Some(qCorpusStatsSql)),
     QueryDef("text_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),

@@ -211,4 +211,48 @@ object TimeJoins {
       .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** First-order Markov TRANSITION MATRIX of the event stream: for every
+    * consecutive pair of events of the same key (time order, `tieCol`
+    * breaking equal timestamps deterministically), count (from → to) and
+    * normalize per from-state. The per-key lead is a key-partitioned
+    * window (bounded partitions); the matrix itself is |types|² rows, so
+    * the normalizing window is negligible at any corpus size. */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "tm", typeCol: String = "event_type",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events.select(col(keyCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("_to", lead(col(typeCol), 1).over(w))
+      .where(col("_to").isNotNull)
+    pairs.groupBy(col(typeCol).as("from_type"), col("_to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+  }
+
+  /** Top-N most common user PATHS: each key's first `pathLen` event types
+    * in time order joined with '>', counted across keys. Per-key window →
+    * one row per key → distributed TakeOrdered for the top-N (no global
+    * sort materialization). `collect_list` order is non-deterministic, so
+    * the path is rebuilt from an `array_sort` over (rank, type) structs. */
+  def topPaths(events: DataFrame, pathLen: Int, topN: Int,
+               keyCol: String = "user_id", tsCol: String = "tm",
+               typeCol: String = "event_type",
+               tieCol: String = "event_id"): DataFrame = {
+    require(pathLen >= 1 && topN >= 1, "pathLen and topN must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val paths = events.select(col(keyCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= pathLen)
+      .groupBy(col(keyCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_rn"), col(typeCol).as("_t")))),
+          x => x.getField("_t")),
+        ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
 }

@@ -129,6 +129,21 @@ class PartitionInvarianceSpec extends SparkTestBase {
       k = 2, w = 2, minShared = 1).count() > 0)
   }
 
+  private def evTyped = spark.range(300).select(
+    (col("id") % 5).as("user_id"),
+    (col("id") * 37 % 2000 + col("id")).as("tm"),
+    col("id").as("event_id"),
+    concat(lit("t"), (col("id") % 4).cast("string")).as("event_type"))
+
+  test("transitionMatrix is partition-invariant") {
+    same(df => graft.stages.TimeJoins.transitionMatrix(df), evTyped)
+  }
+
+  test("topPaths is partition-invariant") {
+    same(df => graft.stages.TimeJoins.topPaths(df, pathLen = 4, topN = 10),
+      evTyped)
+  }
+
   test("containmentPairs is partition-invariant (and finds pairs)") {
     same(df => graft.pipelines.Dedup.containmentPairs(df, n = 2,
       threshold = 0.3), docs)
