@@ -2812,6 +2812,7 @@ object Pipeline extends QueryPack {
   /** Shared with `streaming_funnel`: the streaming cascade's final snapshot
     * must equal the batch funnel exactly. */
   private[queries] def funnelSql: String = qFunnelSql
+  private[queries] def transitionsSql: String = qTransitionsSql
 
   /** Shared with `streaming_retention_cohorts`: the streaming snapshot's
     * cohort table must equal the batch one exactly. */

@@ -381,8 +381,43 @@ object StreamingQ extends QueryPack {
       .orderBy("cohort", "period_offset")
   }
 
+  /** STREAMING transition matrix: per-key custom state re-derives the
+    * consecutive-pair multiset each trigger (a late event inserted between
+    * two already-paired events SPLITS their pair — not prefix-monotone);
+    * the sink reduces to each key's latest snapshot, explodes the parallel
+    * from/to arrays, counts and normalizes — must equal the BATCH matrix
+    * exactly, shared oracle. */
+  private def qStreamTransitions(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_strans")
+    val src = s"$base/src"
+    Tables.eventsMillis(s, sf)
+      .select("user_id", "event_type", "tm", "event_id")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("user_id BIGINT, event_type STRING, tm BIGINT, event_id BIGINT")
+      .json(src)
+    val out = graft.streaming.StreamingTransitions.transitions(stream)
+    val q = out.writeStream.format("memory").queryName("strans_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("strans_out")
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(froms, tos), n_seen)").as("_s"))
+      .select(col("_s.froms").as("f"), col("_s.tos").as("t"))
+      .select(explode(arrays_zip(col("f"), col("t"))).as("_p"))
+      .select(col("_p.f").as("from_type"), col("_p.t").as("to_type"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
+    QueryDef("streaming_transition_matrix", qStreamTransitions,
+      Some(Pipeline.transitionsSql)),
     QueryDef("streaming_funnel", qStreamFunnel, Some(Pipeline.funnelSql)),
     QueryDef("streaming_retention_cohorts", qStreamCohorts,
       Some(Pipeline.retentionSql)),

@@ -66,6 +66,50 @@ object StreamingFunnel {
   }
 }
 
+/** STREAMING first-order transition matrix — the batch
+  * [[graft.stages.TimeJoins.transitionMatrix]] maintained incrementally.
+  * Consecutive-pair extraction is not monotone under out-of-order arrival
+  * (a late event INSERTED between two already-paired events splits their
+  * (from → to) pair into two different ones), so per-key state holds the
+  * (ts, tie, type) events seen so far — bounded by one key's event count,
+  * the same bound the batch per-key window carries — and each trigger
+  * re-emits the key's full consecutive-pair multiset with a monotone
+  * events-seen counter for latest-snapshot reduction in the sink. The
+  * reduced snapshots, exploded and counted, equal the BATCH matrix
+  * exactly (shared oracle of `streaming_transition_matrix` /
+  * `events_transition_matrix`). */
+object StreamingTransitions {
+
+  case class TState(evs: List[(Long, Long, String)], nEvents: Long)
+
+  /** Emits `(key, n_seen, froms ARRAY<STRING>, tos ARRAY<STRING>)` —
+    * parallel arrays of the key's consecutive-pair multiset so far. */
+  def transitions(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "tm", typeCol: String = "event_type",
+                  tieCol: String = "event_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_t"), col(tieCol).cast("long").as("_i"),
+        col(typeCol).cast("string").as("_e"))
+      .as[(Long, Long, Long, String)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[TState, (Long, Long, Seq[String], Seq[String])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, String)],
+         st: GroupState[TState]) =>
+          var evs = st.getOption.map(_.evs).getOrElse(Nil)
+          var n = st.getOption.map(_.nEvents).getOrElse(0L)
+          it.foreach { case (_, t, i, e) => evs = (t, i, e) :: evs; n += 1 }
+          st.update(TState(evs, n))
+          val sorted = evs.sortBy(x => (x._1, x._2))
+          val pairs = sorted.zip(sorted.drop(1))
+          Iterator.single((key, n, pairs.map(_._1._3), pairs.map(_._2._3)))
+      }
+      .toDF(keyCol, "n_seen", "froms", "tos")
+  }
+}
+
 /** STREAMING retention cohorts — the batch
   * [[graft.stages.TimeJoins.retentionCohorts]] maintained incrementally.
   * Cohort assignment is not monotone under out-of-order arrival (a late,

@@ -76,4 +76,31 @@ class StreamingFunnelSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     assert(fin == Seq((2L, Seq(2L, 5L, 7L))))
   }
+
+  test("streaming transitions: a late inserted event SPLITS an existing pair") {
+    val dir = java.nio.file.Files.createTempDirectory("strans_spec")
+    // trigger A: a@10 -> c@30 pairs as (a,c)
+    // trigger B: a LATE b@20 arrives between them -> (a,b),(b,c)
+    Seq((1L, 10L, 1L, "a"), (1L, 30L, 3L, "c"))
+      .toDF("user_id", "tm", "event_id", "event_type")
+      .coalesce(1).write.json(s"$dir/src/a")
+    Seq((1L, 20L, 2L, "b"))
+      .toDF("user_id", "tm", "event_id", "event_type")
+      .coalesce(1).write.json(s"$dir/src/b")
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("user_id BIGINT, tm BIGINT, event_id BIGINT, event_type STRING")
+      .json(s"$dir/src/*")
+    val name = s"strans_spec_${System.nanoTime()}"
+    val q = graft.streaming.StreamingTransitions.transitions(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table(name)
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(froms, tos), n_seen)").as("s"))
+      .select(col("s.froms"), col("s.tos"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1))).toSeq
+    assert(fin == Seq((Seq("a", "b"), Seq("b", "c"))), s"got $fin")
+  }
 }
