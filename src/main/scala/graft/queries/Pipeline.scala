@@ -2430,6 +2430,53 @@ object Pipeline extends QueryPack {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Funnel CONVERSION DASHBOARD: entered/converted counts, conversion
+    * rate, and the EXACT median time-to-convert — the global nearest-rank
+    * median rides [[graft.core.Dist.prefixScan]] (range partition + tiny
+    * offset broadcast), never a single-partition window, so the readout
+    * scales with the funnel, not the driver. */
+  private def qFunnelStats(s: SparkSession, sf: String): DataFrame = {
+    val f = graft.stages.TimeJoins.funnel(Tables.eventsMillis(s, sf),
+      Seq("view", "click", "purchase"), windowMs = 7200000L)
+    val conv = f.where(col("ts_3").isNotNull)
+      .select((col("ts_3") - col("ts_1")).as("dt"), col("user_id"))
+    val ord = Seq(col("dt").asc, col("user_id").asc)
+    val ranked = graft.core.Dist.prefixScan(conv, ord, lit(1L), ord)
+    val counts = f.agg(count(lit(1)).as("n_entered"),
+      count(col("ts_3")).as("n_converted"))
+    val med = ranked.join(broadcast(counts),
+        col("_scan") === ceil(col("n_converted") * lit(0.5)))
+      .select(col("dt").as("p50_convert_ms"))
+    counts.join(broadcast(med), lit(true), "left_outer")
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_entered"))
+      .select("n_entered", "n_converted", "conv_rate", "p50_convert_ms")
+  }
+  private val qFunnelStatsSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_type FROM events),
+      |s1 AS (SELECT user_id, min(tm) AS ts_1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.tm) AS ts_2
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click'
+      |         AND e.tm >= s1.ts_1 AND e.tm <= s1.ts_1 + 7200000
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.tm) AS ts_3
+      |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase'
+      |         AND e.tm >= s2.ts_2 AND e.tm <= s1.ts_1 + 7200000
+      |       GROUP BY 1),
+      |f AS (SELECT s1.user_id, s1.ts_1, s3.ts_3
+      |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+      |c AS (SELECT ts_3 - ts_1 AS dt, user_id FROM f WHERE ts_3 IS NOT NULL),
+      |r AS (SELECT dt, row_number() OVER (ORDER BY dt, user_id) AS rn FROM c),
+      |k AS (SELECT count(*) AS n_entered, count(ts_3) AS n_converted FROM f)
+      |SELECT n_entered, n_converted,
+      |  CAST(n_converted AS DOUBLE) / n_entered AS conv_rate,
+      |  (SELECT dt FROM r, k WHERE rn = CAST(ceil(n_converted * 0.5) AS BIGINT))
+      |    AS p50_convert_ms
+      |FROM k""".stripMargin
+
   /** First-order Markov transition matrix of the event stream — the
     * product-analytics "what happens next" view beside funnel/retention.
     * Deterministic consecutive-pair order via (tm, event_id). */
@@ -3230,6 +3277,7 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_importance_resample", qImportanceResample,
       Some(qImportanceResampleSql)),
     QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("events_funnel_stats", qFunnelStats, Some(qFunnelStatsSql)),
     QueryDef("events_transition_matrix", qTransitions, Some(qTransitionsSql)),
     QueryDef("events_top_paths", qTopPaths, Some(qTopPathsSql)),
     QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),
