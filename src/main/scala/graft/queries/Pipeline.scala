@@ -2430,6 +2430,50 @@ object Pipeline extends QueryPack {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Rolling-origin forecast backtest over the daily per-user series:
+    * OLS on the first 80% of periods, MAE on the holdout — slope and
+    * intercept from quantized moment sums, per-row errors floor-quantized
+    * to integer nanos (no rounding-mode exposure on derived doubles). */
+  private def qBacktest(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.forecastBacktest(daily).orderBy("user_id")
+  }
+  private val qBacktestSql =
+    s"""WITH d AS (SELECT user_id,
+       |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
+       |    ${graft.core.OracleSafe.sqlAvg("value")} AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT user_id, x,
+       |        t - min(t) OVER (PARTITION BY user_id) AS tc,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+       |        count(*) OVER (PARTITION BY user_id) AS n FROM d),
+       |rr AS (SELECT *, CAST(ceil(n * 0.8) AS BIGINT) AS ntr
+       |       FROM r WHERE n >= 5),
+       |fit AS (SELECT user_id, count(*) AS n_train,
+       |          ${graft.core.OracleSafe.sqlSum("tc")} AS st,
+       |          ${graft.core.OracleSafe.sqlSum("x")} AS sx,
+       |          ${graft.core.OracleSafe.sqlSum("tc * tc")} AS stt,
+       |          ${graft.core.OracleSafe.sqlSum("tc * x")} AS stx
+       |        FROM rr WHERE rn <= ntr GROUP BY 1),
+       |fs AS (SELECT user_id, n_train, st, sx,
+       |         CASE WHEN n_train * stt - st * st = 0 THEN 0.0
+       |              ELSE (n_train * stx - st * sx) / (n_train * stt - st * st)
+       |         END AS slope
+       |       FROM fit),
+       |fi AS (SELECT user_id, n_train, slope,
+       |         (sx - slope * st) / n_train AS intercept FROM fs),
+       |te AS (SELECT rr.user_id AS user_id, n_train, slope, intercept,
+       |         CAST(floor(abs(x - (intercept + slope * tc)) * 1e9)
+       |           AS DECIMAL(38,0)) AS errq
+       |       FROM rr JOIN fi ON fi.user_id = rr.user_id WHERE rn > ntr)
+       |SELECT user_id, n_train, count(*) AS n_test, slope, intercept,
+       |  CAST(sum(errq) AS DOUBLE) / 1e9 / count(*) AS mae
+       |FROM te GROUP BY user_id, n_train, slope, intercept
+       |ORDER BY user_id""".stripMargin
+
   /** Funnel CONVERSION DASHBOARD: entered/converted counts, conversion
     * rate, and the EXACT median time-to-convert — the global nearest-rank
     * median rides [[graft.core.Dist.prefixScan]] (range partition + tiny
@@ -3278,6 +3322,7 @@ object Pipeline extends QueryPack {
       Some(qImportanceResampleSql)),
     QueryDef("events_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("events_funnel_stats", qFunnelStats, Some(qFunnelStatsSql)),
+    QueryDef("events_forecast_backtest", qBacktest, Some(qBacktestSql)),
     QueryDef("events_transition_matrix", qTransitions, Some(qTransitionsSql)),
     QueryDef("events_top_paths", qTopPaths, Some(qTopPathsSql)),
     QueryDef("events_retention_cohorts", qRetention, Some(qRetentionSql)),

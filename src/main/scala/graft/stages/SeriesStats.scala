@@ -285,4 +285,64 @@ object SeriesStats {
       .agg(expr("array_join(transform(array_sort(collect_list(" +
         "struct(_seg, _sym))), p -> p._sym), '')").as("sax"))
   }
+
+  /** ROLLING-ORIGIN FORECAST BACKTEST per series: fit OLS on the first
+    * `trainFrac` of each key's periods (time order), score the holdout
+    * tail with mean absolute error — the eval-side complement of
+    * `predict_linear` (does the linear model actually forecast this
+    * series?). Slope/intercept come from DECIMAL(38,9)-quantized moment
+    * sums (exact cross-engine); per-row errors are DERIVED doubles, so
+    * they are floor-quantized to integer nanos before summing — the
+    * rounding-mode-free discipline, no HALF_UP/half-even exposure.
+    * Time is CENTERED per key (t − min t) before the moments: raw epoch
+    * periods make n·Σt² − (Σt)² cancel ~7 digits and push the decimal
+    * sums past the 2^53 range where DuckDB's int128→double conversion is
+    * 1-ulp inexact — centered, the sums convert exactly and nothing
+    * cancels. `intercept` is therefore the fitted value at the series'
+    * FIRST period. Degenerate fits (one train point) fall back to
+    * slope 0 / train mean.
+    *
+    * Distributed shape: one per-key rank window (bounded by a series'
+    * period count), one train aggregate, one broadcast-sized fit frame
+    * joined back to the holdout, one final reduction. Keys with fewer
+    * than `minPoints` periods are dropped (both engines). Input must be
+    * one row per (key, period). */
+  def forecastBacktest(series: DataFrame, trainFrac: Double = 0.8,
+                       minPoints: Int = 5, keyCol: String = "user_id",
+                       tCol: String = "t", vCol: String = "x"): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0, 1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val ranked = series
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .where(col("_n") >= minPoints)
+      .withColumn("_ntr", ceil(col("_n") * lit(trainFrac)))
+      .withColumn("_tc", col(tCol) - min(col(tCol)).over(wAll))
+    val fit = ranked.where(col("_rn") <= col("_ntr"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_train"),
+        dSum(col("_tc")).as("_st"), dSum(col(vCol)).as("_sx"),
+        dSum(col("_tc") * col("_tc")).as("_stt"),
+        dSum(col("_tc") * col(vCol)).as("_stx"))
+      .withColumn("_den",
+        col("n_train") * col("_stt") - col("_st") * col("_st"))
+      .withColumn("slope", when(col("_den") === 0.0, lit(0.0))
+        .otherwise((col("n_train") * col("_stx") - col("_st") * col("_sx"))
+          / col("_den")))
+      .withColumn("intercept",
+        (col("_sx") - col("slope") * col("_st")) / col("n_train"))
+    ranked.where(col("_rn") > col("_ntr"))
+      .join(fit, Seq(keyCol))
+      .withColumn("_errq",
+        floor(abs(col(vCol) - (col("intercept") + col("slope") * col("_tc")))
+          * lit(1e9)).cast(DecimalType(38, 0)))
+      .groupBy(col(keyCol))
+      .agg(first(col("n_train")).as("n_train"), count(lit(1)).as("n_test"),
+        first(col("slope")).as("slope"),
+        first(col("intercept")).as("intercept"),
+        (sum(col("_errq")).cast(DoubleType) / lit(1e9) / count(lit(1)))
+          .as("mae"))
+  }
 }
