@@ -1263,4 +1263,87 @@ object Dedup {
         col("shared_fp").cast(DoubleType) / (col("_sa") + col("_sb") - col("shared_fp")))
       .select("doc_id_a", "doc_id_b", "shared_fp", "jaccard_fp")
   }
+
+  /** Persist a corpus' winnowing fingerprints as a bucketed POSTINGS table
+    * `(fp, doc_id)` plus a `<table>_sz` companion of per-document
+    * fingerprint-set sizes. Unlike the span index (membership only), the
+    * postings let cross-crawl candidate PAIRS come out of one co-located
+    * equi-join — and at ~2/(w+1) of the gram count the index stays
+    * sublinear in the corpus where a full gram index does not. */
+  def writeWinnowIndex(docs: DataFrame, k: Int, w: Int, table: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       buckets: Int = 64): Unit = {
+    val fp = winnowingFingerprints(docs, k, w, idCol, textCol)
+      .select(col("fp"), col(idCol).cast(LongType).as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
+    fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .write.mode("overwrite").saveAsTable(table + "_sz")
+    fp.unpersist()
+  }
+
+  /** Append a crawl's fingerprints into the winnowing index (bucketed
+    * files append per bucket, so co-location survives without a rebuild;
+    * sizes append to the companion — per-document counts are static, so
+    * appended crawls must carry NEW doc ids). */
+  def appendWinnowIndex(docs: DataFrame, k: Int, w: Int, table: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 64): Unit = {
+    val fp = winnowingFingerprints(docs, k, w, idCol, textCol)
+      .select(col("fp"), col(idCol).cast(LongType).as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.write.mode("append")
+      .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
+    fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .write.mode("append").saveAsTable(table + "_sz")
+    fp.unpersist()
+  }
+
+  /** Cross-CRAWL winnowing near-dup pairs WITHOUT re-fingerprinting prior
+    * crawls: incoming documents' fingerprints probe the persisted postings
+    * — prior postings are read only for fingerprints the incoming crawl
+    * actually touches (a semi-join the bucketed scan serves), which is
+    * also exactly the set that can form pairs, so the document-frequency
+    * cull computed over (probed ∪ incoming) EQUALS the global cull for
+    * every candidate fingerprint. Emits every pair with at least one
+    * incoming side — provably [[winnowingPairs]] over (prior ∪ incoming)
+    * restricted to pairs touching incoming (spec-pinned equivalence);
+    * per-document set sizes for the Jaccard come from the `_sz` companion,
+    * never from re-reading prior text. */
+  def winnowingPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+                                table: String, incoming: DataFrame,
+                                k: Int, w: Int, minShared: Int = 2,
+                                maxDf: Int = 1000, idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val inc = winnowingFingerprints(incoming, k, w, idCol, textCol)
+      .select(col("fp"), col(idCol).cast(LongType).as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = spark.table(table)
+      .join(inc.select("fp").distinct(), Seq("fp"), "left_semi")
+    val allp = probed.unionByName(inc).distinct()
+    val kept = allp.join(
+      allp.groupBy("fp").agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf && col("_df") >= 2),
+      Seq("fp"), "left_semi")
+    val aSide = kept.join(inc.select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    val pairs = aSide.select(col("doc_id").as("_da"), col("fp"))
+      .join(kept.select(col("doc_id").as("_db"), col("fp")), Seq("fp"))
+      .where(col("_da") =!= col("_db"))
+      .select(least(col("_da"), col("_db")).as("doc_id_a"),
+        greatest(col("_da"), col("_db")).as("doc_id_b"), col("fp"))
+      .distinct()
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+    val sizes = spark.table(table + "_sz")
+      .unionByName(inc.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+      .groupBy("doc_id").agg(max("sz").as("sz"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("sz").as("_sa")), Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("sz").as("_sb")), Seq("doc_id_b"))
+      .withColumn("jaccard_fp",
+        col("shared_fp").cast(DoubleType) / (col("_sa") + col("_sb") - col("shared_fp")))
+      .select("doc_id_a", "doc_id_b", "shared_fp", "jaccard_fp")
+  }
 }

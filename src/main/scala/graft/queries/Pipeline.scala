@@ -1296,8 +1296,8 @@ object Pipeline extends QueryPack {
     Dedup.winnowingPairs(Tables.documents(s, sf), k = 3, w = 4,
         minShared = 2, maxDf = 1000)
       .orderBy("doc_id_a", "doc_id_b")
-  private val qDedupWinnowSql =
-    s"""WITH ${spanGramCtes(3)},
+  private val winnowPairCtes =
+    s"""${spanGramCtes(3)},
        |keyed AS (
        |  SELECT doc_id, pos,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
@@ -1314,12 +1314,45 @@ object Pipeline extends QueryPack {
        |pairs AS (
        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS shared_fp
        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+  private val qDedupWinnowSql =
+    s"""WITH $winnowPairCtes
        |SELECT doc_id_a, doc_id_b, shared_fp,
        |  CAST(shared_fp AS DOUBLE) / (sa.sz + sb.sz - shared_fp) AS jaccard_fp
        |FROM pairs JOIN sz sa ON sa.doc_id = pairs.doc_id_a
        |           JOIN sz sb ON sb.doc_id = pairs.doc_id_b
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** Winnowing pairs through the PERSISTED postings index, restricted to
+    * pairs touching the fresh crawl — the oracle replays the BATCH
+    * winnowing over the whole corpus and filters, which the incremental
+    * probe provably equals (equivalence also spec-pinned on a synthetic
+    * split). First call of a session builds the index from the prior
+    * sources; the probe never re-fingerprints them. */
+  private def qDedupWinnowIncremental(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val table = "graft_winnow_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table, companions = Seq(table + "_sz")) {
+      Dedup.writeWinnowIndex(docs.where(col("source").isin(existingSrcs: _*)),
+        k = 3, w = 4, table = table)
+    }
+    Dedup.winnowingPairsIncremental(s, table,
+        docs.where(!col("source").isin(existingSrcs: _*)), k = 3, w = 4)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+  // lazy: existingSrcs is declared further down the object body
+  private lazy val qDedupWinnowIncrementalSql = {
+    val srcs = existingSrcs.map(s0 => s"'$s0'").mkString(", ")
+    s"""WITH $winnowPairCtes
+       |SELECT doc_id_a, doc_id_b, shared_fp,
+       |  CAST(shared_fp AS DOUBLE) / (sa.sz + sb.sz - shared_fp) AS jaccard_fp
+       |FROM pairs JOIN sz sa ON sa.doc_id = pairs.doc_id_a
+       |           JOIN sz sb ON sb.doc_id = pairs.doc_id_b
+       |           JOIN documents da ON da.doc_id = pairs.doc_id_a
+       |           JOIN documents db ON db.doc_id = pairs.doc_id_b
+       |WHERE da.source NOT IN ($srcs) OR db.source NOT IN ($srcs)
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
 
   /** Cross-document duplicated 8-token spans over the portable hash — the
     * exact-substring dedup discovery pass, fully oracle-checked. */
@@ -3229,6 +3262,8 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_prefix_join", qDedupPrefixJoin, Some(qDedupPrefixJoinSql)),
     QueryDef("dedup_winnowing", qDedupWinnow, Some(qDedupWinnowSql)),
     QueryDef("dedup_containment", qDedupContainment, Some(qDedupContainmentSql)),
+    QueryDef("dedup_winnowing_incremental", qDedupWinnowIncremental,
+      Some(qDedupWinnowIncrementalSql)),
     QueryDef("dedup_ngram_index", qDedupNgramIndex, Some(qDedupNgramSql)),
     QueryDef("dedup_ngram_index_build", qDedupNgramIndexBuild, Some(qDedupNgramIndexBuildSql)),
     QueryDef("dedup_minhash_lsh", qDedupMinhash, None),

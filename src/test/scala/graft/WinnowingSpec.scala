@@ -49,6 +49,35 @@ class WinnowingSpec extends SparkTestBase {
       s"selected ${m(1L).size} of ${grams - w + 1} windows")
   }
 
+  test("incremental probe through the index equals batch over the union") {
+    val base = (1 to 25).map(i => s"b$i").mkString(" ")
+    val prior = docsOf(
+      1L -> base,
+      2L -> (base + " extra tail tokens"),
+      3L -> (1 to 20).map(i => s"p$i").mkString(" "))
+    val incoming = docsOf(
+      10L -> base,                                   // dup of prior 1/2
+      11L -> ((21 to 40).map(i => s"b$i") ++ (1 to 10).map(i => s"b$i")).mkString(" "),
+      12L -> (1 to 20).map(i => s"q$i").mkString(" "))
+    val table = s"graft_winnow_spec_${System.nanoTime()}"
+    graft.pipelines.Dedup.writeWinnowIndex(prior, k, w, table)
+    graft.pipelines.Dedup.appendWinnowIndex(
+      docsOf(4L -> (base + " appended snapshot")), k, w, table)
+    val inc = graft.pipelines.Dedup
+      .winnowingPairsIncremental(spark, table, incoming, k, w)
+      .collect().map(_.toString).sorted.toSeq
+    val union = prior
+      .unionByName(docsOf(4L -> (base + " appended snapshot")))
+      .unionByName(incoming)
+    val incIds = Set(10L, 11L, 12L)
+    val batch = graft.pipelines.Dedup.winnowingPairs(union, k, w)
+      .collect()
+      .filter(r => incIds(r.getLong(0)) || incIds(r.getLong(1)))
+      .map(_.toString).sorted.toSeq
+    assert(inc == batch, s"incremental:\n$inc\nbatch:\n$batch")
+    assert(inc.nonEmpty, "split fixture should produce cross-crawl pairs")
+  }
+
   test("disjoint documents emit no pairs") {
     val pairs = graft.pipelines.Dedup.winnowingPairs(
       docsOf(
