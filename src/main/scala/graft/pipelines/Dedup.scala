@@ -131,6 +131,41 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "containment")
   }
 
+  /** CHARACTER-level edit-distance verification of candidate near-dup
+    * pairs: keeps every candidate whose Levenshtein distance is <= maxDist
+    * and scores it `edit_similarity = 1 - dist / max(len_a, len_b)` — the
+    * per-character measure token-set Jaccard can't see (transpositions,
+    * small in-word edits, punctuation churn).
+    *
+    * Candidates come from any pair generator (MinHash/LSH, PPJoin,
+    * winnowing); the verify is EXACT within them, so overall recall is the
+    * generator's. Never run this all-pairs: the DP is O(len·maxDist) per
+    * pair (Spark's thresholded `levenshtein` abandons a row once the
+    * distance provably exceeds the bound), so cost is candidate-
+    * proportional. Two cheap prunes run before any DP: the length bound
+    * (|len_a - len_b| > maxDist implies dist > maxDist) and the thresholded
+    * kernel's own early exit. Texts join in by id — only candidate rows
+    * ever carry text through the shuffle.
+    *
+    * Ref semantics: near-dup verification pass of dedup pipelines
+    * (reference: opensearch-tsdb has no text dedup; this follows the
+    * RefinedWeb/MassiveText recipe over the shared candidate machinery). */
+  def editDistancePairs(docs: DataFrame, pairs: DataFrame, maxDist: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val a = docs.select(col(idCol).as("doc_id_a"), col("text").as("_ta"))
+    val b = docs.select(col(idCol).as("doc_id_b"), col("text").as("_tb"))
+    pairs.select("doc_id_a", "doc_id_b")
+      .join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+      .where(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("edit_distance", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .where(col("edit_distance") >= 0) // thresholded kernel emits -1 past the bound
+      .withColumn("edit_similarity",
+        lit(1.0) - col("edit_distance").cast(DoubleType) /
+          greatest(length(col("_ta")), length(col("_tb"))).cast(DoubleType))
+      .select("doc_id_a", "doc_id_b", "edit_distance", "edit_similarity")
+  }
+
   /** PPJoin-style EXACT set-similarity join: every pair with shingle
     * Jaccard >= threshold — no document-frequency band, no approximation.
     * The scalable exact alternative to [[ngramJaccardPairs]] (whose maxDf

@@ -678,6 +678,55 @@ object Similarity {
         col("_best.dist2").as("dist2"))
   }
 
+  /** Per-cluster SIMPLIFIED silhouette over [[kmeansTopics]]' clustering —
+    * the standard scalable variant (Hruschka et al.): for each vector
+    * `a = dist(v, own centroid)`, `b = min dist(v, other centroid)`,
+    * `s = (b - a) / max(a, b)` (0.0 when both are 0) — full silhouette's
+    * O(n²) pairwise distances replaced by k centroid distances, so the
+    * whole score rides the SAME broadcast-fold shape as assignment: no
+    * extra shuffle beyond the per-cluster mean.
+    *
+    * Determinism discipline: distances are the sequential index-order folds
+    * the k-means oracle replays; `s` is IEEE sqrt/divide of those (exact
+    * cross-engine); the per-cluster mean floor-quantizes addends to integer
+    * nanos (the [[kmeansCentroids]] re-center rule) so partition order can
+    * never move the mean. Requires k >= 2 (b is undefined for a single
+    * cluster). Returns (cluster, n_vecs, mean_silhouette). */
+  def clusterSilhouette(emb: DataFrame, k: Int, iters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2")
+    val cents = kmeansCentroids(emb, k, iters, idCol, vecCol)
+    val packed = cents
+      .agg(collect_list(struct(col("cluster"), col("_carr"))).as("_cents"))
+    val best = aggregate(col("_cents"),
+      struct(lit(Double.MaxValue).as("dist2"), lit(Long.MaxValue).as("cluster")),
+      (acc, c) => {
+        val d = sqDist(col(vecCol), c.getField("_carr"))
+        when(d < acc.getField("dist2") ||
+            (d === acc.getField("dist2") &&
+              c.getField("cluster") < acc.getField("cluster")),
+          struct(d.as("dist2"), c.getField("cluster").as("cluster")))
+          .otherwise(acc)
+      })
+    val b2 = aggregate(
+      filter(col("_cents"), c => c.getField("cluster") =!= col("_best.cluster")),
+      lit(Double.MaxValue),
+      (acc, c) => least(acc, sqDist(col(vecCol), c.getField("_carr"))))
+    val aD = sqrt(col("_best.dist2"))
+    val bD = sqrt(col("_b2"))
+    val sil = when(greatest(aD, bD) === 0d, 0d)
+      .otherwise((bD - aD) / greatest(aD, bD))
+    emb.crossJoin(broadcast(packed))
+      .withColumn("_best", best)
+      .withColumn("_b2", b2)
+      .withColumn("_s", sil)
+      .groupBy(col("_best.cluster").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("_s") * lit(1e9)).cast(LongType)).cast(DoubleType) /
+          count(lit(1)) / lit(1e9)).as("mean_silhouette"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k: greedily pick the item
     * maximizing `lambda * rel(query, c) - (1 - lambda) * max_{s in S} sim(c, s)`
     * — the classic redundancy-penalized reranker for retrieval-augmented

@@ -1201,6 +1201,30 @@ object Pipeline extends QueryPack {
        |FROM nst n LEFT JOIN ec USING (cluster_id) LEFT JOIN tri USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
 
+  /** Character-level edit-distance VERIFY over the portable LSH candidates:
+    * the MinHash pass proposes, the thresholded Levenshtein DP disposes —
+    * the per-character near-dup measure token Jaccard can't see. Oracle
+    * replays the whole chain: portable pair CTEs + DuckDB's exact
+    * `levenshtein` (integer distance, so the filter and the similarity
+    * ratio are hash-exact cross-engine). */
+  private def qEditDistance(s: SparkSession, sf: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, sf), portablePairs(s, sf),
+        maxDist = 60)
+      .orderBy("doc_id_a", "doc_id_b")
+  private val qEditDistanceSql =
+    s"""WITH $portablePairCtes,
+       |ed AS (
+       |  SELECT p.doc_id_a, p.doc_id_b,
+       |    CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance,
+       |    1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |      / greatest(length(a.text), length(b.text)) AS edit_similarity
+       |  FROM ppairs p
+       |  JOIN documents a ON a.doc_id = p.doc_id_a
+       |  JOIN documents b ON b.doc_id = p.doc_id_b)
+       |SELECT doc_id_a, doc_id_b, edit_distance, edit_similarity
+       |FROM ed WHERE edit_distance <= 60
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   /** Centrality-survivor selection: 2-round PageRank over the portable pair
     * graph, per-cluster argmax — the oracle replays both power-iteration
     * rounds with the same DECIMAL(38,9) per-edge quantization. */
@@ -2370,6 +2394,31 @@ object Pipeline extends QueryPack {
     * same batch-trained centroids, so its oracle IS the batch clustering. */
   private[queries] def kmeansAsgSql: String = qKmeansTopicsSql
 
+  /** Simplified-silhouette quality of the k-means topic clustering — the
+    * oracle replays both Lloyd rounds (the shared kmeansCtes), then derives
+    * a = own-centroid distance from `asg` and b = min other-centroid
+    * distance from `a3` (every final-round distance already materialized),
+    * so the silhouette adds NO new floating-point surface beyond IEEE
+    * sqrt/divide of already-replayed values. */
+  private def qClusterSilhouette(s: SparkSession, sf: String): DataFrame =
+    Similarity.clusterSilhouette(Tables.embeddings(s, sf), k = 8, iters = 2)
+      .orderBy("cluster")
+  private val qClusterSilhouetteSql =
+    s"""WITH $kmeansCtes,
+       |oth AS (SELECT a.vec_id, min(x.dist2) AS b2
+       |        FROM asg a JOIN a3 x
+       |          ON x.vec_id = a.vec_id AND x.cluster <> a.cluster
+       |        GROUP BY 1),
+       |sil AS (SELECT a.cluster,
+       |         CASE WHEN greatest(sqrt(a.dist2), sqrt(o.b2)) = 0 THEN 0.0
+       |              ELSE (sqrt(o.b2) - sqrt(a.dist2))
+       |                   / greatest(sqrt(a.dist2), sqrt(o.b2)) END AS s
+       |        FROM asg a JOIN oth o USING (vec_id))
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CAST(floor(s * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1000000000.0 AS mean_silhouette
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** SemDeDup: pair search bucketed by the k-means clusters above, higher id
     * of each within-cluster cosine>=0.2 pair dropped. */
   private def qSemanticDedup(s: SparkSession, sf: String): DataFrame =
@@ -3296,6 +3345,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_survivors_portable", qSurvivorsPortable, Some(qSurvivorsPortableSql)),
     QueryDef("dedup_keep_central", qKeepCentral, Some(qKeepCentralSql)),
     QueryDef("dedup_graph_stats", qGraphStats, Some(qGraphStatsSql)),
+    QueryDef("dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,
@@ -3342,6 +3392,7 @@ object Pipeline extends QueryPack {
     QueryDef("events_sax_words", qSax, Some(qSaxSql)),
     QueryDef("corpus_oov_rate", qOovRate, Some(qOovRateSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
+    QueryDef("cluster_silhouette", qClusterSilhouette, Some(qClusterSilhouetteSql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
     QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),

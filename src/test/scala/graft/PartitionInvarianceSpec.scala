@@ -164,4 +164,44 @@ class PartitionInvarianceSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("editDistancePairs is partition-invariant and exact within candidates") {
+    // identical texts (dist 0), one-word edits, and far-apart docs
+    val d = spark.range(40).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha beta gamma delta"),
+        concat(lit("tail"), (col("id") % 4).cast("string"))).as("text"))
+    val cand = d.alias("a").crossJoin(d.alias("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+    same(df => graft.pipelines.Dedup.editDistancePairs(df, cand, maxDist = 3), d)
+    val r = graft.pipelines.Dedup.editDistancePairs(d, cand, maxDist = 0)
+      .collect()
+    // ids congruent mod 4 share the exact text: distance 0, similarity 1.0
+    assert(r.nonEmpty && r.forall(x =>
+      x.getAs[Long]("doc_id_a") % 4 == x.getAs[Long]("doc_id_b") % 4 &&
+      x.getAs[Int]("edit_distance") == 0 &&
+      x.getAs[Double]("edit_similarity") == 1.0))
+  }
+
+  test("clusterSilhouette is partition-invariant and bounded in [-1, 1]") {
+    same(df => graft.pipelines.Similarity.clusterSilhouette(df, k = 4,
+      iters = 2), emb)
+    val r = graft.pipelines.Similarity.clusterSilhouette(emb, k = 4, iters = 2)
+      .collect()
+    assert(r.nonEmpty && r.forall { x =>
+      val s = x.getAs[Double]("mean_silhouette")
+      s >= -1.0 && s <= 1.0
+    })
+    // two well-separated blobs score near-perfect silhouette
+    val blobs = spark.range(40).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)), _ =>
+        when(col("id") % 2 === 0, lit(100.0) + (col("id") % 3) * 0.01)
+          .otherwise(lit(-100.0) - (col("id") % 3) * 0.01).cast("float"))
+        .as("embedding"))
+    val b = graft.pipelines.Similarity.clusterSilhouette(blobs, k = 2, iters = 2)
+      .collect()
+    assert(b.forall(_.getAs[Double]("mean_silhouette") > 0.9))
+  }
 }
