@@ -166,6 +166,35 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "edit_distance", "edit_similarity")
   }
 
+  /** Cross-SOURCE contamination matrix: how much each pair of corpus
+    * sources duplicates each other — near-dup pair counts and mean
+    * similarity bucketed by unordered source pair (`source_a <= source_b`;
+    * the diagonal is within-source duplication). The first dashboard a
+    * multi-crawl corpus needs: it tells you which feeds to dedup against
+    * which BEFORE paying the full cross-corpus pass, and whether a new
+    * source is mostly a re-crawl of an old one.
+    *
+    * Input is any scored pair set (MinHash/LSH, PPJoin, winnowing) with a
+    * `simCol` score. Cost: two id-keyed joins to fetch sources (only ids
+    * and the score shuffle) + one tiny groupBy — nothing beyond the pair
+    * generator itself. The mean floor-quantizes addends to integer nanos
+    * (partition-order-free, engine-portable). */
+  def sourcePairMatrix(docs: DataFrame, pairs: DataFrame,
+                       simCol: String = "jaccard",
+                       idCol: String = "doc_id",
+                       srcCol: String = "source"): DataFrame = {
+    val a = docs.select(col(idCol).as("doc_id_a"), col(srcCol).as("_sa"))
+    val b = docs.select(col(idCol).as("doc_id_b"), col(srcCol).as("_sb"))
+    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"),
+        col(simCol).as("_sim"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(floor(col("_sim") * lit(1e9)).cast(LongType)).cast(DoubleType) /
+          count(lit(1)) / lit(1e9)).as("mean_sim"))
+  }
+
   /** PPJoin-style EXACT set-similarity join: every pair with shingle
     * Jaccard >= threshold — no document-frequency band, no approximation.
     * The scalable exact alternative to [[ngramJaccardPairs]] (whose maxDf
@@ -1356,7 +1385,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = spark.table(table)
       .join(inc.select("fp").distinct(), Seq("fp"), "left_semi")
+    // persisted: the table-scan -> semi-join -> union -> distinct chain
+    // feeds the df count, the df cull, and BOTH sides of the pair join —
+    // without the cache it re-executes once per consumer (4x the probe I/O;
+    // mirrors the batch path persisting `fp`)
     val allp = probed.unionByName(inc).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = allp.join(
       allp.groupBy("fp").agg(count(lit(1)).as("_df"))
         .where(col("_df") <= maxDf && col("_df") >= 2),

@@ -114,6 +114,32 @@ object TextAnalysis {
       .drop("_scan", "_n")
   }
 
+  /** SOURCE-FAIR quality floor: [[keepTopFraction]] applied WITHIN each
+    * group — every source keeps its own top `frac` by score, so a noisy
+    * feed can't crowd out a clean one's tail the way a single global floor
+    * does (the per-source calibration step of mixture curation; global and
+    * per-source floors select visibly different sets on heterogeneous
+    * corpora).
+    *
+    * Distributed shape: one window partitioned by the group column — each
+    * partition is a single source's rows (bounded by the largest source,
+    * the natural unit here; salt upstream if one source dominates the
+    * corpus), plus a broadcast of per-group counts. Ties break by id, so
+    * the cut is deterministic and engine-portable. */
+  def keepTopFractionPerGroup(docs: DataFrame, frac: Double, scoreCol: String,
+                              groupCol: String,
+                              idCol: String = "doc_id"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val n = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(DoubleType).as("_n"))
+    docs.withColumn("_rn", row_number().over(w))
+      .join(broadcast(n), Seq(groupCol))
+      .where(col("_rn") <= floor(lit(frac) * col("_n")).cast(LongType))
+      .drop("_rn", "_n")
+  }
+
   /** Fixed-length SEQUENCE CHUNKING: concatenate documents in ascending
     * `idCol` order into one global token stream (the same deterministic
     * prefix-sum offsets as [[packSequences]]) and cut it into training

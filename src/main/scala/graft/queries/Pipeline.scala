@@ -489,6 +489,41 @@ object Pipeline extends QueryPack {
        |WHERE rn <= CAST(floor(0.4 * cnt) AS BIGINT) ORDER BY doc_id""".stripMargin
   }
 
+  /** Source-fair quality floor: each source keeps its own top 40% by the
+    * same score — the per-source calibration a heterogeneous-mixture corpus
+    * needs (a noisy feed can't crowd a clean one out of a single global
+    * cut). Oracle mirrors the global floor with PARTITION BY source. */
+  private def qQualityFloorFair(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.keepTopFractionPerGroup(
+        TextAnalysis.qualityScore(Tables.documents(s, sf)),
+        frac = 0.4, scoreCol = "quality", groupCol = "source")
+      .select("doc_id").orderBy("doc_id")
+  private val qQualityFloorFairSql = {
+    val stop = TextAnalysis.StopwordsSql
+    s"""WITH q AS (SELECT doc_id, source, text,
+       |  CAST(len(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> list_contains([$stop], t))) AS DOUBLE) AS stop_hits,
+       |  CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+       |FROM documents),
+       |sc AS (SELECT doc_id, source,
+       |  CASE WHEN n_chars_m < 10 THEN 0.0 ELSE
+       |    least(1.0, n_chars_m / 500.0) * 0.4
+       |    + least(1.0, (stop_hits / n_tok) * 5.0) * 0.4
+       |    + (1.0 - least(1.0, (punct / CAST(len(text) AS DOUBLE)) * 4.0)) * 0.2
+       |  END AS quality
+       |  FROM q),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY quality DESC, doc_id) AS rn
+       |      FROM sc),
+       |n AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
+       |      FROM documents GROUP BY source)
+       |SELECT doc_id FROM r JOIN n USING (source)
+       |WHERE rn <= CAST(floor(0.4 * cnt) AS BIGINT) ORDER BY doc_id""".stripMargin
+  }
+
   /** GPT-style contiguous-stream chunking into 1024-token sequences:
     * documents split across sequence boundaries; every slice boundary is
     * integer prefix-sum arithmetic the oracle replays exactly. */
@@ -1211,6 +1246,28 @@ object Pipeline extends QueryPack {
     Dedup.editDistancePairs(Tables.documents(s, sf), portablePairs(s, sf),
         maxDist = 60)
       .orderBy("doc_id_a", "doc_id_b")
+  /** Cross-source contamination matrix over the portable LSH pairs: which
+    * sources duplicate each other and how strongly — the triage dashboard
+    * before any cross-corpus dedup pass. Unordered source pair, pair count,
+    * nano-quantized mean Jaccard. */
+  private def qSourceMatrix(s: SparkSession, sf: String): DataFrame =
+    Dedup.sourcePairMatrix(Tables.documents(s, sf), portablePairs(s, sf))
+      .orderBy("source_a", "source_b")
+  private val qSourceMatrixSql =
+    s"""WITH $portablePairCtes,
+       |sp AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b,
+       |         p.jaccard AS sim
+       |  FROM ppairs p
+       |  JOIN documents da ON da.doc_id = p.doc_id_a
+       |  JOIN documents db ON db.doc_id = p.doc_id_b)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CAST(floor(sim * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1000000000.0 AS mean_sim
+       |FROM sp GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   private val qEditDistanceSql =
     s"""WITH $portablePairCtes,
        |ed AS (
@@ -3346,6 +3403,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_keep_central", qKeepCentral, Some(qKeepCentralSql)),
     QueryDef("dedup_graph_stats", qGraphStats, Some(qGraphStatsSql)),
     QueryDef("dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
+    QueryDef("dedup_source_matrix", qSourceMatrix, Some(qSourceMatrixSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,
@@ -3360,6 +3418,8 @@ object Pipeline extends QueryPack {
     QueryDef("text_pack_shards", qPackShards, Some(qPackShardsSql)),
     QueryDef("text_chunk_sequences", qChunkSequences, Some(qChunkSequencesSql)),
     QueryDef("corpus_quality_floor", qQualityFloor, Some(qQualityFloorSql)),
+    QueryDef("corpus_quality_floor_fair", qQualityFloorFair,
+      Some(qQualityFloorFairSql)),
     QueryDef("text_hashed_embedding", qHashedEmbedding, Some(qHashedEmbeddingSql)),
     QueryDef("ann_hashed_topk", qAnnHashed, Some(qAnnHashedSql)),
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),

@@ -184,6 +184,36 @@ class PartitionInvarianceSpec extends SparkTestBase {
       x.getAs[Double]("edit_similarity") == 1.0))
   }
 
+  test("sourcePairMatrix is partition-invariant and normalizes pair order") {
+    val d = docs.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val pairs = graft.pipelines.Dedup.ngramJaccardPairs(d, n = 2,
+      threshold = 0.3)
+    same(df => graft.pipelines.Dedup.sourcePairMatrix(df,
+      graft.pipelines.Dedup.ngramJaccardPairs(df, n = 2, threshold = 0.3)), d)
+    val r = graft.pipelines.Dedup.sourcePairMatrix(d, pairs).collect()
+    assert(r.nonEmpty && r.forall(x =>
+      x.getAs[String]("source_a") <= x.getAs[String]("source_b")))
+  }
+
+  test("keepTopFractionPerGroup keeps each group's own top fraction") {
+    // group g0 scores all above g1; a global 50% floor would keep only g0
+    val d = spark.range(40).select(
+      col("id").as("doc_id"),
+      when(col("id") < 20, "g0").otherwise("g1").as("source"),
+      (when(col("id") < 20, lit(100.0)).otherwise(lit(0.0))
+        + col("id").cast("double")).as("score"))
+    val kept = graft.pipelines.TextAnalysis.keepTopFractionPerGroup(
+      d, frac = 0.5, scoreCol = "score", groupCol = "source").collect()
+    val byGroup = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(byGroup == Map("g0" -> 10, "g1" -> 10))
+    // within each group the TOP half by score survives
+    assert(kept.forall(x => x.getAs[Double]("score") >=
+      (if (x.getAs[String]("source") == "g0") 110.0 else 30.0)))
+    same(df => graft.pipelines.TextAnalysis.keepTopFractionPerGroup(
+      df, frac = 0.5, scoreCol = "score", groupCol = "source"), d)
+  }
+
   test("clusterSilhouette is partition-invariant and bounded in [-1, 1]") {
     same(df => graft.pipelines.Similarity.clusterSilhouette(df, k = 4,
       iters = 2), emb)
