@@ -166,6 +166,30 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "edit_distance", "edit_similarity")
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the fraction
+    * of each incoming document's distinct word shingles never seen anywhere
+    * in the reference — the document-level selection signal complementing
+    * the corpus-level bigram OOV rate (novelty-weighted sampling keeps the
+    * genuinely new material of a fresh crawl instead of re-ingesting what
+    * the corpus already says).
+    *
+    * One shingle equi-join (left, null-flagged) + one per-doc count — the
+    * reference set is distinct shingles only, never text; at 100 TB both
+    * sides are hash-partitioned on the shingle, so the shuffle is
+    * gram-proportional and skew-bounded by shingle frequency. Counts are
+    * integers and novelty one long/long IEEE division — oracle-exact. */
+  def noveltyScores(reference: DataFrame, incoming: DataFrame, n: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val refSh = shingles(reference, n, idCol).select("shingle").distinct()
+    val incSh = shingles(incoming, n, idCol)
+    incSh.join(refSh.withColumn("_seen", lit(1)), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** Cross-SOURCE contamination matrix: how much each pair of corpus
     * sources duplicates each other — near-dup pair counts and mean
     * similarity bucketed by unordered source pair (`source_a <= source_b`;

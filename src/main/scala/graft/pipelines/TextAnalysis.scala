@@ -549,6 +549,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("_nsym")).as("n_bpe"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs of each document; a word's score is
+    * degree/frequency over those phrases (degree = the summed length of
+    * every phrase containing it — co-occurrence weight favoring words that
+    * live in long multi-word terms); a phrase scores the sum of its words.
+    * Per-document and corpus-stat-free — the complement of TF-IDF (which
+    * needs global document frequencies) for keyword/term mining.
+    *
+    * Distributed shape: one running-count window per document partition
+    * (island ids for the stopword-split runs), then three doc-keyed
+    * hash aggregations — nothing corpus-global, skew bounded by the
+    * longest document. Determinism: word scores floor-quantize to integer
+    * nanos before the phrase sum (partition-order-free), ranks tie-break
+    * on the phrase text. Duplicate phrase instances in one document count
+    * toward word stats (standard RAKE) and emit one output row. */
+  def rakeKeywords(docs: DataFrame, topK: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val toks = docs.select(col(idCol),
+        posexplode(wsTokens(lower(col("text")))).as(Seq("_pos", "_w")))
+      .where(length(col("_w")) > 0)
+      .withColumn("_st", when(col("_w").isin(Stopwords: _*), 1L).otherwise(0L))
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phrase member rows feed phrases, word stats AND phrase scores —
+    // materialize once (the corpus re-tokenizes per consumer otherwise)
+    val isl = toks.withColumn("_g", sum(col("_st")).over(wRun))
+      .where(col("_st") === 0)
+      .select(col(idCol), col("_g"), col("_pos"), col("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = isl.groupBy(col(idCol), col("_g"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_w")))),
+            s => s.getField("_w"))).as("phrase"),
+        count(lit(1)).as("n_words"))
+    val wstat = isl
+      .join(ph.select(col(idCol), col("_g"), col("n_words").as("_plen")),
+        Seq(idCol, "_g"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_freq"), sum(col("_plen")).as("_deg"))
+      .withColumn("_snano",
+        floor(col("_deg").cast(DoubleType) / col("_freq") * lit(1e9))
+          .cast(LongType))
+    val psc = isl
+      .join(wstat.select(col(idCol), col("_w"), col("_snano")), Seq(idCol, "_w"))
+      .groupBy(col(idCol), col("_g"))
+      .agg(sum(col("_snano")).as("_nano"))
+    val pd = ph.join(psc, Seq(idCol, "_g"))
+      .select(col(idCol), col("phrase"), col("n_words"),
+        (col("_nano").cast(DoubleType) / lit(1e9)).as("score"))
+      .distinct()
+    val wR = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("phrase").asc)
+    pd.withColumn("rnk", row_number().over(wR)).where(col("rnk") <= topK)
+  }
+
   val Stopwords = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was", "for",
     "on", "with", "as", "by", "at", "it", "this", "that", "be", "from")

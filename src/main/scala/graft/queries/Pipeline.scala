@@ -1435,6 +1435,82 @@ object Pipeline extends QueryPack {
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
   }
 
+  /** Per-document trigram novelty of the fresh crawl half against the
+    * reference half — the document-level selection signal next to the
+    * corpus-level `corpus_oov_rate`. Counts integer, novelty one IEEE
+    * division; the oracle replays the shared shingle tokenization. */
+  private def qNovelty(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    Dedup.noveltyScores(
+        docs.where(col("source").isin(existingSrcs: _*)),
+        docs.where(!col("source").isin(existingSrcs: _*)), n = 3)
+      .orderBy("doc_id")
+  }
+  private lazy val qNoveltySql = {
+    val srcs = existingSrcs.map(s0 => s"'$s0'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS shingle
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) ix
+       |  WHERE len(array_to_string(t[i:i+2], ' ')) > 0),
+       |ref AS (SELECT DISTINCT shingle FROM sh WHERE source IN ($srcs)),
+       |inc AS (SELECT doc_id, shingle FROM sh WHERE source NOT IN ($srcs))
+       |SELECT inc.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(*) FILTER (r.shingle IS NULL) AS BIGINT) AS n_novel,
+       |  CAST(count(*) FILTER (r.shingle IS NULL) AS DOUBLE) / count(*) AS novelty
+       |FROM inc LEFT JOIN ref r ON inc.shingle = r.shingle
+       |GROUP BY inc.doc_id ORDER BY inc.doc_id""".stripMargin
+  }
+
+  /** RAKE keyword extraction: stopword-split phrase runs, degree/frequency
+    * word scores, per-document top-3 phrases — the corpus-stat-free
+    * complement to `text_tfidf_terms`. The oracle replays islands, word
+    * stats and the nano-quantized phrase sums. */
+  private def qRake(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.rakeKeywords(Tables.documents(s, sf), topK = 3)
+      .orderBy("doc_id", "rnk")
+  private val qRakeSql = {
+    val stop = TextAnalysis.StopwordsSql
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix
+       |  WHERE len(t[i]) > 0),
+       |fl AS (SELECT doc_id, pos, w,
+       |         CASE WHEN list_contains([$stop], w) THEN 1 ELSE 0 END AS st
+       |       FROM tok),
+       |isl AS (SELECT doc_id, pos, w, st,
+       |          sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |        FROM fl),
+       |pw AS (SELECT doc_id, g, pos, w FROM isl WHERE st = 0),
+       |ph AS (SELECT doc_id, g, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |         CAST(count(*) AS BIGINT) AS n_words
+       |       FROM pw GROUP BY 1, 2),
+       |wstat AS (SELECT p.doc_id, p.w, count(*) AS freq, sum(ph.n_words) AS deg
+       |          FROM pw p JOIN ph ON ph.doc_id = p.doc_id AND ph.g = p.g
+       |          GROUP BY 1, 2),
+       |wsc AS (SELECT doc_id, w,
+       |          CAST(floor(CAST(deg AS DOUBLE) / freq * 1000000000.0) AS BIGINT) AS snano
+       |        FROM wstat),
+       |psc AS (SELECT p.doc_id, p.g, sum(c.snano) AS nano
+       |        FROM pw p JOIN wsc c ON c.doc_id = p.doc_id AND c.w = p.w
+       |        GROUP BY 1, 2),
+       |pd AS (SELECT DISTINCT ph.doc_id, ph.phrase, ph.n_words,
+       |         CAST(nano AS DOUBLE) / 1000000000.0 AS score
+       |       FROM ph JOIN psc ON psc.doc_id = ph.doc_id AND psc.g = ph.g),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |         PARTITION BY doc_id ORDER BY score DESC, phrase) AS INT) AS rnk
+       |      FROM pd)
+       |SELECT doc_id, phrase, n_words, score, rnk FROM r
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }
+
   /** Cross-document duplicated 8-token spans over the portable hash — the
     * exact-substring dedup discovery pass, fully oracle-checked. */
   private def qDupSpans(s: SparkSession, sf: String): DataFrame =
@@ -3404,6 +3480,8 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_graph_stats", qGraphStats, Some(qGraphStatsSql)),
     QueryDef("dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     QueryDef("dedup_source_matrix", qSourceMatrix, Some(qSourceMatrixSql)),
+    QueryDef("text_novelty", qNovelty, Some(qNoveltySql)),
+    QueryDef("text_keywords_rake", qRake, Some(qRakeSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
     QueryDef("text_dup_span_removal", qDupSpanRemoval, Some(qDupSpanRemovalSql)),
     QueryDef("text_dup_spans_incremental", qDupSpansIncremental,

@@ -214,6 +214,40 @@ class PartitionInvarianceSpec extends SparkTestBase {
       df, frac = 0.5, scoreCol = "score", groupCol = "source"), d)
   }
 
+  test("noveltyScores is partition-invariant; novel docs score 1, seen score 0") {
+    val ref = docs
+    val freshSeen = docs.select(col("doc_id") + 1000, col("text"))
+      .toDF("doc_id", "text")
+    val freshNew = spark.range(20).select(
+      (col("id") + 2000).as("doc_id"),
+      concat_ws(" ", concat(lit("zz"), col("id").cast("string")),
+        concat(lit("yy"), col("id").cast("string")),
+        concat(lit("xx"), col("id").cast("string")),
+        concat(lit("vv"), col("id").cast("string"))).as("text"))
+    val fresh = freshSeen.unionByName(freshNew)
+    same(df => graft.pipelines.Dedup.noveltyScores(df, fresh, n = 2), ref)
+    val r = graft.pipelines.Dedup.noveltyScores(ref, fresh, n = 2).collect()
+    assert(r.forall { x =>
+      val id = x.getAs[Long]("doc_id")
+      val nv = x.getAs[Double]("novelty")
+      if (id >= 2000) nv == 1.0 else nv == 0.0
+    })
+  }
+
+  test("rakeKeywords is partition-invariant and scores multiword runs higher") {
+    val d = spark.range(30).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("deep learning models"), lit("the"),
+        concat(lit("solo"), (col("id") % 5).cast("string")),
+        lit("of"), lit("deep learning")).as("text"))
+    same(df => graft.pipelines.TextAnalysis.rakeKeywords(df, topK = 3), d)
+    val r = graft.pipelines.TextAnalysis.rakeKeywords(d, topK = 1).collect()
+    // the repeated multiword run wins every document's top slot
+    assert(r.length == 30 &&
+      r.forall(_.getAs[String]("phrase") == "deep learning models"))
+  }
+
   test("clusterSilhouette is partition-invariant and bounded in [-1, 1]") {
     same(df => graft.pipelines.Similarity.clusterSilhouette(df, k = 4,
       iters = 2), emb)
