@@ -1318,6 +1318,104 @@ object Dedup {
       .distinct()
   }
 
+  /** ROW-LOCAL winnowing fingerprint set — the [[winnowingFingerprints]]
+    * selection (portable rolling hash, leftmost-min trailing window,
+    * short-document rule) computed as one array expression over a single
+    * text value: no explode, no per-document window, so it runs on a
+    * STREAMING DataFrame (append mode, stateless) and as a narrow batch
+    * projection. Returns the DISTINCT fp array (positions dropped — pair
+    * probing joins on fp alone); empty array for documents shorter than k
+    * tokens. Selection-identical to the window formulation (spec-pinned per
+    * document in WinnowingSpec). */
+  def winnowFingerprintArray(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val toks = split(trim(text), "\\s+")
+    val th = transform(toks, t => polyHash(lower(t)))
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => aggregate(slice(th, i + 1, lit(k)), lit(0L),
+        (acc, h) => pmod(acc * lit(GramR) + h, lit(PortableP))))
+    // key packing = hash·2^32 + pos: one long min is the leftmost-smallest-
+    // hash rule (identical to the batch window's `_key`)
+    val keys = transform(grams, (x, i) => shiftleft(x, 32) + i.cast(LongType))
+    val m = size(keys)
+    val sel = transform(sequence(least(lit(w), m) - 1, m - 1),
+      j => array_min(slice(keys, greatest(j - w + lit(2), lit(1)),
+        least(lit(w), j + 1))))
+    when(size(toks) >= k,
+        array_distinct(transform(sel, key => shiftright(key, 32))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Staged (doc, fp) stream of [[winnowFingerprintArray]] — selection-
+    * identical, but each intermediate array (token hashes, then packed
+    * gram keys) materializes ONCE per row behind an `explode(array(...))`
+    * generator boundary. The single-Column form nests its lambdas, and
+    * interpreted higher-order functions re-evaluate a referenced subtree
+    * at every outer element (no common-subexpression sharing inside
+    * lambdas): the trailing-window pass re-derives the whole key array per
+    * window, O(m²·k) per document where this is O(m·(k+w)) — a measured
+    * ~3000× per-row gap on real documents. Generators are stream-safe, so
+    * this is the form every bulk path (and the streaming probe) uses; the
+    * one-Column variant remains for single-expression contexts. */
+  private[graft] def winnowFpRows(df: DataFrame, k: Int, w: Int,
+                                  idCol: String, textCol: String,
+                                  outId: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val th = when(size(toks) >= k, transform(toks, t => polyHash(lower(t))))
+      .otherwise(array().cast("array<bigint>"))
+    val s1 = df.select(col(idCol).cast(LongType).as(outId),
+      explode(array(th)).as("_th"))
+    val m1 = size(col("_th"))
+    val grams = when(m1 >= k, transform(sequence(lit(0), m1 - k),
+        i => aggregate(slice(col("_th"), i + 1, lit(k)), lit(0L),
+          (acc, h) => pmod(acc * lit(GramR) + h, lit(PortableP)))))
+      .otherwise(array().cast("array<bigint>"))
+    val keys = transform(grams, (x, i) => shiftleft(x, 32) + i.cast(LongType))
+    val s2 = s1.select(col(outId), explode(array(keys)).as("_keys"))
+    val m = size(col("_keys"))
+    val sel = transform(sequence(least(lit(w), m) - 1, m - 1),
+      j => array_min(slice(col("_keys"), greatest(j - w + lit(2), lit(1)),
+        least(lit(w), j + 1))))
+    s2.where(m > 0)
+      .select(col(outId),
+        explode(array_distinct(transform(sel, key => shiftright(key, 32))))
+          .as("fp"))
+  }
+
+  /** STREAMING winnowing probe: dedup the crawl AS IT LANDS. Each arriving
+    * document fingerprints row-locally ([[winnowFingerprintArray]] — no
+    * window, stream-safe), joins the persisted postings index (stream-
+    * static equi-join on fp), and emits (new doc, indexed doc, shared
+    * fingerprint count) pairs with at least `minShared` overlap — the
+    * online counterpart of [[winnowingPairsIncremental]], restricted to
+    * new-vs-indexed pairs (new-vs-new pairs belong to the next index
+    * append). The document-frequency cull uses the INDEX's df (static,
+    * computable without cross-trigger state); boilerplate fingerprints
+    * shared by more than `maxDf` indexed documents never join.
+    *
+    * State shape: the only stateful operator is the final pair-count
+    * aggregation; a document's rows all arrive in its own trigger, so each
+    * pair's count is complete in the snapshot that first contains it
+    * (reduce Update-mode sinks with max — the count never changes after).
+    * At scale the static side stays a bucketed table: the join shuffles
+    * only the stream's fingerprints. */
+  def streamingWinnowProbe(spark: org.apache.spark.sql.SparkSession,
+                           table: String, incoming: DataFrame,
+                           k: Int, w: Int, minShared: Int = 2,
+                           maxDf: Int = 1000, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val fps = winnowFpRows(incoming, k, w, idCol, textCol, "doc_id_new")
+    val idx = spark.table(table)
+    val kept = idx.join(
+      idx.groupBy("fp").agg(count(lit(1)).as("_df")).where(col("_df") <= maxDf),
+      Seq("fp"), "left_semi")
+    fps.join(kept.select(col("fp"), col("doc_id").as("doc_id_old")), Seq("fp"))
+      .where(col("doc_id_new") =!= col("doc_id_old"))
+      .groupBy("doc_id_new", "doc_id_old")
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+  }
+
   /** Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS: inverted
     * join on the selected hashes, overlap counted per pair, Jaccard over
     * the two fingerprint SETS. `maxDf` drops boilerplate fingerprints

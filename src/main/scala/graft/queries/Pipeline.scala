@@ -1410,16 +1410,56 @@ object Pipeline extends QueryPack {
     * probe provably equals (equivalence also spec-pinned on a synthetic
     * split). First call of a session builds the index from the prior
     * sources; the probe never re-fingerprints them. */
-  private def qDedupWinnowIncremental(s: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(s, sf)
+  /** Build-once winnowing postings index over the prior-crawl sources
+    * (k=3, w=4) — shared by the incremental batch probe and the streaming
+    * probe. Returns the table name. */
+  private[queries] def winnowIndexFor(s: SparkSession, sf: String): String = {
     val table = "graft_winnow_idx_" + sf.replaceAll("[^A-Za-z0-9]", "_")
     Registry.ensureTable(s, table, companions = Seq(table + "_sz")) {
-      Dedup.writeWinnowIndex(docs.where(col("source").isin(existingSrcs: _*)),
+      Dedup.writeWinnowIndex(
+        Tables.documents(s, sf).where(col("source").isin(existingSrcs: _*)),
         k = 3, w = 4, table = table)
     }
-    Dedup.winnowingPairsIncremental(s, table,
-        docs.where(!col("source").isin(existingSrcs: _*)), k = 3, w = 4)
+    table
+  }
+
+  /** The fresh-crawl half (sources outside [[existingSrcs]]). */
+  private[queries] def freshDocs(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf).where(!col("source").isin(existingSrcs: _*))
+
+  private def qDedupWinnowIncremental(s: SparkSession, sf: String): DataFrame = {
+    val table = winnowIndexFor(s, sf)
+    Dedup.winnowingPairsIncremental(s, table, freshDocs(s, sf), k = 3, w = 4)
       .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** Oracle of the STREAMING winnow probe: fresh-vs-indexed pairs with the
+    * INDEX-side df cull — replays the same winnow selection, split by
+    * source half. */
+  private[queries] lazy val winnowStreamProbeSql = {
+    val srcs = existingSrcs.map(s0 => s"'$s0'").mkString(", ")
+    s"""WITH ${spanGramCtes(3)},
+       |keyed AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS cnt,
+       |    min(x * 4294967296 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+       |  FROM gpos),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, m // 4294967296 AS fp
+       |  FROM keyed WHERE rn >= least(4, cnt)),
+       |fpo AS (SELECT f.doc_id, f.fp FROM fp f JOIN documents d USING (doc_id)
+       |        WHERE d.source IN ($srcs)),
+       |fpn AS (SELECT f.doc_id, f.fp FROM fp f JOIN documents d USING (doc_id)
+       |        WHERE d.source NOT IN ($srcs)),
+       |dfo AS (SELECT fp FROM fpo GROUP BY fp HAVING count(*) <= 1000)
+       |SELECT n.doc_id AS doc_id_new, o.doc_id AS doc_id_old,
+       |  CAST(count(*) AS BIGINT) AS shared_fp
+       |FROM fpn n JOIN fpo o ON o.fp = n.fp
+       |WHERE n.fp IN (SELECT fp FROM dfo)
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_id_new, doc_id_old""".stripMargin
   }
   // lazy: existingSrcs is declared further down the object body
   private lazy val qDedupWinnowIncrementalSql = {

@@ -414,8 +414,34 @@ object StreamingQ extends QueryPack {
       .orderBy("from_type", "to_type")
   }
 
+  /** STREAMING winnowing probe: the fresh crawl streams through the
+    * row-local fingerprint expression and joins the persisted postings
+    * index — near-dup pairs emitted as documents land. Update-mode
+    * snapshots reduce with max (a pair's count is complete in the trigger
+    * containing its document). Oracle replays the winnow selection split
+    * by source half with the index-side df cull. */
+  private def qStreamWinnow(s: SparkSession, sf: String): DataFrame = {
+    val table = Pipeline.winnowIndexFor(s, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_swinq")
+    val src = s"$base/src"
+    Pipeline.freshDocs(s, sf).select("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream.option("maxFilesPerTrigger", 1)
+      .schema("doc_id BIGINT, text STRING").json(src)
+    val out = graft.pipelines.Dedup.streamingWinnowProbe(s, table, stream,
+      k = 3, w = 4)
+    val q = out.writeStream.format("memory").queryName("swinq_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("swinq_out").groupBy("doc_id_new", "doc_id_old")
+      .agg(max("shared_fp").as("shared_fp"))
+      .orderBy("doc_id_new", "doc_id_old")
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
+    QueryDef("streaming_winnow_probe", qStreamWinnow,
+      Some(Pipeline.winnowStreamProbeSql)),
     QueryDef("streaming_transition_matrix", qStreamTransitions,
       Some(Pipeline.transitionsSql)),
     QueryDef("streaming_funnel", qStreamFunnel, Some(Pipeline.funnelSql)),

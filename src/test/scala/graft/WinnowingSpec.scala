@@ -108,4 +108,72 @@ class WinnowingSpec extends SparkTestBase {
     assert(row.length == 1)
     assert(row.head.getDouble(3) > 0.8, s"jaccard ${row.head.getDouble(3)}")
   }
+
+  test("row-local fingerprint array equals the window-formulated selection") {
+    // spans the short-doc rule (< w windows), exact-w, and long documents,
+    // plus within-doc repetition (duplicate fps must collapse identically)
+    val texts = Seq(
+      1L -> "a b c d",
+      2L -> "a b c d e f",
+      3L -> (1 to 40).map(i => s"t${i % 7}").mkString(" "),
+      4L -> ((1 to 12).map(i => s"w$i").mkString(" ") + " " +
+             (1 to 12).map(i => s"w$i").mkString(" ")),
+      5L -> "only two")
+    val batch = fps(texts: _*)
+    val local = docsOf(texts: _*)
+      .select(col("doc_id"), explode(
+        graft.pipelines.Dedup.winnowFingerprintArray(col("text"), k, w))
+        .as("fp"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    assert(local == batch.filter(_._2.nonEmpty),
+      s"row-local $local vs window $batch")
+    // doc 5 is shorter than k tokens: empty array, absent from both
+    assert(!local.contains(5L) && !batch.contains(5L))
+    // the staged generator formulation (the bulk/streaming path) too
+    val staged = graft.pipelines.Dedup.winnowFpRows(
+        docsOf(texts: _*), k, w, "doc_id", "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    assert(staged == local, s"staged $staged vs row-local $local")
+  }
+
+  test("streaming winnow probe equals the static probe against the index") {
+    import java.nio.file.Files
+    val old = docsOf(
+      10L -> (1 to 30).map(i => s"word$i").mkString(" "),
+      11L -> (1 to 30).map(i => s"other$i").mkString(" "),
+      12L -> "completely different tokens here nothing shared at all")
+    // ensureTable clears stale warehouse locations a previous JVM left
+    graft.queries.Registry.ensureTable(spark, "graft_test_stream_winnow",
+      companions = Seq("graft_test_stream_winnow_sz")) {
+      graft.pipelines.Dedup.writeWinnowIndex(old, k, w,
+        table = "graft_test_stream_winnow", buckets = 4)
+    }
+    val fresh = docsOf(
+      20L -> ((1 to 30).map(i => s"word$i").mkString(" ") + " tail"),
+      21L -> "nothing in common with anything indexed either",
+      22L -> (1 to 30).map(i => s"other$i").mkString(" "))
+    val src = Files.createTempDirectory("graft_swin").toString + "/src"
+    fresh.coalesce(2).write.mode("overwrite").json(src)
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema("doc_id BIGINT, text STRING").json(src)
+    val out = graft.pipelines.Dedup.streamingWinnowProbe(spark,
+      "graft_test_stream_winnow", stream, k, w)
+    val q = out.writeStream.format("memory").queryName("swin_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("swin_out")
+      .groupBy("doc_id_new", "doc_id_old")
+      .agg(max("shared_fp").as("shared_fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val static = graft.pipelines.Dedup.streamingWinnowProbe(spark,
+      "graft_test_stream_winnow", fresh, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == static, s"stream $streamed vs batch $static")
+    // the near-copies pair with their indexed originals; the stranger doesn't
+    val pairedNew = streamed.map(_._1)
+    assert(pairedNew.contains(20L) && pairedNew.contains(22L) &&
+      !pairedNew.contains(21L), s"pairs: $streamed")
+  }
 }
