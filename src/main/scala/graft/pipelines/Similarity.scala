@@ -678,6 +678,34 @@ object Similarity {
         col("_best.dist2").as("dist2"))
   }
 
+  /** Embedding OUTLIERS: each cluster's farthest `frac` of members by
+    * centroid distance — the data-cleaning pass that surfaces mislabeled /
+    * corrupt / off-distribution vectors after topic clustering (an
+    * embedding far from every centroid is exactly what encoder failures
+    * and garbage documents produce). Per-cluster EXACT rank, not a z-score:
+    * rank and count are integers, so the cut is engine-portable with no
+    * derived-moment float surface (a distance-variance oracle would ride
+    * the DECIMAL→DOUBLE 1-ulp hazard under cancellation).
+    *
+    * Shape: the assignment broadcast-fold plus one window per cluster
+    * partition and a broadcast of cluster counts — same cost family as
+    * assignment itself. Ties break to the smaller id. */
+  def embeddingOutliers(emb: DataFrame, k: Int, iters: Int, frac: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val asg = assignToCentroids(emb,
+      kmeansCentroids(emb, k, iters, idCol, vecCol), idCol, vecCol)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist2").desc, col(idCol).asc)
+    val n = asg.groupBy("cluster")
+      .agg(count(lit(1)).cast(DoubleType).as("_n"))
+    asg.withColumn("_rn", row_number().over(w))
+      .join(broadcast(n), Seq("cluster"))
+      .where(col("_rn") <= floor(lit(frac) * col("_n")).cast(LongType))
+      .select(col(idCol), col("cluster"), col("dist2"))
+  }
+
   /** Per-cluster SIMPLIFIED silhouette over [[kmeansTopics]]' clustering —
     * the standard scalable variant (Hruschka et al.): for each vector
     * `a = dist(v, own centroid)`, `b = min dist(v, other centroid)`,

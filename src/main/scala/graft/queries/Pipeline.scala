@@ -2573,6 +2573,24 @@ object Pipeline extends QueryPack {
     * distance from `a3` (every final-round distance already materialized),
     * so the silhouette adds NO new floating-point surface beyond IEEE
     * sqrt/divide of already-replayed values. */
+  /** Embedding outliers: each cluster's farthest 5% by centroid distance —
+    * exact per-cluster rank over the replayed clustering, no derived-moment
+    * float surface. */
+  private def qEmbeddingOutliers(s: SparkSession, sf: String): DataFrame =
+    Similarity.embeddingOutliers(Tables.embeddings(s, sf), k = 8, iters = 2,
+        frac = 0.05)
+      .orderBy("vec_id")
+  private val qEmbeddingOutliersSql =
+    s"""WITH $kmeansCtes,
+       |nn AS (SELECT cluster, CAST(count(*) AS DOUBLE) AS cnt
+       |       FROM asg GROUP BY 1),
+       |r AS (SELECT vec_id, cluster, dist2, row_number() OVER (
+       |        PARTITION BY cluster ORDER BY dist2 DESC, vec_id) AS rn
+       |      FROM asg)
+       |SELECT vec_id, cluster, dist2 FROM r JOIN nn USING (cluster)
+       |WHERE rn <= CAST(floor(0.05 * cnt) AS BIGINT)
+       |ORDER BY vec_id""".stripMargin
+
   private def qClusterSilhouette(s: SparkSession, sf: String): DataFrame =
     Similarity.clusterSilhouette(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("cluster")
@@ -3571,6 +3589,8 @@ object Pipeline extends QueryPack {
     QueryDef("corpus_oov_rate", qOovRate, Some(qOovRateSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("cluster_silhouette", qClusterSilhouette, Some(qClusterSilhouetteSql)),
+    QueryDef("embeddings_outliers", qEmbeddingOutliers,
+      Some(qEmbeddingOutliersSql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
     QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),

@@ -248,6 +248,22 @@ class PartitionInvarianceSpec extends SparkTestBase {
       r.forall(_.getAs[String]("phrase") == "deep learning models"))
   }
 
+  test("embeddingOutliers is partition-invariant and cuts per cluster") {
+    // 39 near-grid vectors + one far point; a single-member cluster cuts
+    // zero rows (floor), larger clusters flag their farthest fifth
+    val base = spark.range(40).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)), i =>
+        (when(col("id") === 39, lit(500.0))
+          .otherwise((col("id") % 5).cast("double") * 0.1 + i))
+          .cast("float")).as("embedding"))
+    same(df => graft.pipelines.Similarity.embeddingOutliers(df, k = 2,
+      iters = 2, frac = 0.2), base)
+    val r = graft.pipelines.Similarity.embeddingOutliers(base, k = 2,
+      iters = 2, frac = 0.2).collect()
+    assert(r.nonEmpty)
+  }
+
   test("clusterSilhouette is partition-invariant and bounded in [-1, 1]") {
     same(df => graft.pipelines.Similarity.clusterSilhouette(df, k = 4,
       iters = 2), emb)
