@@ -781,6 +781,28 @@ object TextAnalysis {
     docs.where(frac < rate)
   }
 
+  /** EXACT-k per-group sample: each group keeps exactly min(k, |group|)
+    * members, chosen by seeded portable-hash rank — the balanced-subset
+    * cut (per-language eval sets, per-source audit samples) where
+    * rate-based sampling ([[sampleStratified]]) can only hit k in
+    * expectation. Deterministic and replayable: same seed → same sample on
+    * any engine; a NEW member changes a group's sample only if it hash-
+    * ranks inside the top k. One window per group partition, nothing
+    * global. */
+  def sampleExactKPerGroup(docs: DataFrame, k: Int, seed: String = "graft",
+                           idCol: String = "doc_id",
+                           groupCol: String = "source"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = graft.core.OracleSafe.hashLong(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    docs.withColumn("_h", h)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_h", "_rn")
+  }
+
   /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis by
     * exponential keys): the k survivors are distributed exactly as k
     * sequential weighted draws, each without replacement — keyᵢ =

@@ -2033,6 +2033,23 @@ object Pipeline extends QueryPack {
       |                      ELSE NULL END
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact-k balanced sample: every source keeps exactly its 10 lowest
+    * hash-ranked docs — the per-group eval-set cut rate sampling can only
+    * hit in expectation. */
+  private def qSampleBalanced(s: SparkSession, sf: String): DataFrame =
+    TextAnalysis.sampleExactKPerGroup(Tables.documents(s, sf), k = 10,
+        seed = "balanced")
+      .select("doc_id", "source").orderBy("doc_id")
+  private val qSampleBalancedSql =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5('balanced:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      |      FROM h)
+      |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
   /** Quality-weighted sample without replacement (Efraimidis–Spirakis
     * exponential keys, weight = document length): 50 draws, the oracle
     * replaying every hash, ln, floor-quantized key and the (key, id)
@@ -3581,6 +3598,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("corpus_shuffle", qShuffle, Some(qShuffleSql)),
     QueryDef("corpus_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+    QueryDef("corpus_sample_balanced", qSampleBalanced, Some(qSampleBalancedSql)),
     QueryDef("corpus_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("text_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
