@@ -140,6 +140,113 @@ object Retrieval {
        |SELECT doc_id, bm25, rnk FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
   }
 
+  /** BM25 with PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio-style
+    * two-pass): pass 1 ranks by the query document's distinct terms; the
+    * top `feedbackK` hits are assumed relevant; the `expandM` best terms
+    * of that feedback set — ranked by an offer weight `feedback-tf × idf`,
+    * excluding terms already in the query — join the query; pass 2 ranks
+    * the corpus under the expanded term set. The classic recall lift for
+    * short/narrow queries, as one lazy plan.
+    *
+    * Determinism: the offer weight is an exact LONG product (summed
+    * feedback tf × the same floor-quantized idf nano-units BM25 scores
+    * with), expansion ties break on the term string, and both passes are
+    * the [[bm25TopK]] integer-unit scoring — the oracle replays every
+    * stage including the expansion choice. Scale: the term sets stay
+    * bounded (one document's vocabulary + m), both df aggregations prune
+    * postings by broadcast semi-join BEFORE any wide work, and the
+    * feedback set is a top-k result — nothing corpus×corpus anywhere. */
+  def bm25PrfTopK(docs: DataFrame, queryId: Long, k: Int,
+                  feedbackK: Int = 5, expandM: Int = 5,
+                  k1: Double = K1, b: Double = B,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && feedbackK >= 1 && expandM >= 0, "k, feedbackK >= 1")
+    // postings feed both passes, both df counts, dl and the expansion —
+    // materialize once (the bench re-tokenizes per consumer otherwise)
+    val post = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
+    val qTerms = post.where(col(idCol) === queryId).select("term")
+    def dfOf(terms: DataFrame): DataFrame =
+      post.join(broadcast(terms), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+    def scorePass(terms: DataFrame): DataFrame =
+      post.where(col(idCol) =!= queryId)
+        .join(broadcast(dfOf(terms)), Seq("term"))
+        .join(dl, Seq(idCol))
+        .crossJoin(broadcast(stats))
+        .withColumn("s_units",
+          scoreUnits(col("tf"), col("df"), col("dl"), col("n_docs"),
+            col("sum_len"), k1, b))
+        .groupBy(col(idCol)).agg(sum(col("s_units")).as("units"))
+    val fb = rankUnits(scorePass(qTerms), feedbackK, idCol).select(col(idCol))
+    val cand = post.join(fb, Seq(idCol), "left_semi")
+      .join(qTerms, Seq("term"), "left_anti")
+      .groupBy("term").agg(sum(col("tf")).as("fb_tf"))
+    val ow = cand.join(broadcast(dfOf(cand.select("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ow_units", col("fb_tf") *
+        floor(log(lit(1.0) + (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))) * lit(1e9)).cast(LongType))
+    val expTerms = ow.orderBy(col("ow_units").desc, col("term").asc)
+      .limit(expandM).select("term")
+    rankUnits(scorePass(qTerms.unionByName(expTerms)), k, idCol)
+  }
+
+  /** DuckDB oracle for [[bm25PrfTopK]] — both passes, the feedback cut and
+    * the offer-weight expansion replayed stage for stage. */
+  def bm25PrfTopKSql(queryId: Long, k: Int, feedbackK: Int = 5,
+                     expandM: Int = 5, k1: Double = K1, b: Double = B): String = {
+    val k3 = (k1 + 1.0).toString
+    def sc(dfCte: String, out: String): String =
+      s"""$out AS (SELECT p.doc_id, sum(CAST(floor(
+         |      CAST(floor(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) /
+         |                          (CAST(f.df AS DOUBLE) + 0.5)) * 1e9) AS DOUBLE)
+         |      * (CAST(p.tf AS DOUBLE) * $k3 /
+         |         (CAST(p.tf AS DOUBLE) + $k1 *
+         |          (${1.0 - b} + $b * (CAST(d.dl AS DOUBLE) * s.n_docs / s.sum_len))))
+         |    ) AS BIGINT)) AS units
+         |  FROM post p JOIN $dfCte f USING (term)
+         |  JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN stats s
+         |  WHERE p.doc_id <> $queryId GROUP BY 1)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_len FROM dl),
+       |qt AS (SELECT term FROM post WHERE doc_id = $queryId),
+       |dfq AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df
+       |        FROM post p JOIN qt USING (term) GROUP BY 1),
+       |${sc("dfq", "agg1")},
+       |fb AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY units DESC, doc_id) AS rn
+       |    FROM agg1) WHERE rn <= $feedbackK),
+       |cand AS (SELECT p.term, CAST(sum(p.tf) AS BIGINT) AS fb_tf
+       |         FROM post p JOIN fb USING (doc_id)
+       |         WHERE p.term NOT IN (SELECT term FROM qt)
+       |         GROUP BY 1),
+       |dfc AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df
+       |        FROM post p JOIN cand USING (term) GROUP BY 1),
+       |ow AS (SELECT c.term, c.fb_tf *
+       |         CAST(floor(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) /
+       |                             (CAST(f.df AS DOUBLE) + 0.5)) * 1e9) AS BIGINT)
+       |         AS ow_units
+       |       FROM cand c JOIN dfc f USING (term) CROSS JOIN stats s),
+       |expt AS (SELECT term FROM ow ORDER BY ow_units DESC, term LIMIT $expandM),
+       |at AS (SELECT term FROM qt UNION SELECT term FROM expt),
+       |dfa AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df
+       |        FROM post p JOIN at USING (term) GROUP BY 1),
+       |${sc("dfa", "agg2")},
+       |r AS (SELECT doc_id, units / 1e9 AS bm25,
+       |        CAST(row_number() OVER (ORDER BY units DESC, doc_id) AS INT) AS rnk
+       |      FROM agg2)
+       |SELECT doc_id, bm25, rnk FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
   /** Materialize the serving-path index: postings bucketed+sorted by `term`
     * with df, dl DENORMALIZED onto each row (a probe never joins), plus a
     * one-row `<table>_stats` companion holding (n_docs, sum_len). Built once

@@ -37,7 +37,15 @@ object RetrievalQ extends QueryPack {
     Retrieval.rrfHybridTopK(Tables.documents(s, sf), Tables.embeddings(s, sf),
       queryId = 0L, k = 10)
 
+  /** Pseudo-relevance-feedback expansion: top-5 feedback docs from pass 1
+    * donate their 5 best offer-weight terms; pass 2 ranks under the
+    * expanded query. Oracle replays both passes and the expansion cut. */
+  private def qBm25Prf(s: SparkSession, sf: String): DataFrame =
+    Retrieval.bm25PrfTopK(Tables.documents(s, sf), queryId = 0L, k = 10)
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("retrieval_bm25_prf", qBm25Prf,
+      Some(Retrieval.bm25PrfTopKSql(0L, 10))),
     QueryDef("retrieval_bm25", qBm25, Some(Retrieval.bm25TopKSql(0L, 10))),
     QueryDef("retrieval_bm25_indexed", qBm25Indexed, Some(Retrieval.bm25TopKSql(0L, 10))),
     QueryDef("retrieval_mmr", qMmr, Some(Similarity.mmrTopKSql(0L, 5))),

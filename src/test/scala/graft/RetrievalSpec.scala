@@ -133,4 +133,26 @@ class RetrievalSpec extends SparkTestBase {
     // rank 1 is ALWAYS the max-relevance item regardless of lambda.
     assert(div.find(_._2 == 1).get._1 == 2L)
   }
+
+  test("PRF expansion retrieves a doc sharing NO query terms (recall lift)") {
+    // query 0 matches bridge doc 1 on "alpha beta"; doc 1's other terms
+    // "gamma delta" match doc 2, which shares NOTHING with the query.
+    // Filler docs keep the expansion terms' idf meaningful.
+    val corpus = (Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "gamma delta epsilon zeta")) ++
+      (3L to 9L).map(i => (i, s"filler$i junk$i noise$i"))).toDF("doc_id", "text")
+    val base = Retrieval.bm25TopK(corpus, queryId = 0L, k = 9)
+      .collect().map(_.getLong(0)).toSet
+    assert(!base.contains(2L), s"base BM25 should not reach doc 2: $base")
+    val prf = Retrieval.bm25PrfTopK(corpus, queryId = 0L, k = 9,
+      feedbackK = 1, expandM = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(prf.contains(2L), s"PRF should reach doc 2 via expansion: $prf")
+    // rank 1 stays the direct match in both passes
+    val top = Retrieval.bm25PrfTopK(corpus, queryId = 0L, k = 1,
+      feedbackK = 1, expandM = 2).collect().head
+    assert(top.getLong(0) == 1L)
+  }
 }
