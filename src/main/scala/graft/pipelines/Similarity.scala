@@ -706,6 +706,31 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("dist2"))
   }
 
+  /** Cluster PURITY against a ground-truth label: per k-means cluster the
+    * majority label's share of members — the external counterpart of
+    * [[clusterSilhouette]]'s internal score (purity says whether topic
+    * clusters recover the annotation; silhouette says whether they're
+    * geometrically tight). All-integer counts and one exact division;
+    * majority ties break to the smallest label. One label-keyed count per
+    * cluster plus a per-cluster window — nothing corpus-global. */
+  def clusterPurity(emb: DataFrame, k: Int, iters: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val asg = assignToCentroids(emb,
+      kmeansCentroids(emb, k, iters, idCol, vecCol), idCol, vecCol)
+    val counts = asg
+      .join(emb.select(col(idCol), col(labelCol).as("_lbl")), Seq(idCol))
+      .groupBy(col("cluster"), col("_lbl")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("_c").desc, col("_lbl").asc)
+    counts.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy("cluster")))
+      .where(col("_rn") === 1)
+      .select(col("cluster"), col("_n").as("n_vecs"),
+        col("_lbl").as("majority_label"),
+        (col("_c").cast(DoubleType) / col("_n")).as("purity"))
+  }
+
   /** Per-cluster SIMPLIFIED silhouette over [[kmeansTopics]]' clustering —
     * the standard scalable variant (Hruschka et al.): for each vector
     * `a = dist(v, own centroid)`, `b = min dist(v, other centroid)`,

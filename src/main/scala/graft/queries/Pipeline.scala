@@ -2590,6 +2590,25 @@ object Pipeline extends QueryPack {
     * distance from `a3` (every final-round distance already materialized),
     * so the silhouette adds NO new floating-point surface beyond IEEE
     * sqrt/divide of already-replayed values. */
+  /** Cluster purity against the embeddings' ground-truth label — external
+    * clustering evaluation beside the internal silhouette; integer counts,
+    * one exact division, majority ties to the smallest label. */
+  private def qClusterPurity(s: SparkSession, sf: String): DataFrame =
+    Similarity.clusterPurity(Tables.embeddings(s, sf), k = 8, iters = 2)
+      .orderBy("cluster")
+  private val qClusterPuritySql =
+    s"""WITH $kmeansCtes,
+       |lc AS (SELECT a.cluster, e.label AS lbl, CAST(count(*) AS BIGINT) AS c
+       |       FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |       GROUP BY 1, 2),
+       |t AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n_vecs FROM lc GROUP BY 1),
+       |m AS (SELECT cluster, lbl, c, row_number() OVER (
+       |        PARTITION BY cluster ORDER BY c DESC, lbl) AS rn
+       |      FROM lc)
+       |SELECT m.cluster, t.n_vecs, CAST(m.lbl AS INT) AS majority_label,
+       |  CAST(m.c AS DOUBLE) / t.n_vecs AS purity
+       |FROM m JOIN t USING (cluster) WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** Embedding outliers: each cluster's farthest 5% by centroid distance —
     * exact per-cluster rank over the replayed clustering, no derived-moment
     * float surface. */
@@ -3609,6 +3628,7 @@ object Pipeline extends QueryPack {
     QueryDef("cluster_silhouette", qClusterSilhouette, Some(qClusterSilhouetteSql)),
     QueryDef("embeddings_outliers", qEmbeddingOutliers,
       Some(qEmbeddingOutliersSql)),
+    QueryDef("cluster_purity", qClusterPurity, Some(qClusterPuritySql)),
     QueryDef("select_kcenter_coreset", qKcenterCoreset, Some(qKcenterCoresetSql)),
     QueryDef("embeddings_pca_pc1", qPcaProjections, Some(qPcaProjectionsSql)),
     QueryDef("sketch_hll_distinct", qHllDistinct, Some(qHllDistinctSql)),
