@@ -2103,10 +2103,12 @@ object Pipeline extends QueryPack {
       .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
     graft.stages.SeriesStats.sax(daily, word = 8).orderBy("user_id")
   }
-  private val qSaxSql = {
+  /** Everything through the per-(series, segment) symbol CTE `sy` — shared
+    * by the word oracle and the motif oracle. */
+  private val saxCtes = {
     def q9sum(e: String) =
       s"CAST(sum(CAST(floor(($e) * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)"
-    s"""WITH d AS (SELECT user_id,
+    s"""d AS (SELECT user_id,
        |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS t,
        |    ${graft.core.OracleSafe.sqlAvg("value")} AS x
        |  FROM events GROUP BY 1, 2),
@@ -2125,10 +2127,31 @@ object Pipeline extends QueryPack {
        |    CASE WHEN m - mean < -0.6745 * std THEN 'a'
        |         WHEN m - mean < 0.0 THEN 'b'
        |         WHEN m - mean < 0.6745 * std THEN 'c' ELSE 'd' END AS sym
-       |  FROM sg)
+       |  FROM sg)""".stripMargin
+  }
+  private val qSaxSql =
+    s"""WITH $saxCtes
        |SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax
        |FROM sy GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Cross-series shape motifs: SAX words shared by >= 2 series — motif
+    * mining as one hash aggregation over the symbolized corpus. */
+  private def qSaxMotifs(s: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.eventsMillis(s, sf)
+      .groupBy(col("user_id"),
+        floor(col("tm") / lit(86400000.0)).cast("long").as("t"))
+      .agg(graft.core.OracleSafe.dAvg(col("value")).as("x"))
+    graft.stages.SeriesStats.saxMotifs(daily, word = 8, minSupport = 2)
+      .orderBy(col("n_series").desc, col("sax_word"))
   }
+  private val qSaxMotifsSql =
+    s"""WITH $saxCtes,
+       |wd AS (SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax
+       |       FROM sy GROUP BY 1)
+       |SELECT sax AS sax_word, CAST(count(*) AS BIGINT) AS n_series,
+       |  min(user_id) AS example_key
+       |FROM wd GROUP BY 1 HAVING count(*) >= 2
+       |ORDER BY n_series DESC, sax_word""".stripMargin
 
   /** BIGRAM OOV rate of the odd-doc_id half against the even half's
     * frequency-≥10 bigram vocabulary — the tokenizer/LM coverage check
@@ -3623,6 +3646,7 @@ object Pipeline extends QueryPack {
     QueryDef("text_classify_nb", qClassifyNb, Some(qClassifyNbSql)),
     QueryDef("text_classify_lr", qClassifyLr, Some(qClassifyLrSql)),
     QueryDef("events_sax_words", qSax, Some(qSaxSql)),
+    QueryDef("events_sax_motifs", qSaxMotifs, Some(qSaxMotifsSql)),
     QueryDef("corpus_oov_rate", qOovRate, Some(qOovRateSql)),
     QueryDef("cluster_topics_kmeans", qKmeansTopics, Some(qKmeansTopicsSql)),
     QueryDef("cluster_silhouette", qClusterSilhouette, Some(qClusterSilhouetteSql)),

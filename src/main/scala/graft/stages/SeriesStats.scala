@@ -286,6 +286,23 @@ object SeriesStats {
         "struct(_seg, _sym))), p -> p._sym), '')").as("sax"))
   }
 
+  /** Cross-series shape MOTIFS: group [[sax]] words across series and keep
+    * the shapes at least `minSupport` series share — the motif-mining
+    * groupBy the SAX representation exists for (equal words ⇒ similar
+    * normalized shape, so a recurring daily pattern across users falls out
+    * of one hash aggregation over `word`-byte strings, never a series ×
+    * series comparison). Returns (sax_word, n_series, example_key). */
+  def saxMotifs(series: DataFrame, word: Int = 8, minSupport: Int = 2,
+                keyCol: String = "user_id", tCol: String = "t",
+                vCol: String = "x"): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    sax(series, word, keyCol, tCol, vCol)
+      .groupBy(col("sax"))
+      .agg(count(lit(1)).as("n_series"), min(col(keyCol)).as("example_key"))
+      .where(col("n_series") >= minSupport)
+      .select(col("sax").as("sax_word"), col("n_series"), col("example_key"))
+  }
+
   /** ROLLING-ORIGIN FORECAST BACKTEST per series: fit OLS on the first
     * `trainFrac` of each key's periods (time order), score the holdout
     * tail with mean absolute error — the eval-side complement of
