@@ -706,6 +706,36 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("dist2"))
   }
 
+  /** STREAMING ANN serving: probe vectors arrive as a stream
+    * `(probe_id, q_emb)`, each micro-batch joins the STATIC corpus and the
+    * per-probe exact top-k emerges from one update-mode aggregation — the
+    * sorted-prefix trick replaces the rank window (windows are not
+    * stream-safe): collect (−cosine, id) structs, array_sort, slice k.
+    * A probe's result is complete in the trigger that carries it (the
+    * static side never changes), so Update-mode snapshots are one-per-
+    * probe. The −0.0/+0.0 sort edge is normalized by adding +0.0 (IEEE
+    * compare treats them equal in SQL ORDER BY; array_sort's struct
+    * compare does not).
+    *
+    * Scale note: this exact form joins each probe to the whole corpus —
+    * right for a broadcastable corpus or a re-rank tier; for a 100 TB
+    * corpus put the IVF cell assignment in front (fold over broadcast
+    * centroids, equi-join on cell) so the join is cell-pruned, exactly as
+    * [[ivfTopKBatch]] does in batch. Scoring is the same codegen'd
+    * [[graft.functions.VectorExprs.fastCosine]] as every batch path. */
+  def streamingAnnProbe(emb: DataFrame, probes: DataFrame, k: Int,
+                        idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    probes.join(emb, col(idCol) =!= col("probe_id"))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
+      .groupBy("probe_id")
+      .agg(slice(array_sort(collect_list(struct(
+        ((lit(0.0) - col("cosine")) + lit(0.0)).as("nc"),
+        col(idCol).as("vid")))), 1, k).as("topk"))
+  }
+
   /** Cluster PURITY against a ground-truth label: per k-means cluster the
     * majority label's share of members — the external counterpart of
     * [[clusterSilhouette]]'s internal score (purity says whether topic

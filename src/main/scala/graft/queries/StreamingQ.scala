@@ -438,10 +438,46 @@ object StreamingQ extends QueryPack {
       .orderBy("doc_id_new", "doc_id_old")
   }
 
+  /** STREAMING ANN serving: probe vectors stream through a parquet source
+    * (exact binary roundtrip — json would wobble the floats), each trigger
+    * joins the static corpus, and the per-probe exact top-5 comes out of
+    * one update-mode sorted-prefix aggregation. Oracle is the batch brute-
+    * force per-probe rank — the streamed path must be EXACT. */
+  private def qStreamAnn(s: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(s, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_sann")
+    val src = s"$base/src"
+    emb.where(col("vec_id").isin(1L, 8L, 21L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+      .coalesce(2).write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema("probe_id BIGINT, q_emb ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = graft.pipelines.Similarity.streamingAnnProbe(emb, stream, k = 5)
+    val q = out.writeStream.format("memory").queryName("sann_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("sann_out")
+      .select(col("probe_id"), posexplode(col("topk")).as(Seq("_pos", "_t")))
+      .select(col("probe_id"), col("_t.vid").as("vec_id"),
+        (col("_pos") + 1).cast("int").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+  private val qStreamAnnSql =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id IN (1, 8, 21))
+      |SELECT probe_id, vec_id, rnk FROM (
+      |  SELECT p.probe_id, e.vec_id, row_number() OVER (
+      |      PARTITION BY p.probe_id
+      |      ORDER BY list_cosine_similarity(e.embedding, p.qe) DESC, e.vec_id) AS rnk
+      |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+      |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("streaming_winnow_probe", qStreamWinnow,
       Some(Pipeline.winnowStreamProbeSql)),
+    QueryDef("streaming_ann_probe", qStreamAnn, Some(qStreamAnnSql)),
     QueryDef("streaming_transition_matrix", qStreamTransitions,
       Some(Pipeline.transitionsSql)),
     QueryDef("streaming_funnel", qStreamFunnel, Some(Pipeline.funnelSql)),
