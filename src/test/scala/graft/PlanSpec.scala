@@ -286,4 +286,31 @@ class PlanSpec extends AnyFunSuite {
     // never a cartesian or single-partition window over the data
     assert(!p.contains("CartesianProduct"), s"no cartesian in the trend join:\n$p")
   }
+
+  check("dedup_edit_distance") { p =>
+    // the verify consumes candidate PAIRS through hash joins on doc ids —
+    // never a cartesian over documents; the thresholded DP appears as the
+    // 3-arg levenshtein so the kernel early-exits past the bound
+    assert(!p.contains("CartesianProduct"), s"no all-pairs DP:\n$p")
+    assert(p.toLowerCase.contains("levenshtein"), s"thresholded kernel:\n$p")
+  }
+
+  check("retrieval_bm25_prf") { p =>
+    // both passes prune postings by broadcast-joined term sets before any
+    // wide work; nothing joins doc x doc
+    assert(p.contains("BroadcastHashJoin"), s"df/term joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no doc x doc:\n$p")
+  }
+
+  check("dedup_source_matrix") { p =>
+    // two id-keyed joins + one tiny groupBy beyond the pair generator; the
+    // documents scan reads only (doc_id, source) for the matrix joins
+    assert(!p.contains("CartesianProduct"), s"id-keyed joins only:\n$p")
+  }
+
+  check("text_novelty") { p =>
+    // one gram-proportional left join; no window, no cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"novelty is one left join + count:\n$p")
+  }
 }
