@@ -153,9 +153,9 @@ object Retrieval {
     * with), expansion ties break on the term string, and both passes are
     * the [[bm25TopK]] integer-unit scoring — the oracle replays every
     * stage including the expansion choice. Scale: the term sets stay
-    * bounded (one document's vocabulary + m), both df aggregations prune
-    * postings by broadcast semi-join BEFORE any wide work, and the
-    * feedback set is a top-k result — nothing corpus×corpus anywhere. */
+    * bounded (one document's vocabulary + m) and ride scan-pushed
+    * IN-lists, df counts broadcast, and the feedback set is a top-k
+    * result — nothing corpus×corpus anywhere. */
   def bm25PrfTopK(docs: DataFrame, queryId: Long, k: Int,
                   feedbackK: Int = 5, expandM: Int = 5,
                   k1: Double = K1, b: Double = B,
@@ -167,12 +167,18 @@ object Retrieval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
-    val qTerms = post.where(col(idCol) === queryId).select("term")
-    def dfOf(terms: DataFrame): DataFrame =
-      post.join(broadcast(terms), Seq("term"))
+    // the pass-1 result, feedback ids and expansion terms pin lineage
+    // barriers as BOUNDED collects (one document's vocabulary, feedbackK
+    // ids, expandM terms — the bm25TopKFromIndex contract): left lazy,
+    // every broadcast subtree of pass 2 re-executes the whole pass-1 DAG,
+    // and the IN-lists push to the postings scan instead of joining
+    val qts = post.where(col(idCol) === queryId).select("term")
+      .collect().map(_.getString(0)).toSeq
+    def dfOf(terms: Seq[String]): DataFrame =
+      post.where(col("term").isin(terms: _*))
         .groupBy("term").agg(count(lit(1)).as("df"))
-    def scorePass(terms: DataFrame): DataFrame =
-      post.where(col(idCol) =!= queryId)
+    def scorePass(terms: Seq[String]): DataFrame =
+      post.where(col(idCol) =!= queryId && col("term").isin(terms: _*))
         .join(broadcast(dfOf(terms)), Seq("term"))
         .join(dl, Seq(idCol))
         .crossJoin(broadcast(stats))
@@ -180,18 +186,21 @@ object Retrieval {
           scoreUnits(col("tf"), col("df"), col("dl"), col("n_docs"),
             col("sum_len"), k1, b))
         .groupBy(col(idCol)).agg(sum(col("s_units")).as("units"))
-    val fb = rankUnits(scorePass(qTerms), feedbackK, idCol).select(col(idCol))
-    val cand = post.join(fb, Seq(idCol), "left_semi")
-      .join(qTerms, Seq("term"), "left_anti")
+    val fbIds = rankUnits(scorePass(qts), feedbackK, idCol)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val cand = post.where(col(idCol).isin(fbIds: _*) && !col("term").isin(qts: _*))
       .groupBy("term").agg(sum(col("tf")).as("fb_tf"))
-    val ow = cand.join(broadcast(dfOf(cand.select("term"))), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("ow_units", col("fb_tf") *
-        floor(log(lit(1.0) + (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
-          (col("df").cast(DoubleType) + lit(0.5))) * lit(1e9)).cast(LongType))
-    val expTerms = ow.orderBy(col("ow_units").desc, col("term").asc)
-      .limit(expandM).select("term")
-    rankUnits(scorePass(qTerms.unionByName(expTerms)), k, idCol)
+    val candTerms = cand.select("term").collect().map(_.getString(0)).toSeq
+    val expTerms =
+      if (candTerms.isEmpty || expandM == 0) Seq.empty[String]
+      else cand.join(broadcast(dfOf(candTerms)), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("ow_units", col("fb_tf") *
+          floor(log(lit(1.0) + (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5))) * lit(1e9)).cast(LongType))
+        .orderBy(col("ow_units").desc, col("term").asc)
+        .limit(expandM).select("term").collect().map(_.getString(0)).toSeq
+    rankUnits(scorePass((qts ++ expTerms).distinct), k, idCol)
   }
 
   /** DuckDB oracle for [[bm25PrfTopK]] — both passes, the feedback cut and
