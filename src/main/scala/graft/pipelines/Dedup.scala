@@ -190,6 +190,32 @@ object Dedup {
         col("n_novel").cast(DoubleType) / col("n_shingles"))
   }
 
+  /** STREAMING novelty gate: [[noveltyScores]] with the incoming side a
+    * stream — each arriving document's shingles compute ROW-LOCALLY (the
+    * same tokenization as the batch path, per-row array ops + one explode,
+    * no distinct-shuffle), left-join the static reference shingle set, and
+    * the per-document novelty emerges from one update-mode count — the
+    * keep/drop signal available the trigger a crawl document lands.
+    * A document's counts are complete in its own trigger (the reference
+    * never changes), so Update-mode snapshots are one-per-doc. */
+  def streamingNovelty(reference: DataFrame, incoming: DataFrame, n: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val refSh = shingles(reference, n, idCol).select("shingle").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val sh = array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0))
+    incoming.select(col(idCol).cast(LongType).as(idCol), explode(sh).as("shingle"))
+      .join(refSh.withColumn("_seen", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** Cross-SOURCE contamination matrix: how much each pair of corpus
     * sources duplicates each other — near-dup pair counts and mean
     * similarity bucketed by unordered source pair (`source_a <= source_b`;

@@ -1427,6 +1427,10 @@ object Pipeline extends QueryPack {
   private[queries] def freshDocs(s: SparkSession, sf: String): DataFrame =
     Tables.documents(s, sf).where(!col("source").isin(existingSrcs: _*))
 
+  /** The prior-crawl half ([[existingSrcs]]). */
+  private[queries] def priorDocs(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf).where(col("source").isin(existingSrcs: _*))
+
   private def qDedupWinnowIncremental(s: SparkSession, sf: String): DataFrame = {
     val table = winnowIndexFor(s, sf)
     Dedup.winnowingPairsIncremental(s, table, freshDocs(s, sf), k = 3, w = 4)
@@ -1486,7 +1490,7 @@ object Pipeline extends QueryPack {
         docs.where(!col("source").isin(existingSrcs: _*)), n = 3)
       .orderBy("doc_id")
   }
-  private lazy val qNoveltySql = {
+  private[queries] lazy val qNoveltySql = {
     val srcs = existingSrcs.map(s0 => s"'$s0'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, source,

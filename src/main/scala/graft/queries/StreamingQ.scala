@@ -473,11 +473,35 @@ object StreamingQ extends QueryPack {
       |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** STREAMING novelty gate: fresh-crawl docs stream through row-local
+    * shingling, left-join the prior half's static shingle set, and emit
+    * per-doc novelty the trigger they land — exact parity with the batch
+    * scorer, so it shares the batch oracle. */
+  private def qStreamNovelty(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_snov")
+    val src = s"$base/src"
+    Pipeline.freshDocs(s, sf).select("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").json(src)
+    val stream = s.readStream.option("maxFilesPerTrigger", 1)
+      .schema("doc_id BIGINT, text STRING").json(src)
+    val out = graft.pipelines.Dedup.streamingNovelty(
+      Pipeline.priorDocs(s, sf), stream, n = 3)
+    val q = out.writeStream.format("memory").queryName("snov_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    s.table("snov_out").groupBy("doc_id")
+      .agg(max("n_shingles").as("n_shingles"), max("n_novel").as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("streaming_winnow_probe", qStreamWinnow,
       Some(Pipeline.winnowStreamProbeSql)),
     QueryDef("streaming_ann_probe", qStreamAnn, Some(qStreamAnnSql)),
+    QueryDef("streaming_novelty", qStreamNovelty, Some(Pipeline.qNoveltySql)),
     QueryDef("streaming_transition_matrix", qStreamTransitions,
       Some(Pipeline.transitionsSql)),
     QueryDef("streaming_funnel", qStreamFunnel, Some(Pipeline.funnelSql)),
