@@ -1236,6 +1236,34 @@ object Pipeline extends QueryPack {
        |FROM nst n LEFT JOIN ec USING (cluster_id) LEFT JOIN tri USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
 
+  /** Per-source duplication rate over the portable LSH pairs: the share of
+    * each source's documents that are a member of at least one near-dup
+    * pair — with the cross-source matrix, the complete duplication triage
+    * (the matrix says WHO duplicates whom; this says how much of each feed
+    * is redundant at all). Integer counts, one exact division. */
+  private def qDupRateBySource(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    val members = portablePairs(s, sf).select(col("doc_id_a").as("doc_id"))
+      .unionByName(portablePairs(s, sf).select(col("doc_id_b").as("doc_id")))
+      .distinct()
+    docs.join(members.withColumn("_dup", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_members"))
+      .withColumn("dup_rate",
+        col("n_dup_members").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+  private val qDupRateBySourceSql =
+    s"""WITH $portablePairCtes,
+       |mem AS (SELECT doc_id_a AS doc_id FROM ppairs
+       |        UNION SELECT doc_id_b FROM ppairs)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(m.doc_id) AS BIGINT) AS n_dup_members,
+       |  CAST(count(m.doc_id) AS DOUBLE) / count(*) AS dup_rate
+       |FROM documents d LEFT JOIN mem m ON m.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Character-level edit-distance VERIFY over the portable LSH candidates:
     * the MinHash pass proposes, the thresholded Levenshtein DP disposes —
     * the per-character near-dup measure token Jaccard can't see. Oracle
@@ -3601,6 +3629,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_graph_stats", qGraphStats, Some(qGraphStatsSql)),
     QueryDef("dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     QueryDef("dedup_source_matrix", qSourceMatrix, Some(qSourceMatrixSql)),
+    QueryDef("dedup_rate_by_source", qDupRateBySource, Some(qDupRateBySourceSql)),
     QueryDef("text_novelty", qNovelty, Some(qNoveltySql)),
     QueryDef("text_keywords_rake", qRake, Some(qRakeSql)),
     QueryDef("text_dup_spans", qDupSpans, Some(qDupSpansSql)),
