@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Session-scoped persisted reference shingle sets for [[streamingNovelty]]
+    * — one frame per (reference plan, n, idCol), released on
+    * [[graft.core.Memo.clearSession]]. */
+  private val refShingleMemo =
+    new graft.core.PlanMemo[(Int, String), DataFrame](_.unpersist(blocking = false))
+
   /** Exact dedup: keep the first row (lowest doc_id) per distinct key set.
     * One hash-shuffle; at 100TB this is the cheapest possible full dedup. */
   def exact(docs: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame = {
@@ -197,11 +203,19 @@ object Dedup {
     * the per-document novelty emerges from one update-mode count — the
     * keep/drop signal available the trigger a crawl document lands.
     * A document's counts are complete in its own trigger (the reference
-    * never changes), so Update-mode snapshots are one-per-doc. */
+    * never changes), so Update-mode snapshots are one-per-doc.
+    *
+    * Cache lifetime: the reference shingle set persists once per
+    * (reference plan, n, idCol) through a session-scoped memo — repeated
+    * gates against the same reference in one session share a single
+    * MEMORY_AND_DISK frame instead of accumulating copies, and
+    * [[graft.core.Memo.clearSession]] releases it with everything else. */
   def streamingNovelty(reference: DataFrame, incoming: DataFrame, n: Int,
                        idCol: String = "doc_id"): DataFrame = {
-    val refSh = shingles(reference, n, idCol).select("shingle").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refSh = refShingleMemo(reference, (n, idCol)) {
+      shingles(reference, n, idCol).select("shingle").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val toks = split(lower(trim(col("text"))), "\\s+")
     val sh = array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),

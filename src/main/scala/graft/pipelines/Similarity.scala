@@ -724,13 +724,16 @@ object Similarity {
     * [[ivfTopKBatch]] does in batch. Scoring is the same codegen'd
     * [[graft.functions.VectorExprs.fastCosine]] as every batch path. */
   def streamingAnnProbe(emb: DataFrame, probes: DataFrame, k: Int,
-                        idCol: String = "vec_id"): DataFrame = {
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        probeIdCol: String = "probe_id",
+                        probeVecCol: String = "q_emb"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.VectorExprs.register(emb.sparkSession)
-    probes.join(emb, col(idCol) =!= col("probe_id"))
+    probes.join(emb, col(idCol) =!= col(probeIdCol))
       .withColumn("cosine",
-        graft.functions.VectorExprs.fastCosine("embedding", "q_emb"))
-      .groupBy("probe_id")
+        graft.functions.VectorExprs.fastCosine(vecCol, probeVecCol))
+      .groupBy(probeIdCol)
       .agg(slice(array_sort(collect_list(struct(
         ((lit(0.0) - col("cosine")) + lit(0.0)).as("nc"),
         col(idCol).as("vid")))), 1, k).as("topk"))

@@ -2639,12 +2639,6 @@ object Pipeline extends QueryPack {
     * same batch-trained centroids, so its oracle IS the batch clustering. */
   private[queries] def kmeansAsgSql: String = qKmeansTopicsSql
 
-  /** Simplified-silhouette quality of the k-means topic clustering — the
-    * oracle replays both Lloyd rounds (the shared kmeansCtes), then derives
-    * a = own-centroid distance from `asg` and b = min other-centroid
-    * distance from `a3` (every final-round distance already materialized),
-    * so the silhouette adds NO new floating-point surface beyond IEEE
-    * sqrt/divide of already-replayed values. */
   /** Cluster purity against the embeddings' ground-truth label — external
     * clustering evaluation beside the internal silhouette; integer counts,
     * one exact division, majority ties to the smallest label. */
@@ -2682,6 +2676,12 @@ object Pipeline extends QueryPack {
        |WHERE rn <= CAST(floor(0.05 * cnt) AS BIGINT)
        |ORDER BY vec_id""".stripMargin
 
+  /** Simplified-silhouette quality of the k-means topic clustering — the
+    * oracle replays both Lloyd rounds (the shared kmeansCtes), then derives
+    * a = own-centroid distance from `asg` and b = min other-centroid
+    * distance from `a3` (every final-round distance already materialized),
+    * so the silhouette adds NO new floating-point surface beyond IEEE
+    * sqrt/divide of already-replayed values. */
   private def qClusterSilhouette(s: SparkSession, sf: String): DataFrame =
     Similarity.clusterSilhouette(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("cluster")

@@ -457,7 +457,12 @@ object StreamingQ extends QueryPack {
     val q = out.writeStream.format("memory").queryName("sann_out")
       .outputMode("update").start()
     q.processAllAvailable(); q.stop()
+    // Update-mode sinks append one snapshot per trigger that touches a key;
+    // each probe_id arrives exactly once here, but reduce to one snapshot
+    // per key anyway (the defensive pattern qStreamWinnow/qStreamNovelty
+    // use) so a re-delivered probe could never posexplode duplicate ranks.
     s.table("sann_out")
+      .groupBy("probe_id").agg(max(col("topk")).as("topk"))
       .select(col("probe_id"), posexplode(col("topk")).as(Seq("_pos", "_t")))
       .select(col("probe_id"), col("_t.vid").as("vec_id"),
         (col("_pos") + 1).cast("int").as("rnk"))

@@ -296,8 +296,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   check("retrieval_bm25_prf") { p =>
-    // both passes prune postings by broadcast-joined term sets before any
-    // wide work; nothing joins doc x doc
+    // LIMITATION: this inspects only the final pass-2 frame — pass 1 and
+    // the expansion-term selection run eagerly (collect()) while the query
+    // is CONSTRUCTED, so their plans never reach this string. Pass 1 is the
+    // same scorePass shape as retrieval_bm25, which has its own plan
+    // check above; what this pins is that the feedback-expanded pass-2
+    // query stays broadcast-pruned and never goes doc x doc.
     assert(p.contains("BroadcastHashJoin"), s"df/term joins must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no doc x doc:\n$p")
   }
