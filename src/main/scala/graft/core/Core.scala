@@ -214,16 +214,39 @@ object Dist {
   * registers itself process-wide so [[Memo.clearSession]] can evict all the
   * cached plans one session accumulated — without the hook these maps pin
   * MEMORY_AND_DISK blocks for the JVM lifetime across sessions and scale
-  * factors (long-lived test JVMs, multi-SF harness runs). */
+  * factors (long-lived test JVMs, multi-SF harness runs).
+  *
+  * STANDING-SET BUDGET: every entry also registers in the process-wide
+  * [[Memo.Ledger]], which caps the number of live memoized frames per
+  * session (`graft.memo.maxEntries`, default 128) and unpersists the
+  * least-recently-used entry past the cap. Eviction is safe by
+  * construction — a memoized frame is a pure derivation of its inputs, so
+  * the next request rebuilds a `sameResult`-identical plan (MemoSpec pins
+  * this) — it only trades recompute for memory. Without the cap a
+  * long-lived session (a serving process, a 291-query bench) accumulates
+  * every family's caches until the block manager thrashes: wall time
+  * explodes while spill metrics stay flat, because block-manager eviction
+  * is not task spill. */
 final class Memo[K] {
   private val m = scala.collection.concurrent.TrieMap.empty[(SparkSession, K), DataFrame]
   Memo.register(this)
-  def apply(spark: SparkSession, key: K)(build: => DataFrame): DataFrame =
-    m.getOrElseUpdate((spark, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def apply(spark: SparkSession, key: K)(build: => DataFrame): DataFrame = {
+    val mk = (spark, key)
+    m.get(mk) match {
+      case Some(df) => Memo.Ledger.touch(mk); df
+      case None =>
+        val df = m.getOrElseUpdate(mk,
+          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        Memo.Ledger.add(mk, spark, () =>
+          m.remove(mk).foreach(_.unpersist(blocking = false)))
+        df
+    }
+  }
   private[core] def evict(spark: SparkSession): Unit =
-    m.keys.filter(_._1 eq spark).foreach(k =>
-      m.remove(k).foreach(_.unpersist(blocking = false)))
+    m.keys.filter(_._1 eq spark).foreach { k =>
+      m.remove(k).foreach(_.unpersist(blocking = false))
+      Memo.Ledger.forget(k)
+    }
 }
 /** Session-scoped cache of derived index structures keyed by a source
   * DataFrame's ANALYZED PLAN plus a parameter tuple. The 32-bit
@@ -237,30 +260,57 @@ final class Memo[K] {
   * first-callers of the same key may both build, the loser's copy is freed
   * and the winner's is shared from then on. */
 final class PlanMemo[K, V](free: V => Unit) {
+  // each entry carries a unique ledger token so LRU eviction can target
+  // exactly one (plan, value) even when two plans share a semanticHash
+  private final case class Entry(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      value: V, token: AnyRef)
   private val m = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, Int, K),
-           List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, V)]]
+    .empty[(SparkSession, Int, K), List[Entry]]
   Memo.onClearSession { s =>
     m.keys.filter(_._1 eq s).foreach(k =>
-      m.remove(k).foreach(_.foreach { case (_, v) => free(v) }))
+      m.remove(k).foreach(_.foreach { e => free(e.value); Memo.Ledger.forget(e.token) }))
   }
   def apply(src: DataFrame, key: K)(build: => V): V = {
     val plan = src.queryExecution.analyzed
     val bucket = (src.sparkSession, plan.semanticHash(), key)
-    def lookup(): Option[V] = synchronized {
-      m.getOrElse(bucket, Nil)
-        .collectFirst { case (p, v) if p.sameResult(plan) => v }
+    def lookup(): Option[Entry] = synchronized {
+      m.getOrElse(bucket, Nil).find(_.plan.sameResult(plan))
     }
-    lookup().getOrElse {
-      val v = build
-      synchronized {
-        // re-check under the lock: another thread may have won the build race
-        m.getOrElse(bucket, Nil)
-          .collectFirst { case (p, v0) if p.sameResult(plan) => v0 } match {
-          case Some(winner) => free(v); winner
-          case None => m.update(bucket, (plan, v) :: m.getOrElse(bucket, Nil)); v
+    lookup() match {
+      case Some(e) => Memo.Ledger.touch(e.token); e.value
+      case None =>
+        val v = build
+        val outcome: Either[V, Entry] = synchronized {
+          // re-check under the lock: another thread may have won the build race
+          m.getOrElse(bucket, Nil).find(_.plan.sameResult(plan)) match {
+            case Some(winner) => free(v); Left(winner.value)
+            case None =>
+              val e = Entry(plan, v, new Object)
+              m.update(bucket, e :: m.getOrElse(bucket, Nil))
+              Right(e)
+          }
         }
-      }
+        outcome match {
+          case Left(winner) => winner
+          case Right(e) =>
+            // register OUTSIDE this memo's lock: ledger overflow runs other
+            // memos' evict closures, and holding two memo monitors at once
+            // would be an AB-BA deadlock. On overflow this entry drops from
+            // the bucket list and its persisted frames free — a later
+            // identical request rebuilds.
+            Memo.Ledger.add(e.token, src.sparkSession,
+              () => synchronized {
+                m.get(bucket).foreach { lst =>
+                  if (lst.exists(_ eq e)) {
+                    free(e.value)
+                    val rest = lst.filterNot(_ eq e)
+                    if (rest.isEmpty) m.remove(bucket) else m.update(bucket, rest)
+                  }
+                }
+              })
+            e.value
+        }
     }
   }
 }
@@ -269,6 +319,54 @@ object Memo {
   private val all = new java.util.concurrent.ConcurrentLinkedQueue[Memo[_]]()
   private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[SparkSession => Unit]()
   private def register(memo: Memo[_]): Unit = all.add(memo)
+
+  /** Process-wide LRU ledger of LIVE memoized entries across every [[Memo]]
+    * and [[PlanMemo]] instance — the structural budget on the standing
+    * cache set. Each session keeps at most `graft.memo.maxEntries`
+    * (session conf, default 128) entries; inserting past the cap evicts
+    * the least-recently-USED entries (access-ordered), whose owner then
+    * unpersists/frees them. Eviction trades recompute for memory and can
+    * never change results — MemoSpec proves a re-derived frame is
+    * `sameResult`-identical to the evicted one. Evict closures run with NO
+    * ledger or memo lock held by the ledger (victims are detached under
+    * the ledger lock, freed after), so owners may synchronize internally. */
+  private[core] object Ledger {
+    private final case class Slot(session: SparkSession, evict: () => Unit)
+    // access-order LinkedHashMap: iteration order is least-recently-used first
+    private val order = new java.util.LinkedHashMap[AnyRef, Slot](64, 0.75f, true)
+    private def cap(s: SparkSession): Int =
+      try s.conf.get("graft.memo.maxEntries", "128").toInt
+      catch { case _: Throwable => 128 }
+    def touch(token: AnyRef): Unit =
+      order.synchronized { order.get(token); () }
+    def forget(token: AnyRef): Unit =
+      order.synchronized { order.remove(token); () }
+    def add(token: AnyRef, session: SparkSession, evict: () => Unit): Unit = {
+      val victims: List[() => Unit] = order.synchronized {
+        order.put(token, Slot(session, evict))
+        val max = math.max(1, cap(session))
+        import scala.jdk.CollectionConverters._
+        // iterator (NOT a Set view) — LinkedHashMap's access order is the
+        // whole point, and a scala Set filter would hash-scramble it
+        val mine = order.entrySet.iterator.asScala
+          .filter(_.getValue.session eq session)
+          .map(e => (e.getKey, e.getValue)).toList // LRU-first
+        if (mine.size > max) {
+          val over = mine.take(mine.size - max)
+          over.foreach(e => order.remove(e._1))
+          over.map(_._2.evict)
+        } else Nil
+      }
+      victims.foreach(f => try f() catch { case _: Throwable => () })
+    }
+    /** Live-entry count for one session (telemetry/tests). */
+    def size(session: SparkSession): Int = order.synchronized {
+      import scala.jdk.CollectionConverters._
+      order.values.asScala.count(_.session eq session)
+    }
+  }
+  /** Live memoized-entry count for `spark` — bench/serving telemetry. */
+  def liveEntries(spark: SparkSession): Int = Ledger.size(spark)
   /** Extra per-session eviction hook for session-scoped caches that don't fit
     * the DataFrame-valued Memo shape (multi-frame indexes, tier registries) —
     * they must not outlive their session any more than a Memo entry does. */

@@ -3,7 +3,7 @@ package graft.core
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Process-wide accumulator of executor task metrics (shuffle + spill bytes),
@@ -20,11 +20,20 @@ import org.apache.spark.sql.SparkSession
   */
 object MetricsTap {
 
-  /** Monotonic totals at one instant; subtract two for a per-region delta. */
+  /** Monotonic totals at one instant; subtract two for a per-region delta.
+    * `gcMs` is JVM collector time (ManagementFactory beans) — block-manager
+    * cache eviction never shows up as task spill, but the GC thrash it
+    * causes shows here. `blocksDropped` counts block-update events whose
+    * new storage level is invalid, i.e. cached blocks REMOVED from the
+    * block manager (LRU eviction under memory pressure and explicit
+    * unpersists both land here) — a per-query delta that climbs while
+    * spill stays flat is the cache-thrash signature. */
   final case class Snap(shuffleRead: Long, shuffleWrite: Long,
-                       memSpill: Long, diskSpill: Long) {
+                       memSpill: Long, diskSpill: Long,
+                       gcMs: Long = 0L, blocksDropped: Long = 0L) {
     def -(o: Snap): Snap = Snap(shuffleRead - o.shuffleRead,
-      shuffleWrite - o.shuffleWrite, memSpill - o.memSpill, diskSpill - o.diskSpill)
+      shuffleWrite - o.shuffleWrite, memSpill - o.memSpill, diskSpill - o.diskSpill,
+      gcMs - o.gcMs, blocksDropped - o.blocksDropped)
     /** Bytes that crossed a shuffle boundary (read + write). */
     def shuffleBytes: Long = shuffleRead + shuffleWrite
     /** Bytes that left execution memory under pressure (in-memory + on-disk
@@ -32,9 +41,25 @@ object MetricsTap {
     def spillBytes: Long = memSpill + diskSpill
   }
 
+  /** Total stop-the-world collector milliseconds since JVM start. */
+  def jvmGcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Point-in-time block-manager storage gauge: (bytes in memory, bytes on
+    * disk, cached RDD count) summed over live cached RDDs. The channel that
+    * makes standing-cache pressure visible next to the per-query deltas. */
+  def storageGauge(spark: SparkSession): (Long, Long, Int) = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    (infos.map(_.memSize).sum, infos.map(_.diskSize).sum, infos.length)
+  }
+
   private final class Tap extends SparkListener {
     val sr = new AtomicLong; val sw = new AtomicLong
     val ms = new AtomicLong; val ds = new AtomicLong
+    val bd = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -44,7 +69,9 @@ object MetricsTap {
         ds.addAndGet(m.diskBytesSpilled)
       }
     }
-    def snap: Snap = Snap(sr.get, sw.get, ms.get, ds.get)
+    override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit =
+      if (!e.blockUpdatedInfo.storageLevel.isValid) bd.incrementAndGet()
+    def snap: Snap = Snap(sr.get, sw.get, ms.get, ds.get, jvmGcMs, bd.get)
   }
 
   private val taps = new java.util.concurrent.ConcurrentHashMap[SparkContext, Tap]()
@@ -66,7 +93,9 @@ object MetricsTap {
     while (System.nanoTime < deadline) {
       Thread.sleep(10)
       val cur = t.snap
-      if (cur == prev) return cur
+      // gcMs ticks with ANY collector activity — settling means the
+      // listener-bus-fed counters went quiet, so compare those only
+      if (cur.copy(gcMs = 0) == prev.copy(gcMs = 0)) return cur
       prev = cur
     }
     prev

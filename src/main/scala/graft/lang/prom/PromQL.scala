@@ -79,13 +79,14 @@ import scala.collection.mutable.ListBuffer
   * Prometheus's order (carry per selector, then combine), while
   * range-selector inputs keep raw samples and range-function outputs never
   * carry (`rate(m[5m])[30m:1m]` computes its window at every instant and
-  * an empty window yields nothing). The carried-inner claim is scoped to
-  * inners whose non-selector leaves are pointwise/aggregation/vector-match
-  * nodes: an inner MIXING a carried instant selector with a range-function
-  * output (`(m1 + rate(m2[5m]))[30m:1m]`) combines them at coincident
-  * instants only, because range functions emit at input-sample instants
-  * (the engine-wide emission rule) while the carried side emits at subquery
-  * step instants — pinned in PromQLSpec.
+  * an empty window yields nothing). An inner MIXING a carried instant
+  * selector with a range-function output (`(m1 + rate(m2[5m]))[30m:1m]`)
+  * combines on the SAME step-instant set: each range-function call is
+  * pre-evaluated and its sample-instant emissions re-gridded onto the
+  * subquery instants (ceiling bucket, newest per bucket, no carry — the
+  * same rule a pure range-function inner gets), so the combine never
+  * depends on sample timestamps coinciding with step instants — oracle
+  * `promql_subquery_mixed`, pinned in PromQLSpec.
   */
 object PromQL {
 
@@ -464,6 +465,30 @@ object PromQL {
       * are per-query and single-threaded; rangeInput saves/restores around
       * nested evals. */
     private var selectorSubs: List[(Selector, DataFrame)] = Nil
+
+    /** Like [[selectorSubs]] but for WHOLE range-function calls inside a
+      * MIXED computed subquery inner: each call is pre-evaluated on the
+      * subquery grid and its sample-instant emissions re-gridded onto the
+      * step instants (ceiling bucket, newest per bucket, NO staleness
+      * carry — range outputs never carry), so a carried selector and a
+      * range-function output combine on the same instant set instead of
+      * only where their emission sets coincide. */
+    private var callSubs: List[(Call, DataFrame)] = Nil
+
+    /** Topmost range-function calls below `e`: Call nodes consuming a
+      * range selector or subquery argument. Does not descend INTO them
+      * (substituting the whole call covers everything beneath) nor into
+      * nested subqueries (their own rangeInput handles them when reached). */
+    private def rangeCalls(e: Expr): List[Call] = e match {
+      case c @ Call(_, args)
+          if args.exists(a => a.isInstanceOf[Range] || a.isInstanceOf[Subquery]) =>
+        List(c)
+      case Call(_, args)        => args.flatMap(rangeCalls)
+      case Agg(_, _, param, a, _) =>
+        rangeCalls(a) ++ param.toList.flatMap(rangeCalls)
+      case BinOp(_, l, r, _, _) => rangeCalls(l) ++ rangeCalls(r)
+      case _                    => Nil
+    }
 
     /** extra scan lookback needed below `e` (range selectors widen the scan).
       * A subquery with a staleness-carrying inner also widens by the
@@ -938,6 +963,12 @@ object PromQL {
         val (df, _) = rangeInput(sq, g)
         df
 
+      // a range-function call inside a mixed computed subquery inner:
+      // read its pre-evaluated, step-instant-re-gridded frame (node
+      // identity — sibling calls elsewhere in the query are untouched)
+      case c: Call if callSubs.exists(_._1 eq c) =>
+        callSubs.collectFirst { case (c0, df) if c0 eq c => df }.get
+
       // `@` on a range argument — rate(m[5m] @ t), avg_over_time(m[1h:5m] @ t):
       // the whole call is evaluated once with the scan pinned to the fixed
       // window ending at t, then the value AT t (newest function output
@@ -1346,12 +1377,12 @@ object PromQL {
         // aggregations and vector matching all see the carried values.
         // Range-selector inputs (rate windows) keep raw samples, and
         // range-function OUTPUTS never carry — an empty window yields
-        // nothing, matching Prometheus. SCOPE: this parity claim covers
-        // inners whose non-selector leaves are pointwise/aggregation/
-        // vector-match nodes; an inner mixing a carried selector with a
-        // range-function output joins step instants against sample-instant
-        // emissions, surviving only where they coincide (header divergence
-        // note; pinned in PromQLSpec).
+        // nothing, matching Prometheus. A MIXED inner (carried selector +
+        // range-function output) pre-evaluates each range call and
+        // re-grids its sample-instant emissions onto the step instants
+        // (ceiling bucket, newest per bucket, no carry — the same rule a
+        // pure range-function inner gets), so both sides combine on the
+        // subquery instant set regardless of where the samples fall.
         def gSub = QueryGrid(
           Math.floorDiv(g.startMs, stepMs) * stepMs, g.endMs, stepMs)
         inner match {
@@ -1366,8 +1397,17 @@ object PromQL {
                 s -> resample(eval(s, g), stepMs, g, carry = true))
               val saved = selectorSubs
               selectorSubs = subs ++ saved
-              try (eval(inner, gSub), d)
-              finally selectorSubs = saved
+              try {
+                // pre-evaluate each range-function call WITH the selector
+                // carries active (a dynamic-scalar arg inside the call
+                // still reads carried frames), then re-grid its output
+                val csubs = rangeCalls(inner).map(c =>
+                  c -> resample(eval(c, gSub), stepMs, g, carry = false))
+                val savedC = callSubs
+                callSubs = csubs ++ savedC
+                try (eval(inner, gSub), d)
+                finally callSubs = savedC
+              } finally selectorSubs = saved
             }
         }
       case _ => throw PromParseError("expected range selector m[d] or subquery expr[d:s]")

@@ -503,6 +503,36 @@ object PromX extends QueryPack {
        |       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
        |FROM s2 WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
 
+  /** MIXED subquery inner: a carried instant selector PLUS a range-function
+    * output, on a 4h subquery step that does NOT divide the 6h sample
+    * spacing — the case that exercises the re-grid rule. The engine carries
+    * `click` onto the 4h step instants (lookback 12h), pre-evaluates
+    * `max_over_time(view[12h])` (emitting at view's SAMPLE instants, max
+    * over the trailing closed 12h window) and re-grids those emissions onto
+    * the step instants (ceiling bucket, newest per bucket, no carry); the
+    * `+` then combines both sides on the step-instant set, and the outer
+    * max_over_time windows the combined frame over 1d. The oracle rebuilds
+    * exactly that chain: window max at sample instants → ceiling-bucket
+    * arg_max re-grid → ASOF-join carry (strict `t - ti < delta` staleness,
+    * MATERIALIZED — see [[qSubqueryStaleComputed]]) → trailing 1d max. */
+  private def qSubqueryMixed(s: SparkSession, sf: String): DataFrame =
+    flat(PromQL.query(s, g(s, sf), grid,
+      """max_over_time((click{user="3"} + max_over_time(view{user="3"}[12h]))[1d:4h])""",
+      lookbackDeltaMs = staleDelta))
+  private val qSubqueryMixedSql = withSG(
+    s""", ck AS (SELECT ts AS ti, value FROM g WHERE etype = 'click' AND usr = '3'),
+       |vw AS (SELECT ts AS ti, value FROM g WHERE etype = 'view' AND usr = '3'),
+       |vm AS (SELECT ti, max(value) OVER (ORDER BY ti
+       |         RANGE BETWEEN 43200000 PRECEDING AND CURRENT ROW) AS mv FROM vw),
+       |vg AS (SELECT ((ti + 14399999) // 14400000) * 14400000 AS t,
+       |         arg_max(mv, ti) AS mv FROM vm GROUP BY 1),
+       |c AS MATERIALIZED (SELECT vg.t, vg.mv, ck.value AS cv, ck.ti
+       |      FROM vg ASOF JOIN ck ON ck.ti <= vg.t),
+       |inn AS (SELECT t, cv + mv AS v FROM c WHERE t - ti < $staleDelta)
+       |SELECT 'user:3' AS series, t AS ts,
+       |  max(v) OVER (ORDER BY t RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS value
+       |FROM inn WHERE t >= ${grid.startMs} AND t < ${grid.endMs} $ord""".stripMargin)
+
   // ---- changes: same pair-count window shape as resets, <> flag ------------
   private def qChanges(s: SparkSession, sf: String): DataFrame =
     flat(run(s, sf, "changes(click[13h])"))
@@ -703,6 +733,7 @@ object PromX extends QueryPack {
       Some(qSubqueryStaleComputedSql)),
     QueryDef("promql_subquery_stale_agg", qSubqueryStaleAgg,
       Some(qSubqueryStaleAggSql)),
+    QueryDef("promql_subquery_mixed", qSubqueryMixed, Some(qSubqueryMixedSql)),
     QueryDef("promql_changes", qChanges, Some(qChangesSql)),
     QueryDef("promql_deriv", qDeriv, Some(qDerivSql)),
     QueryDef("promql_quantile_over_time", qQuantileOverTime,

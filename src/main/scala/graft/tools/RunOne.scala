@@ -30,6 +30,10 @@ object RunOne {
         }
         val times = Seq(once(), once())
         println(f"secs_min=${times.min}%.2f secs=${times.mkString(",")}")
+      case s if s.startsWith("save:") =>
+        // dump result parquet for ad-hoc DuckDB oracle comparison
+        df.coalesce(1).write.mode("overwrite").parquet(s.stripPrefix("save:"))
+        println(s"saved rows=${spark.read.parquet(s.stripPrefix("save:")).count()}")
       case _         => df.show(30, truncate = false); println(s"rows=${df.count()}")
     }
     spark.stop()

@@ -446,16 +446,16 @@ class PromQLSpec extends SparkTestBase {
     assert(last.keySet == Set("dc:a,name:req"))
   }
 
-  test("a mixed inner (carried selector + range output) combines at coincident instants only") {
+  test("a mixed inner (carried selector + range output) combines on the step-instant set") {
     // (h + irate(c[2m]))[2m:1m]: h (one sample, minute 0) carries to step
     // instants 0-4; irate emits at c's SAMPLE instants with >=2 window
-    // points (minutes 1-3, value (60)/(60s)=1). The combine survives only
-    // where the two emission sets coincide — instants 1-3 (sum 11) — and
-    // NOTHING at minute 4 even though h still carries there, because
-    // range-function outputs emit at input-sample instants (the engine-wide
-    // emission rule) while Prometheus would evaluate irate's window at
-    // every subquery instant. Documented header divergence; this test pins
-    // the scoped behavior.
+    // points (minutes 1-3, value (60)/(60s)=1) and is RE-GRIDDED onto the
+    // subquery instants (ceiling bucket, newest per bucket, no carry).
+    // Here the samples already sit on the 1m step grid, so the re-grid is
+    // the identity: combine at instants 1-3 (sum 11), NOTHING at minute 4
+    // even though h still carries there — a range-function output never
+    // carries past its last emission (the engine-wide rule, matching
+    // "range-function inners never carry" below).
     val holes = samplesDF(
       series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)) ++
       series("name:c,dc:x", Seq(S(0), S(60), S(120), S(180), N, N, N, N, N, N)))
@@ -463,6 +463,25 @@ class PromQLSpec extends SparkTestBase {
       "last_over_time((h + irate(c[2m]))[2m:1m])"))
     assert(out("dc:x") == Seq(N, S(11), S(11), S(11), N, N, N, N, N, N),
       s"got $out")
+  }
+
+  test("a mixed inner re-grids range outputs onto OFF-SAMPLE step instants") {
+    // Same fixture, subquery step 90s: h's carry instants are multiples of
+    // 90s (90,180,270,360); irate's sample-instant emissions (120,180,240)
+    // land BETWEEN them except at 180. Before the re-grid fix the combine
+    // survived only at the coincident instant 180; with the range output
+    // re-gridded (120,180 -> 180 newest; 240 -> 270) both sides live on
+    // the step instants and the combine emits at 180 AND 270 — the
+    // Prometheus-shaped result (value present wherever both operands are
+    // evaluable at the subquery instant).
+    val holes = samplesDF(
+      series("name:h,dc:x", Seq(S(10), N, N, N, N, N, N, N, N, N)) ++
+      series("name:c,dc:x", Seq(S(0), S(60), S(120), S(180), N, N, N, N, N, N)))
+    val out = PromQL.query(spark, holes, g,
+      "last_over_time((h + irate(c[2m]))[3m:90s])")
+      .select("timestamp", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(180000L -> 11.0, 270000L -> 11.0), s"got $out")
   }
 
   test("nested subqueries: inner carries, outer re-grids the computed result") {
