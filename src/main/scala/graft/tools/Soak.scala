@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale soak: generate a deterministic documents/embeddings set N×
+  * the sf0.1 bench size (same schemas as /root/testdata — 5000·N docs,
+  * 2000·N 64-dim vectors), write it to parquet, and run one representative
+  * query per dedup/ANN/retrieval family against the parquet — the first
+  * direct wall-clock datapoint for the 100 TB posture claims beyond plan
+  * shape. Results (wall seconds, output rows, storage gauge after each op)
+  * print as a markdown table for OPERATORS.md.
+  *
+  * Generation is pure column expressions over `spark.range` (distributed,
+  * no driver loop, no randomness — xxhash64 of the row id seeds tokens):
+  * every 20th document is an exact duplicate of its predecessor and every
+  * 20th-minus-3 a near-duplicate (suffix appended), so dedup output sizes
+  * scale predictably with N. Embeddings are the sin(id·k) family the specs
+  * use. Usage: `runMain graft.tools.Soak [mult] [workDir]` (default 10).
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val work = if (args.length > 1) args(1) else "/tmp/graft_soak"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val gen0 = System.nanoTime()
+    val docs0 = spark.range(nDocs).toDF("doc_id")
+      .withColumn("base_id",
+        when(col("doc_id") % 20 === 19, col("doc_id") - 1)       // exact dup
+          .when(col("doc_id") % 20 === 17, col("doc_id") - 1)    // near dup
+          .otherwise(col("doc_id")))
+      .withColumn("_len",
+        (pmod(xxhash64(lit("len"), col("base_id")), lit(120)) + 40).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), col("_len")),
+          j => concat(lit("w"),
+            pmod(xxhash64(lit("tok"), col("base_id") * 131 + j.cast("long")),
+              lit(2000))))))
+      .withColumn("text",
+        when(col("doc_id") % 20 === 17,
+          concat(col("text"), lit(" novel tail marker sequence")))
+          .otherwise(col("text")))
+      .withColumn("lang", lit("en"))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(5))))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val emb0 = spark.range(nVecs).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        k => sin((col("vec_id") * 7 + k) * lit(0.37)).cast("float")))
+      .withColumn("label", pmod(col("vec_id"), lit(8)).cast("int"))
+    docs0.write.mode("overwrite").parquet(s"$work/documents.parquet")
+    emb0.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val genSecs = (System.nanoTime() - gen0) / 1e9
+
+    val docs = spark.read.parquet(s"$work/documents.parquet")
+    val emb = spark.read.parquet(s"$work/embeddings.parquet")
+    val probeIds = Seq(1L, 7L, 21L, 42L, 99L, 123L, 500L, 777L,
+      1001L, 1500L, 1999L, 2500L, 5000L, 7777L, 11111L, 19999L)
+      .filter(_ < nVecs)
+
+    def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"| scale | docs | vectors | generate (s) |")
+    println(s"|---|---|---|---|")
+    println(s"| ${mult}x sf0.1 | $nDocs | $nVecs | ${f2(genSecs)} |")
+    println()
+    println("| operator | output rows | wall (s) | storage after (MB) |")
+    println("|---|---|---|---|")
+    def op(name: String)(build: => DataFrame): Unit = {
+      graft.core.Memo.clearSession(spark)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = build.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (sm, _, _) = graft.core.MetricsTap.storageGauge(spark)
+      println(s"| $name | $rows | ${f2(secs)} | ${f2(sm / 1e6)} |")
+    }
+    op("exact dedup (full text key)") {
+      graft.pipelines.Dedup.exact(docs, Seq("text"))
+    }
+    op("MinHash+LSH pairs (n=3, 32 hashes, 8 bands, τ=0.7)") {
+      graft.pipelines.Dedup.minhashLshPairs(docs, 3, 32, 8, 0.7)
+    }
+    op("winnowing pairs (k=4, w=4)") {
+      graft.pipelines.Dedup.winnowingPairs(docs, 4, 4)
+    }
+    op("novelty gate (2nd half vs 1st half, n=3)") {
+      graft.pipelines.Dedup.noveltyScores(
+        docs.where(col("doc_id") < nDocs / 2),
+        docs.where(col("doc_id") >= nDocs / 2), 3)
+    }
+    op(s"PQ batched ANN (${probeIds.size} probes, k=10)") {
+      graft.pipelines.Pq.pqTopKBatch(emb, probeIds, 10)
+    }
+    op(s"IVF batched ANN (${probeIds.size} probes, k=10)") {
+      graft.pipelines.Similarity.ivfTopKBatch(emb, probeIds, 10)
+    }
+    op("BM25 top-10 (ad-hoc, doc 42 as query)") {
+      graft.pipelines.Retrieval.bm25TopK(docs, 42L, 10)
+    }
+    graft.core.Memo.clearSession(spark)
+    spark.stop()
+  }
+}
