@@ -317,4 +317,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       s"novelty is one left join + count:\n$p")
   }
+
+  check("promql_subquery_mixed") { p =>
+    // the mixed-inner path (carried selector + re-gridded range-function
+    // output) combines via hash joins on (label signature, instant) —
+    // never a cartesian — and every window (re-grid arg-max, staleness
+    // carry, the outer trailing max) partitions by series
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the combine:\n$p")
+  }
 }
