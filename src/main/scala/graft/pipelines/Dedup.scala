@@ -69,10 +69,13 @@ object Dedup {
     * with a narrow filter before any distinct so the dedup shuffle only
     * carries surviving grams. */
   private def rawShingles(docs: DataFrame, n: Int, idCol: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    // codegen'd gram kernel — value-identical to the builtin
+    // transform/slice/concat_ws chain (TextExprsSpec) but one compiled
+    // pass per document instead of interpreted per-gram lambdas; shingling
+    // is the floor under every dedup/decontamination/novelty query
+    graft.functions.TextExprs.register(docs.sparkSession)
     docs.select(col(idCol),
-        explode(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
+        explode(expr(s"word_ngrams(text, $n)")).as("shingle"))
       .where(length(col("shingle")) > 0)
   }
 
@@ -216,10 +219,8 @@ object Dedup {
       shingles(reference, n, idCol).select("shingle").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val sh = array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+    graft.functions.TextExprs.register(incoming.sparkSession)
+    val sh = array_distinct(filter(expr(s"word_ngrams(text, $n)"),
       s => length(s) > 0))
     incoming.select(col(idCol).cast(LongType).as(idCol), explode(sh).as("shingle"))
       .join(refSh.withColumn("_seen", lit(1)), Seq("shingle"), "left")
@@ -394,10 +395,12 @@ object Dedup {
 
   /** Base-31 polynomial rolling hash mod [[PortableP]] over a string column
     * (per-character codepoints) — the SQL-replicable base hash the portable
-    * minhash/simhash variants derive their families from. */
-  def polyHash(s: Column): Column =
-    aggregate(transform(split(s, ""), ch => ascii(ch).cast(LongType)),
-      lit(0L), (acc, c) => pmod(acc * lit(31L) + c, lit(PortableP)))
+    * minhash/simhash variants derive their families from. Codegen'd kernel
+    * ([[graft.functions.PolyHash]]); value-identical to the builtin fold
+    * `aggregate(transform(split(s,""), ch => ascii(ch)), 0L,
+    * (acc,c) => pmod(acc*31+c, p))` (TextExprsSpec) — one compiled loop
+    * per string instead of an interpreted lambda per CHARACTER. */
+  def polyHash(s: Column): Column = graft.functions.TextExprs.polyHashCol(s)
 
   /** Deterministic (a_s, b_s) parameters of the classic universal family
     * h_s(x) = (a_s·x + b_s) mod p (Carter–Wegman; the textbook MinHash
@@ -1146,9 +1149,10 @@ object Dedup {
     val toks = split(trim(col(textCol)), "\\s+")
     val gramArr =
       if (portable)
-        transform(sequence(lit(0), size(col("_t")) - k),
-          i => aggregate(slice(col("_th"), i + 1, lit(k)), lit(0L),
-            (acc, h) => pmod(acc * lit(GramR) + h, lit(PortableP))))
+        // codegen'd window fold (TextExprsSpec pins identity with the
+        // interpreted aggregate-over-slice formulation this replaced)
+        graft.functions.TextExprs.rollingWindowHashesCol(
+          col("_th"), k, GramR, PortableP)
       else
         transform(sequence(lit(0), size(col("_t")) - k),
           i => xxhash64(lower(concat_ws(" ", slice(col("_t"), i + 1, lit(k))))))
@@ -1371,9 +1375,9 @@ object Dedup {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val toks = split(trim(text), "\\s+")
     val th = transform(toks, t => polyHash(lower(t)))
-    val grams = transform(sequence(lit(0), size(toks) - k),
-      i => aggregate(slice(th, i + 1, lit(k)), lit(0L),
-        (acc, h) => pmod(acc * lit(GramR) + h, lit(PortableP))))
+    // codegen'd window fold; evaluated only under the size >= k guard below
+    val grams = graft.functions.TextExprs.rollingWindowHashesCol(
+      th, k, GramR, PortableP)
     // key packing = hash·2^32 + pos: one long min is the leftmost-smallest-
     // hash rule (identical to the batch window's `_key`)
     val keys = transform(grams, (x, i) => shiftleft(x, 32) + i.cast(LongType))
@@ -1406,9 +1410,9 @@ object Dedup {
     val s1 = df.select(col(idCol).cast(LongType).as(outId),
       explode(array(th)).as("_th"))
     val m1 = size(col("_th"))
-    val grams = when(m1 >= k, transform(sequence(lit(0), m1 - k),
-        i => aggregate(slice(col("_th"), i + 1, lit(k)), lit(0L),
-          (acc, h) => pmod(acc * lit(GramR) + h, lit(PortableP)))))
+    // codegen'd window fold, guarded exactly like the interpreted form
+    val grams = when(m1 >= k, graft.functions.TextExprs.rollingWindowHashesCol(
+        col("_th"), k, GramR, PortableP))
       .otherwise(array().cast("array<bigint>"))
     val keys = transform(grams, (x, i) => shiftleft(x, 32) + i.cast(LongType))
     val s2 = s1.select(col(outId), explode(array(keys)).as("_keys"))

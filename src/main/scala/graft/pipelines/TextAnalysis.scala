@@ -274,9 +274,11 @@ object TextAnalysis {
     * zero shuffle at any corpus size. */
   def repetitionStats(docs: DataFrame, n: Int = 3,
                       idCol: String = "doc_id"): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
     val toks = wsTokens(lower(trim(col("text"))))
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    val grams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    // codegen'd gram kernel; trim∘lower∘trim ≡ lower∘trim (lowercasing
+    // never creates edge whitespace), so values match wsTokens' grams
+    val grams = expr(s"word_ngrams(text, $n)")
     def dupFrac(arr: Column): Column =
       (lit(1.0) - size(array_distinct(arr)).cast(DoubleType)
         / size(arr).cast(DoubleType))
@@ -727,13 +729,10 @@ object TextAnalysis {
     * the normalized text (whitespace-collapsed, lowercased) — deterministic,
     * overflow-free under ANSI mode, and SQL-replicable. */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val P = 1000000007L
+    // codegen'd kernel (graft.functions.PolyHash) — value-identical to the
+    // per-character aggregate fold it replaced (TextExprsSpec)
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-    docs.withColumn("fingerprint",
-      aggregate(
-        transform(split(norm, ""), ch => ascii(ch).cast(LongType)),
-        lit(0L),
-        (acc, c) => pmod(acc * lit(31L) + c, lit(P))))
+    docs.withColumn("fingerprint", graft.functions.TextExprs.polyHashCol(norm))
   }
 
   /** Deterministic seeded GLOBAL SHUFFLE into training shards: every

@@ -2349,17 +2349,15 @@ object Pipeline extends QueryPack {
     * n-gram granularity (lexical diversity sees tokens only). Integer
     * counts + one division. */
   private def qNgramRepetition(s: SparkSession, sf: String): DataFrame = {
-    // slice(), not _t[i] indexing: per-element GetArrayItem on a lambda
-    // variable runs ~30x slower than slice's single array copy (14s -> 0.5s
-    // on the sf0.1 gram stream). Docs under 3 tokens have no trigram and
+    // codegen'd gram kernel (graft.functions.WordNgrams); for docs with
+    // >= 3 tokens its output is exactly the sequence(0, L-3) trigram list
+    // the builtin chain produced. Docs under 3 tokens have no trigram and
     // drop here, matching the oracle's empty generate_series.
+    graft.functions.TextExprs.register(s)
     val toks = Tables.documents(s, sf)
+      .where(size(split(lower(trim(col("text"))), "\\s+")) >= 3)
       .select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("_t"))
-      .where(size(col("_t")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("_t")) - 3),
-          i => concat_ws(" ", slice(col("_t"), i + 1, lit(3))))).as("gram"))
+        explode(expr("word_ngrams(text, 3)")).as("gram"))
     toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"),
         countDistinct(col("gram")).as("n_distinct"))
