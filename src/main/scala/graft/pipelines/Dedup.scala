@@ -557,6 +557,14 @@ object Dedup {
   def writeShingleIndex(docs: DataFrame, n: Int, table: String,
                         idCol: String = "doc_id", buckets: Int = 64): Unit =
     shingles(docs, n, idCol)
+      // repartition ON the bucket key with bucket-count partitions:
+      // repartition's HashPartitioning and the writer's bucket-id formula
+      // are the same pmod(murmur3, n), so each task holds exactly one
+      // bucket and writes ONE file — without it every input task writes a
+      // file per bucket it touches (W·B tiny files; measured 2000+ per
+      // build at 32 tasks × 64 buckets, and the file-open/commit overhead
+      // dominated the build)
+      .repartition(buckets, col("shingle"))
       .write.mode("overwrite")
       .bucketBy(buckets, "shingle")
       .sortBy("shingle")
@@ -570,6 +578,7 @@ object Dedup {
   def appendShingleIndex(docs: DataFrame, n: Int, table: String,
                          idCol: String = "doc_id", buckets: Int = 64): Unit =
     shingles(docs, n, idCol)
+      .repartition(buckets, col("shingle")) // one file per bucket, see writeShingleIndex
       .write.mode("append")
       .bucketBy(buckets, "shingle")
       .sortBy("shingle")
@@ -1219,6 +1228,7 @@ object Dedup {
                      portable: Boolean = false, buckets: Int = 64): Unit =
     spanGrams(docs, k, idCol, textCol, portable)
       .select(col("_x").as("x")).distinct()
+      .repartition(buckets, col("x")) // one file per bucket, see writeShingleIndex
       .write.mode("overwrite")
       .bucketBy(buckets, "x").sortBy("x")
       .saveAsTable(table)
@@ -1233,6 +1243,7 @@ object Dedup {
                       portable: Boolean = false, buckets: Int = 64): Unit =
     spanGrams(docs, k, idCol, textCol, portable)
       .select(col("_x").as("x")).distinct()
+      .repartition(buckets, col("x")) // one file per bucket, see writeShingleIndex
       .write.mode("append")
       .bucketBy(buckets, "x").sortBy("x")
       .saveAsTable(table)
@@ -1506,7 +1517,8 @@ object Dedup {
     val fp = winnowingFingerprints(docs, k, w, idCol, textCol)
       .select(col("fp"), col(idCol).cast(LongType).as("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fp.write.mode("overwrite")
+    fp.repartition(buckets, col("fp")) // one file per bucket, see writeShingleIndex
+      .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
     fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .write.mode("overwrite").saveAsTable(table + "_sz")
@@ -1523,7 +1535,8 @@ object Dedup {
     val fp = winnowingFingerprints(docs, k, w, idCol, textCol)
       .select(col("fp"), col(idCol).cast(LongType).as("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fp.write.mode("append")
+    fp.repartition(buckets, col("fp")) // one file per bucket, see writeShingleIndex
+      .write.mode("append")
       .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
     fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .write.mode("append").saveAsTable(table + "_sz")

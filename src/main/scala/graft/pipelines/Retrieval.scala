@@ -272,6 +272,9 @@ object Retrieval {
     post
       .join(dfAll, Seq("term"))
       .join(dl, Seq(idCol))
+      // one file per bucket (repartition's HashPartitioning == the
+      // writer's bucket-id formula) — see Dedup.writeShingleIndex
+      .repartition(buckets, col("term"))
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(table)

@@ -247,7 +247,11 @@ object Ingest {
 
   /** [[optimizeToBucketed]] from an in-session frame (same layout contract). */
   def optimizeToBucketed(samples: DataFrame, table: String, buckets: Int): Unit =
-    samples.write.mode("overwrite")
+    samples
+      // one file per bucket (repartition's HashPartitioning == the
+      // writer's bucket-id formula) — see Dedup.writeShingleIndex
+      .repartition(buckets, org.apache.spark.sql.functions.col(TsSchema.SeriesId))
+      .write.mode("overwrite")
       .bucketBy(buckets, TsSchema.SeriesId)
       .sortBy(TsSchema.SeriesId, TsSchema.Ts)
       .saveAsTable(table)
