@@ -955,6 +955,39 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-source contamination REPORT against a benchmark corpus — the
+    * observability companion of [[decontaminate]]: instead of dropping
+    * contaminated documents it reports, per training source, how many
+    * documents share at least `minHits` distinct word n-grams with the
+    * benchmark, the contamination rate, and the total/max hit counts —
+    * the dashboard a pipeline team reads BEFORE deciding a drop policy
+    * (a source at 40% overlap is a scrape of the eval set; one at 0.2%
+    * is incidental phrase reuse).
+    *
+    * Same scale shape as decontaminate: benchmark grams broadcast into a
+    * map-side semi-join, per-document distinct-hit counts are the only
+    * wide operation, and the report aggregates one row per source. All
+    * integer counts + one exact int/int IEEE division — oracle-exact. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame, n: Int = 5,
+                          minHits: Int = 1, idCol: String = "doc_id",
+                          srcCol: String = "source"): DataFrame = {
+    val benchGrams = broadcast(
+      shingles(benchmark, n, idCol).select(col("shingle")).distinct())
+    val hits = rawShingles(docs, n, idCol)
+      .join(benchGrams, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(countDistinct(col("shingle")).as("_hits"))
+    docs.select(col(idCol), col(srcCol))
+      .join(hits, Seq(idCol), "left")
+      .groupBy(srcCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_hits") >= minHits, 1L).otherwise(0L)).as("n_contaminated"),
+        coalesce(sum(when(col("_hits") >= minHits, col("_hits"))), lit(0L))
+          .as("total_hits"),
+        coalesce(max(col("_hits")), lit(0L)).as("max_hits"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast(DoubleType) / col("n_docs"))
+  }
+
   /** Bloom-filter DECONTAMINATION — [[decontaminate]]'s shape with the
     * benchmark gram set folded into a fixed-size Bloom filter instead of a
     * broadcast hash set. At a benchmark suite of hundreds of millions of

@@ -1924,6 +1924,40 @@ object Pipeline extends QueryPack {
       |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source contamination REPORT: src0 is the benchmark, every other
+    * source is graded on its 5-gram overlap — integer counts + one exact
+    * int/int division per source. The oracle replays the same distinct-
+    * matched-gram count per document and re-aggregates. */
+  private def qContaminationReport(s: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(s, sf)
+    Dedup.contaminationReport(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"), n = 5)
+      .orderBy("source")
+  }
+  private val qContaminationReportSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i) ix
+      |  WHERE len(array_to_string(t[i:i+4], ' ')) > 0),
+      |bg AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |hits AS (SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS h
+      |         FROM sh s JOIN bg USING (shingle)
+      |         WHERE s.source <> 'src0' GROUP BY 1),
+      |d AS (SELECT doc_id, source FROM documents WHERE source <> 'src0')
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN h >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(sum(CASE WHEN h >= 1 THEN h END), 0) AS BIGINT) AS total_hits,
+      |  CAST(COALESCE(max(h), 0) AS BIGINT) AS max_hits,
+      |  CAST(sum(CASE WHEN h >= 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS contamination_rate
+      |FROM d LEFT JOIN hits USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Bloom-filter decontamination at generous sizing (4M bits for ~10k
     * benchmark grams → FP probability ≪ 1/corpus): the probabilistic drop
     * set coincides with the exact operator's on this data — deterministic
@@ -3651,6 +3685,8 @@ object Pipeline extends QueryPack {
     QueryDef("text_vocabulary", qVocabulary, Some(qVocabularySql)),
     QueryDef("corpus_clean_stats", qCleanStats, Some(qCleanStatsSql)),
     QueryDef("corpus_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
+    QueryDef("corpus_contamination_report", qContaminationReport,
+      Some(qContaminationReportSql)),
     QueryDef("corpus_decontaminate_bloom", qDecontaminateBloom, Some(qDecontaminateSql)),
     QueryDef("corpus_mix_sources", qMixSources, Some(qMixSourcesSql)),
     QueryDef("corpus_mix_temperature", qMixTemperature, Some(qMixTemperatureSql)),
