@@ -25,6 +25,16 @@ class BucketedIndexSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     Dedup.writeShingleIndex(docs, n = 3, table = table, buckets = 4)
 
+    // file-count contract: the writer repartitions on the bucket key with
+    // bucket-count partitions, so each task holds exactly one bucket and
+    // the table has AT MOST one data file per bucket — without the
+    // repartition it's one file per (task, bucket), 2000+ tiny files per
+    // sf0.1 index build, and open/commit overhead dominates the build
+    val loc = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val dataFiles = new java.io.File(new java.io.File(loc.getPath), table)
+      .listFiles().count(f => f.getName.startsWith("part-"))
+    assert(dataFiles <= 4, s"expected <= 4 bucket files, found $dataFiles")
+
     // the candidate join over the persisted index must be exchange-free on
     // the join key: bucketed scans satisfy the join's hash distribution
     val sh = spark.table(table)
