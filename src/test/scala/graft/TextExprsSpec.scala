@@ -111,6 +111,30 @@ class TextExprsSpec extends SparkTestBase {
     }
   }
 
+  test("word_ngrams and poly_hash equal the builtin chains on FUZZED strings") {
+    // property sweep beyond the curated edges: random strings over a
+    // whitespace-heavy alphabet (plus some unicode), n in 1..5
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed)
+    val alphabet = "ab c\td\ne  éß€."
+    val fuzz = Seq.fill(300)(
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    val df = fuzz.toDF("text")
+    val P = 1000000007L
+    val builtinPoly = aggregate(
+      transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, ch) => pmod(acc * lit(31L) + ch, lit(P)))
+    for (n <- 1 to 5) {
+      val d1 = df.select(builtin(n).as("a"), expr(s"word_ngrams(text, $n)").as("b"))
+        .where(not(col("a") <=> col("b"))).count()
+      assert(d1 == 0L, s"word_ngrams n=$n diverged on fuzz")
+    }
+    val d2 = df.select(builtinPoly.as("a"), expr("poly_hash(text)").as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(d2 == 0L, "poly_hash diverged on fuzz")
+  }
+
   private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
     val prev = try Some(spark.conf.get(kv._1)) catch { case _: Throwable => None }
     spark.conf.set(kv._1, kv._2)
