@@ -230,14 +230,23 @@ object Dist {
 final class Memo[K] {
   private val m = scala.collection.concurrent.TrieMap.empty[(SparkSession, K), DataFrame]
   Memo.register(this)
+  // Ledger tokens must be unique PER MEMO INSTANCE: the ledger's map is
+  // process-wide and equals()-keyed, and several Memo[String] instances key
+  // by the same sf string (chainMemo/clusterMemo/portablePairsMemo), so a
+  // bare (spark, key) token would alias across memos — the later add()
+  // would replace the earlier memo's slot (its frame escaping the LRU cap)
+  // and one memo's forget() would drop the other's. Prefixing `this`
+  // (reference equality — Memo doesn't override equals) makes collisions
+  // impossible, the same per-entry-identity rule PlanMemo applies.
+  private def token(spark: SparkSession, key: K): AnyRef = (this, spark, key)
   def apply(spark: SparkSession, key: K)(build: => DataFrame): DataFrame = {
     val mk = (spark, key)
     m.get(mk) match {
-      case Some(df) => Memo.Ledger.touch(mk); df
+      case Some(df) => Memo.Ledger.touch(token(spark, key)); df
       case None =>
         val df = m.getOrElseUpdate(mk,
           build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        Memo.Ledger.add(mk, spark, () =>
+        Memo.Ledger.add(token(spark, key), spark, () =>
           m.remove(mk).foreach(_.unpersist(blocking = false)))
         df
     }
@@ -245,7 +254,7 @@ final class Memo[K] {
   private[core] def evict(spark: SparkSession): Unit =
     m.keys.filter(_._1 eq spark).foreach { k =>
       m.remove(k).foreach(_.unpersist(blocking = false))
-      Memo.Ledger.forget(k)
+      Memo.Ledger.forget(token(k._1, k._2))
     }
 }
 /** Session-scoped cache of derived index structures keyed by a source
@@ -402,6 +411,9 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  /** Not shipped by the driver testdata yet — the partsupp TPC-H family
+    * (q2/q9/q11/q16/q20) registers only when the file exists (Tpch.all). */
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "partsupp")
   /** events.parquet's ts physical type has varied across data generations:
     * TIMESTAMP(NANOS) (which vanilla Spark rejects — nanosAsLong reads it as
     * LONG nanos) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4

@@ -53,7 +53,10 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   *    (acc,c) => pmod(acc*31+c, p))`
   * — `split(s,"")` yields code-point chunks with no trailing empty (and
   * `[""]` for the empty string, whose `ascii` is 0, so hash("") = 0) and
-  * `ascii` is the first code point — but one compiled loop per string
+  * `ascii` is the first CODE POINT (Spark 4.x's `Ascii` decodes the full
+  * supplementary-plane code point, e.g. 128512 for U+1F600, not the UTF-16
+  * high surrogate — verified against the builtin and pinned by the astral
+  * cases in TextExprsSpec's fuzz sweep) — but one compiled loop per string
   * instead of an interpreted lambda PER CHARACTER, which made the portable
   * dedup/fingerprint family character-bound. */
 case class PolyHash(child: Expression) extends UnaryExpression {
@@ -83,8 +86,14 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 case class RollingWindowHashes(child: Expression, k: Int, r: Long, p: Long)
     extends UnaryExpression {
   require(k >= 1 && r > 0 && p > 1, s"bad rolling-hash params k=$k r=$r p=$p")
+  // null ELEMENTS propagate like the builtin fold (a null hash poisons its
+  // windows' pmod chain to null), so output nullability mirrors the input's
   override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = child.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => false
+      })
   override def prettyName: String = "rolling_window_hashes"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.LongType, _) =>
@@ -121,24 +130,49 @@ object TextExprs {
 
   /** Per-window fold `(acc*r + h) mod p` over hashes[i..i+k-1] for
     * i in 0..max(L-k, 0); mirrors `sequence(0, size-k)` for L >= k
-    * (callers pre-filter shorter docs exactly like the builtin sites). */
+    * (callers pre-filter shorter docs exactly like the builtin sites).
+    * A null element yields a null value for every window covering it —
+    * exactly the builtin aggregate fold's null-poisoning (`acc*r + null`
+    * is null, and pmod of null is null) — instead of silently hashing it
+    * as 0. The null-free fast path stays a pure primitive loop. */
   def rollingWindowHashes(hs: ArrayData, k: Int, r: Long, p: Long): ArrayData = {
     val L = hs.numElements()
     val count = math.max(L - k, 0) + 1
-    val out = new Array[Long](count)
-    var i = 0
-    while (i < count) {
-      var acc = 0L
-      val end = math.min(i + k, L)
-      var j = i
-      while (j < end) {
-        acc = (acc * r + hs.getLong(j)) % p
-        j += 1
+    var hasNull = false
+    var c = 0
+    while (c < L && !hasNull) { if (hs.isNullAt(c)) hasNull = true; c += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](count)
+      var i = 0
+      while (i < count) {
+        var acc = 0L
+        val end = math.min(i + k, L)
+        var j = i
+        while (j < end) {
+          acc = (acc * r + hs.getLong(j)) % p
+          j += 1
+        }
+        out(i) = acc
+        i += 1
       }
-      out(i) = acc
-      i += 1
+      ArrayData.toArrayData(out)
+    } else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        var acc: java.lang.Long = 0L
+        val end = math.min(i + k, L)
+        var j = i
+        while (j < end && acc != null) {
+          acc = if (hs.isNullAt(j)) null
+                else java.lang.Long.valueOf((acc.longValue * r + hs.getLong(j)) % p)
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    ArrayData.toArrayData(out)
   }
 
   /** Compute the gram array for one document. Normalization goes through

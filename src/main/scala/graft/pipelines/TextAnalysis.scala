@@ -275,10 +275,15 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, n: Int = 3,
                       idCol: String = "doc_id"): DataFrame = {
     graft.functions.TextExprs.register(docs.sparkSession)
-    val toks = wsTokens(lower(trim(col("text"))))
+    // NULL text behaves like "" (the kernel returns NULL for NULL input
+    // where the builtin transform-over-sequence chain produced [""]; here
+    // the gram array is consumed UNEXPLODED by dupFrac, so without the
+    // coalesce a NULL-text row would flip dup_gram_frac from 0 to NULL)
+    val t = coalesce(col("text"), lit(""))
+    val toks = wsTokens(lower(trim(t)))
     // codegen'd gram kernel; trim∘lower∘trim ≡ lower∘trim (lowercasing
     // never creates edge whitespace), so values match wsTokens' grams
-    val grams = expr(s"word_ngrams(text, $n)")
+    val grams = expr(s"word_ngrams(coalesce(text, ''), $n)")
     def dupFrac(arr: Column): Column =
       (lit(1.0) - size(array_distinct(arr)).cast(DoubleType)
         / size(arr).cast(DoubleType))

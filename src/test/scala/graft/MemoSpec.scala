@@ -77,6 +77,34 @@ class MemoSpec extends SparkTestBase {
     assert(Memo.liveEntries(s) == 0)
   }
 
+  test("distinct memos with EQUAL keys never alias in the ledger") {
+    // chainMemo/clusterMemo/portablePairsMemo are all Memo[String] keyed by
+    // the same sf string — their ledger tokens must be per-instance, or the
+    // later add() replaces the earlier memo's slot (that frame escaping the
+    // LRU cap and liveEntries) and one memo's eviction drops the other's
+    // distinct literals per frame: aliases canonicalize away, so two
+    // `range(n)` frames would share ONE CacheManager entry and unpersisting
+    // either would blank both — same discipline as the planMemo test above
+    val s = freshSession(100)
+    val m1 = new Memo[String]
+    val m2 = new Memo[String]
+    val d1 = m1(s, "sf0.01")(s.range(10).select((col("id") + 1).as("a"))); d1.count()
+    val d2 = m2(s, "sf0.01")(s.range(10).select((col("id") + 2).as("b"))); d2.count()
+    assert(Memo.liveEntries(s) == 2,
+      "two memos with the same key must occupy two ledger slots")
+    assert(d1.storageLevel != StorageLevel.NONE)
+    assert(d2.storageLevel != StorageLevel.NONE)
+    // cap-overflow eviction in one memo must never free the other's frame
+    val s2 = freshSession(1)
+    val e1 = m1(s2, "k")(s2.range(3).select((col("id") + 1).as("a"))); e1.count()
+    val e2 = m2(s2, "k")(s2.range(3).select((col("id") + 2).as("b"))); e2.count() // evicts e1 (LRU)
+    assert(e1.storageLevel == StorageLevel.NONE, "LRU slot (m1) evicted")
+    assert(e2.storageLevel != StorageLevel.NONE, "m2's frame must survive")
+    assert(Memo.liveEntries(s2) == 1)
+    Memo.clearSession(s); Memo.clearSession(s2)
+    assert(Memo.liveEntries(s) == 0 && Memo.liveEntries(s2) == 0)
+  }
+
   test("clearSession releases every entry and hook-registered value") {
     val s = freshSession(100)
     val memo = new Memo[String]

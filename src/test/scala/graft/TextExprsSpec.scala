@@ -80,14 +80,24 @@ class TextExprsSpec extends SparkTestBase {
       aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
         lit(0L), (acc, ch) => pmod(acc * lit(31L) + ch, lit(P)))
     }
+    // supplementary-plane cases: Spark 4.x `ascii` decodes the FULL code
+    // point (128512 for U+1F600, not the 0xD83D surrogate), and poly_hash
+    // folds codePointAt the same way — identity must hold beyond the BMP
+    val emoji = new String(Character.toChars(0x1F600))   // 😀
+    val math_u = new String(Character.toChars(0x1D518))  // 𝔘
     val df = (edges ++ Seq("w42", "The Quick BROWN fox", "ümlaut tökens",
-      "€uro sign", "abc" * 300)).toDF("text")
+      "€uro sign", "abc" * 300,
+      emoji, s"a${emoji}b", s"$emoji $math_u mixed", math_u * 5)).toDF("text")
     val diffs = df.select(builtinPoly.as("a"), expr("poly_hash(text)").as("b"))
       .where(not(col("a") <=> col("b"))).collect()
     assert(diffs.isEmpty, s"poly_hash diverged: ${diffs.mkString("; ")}")
     // the split("","")=[""], ascii("")=0 edge: empty string hashes to 0
     assert(Seq("").toDF("text").select(expr("poly_hash(text)"))
       .head().getLong(0) == 0L)
+    // pin the decoded-code-point fact itself, so a future Spark reverting
+    // ascii to charAt(0) semantics fails HERE and not deep in an index probe
+    assert(Seq(emoji).toDF("text").select(ascii(col("text"))).head().getInt(0)
+      == 0x1F600, "Spark ascii must decode the full supplementary code point")
   }
 
   test("rolling_window_hashes equals the builtin aggregate-over-slice fold") {
@@ -109,6 +119,25 @@ class TextExprsSpec extends SparkTestBase {
         .where(not(col("a") <=> col("b"))).collect()
       assert(diffs.isEmpty, s"k=$k diverged: ${diffs.mkString("; ")}")
     }
+  }
+
+  test("rolling_window_hashes: null elements poison their windows to null") {
+    // no current caller builds nullable hash arrays, but the type accepts
+    // them — a null element must propagate null for every covering window
+    // (the builtin fold's pmod-of-null), never silently hash as 0
+    import spark.implicits._
+    val (r, p, k) = (1000003L, 1000000007L, 2)
+    val df = Seq(Seq[Option[Long]](Some(5L), None, Some(7L), Some(11L)))
+      .toDF("hs")
+    val builtinFold = transform(sequence(lit(0), size(col("hs")) - k),
+      i => aggregate(slice(col("hs"), i + 1, lit(k)), lit(0L),
+        (acc, h) => pmod(acc * lit(r) + h, lit(p))))
+    val row = df.select(builtinFold.as("a"),
+      expr(s"rolling_window_hashes(hs, $k, ${r}L, ${p}L)").as("b")).head()
+    assert(row.getSeq[Any](0) == row.getSeq[Any](1),
+      s"null-poisoning diverged: ${row.getSeq[Any](0)} vs ${row.getSeq[Any](1)}")
+    assert(row.getSeq[Any](1)(0) == null && row.getSeq[Any](1)(1) == null
+      && row.getSeq[Any](1)(2) != null)
   }
 
   test("word_ngrams and poly_hash equal the builtin chains on FUZZED strings") {
