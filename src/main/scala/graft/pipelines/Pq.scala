@@ -134,27 +134,42 @@ object Pq {
     * cuts the bytes per row scanned (1/16) — the FAISS IVFPQ shape as two
     * already-indexed Spark structures joined by cell id. With
     * `nProbe ≥ nCells` the cell filter is a no-op and the result is
-    * provably identical to [[pqTopK]] (the registered query's oracle);
-    * the genuine pruning regime is recall-gated in `IvfRecallSpec`. */
+    * provably identical to [[pqTopK]] at the same `rerank` (the registered
+    * queries' oracle — `spill` also cannot change the all-cells member set
+    * beyond duplication, which the dedup removes); the genuine pruning
+    * regime is recall-gated in `IvfRecallSpec`. `rerank` sizes the exact
+    * refine buffer (the FAISS refine step: ADC keeps k·rerank candidates,
+    * float re-scoring orders them); `spill` ≥ 2 multi-assigns each vector
+    * to its `spill` nearest cells — the recall lever that moves the CELL
+    * COVERAGE bound, which `rerank` alone cannot (at nProbe=16/45 cells the
+    * single-assignment ceiling is exact-IVF's own ~0.80). */
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 32,
                 nCentroids: Int = 0, m: Int = 16, ks: Int = 16,
                 iters: Int = 2, rerank: Int = 16, dim: Int = 64,
+                spill: Int = 1,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dsub = dim / m
     graft.functions.VectorExprs.register(emb.sparkSession)
     val (cents, assigned, _) =
-      Similarity.ivfCells(emb, idCol, nCentroids, lloydIters = 2)
+      Similarity.ivfCells(emb, idCol, nCentroids, lloydIters = 2, spill = spill)
     val books = trainCodebooks(emb, m, ks, iters, dim, idCol, vecCol)
+    // under spill >= 2 the query id has `spill` assignment rows — one
+    // embedding row is all the cell ranking needs
     val qCells = assigned.where(col(idCol) === queryId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb")).limit(1)
       .crossJoin(broadcast(cents))
       .withColumn("sim",
         graft.functions.VectorExprs.fastCosine("q_emb", "cent_emb"))
       .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
       .select(col("cent_id"))
-    val members = assigned.join(broadcast(qCells), Seq("cent_id"))
+    // spilled members reachable through two probed cells dedup by id
+    // (duplicate rows are bit-identical — same id, same embedding);
+    // single-assignment keeps the exchange-free join, nothing to dedup
+    val members0 = assigned.join(broadcast(qCells), Seq("cent_id"))
       .where(col(idCol) =!= queryId)
       .select(col(idCol), col("embedding").as(vecCol))
+    val members =
+      if (spill > 1) members0.dropDuplicates(Seq(idCol)) else members0
     val q = unitize(emb.where(col(idCol) === queryId), idCol, vecCol)
       .select(col("nv").as("qn"))
     val unitM = unitize(members, idCol, vecCol)

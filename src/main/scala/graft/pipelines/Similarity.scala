@@ -286,21 +286,29 @@ object Similarity {
   private final case class IvfIndex(cents: DataFrame, assigned: DataFrame, nCentroids: Int)
   // plan-keyed (sameResult-verified) like lshMemo — two frames per entry,
   // so it rides PlanMemo with a two-frame free hook
-  private val ivfCache = new graft.core.PlanMemo[(String, Int, Int), IvfIndex]({ i =>
+  private val ivfCache = new graft.core.PlanMemo[(String, Int, Int, Int), IvfIndex]({ i =>
     i.cents.unpersist(blocking = false); i.assigned.unpersist(blocking = false)
   })
 
+  /** `spill` >= 2 is MULTI-ASSIGNMENT: each vector is indexed under its
+    * `spill` nearest cells (Lloyd training itself stays single-assignment —
+    * only the final membership spills). The standard recall lever for
+    * cell-pruned probing (the ScaNN/SOAR-family trade): coverage of a true
+    * neighbor needs ANY of its `spill` cells probed, not its single nearest,
+    * at the price of an index `spill`× the rows — probes must dedup members
+    * reachable through two probed cells. */
   private def ivfIndex(emb: DataFrame, idCol: String, nCentroidsOverride: Int,
-                       lloydIters: Int): IvfIndex = {
-    ivfCache(emb, (idCol, nCentroidsOverride, lloydIters))({
+                       lloydIters: Int, spill: Int = 1): IvfIndex = {
+    require(spill >= 1, s"spill must be >= 1, got $spill")
+    ivfCache(emb, (idCol, nCentroidsOverride, lloydIters, spill))({
       val nc =
         if (nCentroidsOverride > 0) nCentroidsOverride
         else math.max(16, math.sqrt(emb.count().toDouble).round.toInt)
-      def assign(c: DataFrame) = emb.crossJoin(broadcast(c))
+      def assign(c: DataFrame, keep: Int) = emb.crossJoin(broadcast(c))
         .withColumn("sim", graft.functions.VectorExprs.fastCosine("embedding", "cent_emb"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
-        .where(col("rn") === 1)
+        .where(col("rn") <= keep)
         .select(col(idCol), col("embedding"), col("cent_id"))
       // seed centroids = deterministic sample of the corpus (ids hashed),
       // then `lloydIters` rounds of assign → per-cell elementwise mean
@@ -312,14 +320,14 @@ object Similarity {
         .orderBy("_h").limit(nc)
         .select(col(idCol).as("cent_id"), col("embedding").as("cent_emb"))
       for (_ <- 1 to lloydIters)
-        cents = assign(cents)
+        cents = assign(cents, 1)
           .select(col("cent_id"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
           .groupBy("cent_id", "_pos").agg(avg("_v").as("_m"))
           .groupBy("cent_id")
           .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
             s => s.getField("_m").cast(FloatType)).as("cent_emb"))
       val centsP = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = assign(centsP)
+      val assigned = assign(centsP, spill)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       IvfIndex(centsP, assigned, nc)
     })
@@ -350,9 +358,9 @@ object Similarity {
     * (centroids, assignments, nCells) — cached/persisted like every probe
     * through [[ivfTopK]]. */
   private[pipelines] def ivfCells(emb: DataFrame, idCol: String,
-                                  nCentroids: Int,
-                                  lloydIters: Int): (DataFrame, DataFrame, Int) = {
-    val idx = ivfIndex(emb, idCol, nCentroids, lloydIters)
+                                  nCentroids: Int, lloydIters: Int,
+                                  spill: Int = 1): (DataFrame, DataFrame, Int) = {
+    val idx = ivfIndex(emb, idCol, nCentroids, lloydIters, spill)
     (idx.cents, idx.assigned, idx.nCentroids)
   }
 

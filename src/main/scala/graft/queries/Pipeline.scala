@@ -2350,6 +2350,23 @@ object Pipeline extends QueryPack {
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
+  /** IVF-PQ with the refine levers engaged: rerank=32 (double the exact
+    * refine buffer) AND spill=2 (each vector indexed under its two nearest
+    * cells). At nProbe=64 ≥ nCells both are oracle-neutral-by-construction
+    * — every cell probed means spill only duplicates members (deduped) and
+    * the result provably equals ad-hoc PQ at rerank=32, which the oracle
+    * replays. The genuine pruning regime (nProbe=16/45 cells, where spill
+    * lifts recall past the single-assignment cell-coverage ceiling) is
+    * recall-gated in IvfRecallSpec and measured in OPERATORS.md. */
+  private def qAnnIvfPqRerank(s: SparkSession, sf: String): DataFrame =
+    graft.pipelines.Pq.ivfPqTopK(Tables.embeddings(s, sf), queryId = 0L,
+        k = 10, nProbe = 64, rerank = 32, spill = 2)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+
+  private val qAnnIvfPqRerankSql: String =
+    graft.pipelines.Pq.pqTopKSql(0L, 10, rerank = 32)
+
   /** Lexical diversity per doc: type-token ratio and hapax-legomenon
     * fraction — repetition/templating quality signals. Integer counts plus
     * two single divisions, exact cross-engine. */
@@ -3644,6 +3661,7 @@ object Pipeline extends QueryPack {
     QueryDef("ann_pq_index", qAnnPqIndex, Some(qAnnPqSql)),
     QueryDef("ann_pq_batch", qAnnPqBatch, Some(qAnnPqBatchSql)),
     QueryDef("ann_ivfpq", qAnnIvfPq, Some(qAnnPqSql)),
+    QueryDef("ann_ivfpq_rerank", qAnnIvfPqRerank, Some(qAnnIvfPqRerankSql)),
     QueryDef("ann_pq_incremental", qAnnPqIncremental, Some(qAnnPqIncrementalSql)),
     QueryDef("ann_filtered", qAnnFiltered, Some(qAnnFilteredSql)),
     QueryDef("text_lexical_diversity", qLexicalDiversity,

@@ -259,6 +259,18 @@ class PlanSpec extends AnyFunSuite {
       s"candidate cut must be a TakeOrdered:\n$p")
   }
 
+  check("ann_ivfpq_rerank") { p =>
+    // the refine step re-scores ONLY the ADC top-(k·rerank) candidates: the
+    // float fetch must ride an id equi-join below the candidate limit, never
+    // a second full-corpus float pass, and the ADC scan stays on the kernel
+    assert(p.contains("pq_adc"), s"ADC must be the native kernel:\n$p")
+    assert(p.contains("float_dot"), s"re-rank must use the exact float kernel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate cut + final k must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"spill dedup and candidate fetch must stay equi-joins:\n$p")
+  }
+
   check("retrieval_bm25") { p =>
     // scoring aggregates per doc with partial (map-side) combine before the
     // shuffle, and the final ranking is a distributed TakeOrdered
