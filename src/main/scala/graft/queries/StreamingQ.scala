@@ -40,7 +40,15 @@ object StreamingQ extends QueryPack {
         concat(lit("name "), col("_n"), lit(" user "), col("_u")).as("labels"),
         col(S.Ts).as("timestamp"), col(S.Value).as("value"))
     wire.unionAll(wire).coalesce(2).write.mode("overwrite").json(src)
-    Ingest.runOnce(s, src, table, ckpt)
+    // the dedup state shuffle is the roundtrip's fixed cost: at the default
+    // 32 partitions every micro-batch commits 32 state-store deltas for a
+    // few thousand rows — 8 keeps the same plan with 1/4 the commit fan-out
+    // (state-store count is a per-query setting in production, sized to the
+    // ingest key cardinality, exactly as here)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try Ingest.runOnce(s, src, table, ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val back = s.read.parquet(table)
       .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
     M3QL.query(s, back, grid, "fetch name:click")
@@ -501,8 +509,91 @@ object StreamingQ extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** INGESTION-LAG metering (ref: metrics/TSDBIngestionLagMetrics.java
+    * coordinatorLag/appendLag histograms; action/TSDBIngestionLagActionFilter
+    * .java:92-106 `now − minSampleTimestamp` per bulk request): the click
+    * wire rows split into three deterministic micro-batches (user bucket,
+    * one file per batch, mtime-ordered, maxFilesPerTrigger=1), stream
+    * through parse → metered sink → parquet append, and the per-batch lag
+    * ledger comes back as rows. The wall clock is the one genuinely
+    * non-replayable input, so the metered sink takes an injected batch
+    * clock (arrival = base + batchId·1s, commit = arrival + 500ms) — the
+    * SAME code path production meters with `System.currentTimeMillis()`
+    * (`IngestLag.meteredSink` defaults), which the deliberately-late-stream
+    * spec exercises. Everything else — batch boundaries, event-time
+    * extents, per-row lag sums — is real and hash-compared. */
+  private def qIngestLag(s: SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ilag")
+    val (src, table) = (s"$base/src", s"$base/table")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val wire = Tables.eventSamples(s, sf)
+      .where(col(S.LabelsCol).getItem("name") === "click")
+      .select(
+        concat(lit("name "), col(S.LabelsCol).getItem("name"),
+          lit(" user "), col(S.LabelsCol).getItem("user")).as("labels"),
+        col(S.Ts).as("timestamp"), col(S.Value).as("value"),
+        (col(S.LabelsCol).getItem("user").cast("long") % 3).as("_b"))
+    // one json file per bucket, strictly increasing mtimes: the file source
+    // (maxFilesPerTrigger=1, oldest-first) makes batch i exactly bucket i
+    for (b <- 0 to 2) {
+      val tmp = s"$base/tmp$b"
+      wire.where(col("_b") === b).drop("_b")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val dst = java.nio.file.Paths.get(src, f"batch$b%03d.json")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val arrivalBase = IngestLagArrivalBase
+    val source = s"ilag:$base"
+    graft.serve.IngestLag.clear(source)
+    val sink = graft.serve.IngestLag.meteredSink(source,
+      arrivalClock = bid => arrivalBase + bid * 1000L,
+      commitClock = bid => arrivalBase + bid * 1000L + 500L) {
+      (df, _) => df.write.mode("append").parquet(table)
+    }
+    val q = Ingest.parseWire(
+        s.readStream.schema(Ingest.wireSchema)
+          .option("maxFilesPerTrigger", 1).json(src))
+      .writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(); q.stop()
+    import s.implicits._
+    val rows = graft.serve.IngestLag.batches(source).map(b =>
+      (b.batchId, b.rows, b.minEventMs, b.maxEventMs,
+        b.coordinatorLagMs, b.appendLagMs, b.avgLagMs))
+    graft.serve.IngestLag.clear(source)
+    rows.toDF("batch_id", "n_rows", "min_event_ms", "max_event_ms",
+        "coordinator_lag_ms", "append_lag_ms", "avg_lag_ms")
+      .orderBy("batch_id")
+  }
+
+  /** Fixed arrival instant for the injected batch clock — far above any
+    * event timestamp in the test data, so every lag is positive. */
+  private val IngestLagArrivalBase = 2000000000000L
+
+  /** DuckDB mirror: the same three user buckets with the same injected
+    * clock — count/extents/lags are all BIGINT, so the compare is exact. */
+  private val qIngestLagSql =
+    s"""WITH w AS (
+       |  SELECT (user_id % 10) % 3 AS b, epoch_ms(ts) AS t
+       |  FROM events WHERE event_type = 'click')
+       |SELECT CAST(b AS BIGINT) AS batch_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(t) AS min_event_ms, max(t) AS max_event_ms,
+       |  ($IngestLagArrivalBase + b * 1000) - min(t) AS coordinator_lag_ms,
+       |  ($IngestLagArrivalBase + b * 1000 + 500) - min(t) AS append_lag_ms,
+       |  (count(*) * ($IngestLagArrivalBase + b * 1000) - sum(t)) // count(*) AS avg_lag_ms
+       |FROM w GROUP BY b ORDER BY batch_id""".stripMargin
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
+    QueryDef("tsdb_ingest_lag", qIngestLag, Some(qIngestLagSql)),
     QueryDef("streaming_winnow_probe", qStreamWinnow,
       Some(Pipeline.winnowStreamProbeSql)),
     QueryDef("streaming_ann_probe", qStreamAnn, Some(qStreamAnnSql)),

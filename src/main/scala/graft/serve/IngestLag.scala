@@ -1,0 +1,109 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingestion-lag observability — the Spark analogue of the reference's
+  * ingestion-lag metrics (metrics/TSDBIngestionLagMetrics.java:17-27:
+  * coordinatorLag / appendLag histograms per index;
+  * action/TSDBIngestionLagActionFilter.java:92-106 computes
+  * `now − minSampleTimestamp` per bulk request at coordinator entry).
+  *
+  * Mapping: the reference meters each BULK REQUEST as it enters the
+  * coordinator and as its shard appends complete; the Structured-Streaming
+  * unit of arrival is the MICRO-BATCH, so this meters each micro-batch:
+  *  - coordinator lag = batch arrival instant − min sample event-time in
+  *    the batch (how stale the freshest view is when data lands),
+  *  - append lag     = sink commit instant − min sample event-time (when
+  *    the rows became queryable — the reference's "appended and queryable"),
+  *  - per-row lag sum (arrival − event-time summed over the batch), so
+  *    avg lag is derivable without a second pass.
+  *
+  * The clock is an injectable seam: production meters wall time
+  * ([[meteredSink]]'s defaults — exactly the filter's
+  * `System.currentTimeMillis()`), while tests and the oracle-checked
+  * registry query inject a deterministic batch clock, which is what lets a
+  * LAG metric be hash-compared against DuckDB at all. State is a bounded
+  * per-source ring (latest [[MaxBatches]] batches) plus running max —
+  * the same shape as the reference's histogram-with-tags registry, driver
+  * memory O(sources × MaxBatches).
+  */
+object IngestLag {
+
+  /** One micro-batch's lag measurements for one ingest source. */
+  final case class BatchLag(source: String, batchId: Long, rows: Long,
+                            minEventMs: Long, maxEventMs: Long,
+                            arrivalMs: Long, commitMs: Long,
+                            lagSumMs: Long) {
+    /** ref coordinatorLag: arrival − min sample ts (ActionFilter.java:101). */
+    def coordinatorLagMs: Long = arrivalMs - minEventMs
+    /** ref appendLag: queryable − min sample ts. */
+    def appendLagMs: Long = commitMs - minEventMs
+    /** Mean per-row arrival lag, floor-divided (exact integer both engines). */
+    def avgLagMs: Long = if (rows == 0) 0L else lagSumMs / rows
+  }
+
+  /** Batches retained per source (newest kept) — bounds driver state the
+    * way the reference bounds its pending-bulk tracking map. */
+  val MaxBatches = 256
+
+  private val reg =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[BatchLag]]
+
+  def record(b: BatchLag): Unit =
+    reg.updateWith(b.source) {
+      case Some(v) => Some((v :+ b).takeRight(MaxBatches))
+      case None    => Some(Vector(b))
+    }
+
+  def batches(source: String): Vector[BatchLag] =
+    reg.getOrElse(source, Vector.empty)
+
+  def clear(source: String): Unit = reg.remove(source)
+
+  /** Wrap a per-batch sink with lag metering: computes the batch's
+    * event-time extent and per-row lag sum (one aggregate over the
+    * already-materialized micro-batch), runs the real sink, and records a
+    * [[BatchLag]]. `tsCol` must be epoch millis. Clocks default to wall
+    * time (production); inject deterministic ones for oracle replay. */
+  def meteredSink(source: String, tsCol: String = graft.core.TsSchema.Ts,
+                  arrivalClock: Long => Long = _ => System.currentTimeMillis(),
+                  commitClock: Long => Long = _ => System.currentTimeMillis())
+                 (sink: (DataFrame, Long) => Unit)
+                 : (DataFrame, Long) => Unit = { (df, batchId) =>
+    val arrival = arrivalClock(batchId)
+    val stats = df.agg(
+      count(lit(1)), min(col(tsCol)), max(col(tsCol)),
+      sum(lit(arrival) - col(tsCol))).collect()(0)
+    val rows = stats.getLong(0)
+    sink(df, batchId)
+    if (rows > 0)
+      record(BatchLag(source, batchId, rows,
+        stats.getLong(1), stats.getLong(2),
+        arrival, commitClock(batchId), stats.getLong(3)))
+  }
+
+  import JsonEsc.esc
+
+  /** `ingestionLag` stats JSON — the `/_tsdb/stats` companion section
+    * (rendered alongside [[TsdbStats]]): per source the batch count, row
+    * count, worst/last coordinator and append lag, and the latest batches'
+    * detail. All longs, no floats to wobble. */
+  def render(source: String): String = {
+    val bs = batches(source)
+    val detail = bs.takeRight(16).map(b =>
+      s"""{"batchId":${b.batchId},"rows":${b.rows},""" +
+        s""""coordinatorLagMs":${b.coordinatorLagMs},""" +
+        s""""appendLagMs":${b.appendLagMs},"avgLagMs":${b.avgLagMs}}""")
+      .mkString("[", ",", "]")
+    val maxCoord = if (bs.isEmpty) 0L else bs.map(_.coordinatorLagMs).max
+    val maxApp = if (bs.isEmpty) 0L else bs.map(_.appendLagMs).max
+    val last = bs.lastOption
+    s"""{"source":"${esc(source)}","numBatches":${bs.size},""" +
+      s""""numRows":${bs.map(_.rows).sum},""" +
+      s""""maxCoordinatorLagMs":$maxCoord,"maxAppendLagMs":$maxApp,""" +
+      s""""lastCoordinatorLagMs":${last.map(_.coordinatorLagMs).getOrElse(0L)},""" +
+      s""""lastAppendLagMs":${last.map(_.appendLagMs).getOrElse(0L)},""" +
+      s""""batches":$detail}"""
+  }
+}

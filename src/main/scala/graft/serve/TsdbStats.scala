@@ -75,6 +75,16 @@ object TsdbStats {
     (Seq(head, s""""labelStats":{${labels.mkString(",")}}""")).mkString("{", ",", "}")
   }
 
+  /** [[renderGrouped]] plus the `ingestionLag` section for one ingest
+    * source — the reference exposes its lag histograms through the same
+    * stats/metrics surface (metrics/TSDBIngestionLagMetrics.java), so the
+    * grouped stats response carries the per-source lag summary here. */
+  def renderGroupedWithLag(samples: DataFrame, source: String,
+                           includeValueStats: Boolean = true): String = {
+    val grouped = renderGrouped(samples, includeValueStats)
+    grouped.dropRight(1) + s""","ingestionLag":${IngestLag.render(source)}}"""
+  }
+
   /** Flat (Prometheus-style) format (ref response example :113-145). All three
     * arrays derive from ONE collected (label, value, num_series) aggregate —
     * a single pass over the input, like renderGrouped. */

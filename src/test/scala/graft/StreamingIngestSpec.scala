@@ -21,6 +21,55 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(m("host") == "a" && m("region") == "x")
   }
 
+  test("ingestion lag meters a deliberately-late stream on the wall clock " +
+       "and renders through the stats surface") {
+    // the PRODUCTION clock path (System.currentTimeMillis defaults): events
+    // stamped 5 minutes in the past must meter a coordinator lag >= that
+    // floor, and the lag must be visible in the /_tsdb/stats render —
+    // matching the reference's coordinatorLag histogram semantics
+    // (action/TSDBIngestionLagActionFilter.java:101: now - minSampleTs)
+    val dir = Files.createTempDirectory("graft_lag").toFile.getAbsolutePath
+    val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
+    new java.io.File(src).mkdirs()
+    val now = System.currentTimeMillis()
+    val late = now - 300000L // 5 min stale
+    val lines = Seq(
+      s"""{"labels":"host a","timestamp":$late,"value":1.0}""",
+      s"""{"labels":"host b","timestamp":${late + 1000},"value":2.0}""")
+    Files.write(java.nio.file.Paths.get(s"$src/batch1.json"),
+      lines.mkString("\n").getBytes)
+    val source = s"lag-test:$dir"
+    val sink = graft.serve.IngestLag.meteredSink(source) {
+      (df, _) => df.write.mode("append").parquet(tbl)
+    }
+    val q = Ingest.readJsonStream(spark, src)
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(); q.stop()
+
+    val bs = graft.serve.IngestLag.batches(source)
+    assert(bs.size == 1, s"expected one metered batch, got ${bs.size}")
+    val b = bs.head
+    assert(b.rows == 2)
+    assert(b.minEventMs == late && b.maxEventMs == late + 1000)
+    assert(b.coordinatorLagMs >= 300000L,
+      s"coordinator lag ${b.coordinatorLagMs} below the 5-min staleness floor")
+    assert(b.appendLagMs >= b.coordinatorLagMs,
+      "append (queryable) lag can never undercut coordinator lag")
+    assert(b.avgLagMs >= 299500L && b.avgLagMs <= b.coordinatorLagMs)
+
+    // surfaced through the stats render, next to the cardinality sections
+    val stats = graft.serve.TsdbStats.renderGroupedWithLag(
+      spark.read.parquet(tbl), source)
+    assert(stats.contains("\"ingestionLag\""), stats.take(200))
+    assert(stats.contains("\"maxCoordinatorLagMs\""))
+    assert(stats.contains(s""""numBatches":1"""))
+    assert(stats.contains("\"headStats\""), "lag section must join, not replace")
+    graft.serve.IngestLag.clear(source)
+  }
+
   test("streaming ingest writes day-partitioned parquet with dedup") {
     val dir = Files.createTempDirectory("graft_ingest").toFile.getAbsolutePath
     val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
