@@ -16,6 +16,11 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+# optional tables: registered when the driver ships them (the registry's
+# partsupp hook activates the tpch_q2/q9/q11/q16/q20 oracles the same day)
+for t in ["partsupp"]:
+    if glob.glob(f"{sf}/{t}.parquet"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 results = {"match": [], "mismatch": [], "error": [], "no_oracle": [], "missing": []}

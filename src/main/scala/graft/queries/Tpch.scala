@@ -522,6 +522,235 @@ object Tpch extends QueryPack {
       |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ---- partsupp family: q2 / q9 / q11 / q16 / q20 -------------------------
+  // /root/testdata ships no partsupp.parquet today; these five REGISTER ONLY
+  // when it appears in every sf dir (the hook at the bottom), so the driver
+  // gate goes green the day the table ships. Until then TpchPartsuppSpec
+  // pins every query + oracle pair over [[synthPartsupp]], a deterministic
+  // TPC-H-shaped fixture (4 suppliers per part, integer-derived
+  // availqty/supplycost), against a full SQL-engine replay of the oracles.
+
+  /** Deterministic TPC-H-shaped partsupp from the shipped part/supplier
+    * tables (0-based keys): 4 suppliers per part at stride S/4+1 (distinct
+    * mod S at every shipped supplier count), availqty 1..9999 and
+    * supplycost 1.00..1000.00 as pure integer functions of the keys — the
+    * exact fixture TpchPartsuppSpec writes, so the five queries' semantics
+    * are pinned end-to-end before the real table exists. */
+  def synthPartsupp(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.supplier(spark, sf).count()
+    Tables.part(spark, sf).select(col("p_partkey"))
+      .crossJoin(spark.range(4).toDF("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") + col("i") * lit(s / 4 + 1)) % s).as("ps_suppkey"),
+        ((col("p_partkey") * 37 + col("i") * 101) % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        (((col("p_partkey") * 53 + col("i") * 7919) % 99900 + 100)
+          .cast("double") / 100.0).as("ps_supplycost"))
+  }
+
+  /** Q2: min-cost supplier per part within a region. The region-side
+    * supplier dim broadcasts; the per-part min is one partial agg over the
+    * region's partsupp slice; the equality join back is partkey-hashed. */
+  private def psQ2(spark: SparkSession, sf: String): DataFrame = {
+    val supEu = Tables.supplier(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sf).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val inRegion = Tables.partsupp(spark, sf)
+      .join(broadcast(supEu), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = inRegion.groupBy(col("ps_partkey").as("_mp"))
+      .agg(min(col("ps_supplycost")).as("_minc"))
+    val parts = Tables.part(spark, sf)
+      .where(col("p_type") === "LARGE" && col("p_size") < 25)
+      .select("p_partkey")
+    inRegion.join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(minCost,
+        col("ps_partkey") === col("_mp") && col("ps_supplycost") === col("_minc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  private val psQ2Sql =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+      |FROM partsupp ps
+      |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+      |JOIN part p ON p.p_partkey = ps.ps_partkey
+      |WHERE p.p_type = 'LARGE' AND p.p_size < 25
+      |  AND ps.ps_supplycost = (
+      |    SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey AND r2.r_name = 'EUROPE'
+      |    WHERE ps2.ps_partkey = ps.ps_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** Q9: product-type profit by nation × order year. The two big-fact
+    * shuffles (lineitem⋈orders on orderkey, lineitem⋈partsupp on the
+    * composite key) are q9's irreducible cost; part/supplier/nation
+    * broadcast, and the name filter prunes lineitem through the broadcast
+    * join before either shuffle. */
+  private def psQ9(spark: SparkSession, sf: String): DataFrame = {
+    val parts = Tables.part(spark, sf)
+      .where(col("p_name").like("%widget%")).select("p_partkey")
+    Tables.lineitem(spark, sf)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sf)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.partsupp(spark, sf),
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation_name"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("ps_supplycost") * col("l_quantity")).as("sum_profit"))
+      .orderBy(col("nation_name"), col("o_year").desc)
+  }
+
+  private val psQ9Sql =
+    s"""SELECT n_name AS nation_name,
+       |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount) - ps_supplycost * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2 ORDER BY nation_name, o_year DESC""".stripMargin
+
+  /** Q11: important stock — per-part inventory value in a region above a
+    * fraction of the region total. One partial agg per part plus a 1-row
+    * broadcast total; the HAVING threshold compares decimal-quantized
+    * doubles both engines derive identically. */
+  private def psQ11(spark: SparkSession, sf: String): DataFrame = {
+    val supEu = Tables.supplier(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sf).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val eu = Tables.partsupp(spark, sf)
+      .join(broadcast(supEu), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost") * col("ps_availqty")).as("_v"))
+    val total = eu.agg(dSum(col("_v")).as("_total"))
+    eu.groupBy("ps_partkey").agg(dSum(col("_v")).as("value"))
+      .crossJoin(broadcast(total))
+      .where(col("value") > col("_total") * 0.0001)
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  private val psQ11Sql =
+    s"""WITH eu AS (SELECT ps_partkey, ps_supplycost, ps_availqty FROM partsupp
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE')
+       |SELECT ps_partkey, ${sqlSum("ps_supplycost * ps_availqty")} AS value
+       |FROM eu GROUP BY ps_partkey
+       |HAVING ${sqlSum("ps_supplycost * ps_availqty")} >
+       |  (SELECT ${sqlSum("ps_supplycost * ps_availqty")} * 0.0001 FROM eu)
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** Q16: parts/supplier relationship — distinct supplier counts per
+    * (brand, type, size) over filtered parts. Part dim broadcasts into
+    * the partsupp scan; one distinct-agg shuffle on the group key. */
+  private def psQ16(spark: SparkSession, sf: String): DataFrame = {
+    val parts = Tables.part(spark, sf)
+      .where(col("p_brand") =!= "Brand#1" &&
+        !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.partsupp(spark, sf)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val psQ16Sql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20: suppliers of promoted parts with surplus stock — availqty above
+    * half the year's shipped quantity for that (part, supplier). The
+    * shipped agg is one lineitem pass (date filter pushed to the scan);
+    * the empty-sum case drops the pair in both engines (NULL comparison ≡
+    * this inner join). Quantity sums are integer-valued doubles, exact at
+    * any parallelism. */
+  private def psQ20(spark: SparkSession, sf: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("_q"))
+    val coldParts = Tables.part(spark, sf)
+      .where(col("p_name").like("cold%")).select("p_partkey")
+    val elig = Tables.partsupp(spark, sf)
+      .join(broadcast(coldParts), col("ps_partkey") === col("p_partkey"))
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty") > lit(0.5) * col("_q"))
+      .select("ps_suppkey").distinct()
+    Tables.supplier(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sf).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(elig, col("ps_suppkey") === col("s_suppkey"))
+      .select("s_name").orderBy("s_name")
+  }
+
+  private val psQ20Sql =
+    """WITH shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |elig AS (SELECT DISTINCT ps_suppkey FROM partsupp
+      |  JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'cold%'
+      |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |  WHERE ps_availqty > 0.5 * q)
+      |SELECT s_name FROM supplier
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+      |JOIN elig ON ps_suppkey = s_suppkey
+      |ORDER BY s_name""".stripMargin
+
+  /** The five partsupp QueryDefs — spec-pinned today, registry-live the day
+    * the driver ships the table. */
+  private[graft] val partsuppDefs: Seq[QueryDef] = Seq(
+    QueryDef("tpch_q2_min_cost_supp", psQ2, Some(psQ2Sql)),
+    QueryDef("tpch_q9_product_profit", psQ9, Some(psQ9Sql)),
+    QueryDef("tpch_q11_important_stock", psQ11, Some(psQ11Sql)),
+    QueryDef("tpch_q16_supplier_cnt", psQ16, Some(psQ16Sql)),
+    QueryDef("tpch_q20_surplus_stock", psQ20, Some(psQ20Sql)))
+
+  /** Registry hook: activate the partsupp family only when every shipped
+    * sf dir carries partsupp.parquet (the driver ships all tables to all
+    * sf dirs together — a partial appearance stays spec-only). */
+  private[graft] def partsuppAvailable(root: String = "/root/testdata"): Boolean = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "lineitem.parquet").exists())
+    dirs.nonEmpty &&
+      dirs.forall(d => new java.io.File(d, "partsupp.parquet").exists())
+  }
+
   override def all: Seq[QueryDef] = Seq(
     QueryDef("tpch_q1_pricing", q1, Some(q1Sql)),
     QueryDef("tpch_q3_topn_join", q3, Some(q3Sql)),
@@ -541,5 +770,6 @@ object Tpch extends QueryPack {
     QueryDef("tpch_q19_disjunctive", q19, Some(q19Sql)),
     QueryDef("tpch_q22_inactive", q22, Some(q22Sql)),
     QueryDef("tpch_q8_market_share", q8, Some(q8Sql)),
-    QueryDef("tpch_q21_waiting", q21, Some(q21Sql)))
+    QueryDef("tpch_q21_waiting", q21, Some(q21Sql))) ++
+    (if (partsuppAvailable()) partsuppDefs else Nil)
 }
