@@ -109,6 +109,67 @@ object Soak {
     op("BM25 top-10 (ad-hoc, doc 42 as query)") {
       graft.pipelines.Retrieval.bm25TopK(docs, 42L, 10)
     }
+
+    // ---- series family at the reference's own JMH envelopes ---------------
+    // BASELINE.md design targets: HeadAppendBenchmark appends against 1M
+    // UNIQUE series; MovingStageBenchmark windows 1000 series × 7200 samples
+    // (10s step, 2h moving window). The cardinality axis scales with mult
+    // (10k·mult series → 1M at mult=100); the window envelope scales its
+    // series count (100·mult → the exact JMH shape at mult=10).
+    import graft.core.{QueryGrid, TsSchema}
+    val S = TsSchema
+    val base = 1700000000000L
+
+    val nSeries = 10000L * mult
+    val ingestStage = s"$work/series_src"
+    val ingestTable = s"$work/series_table"
+    spark.range(nSeries).toDF("sid")
+      .crossJoin(spark.range(4).toDF("k"))
+      .select(
+        map(lit("name"), lit("cpu"),
+          lit("host"), concat(lit("h"), col("sid"))).as(S.LabelsCol),
+        (lit(base) + col("k") * 10000L + (col("sid") % 60) * 1000L).as(S.Ts),
+        (col("sid") % 97).cast("double").as(S.Value))
+      .transform(TsSchema.withSeriesId)
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+      .write.mode("overwrite").parquet(ingestStage)
+    op(s"streaming ingest (${nSeries} unique series × 4 samples, " +
+       "watermark+dedup+day partition)") {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(ingestStage).schema).parquet(ingestStage)
+      val q = graft.streaming.Ingest.writer(
+          graft.streaming.Ingest.withIngestSemantics(stream, 60000L),
+          ingestTable, s"$work/series_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(ingestTable)
+    }
+
+    val nWinSeries = 100L * mult
+    val winStage = s"$work/series_win"
+    val wgrid = QueryGrid(base, base + 7200L * 10000L, 10000L)
+    spark.range(nWinSeries).toDF("sid")
+      .crossJoin(spark.range(7200).toDF("k"))
+      .select(
+        map(lit("name"), lit("cpu"),
+          lit("host"), concat(lit("h"), col("sid"))).as(S.LabelsCol),
+        (lit(base) + col("k") * 10000L).as(S.Ts),
+        sin(col("sid") * lit(0.7) + col("k") * lit(0.01)).as(S.Value))
+      .transform(TsSchema.withSeriesId)
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+      .write.mode("overwrite").parquet(winStage)
+    val winSamples = spark.read.parquet(winStage)
+    op(s"moving 2h avg ($nWinSeries series × 7200 samples, 10s grid)") {
+      graft.stages.Temporal.moving(winSamples, wgrid, 7200000L, "avg")
+    }
+    op(s"perSecondRate 2m lookback ($nWinSeries series × 7200)") {
+      graft.stages.Temporal.perSecondRate(winSamples, 120000L)
+    }
+    op(s"grid densify to 10s ($nWinSeries series × 7200)") {
+      graft.stages.GridOps.densify(winSamples, wgrid)
+    }
+
     graft.core.Memo.clearSession(spark)
     spark.stop()
   }
