@@ -121,7 +121,10 @@ object Bench {
         .agg(fsum(col("l_extendedprice") * col("l_discount"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // untimed warm: parquet footer cache + codegen, like families
+    // untimed warm ×2: parquet footer cache + codegen + JIT — one pass
+    // leaves the first RECORDED probe ~2× the steady state (r11 measured
+    // 0.48s vs 0.21-0.34 thereafter), which would read as fake drift
+    calibrate(); calibrate()
     val calibration = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     var sinceProbe = 0
     var queryIdx = 0

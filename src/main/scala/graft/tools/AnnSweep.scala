@@ -78,6 +78,17 @@ object AnnSweep {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"pq   m=$m%-3d rerank=$rr%-3d bits=${m * 4} recall@10=$r%.2f  fraction=${10.0 * rr / n}%.3f  (${dt}%.1fs all-queries)")
     }
+    // the refine levers: rerank sizes the exact re-score buffer, spill >= 2
+    // multi-assigns members to lift the cell-coverage ceiling (index grows
+    // spill x) — the OPERATORS.md ivf-pq curve rows
+    for ((np, rr, sp) <- Seq((16, 32, 1), (16, 32, 2), (16, 32, 3), (32, 32, 2))) {
+      val t0 = System.nanoTime()
+      val r = recall(q => graft.pipelines.Pq.ivfPqTopK(emb, q, 10,
+        nProbe = np, rerank = rr, spill = sp))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nc = math.max(16, math.sqrt(n.toDouble).round.toInt)
+      println(f"ivfpq nProbe=$np%-3d rerank=$rr spill=$sp nCells=$nc recall@10=$r%.2f  codeFraction~${math.min(1.0, sp * np.toDouble / nc)}%.2f floatFraction=${10.0 * rr / n}%.3f  (${dt}%.1fs all-queries)")
+    }
     for ((b, ppb, h) <- Seq((8, 10, 2), (8, 10, 1), (12, 10, 1), (8, 12, 2), (16, 8, 1))) {
       val t0 = System.nanoTime()
       val r = recall(q => Similarity.lshTopK(emb, q, 10,
