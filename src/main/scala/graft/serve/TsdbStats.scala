@@ -111,4 +111,12 @@ object TsdbStats {
       (if (includeValueStats) Seq(s""""seriesCountByLabelValuePair":$byPair""") else Nil)
     parts.mkString("{", ",", "}")
   }
+
+  /** [[renderFlat]] plus the `ingestionLag` section — the flat-format
+    * counterpart of [[renderGroupedWithLag]]. */
+  def renderFlatWithLag(samples: DataFrame, source: String,
+                        includeValueStats: Boolean = true): String = {
+    val flat = renderFlat(samples, includeValueStats)
+    flat.dropRight(1) + s""","ingestionLag":${IngestLag.render(source)}}"""
+  }
 }

@@ -36,4 +36,21 @@ class TsdbStatsSpec extends SparkTestBase {
     assert(json.contains(""""labelValueCountByLabelName":["""))
     assert(json.contains("""{"name":"dc=a","value":2}"""))
   }
+
+  test("lag-carrying renders append ingestionLag without disturbing the stats") {
+    val src = "stats-spec-src"
+    graft.serve.IngestLag.clear(src)
+    graft.serve.IngestLag.record(graft.serve.IngestLag.BatchLag(
+      src, batchId = 0, rows = 3, minEventMs = 1000L, maxEventMs = 3000L,
+      arrivalMs = 61000L, commitMs = 61500L, lagSumMs = 177000L))
+    for (json <- Seq(TsdbStats.renderGroupedWithLag(fx, src),
+                     TsdbStats.renderFlatWithLag(fx, src))) {
+      assert(json.contains(""""headStats":{"numSeries":3"""), json.take(120))
+      assert(json.contains(""""ingestionLag":{"source":"stats-spec-src""""))
+      assert(json.contains(""""maxCoordinatorLagMs":60000"""))
+      assert(json.contains(""""maxAppendLagMs":60500"""))
+      assert(json.contains(""""avgLagMs":59000"""))
+    }
+    graft.serve.IngestLag.clear(src)
+  }
 }
