@@ -83,6 +83,49 @@ object IngestLag {
         arrival, commitClock(batchId), stats.getLong(3)))
   }
 
+  /** Meter a NAMED streaming query from its progress events — the listener
+    * path for sinks this module doesn't wrap, e.g. the production
+    * day-partitioned parquet writer ([[graft.streaming.Ingest.writer]] —
+    * chain `.queryName(...)` before `.start()`). Spark populates the
+    * progress `eventTime` stats only for watermarked queries (the ingest
+    * path always is), and the per-row lag sum falls out of the average:
+    * Σ(arrival − t) = n·(arrival − avg). Arrival = trigger start; commit =
+    * trigger start + triggerExecution — the same two instants the metered
+    * sink stamps. Remove with [[detachListener]]. */
+  def attachListener(spark: org.apache.spark.sql.SparkSession,
+                     queryName: String, source: String)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val et = p.eventTime
+        if (queryName == p.name && p.numInputRows > 0 && et != null &&
+            et.containsKey("min") && et.containsKey("avg")) {
+          def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+          val arrival = ms(p.timestamp)
+          val commit = arrival +
+            Option(p.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(0L)
+          record(BatchLag(source, p.batchId, p.numInputRows,
+            ms(et.get("min")), ms(et.get("max")), arrival, commit,
+            p.numInputRows * (arrival - ms(et.get("avg")))))
+        }
+      }
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detachListener(spark: org.apache.spark.sql.SparkSession,
+                     l: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+    spark.streams.removeListener(l)
+
   import JsonEsc.esc
 
   /** `ingestionLag` stats JSON — the `/_tsdb/stats` companion section

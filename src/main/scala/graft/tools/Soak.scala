@@ -123,7 +123,7 @@ object Soak {
     val nSeries = 10000L * mult
     val ingestStage = s"$work/series_src"
     val ingestTable = s"$work/series_table"
-    spark.range(nSeries).toDF("sid")
+    val ingestRows = spark.range(nSeries).toDF("sid")
       .crossJoin(spark.range(4).toDF("k"))
       .select(
         map(lit("name"), lit("cpu"),
@@ -132,9 +132,13 @@ object Soak {
         (col("sid") % 97).cast("double").as(S.Value))
       .transform(TsSchema.withSeriesId)
       .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+    // HeadAppendBenchmark's high-dup config (duplicate-sample ratio 0.5):
+    // every row re-sent once, so the within-watermark FIRST-dedup state
+    // does real eviction work at full cardinality
+    ingestRows.unionAll(ingestRows)
       .write.mode("overwrite").parquet(ingestStage)
     op(s"streaming ingest (${nSeries} unique series × 4 samples, " +
-       "watermark+dedup+day partition)") {
+       "dup ratio 0.5, watermark+dedup+day partition)") {
       val stream = spark.readStream
         .schema(spark.read.parquet(ingestStage).schema).parquet(ingestStage)
       val q = graft.streaming.Ingest.writer(

@@ -70,6 +70,50 @@ class StreamingIngestSpec extends SparkTestBase {
     graft.serve.IngestLag.clear(source)
   }
 
+  test("listener-based lag metering covers the production parquet-writer path") {
+    // the real Ingest.writer sink (day-partitioned parquet, watermark set)
+    // metered WITHOUT wrapping it: the progress-event listener derives the
+    // same three instants the metered sink stamps
+    val dir = Files.createTempDirectory("graft_lagl").toFile.getAbsolutePath
+    val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
+    new java.io.File(src).mkdirs()
+    val late = System.currentTimeMillis() - 300000L
+    Files.write(java.nio.file.Paths.get(s"$src/batch1.json"),
+      Seq(
+        s"""{"labels":"host a","timestamp":$late,"value":1.0}""",
+        s"""{"labels":"host b","timestamp":${late + 2000},"value":2.0}""")
+        .mkString("\n").getBytes)
+    val source = s"lag-listener:$dir"
+    val l = graft.serve.IngestLag.attachListener(spark, "lag_listener_q", source)
+    try {
+      val q = Ingest.writer(
+          Ingest.withIngestSemantics(Ingest.readJsonStream(spark, src), 60000L),
+          tbl, ckp)
+        .queryName("lag_listener_q")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+      // listener events are delivered async — poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.serve.IngestLag.batches(source).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val bs = graft.serve.IngestLag.batches(source)
+      assert(bs.nonEmpty, "listener recorded no batches")
+      val b = bs.head
+      assert(b.rows == 2)
+      assert(b.minEventMs == late && b.maxEventMs == late + 2000)
+      assert(b.coordinatorLagMs >= 300000L,
+        s"coordinator lag ${b.coordinatorLagMs} below the staleness floor")
+      assert(b.appendLagMs >= b.coordinatorLagMs)
+      // avg from Σ(arrival − t) = n·(arrival − avg): between the extremes
+      assert(b.avgLagMs >= b.coordinatorLagMs - 2000 &&
+             b.avgLagMs <= b.coordinatorLagMs)
+    } finally {
+      graft.serve.IngestLag.detachListener(spark, l)
+      graft.serve.IngestLag.clear(source)
+    }
+  }
+
   test("streaming ingest writes day-partitioned parquet with dedup") {
     val dir = Files.createTempDirectory("graft_ingest").toFile.getAbsolutePath
     val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
