@@ -44,22 +44,44 @@ object IngestLag {
   }
 
   /** Batches retained per source (newest kept) — bounds driver state the
-    * way the reference bounds its pending-bulk tracking map. */
+    * way the reference bounds its pending-bulk tracking map. Overflow
+    * increments the per-source dropped counter, the analogue of the
+    * reference's `pendingDropped` metric ("pending bulk requests dropped
+    * due to per-shard tracking map being full",
+    * TSDBIngestionLagMetrics.java:28-29). The reference's third histogram,
+    * refreshLag (new series discoverable after a Lucene REFRESH), has no
+    * separate instant here: a parquet-sink batch is discoverable at
+    * commit, so appendLag covers it — documented n/a rather than faked. */
   val MaxBatches = 256
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Vector[BatchLag]]
+  private val droppedCtr =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   def record(b: BatchLag): Unit =
     reg.updateWith(b.source) {
-      case Some(v) => Some((v :+ b).takeRight(MaxBatches))
+      case Some(v) =>
+        if (v.size >= MaxBatches)
+          droppedCtr.updateWith(b.source) {
+            case Some(n) => Some(n + (v.size - MaxBatches + 1))
+            case None    => Some((v.size - MaxBatches + 1).toLong)
+          }
+        Some((v :+ b).takeRight(MaxBatches))
       case None    => Some(Vector(b))
     }
+
+  /** Ring-evicted batch count for one source (the `pendingDropped`
+    * analogue); summaries (max lag, row totals) only cover retained
+    * batches, and this counter says how many fell off. */
+  def dropped(source: String): Long = droppedCtr.getOrElse(source, 0L)
 
   def batches(source: String): Vector[BatchLag] =
     reg.getOrElse(source, Vector.empty)
 
-  def clear(source: String): Unit = reg.remove(source)
+  def clear(source: String): Unit = {
+    reg.remove(source); droppedCtr.remove(source); ()
+  }
 
   /** Wrap a per-batch sink with lag metering: computes the batch's
     * event-time extent and per-row lag sum (one aggregate over the
@@ -144,6 +166,7 @@ object IngestLag {
     val last = bs.lastOption
     s"""{"source":"${esc(source)}","numBatches":${bs.size},""" +
       s""""numRows":${bs.map(_.rows).sum},""" +
+      s""""droppedBatches":${dropped(source)},""" +
       s""""maxCoordinatorLagMs":$maxCoord,"maxAppendLagMs":$maxApp,""" +
       s""""lastCoordinatorLagMs":${last.map(_.coordinatorLagMs).getOrElse(0L)},""" +
       s""""lastAppendLagMs":${last.map(_.appendLagMs).getOrElse(0L)},""" +

@@ -50,7 +50,25 @@ class TsdbStatsSpec extends SparkTestBase {
       assert(json.contains(""""maxCoordinatorLagMs":60000"""))
       assert(json.contains(""""maxAppendLagMs":60500"""))
       assert(json.contains(""""avgLagMs":59000"""))
+      assert(json.contains(""""droppedBatches":0"""))
     }
     graft.serve.IngestLag.clear(src)
+  }
+
+  test("lag ring bounds state and counts evictions (the pendingDropped analogue)") {
+    val src = "stats-spec-ring"
+    graft.serve.IngestLag.clear(src)
+    val n = graft.serve.IngestLag.MaxBatches + 7
+    for (i <- 0 until n)
+      graft.serve.IngestLag.record(graft.serve.IngestLag.BatchLag(
+        src, batchId = i, rows = 1, minEventMs = 0L, maxEventMs = 0L,
+        arrivalMs = 1000L + i, commitMs = 1000L + i, lagSumMs = 1000L + i))
+    val bs = graft.serve.IngestLag.batches(src)
+    assert(bs.size == graft.serve.IngestLag.MaxBatches, "ring must cap state")
+    assert(bs.head.batchId == 7 && bs.last.batchId == n - 1, "newest retained")
+    assert(graft.serve.IngestLag.dropped(src) == 7L)
+    assert(graft.serve.IngestLag.render(src).contains(""""droppedBatches":7"""))
+    graft.serve.IngestLag.clear(src)
+    assert(graft.serve.IngestLag.dropped(src) == 0L, "clear resets the counter")
   }
 }
