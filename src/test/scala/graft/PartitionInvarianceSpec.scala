@@ -284,4 +284,32 @@ class PartitionInvarianceSpec extends SparkTestBase {
       .collect()
     assert(b.forall(_.getAs[Double]("mean_silhouette") > 0.9))
   }
+
+  test("ivfPqTopK with spill+rerank is partition-invariant") {
+    // the round-11 refine levers: the spilled membership, the member dedup
+    // and the candidate cut must all be distribution-independent (ADC ties
+    // break on id; dedup rows are bit-identical duplicates)
+    same(df => graft.pipelines.Pq.ivfPqTopK(df, queryId = 0L, k = 5,
+      nProbe = 3, nCentroids = 8, m = 4, ks = 4, rerank = 4, dim = 8,
+      spill = 2), emb)
+  }
+
+  test("ingest-lag metering is partition-invariant (batch aggregate only)") {
+    // the metered sink's per-batch stats are one count/min/max/sum
+    // aggregate — partitioning can never move them
+    def meter(df: DataFrame): DataFrame = {
+      val src = s"inv:${java.util.UUID.randomUUID()}"
+      graft.serve.IngestLag.meteredSink(src, tsCol = "tm",
+        arrivalClock = _ => 5000L, commitClock = _ => 6000L) {
+        (_, _) => ()
+      }.apply(df, 0L)
+      val out = graft.serve.IngestLag.batches(src).map(b =>
+        (b.rows, b.minEventMs, b.maxEventMs, b.coordinatorLagMs,
+          b.appendLagMs, b.avgLagMs))
+      graft.serve.IngestLag.clear(src)
+      import df.sparkSession.implicits._
+      out.toDF("rows", "mn", "mx", "clag", "alag", "avg")
+    }
+    same(meter, events)
+  }
 }
