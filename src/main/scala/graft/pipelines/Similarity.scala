@@ -525,6 +525,29 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cent_id").saveAsTable(table)
   }
 
+  /** Append a new snapshot to a [[writeIvfIndex]] table under FROZEN
+    * centroids — the incremental-index contract, exactly like
+    * [[Pq.appendPqIndex]]: re-clustering would move every existing row's
+    * cell and invalidate old postings; frozen cells keep them valid at the
+    * price of centroids drifting from the corpus distribution over many
+    * appends (rebuild cadence is the operator's call). Only the NEW rows
+    * are scored against the broadcast centroid table (one pass, no
+    * shuffle beyond the write), and the append touches only the new rows'
+    * cell partitions. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                     newEmb: DataFrame, idCol: String = "vec_id"): Unit = {
+    graft.functions.VectorExprs.register(spark)
+    val cents = spark.table(s"${table}_cents")
+    newEmb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        graft.functions.VectorExprs.fastCosine("embedding", "cent_emb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("embedding"), col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").saveAsTable(table)
+  }
+
   /** Top-k probe against a persisted [[writeIvfIndex]] table. The probed
     * cell ids must be LITERALS for Catalyst to prune partitions at plan
     * time, so the centroid ranking runs eagerly and collects exactly

@@ -757,6 +757,27 @@ object Pipeline extends QueryPack {
       .orderBy("rnk")
   }
 
+  /** INCREMENTAL IVF index: cells train on the even-id half, the odd half
+    * appends under FROZEN centroids ([[Similarity.appendIvfIndex]] — the
+    * same contract as ann_pq_incremental), and the probe opens every cell
+    * (nProbe = nCells), so the result is provably the exact top-k over the
+    * grown corpus: the oracle is plain brute force, and any row lost,
+    * duplicated, or float-wobbled by the append path hash-mismatches. */
+  private def qAnnIvfIncremental(s: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(s, sf)
+    val table = "graft_ivf_inc_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    Registry.ensureTable(s, table, companions = Seq(s"${table}_cents")) {
+      Similarity.writeIvfIndex(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0), table, nCentroids = 8)
+      Similarity.appendIvfIndex(s, table,
+        emb.where(pmod(col("vec_id"), lit(2)) === 1))
+    }
+    Similarity.ivfTopKFromIndex(s, table, emb, queryId = 0L, k = 10,
+        nProbe = 8)
+      .select("vec_id", "rnk")
+      .orderBy("rnk")
+  }
+
   private def qAnnLsh(s: SparkSession, sf: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, sf), queryId = 0L, k = 10)
       .select("vec_id", "rnk")
@@ -3652,6 +3673,7 @@ object Pipeline extends QueryPack {
     QueryDef("dedup_embedding_exact", qDedupEmbedExact, Some(qDedupEmbedExactSql)),
     QueryDef("ann_brute_force", qAnnBrute, Some(qAnnBruteSql)),
     QueryDef("ann_ivf_index", qAnnIvfIndex, Some(qAnnBruteSql)),
+    QueryDef("ann_ivf_incremental", qAnnIvfIncremental, Some(qAnnBruteSql)),
     QueryDef("ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     QueryDef("ann_ivf", qAnnIvf, Some(qAnnBruteSql)),
     QueryDef("ann_sq8", qAnnSq8, Some(qAnnSq8Sql)),
