@@ -254,6 +254,7 @@ object Pipeline extends QueryPack {
     s"""WITH $langCte
        |SELECT doc_id, cluster_id FROM grp WHERE n > 1 ORDER BY doc_id""".stripMargin
 
+
   /** Shared derived INPUT of the survivor-selection queries: the chain
     * clustering materialized once (the cluster-assignment table a real
     * pipeline persists); the component loop itself is what

@@ -109,6 +109,18 @@ object Soak {
     op("BM25 top-10 (ad-hoc, doc 42 as query)") {
       graft.pipelines.Retrieval.bm25TopK(docs, 42L, 10)
     }
+    // the CC worst case — one path component as long as the corpus: the
+    // local union-find contraction must keep the distributed loop at
+    // O(log partition-crossings) rounds regardless of mult (per-round
+    // logs go to stderr), where the uncontracted loop would need
+    // log4(5000·mult) synchronized shuffle rounds
+    spark.conf.set("graft.clusterPairs.log", "true")
+    op(s"connected components (single ${nDocs}-link path)") {
+      val chain = spark.range(nDocs).toDF("doc_id_a")
+        .withColumn("doc_id_b", col("doc_id_a") + 1L)
+      graft.pipelines.Dedup.clusterPairs(chain)
+    }
+    spark.conf.unset("graft.clusterPairs.log")
 
     // ---- series family at the reference's own JMH envelopes ---------------
     // BASELINE.md design targets: HeadAppendBenchmark appends against 1M

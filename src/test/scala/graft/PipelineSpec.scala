@@ -119,6 +119,32 @@ class PipelineSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("local contraction composes with the boundary loop across partitions") {
+    // a 200-link path scattered over 13 partitions: the per-partition
+    // union-find collapses local runs to stars, and the distributed loop
+    // must stitch the partition-crossing roots back into one component —
+    // the exact composition the contraction fast path relies on
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+      .repartition(13)
+    val expected = (0L to 200L).map(i => (i, 0L)).toSet
+    val on = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(on == expected)
+    val off = Dedup.clusterPairs(pairs, localContract = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(off == expected)
+  }
+
+  test("clusterPairs string ids pick the min in UTF-8 byte order") {
+    // the local union-find must order strings exactly like Spark's min/least
+    // (UTF8String binary order): 'Z' < 'a' < 'b' < 'é' by UTF-8 bytes
+    val pairs = Seq(("b", "é"), ("é", "a"), ("Z", "b"))
+      .toDF("doc_id_a", "doc_id_b").repartition(3)
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set("a" -> "Z", "b" -> "Z", "Z" -> "Z", "é" -> "Z"), s"$out")
+  }
+
   test("clusterPairs with a reliable checkpointDir yields identical clusters") {
     // the durable mode (reliable checkpoint per round, for preemptible
     // clusters where localCheckpoint's executor-local blocks would die with
