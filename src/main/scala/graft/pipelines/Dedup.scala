@@ -668,8 +668,10 @@ object Dedup {
     * Contraction applies when both id columns share an integral or string
     * type (string roots compare in UTF-8 byte order, matching Spark's
     * `min`/`least`); any other type falls back to the uncontracted loop.
-    * Pairs with a null id are ignored — no caller emits them (candidate
-    * pairs come from joins), and a null has no place in a component label.
+    * Null ids never label a component — no caller emits them (candidate
+    * pairs come from joins) — but a half-null pair's non-null endpoint
+    * still surfaces as a singleton, keeping the returns-every-node
+    * contract identical across the contracted and fallback paths.
     *
     * Returns (node, cluster) for every node that appears in a pair; cluster
     * is the component's minimum node id. */
@@ -691,8 +693,12 @@ object Dedup {
         // one shuffle keyed by node: the minimum local root each node saw
         // across partitions, and — for multi-root nodes — clique edges
         // stitching those roots together. Only boundary nodes contribute
-        // edges; interior components never reach the loop.
+        // edges; interior components never reach the loop. Persisted: two
+        // separately-materialized plans consume it (the boundary loop and
+        // the composed output), and without the persist the node-keyed
+        // aggregation — the widest shuffle of the phase — would run twice.
         val minRoot = nodeRoot.groupBy("node").agg(min("root").as("mroot"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val boundary = nodeRoot.join(minRoot, Seq("node"))
           .where(col("root") =!= col("mroot"))
           .select(col("mroot").as("a"), col("root").as("b"))
@@ -715,6 +721,7 @@ object Dedup {
         // composed frame: free it so durable runs hold one checkpoint, not two
         if (checkpointDir.isDefined) graft.core.Dist.freeReliableCheckpoint(loop)
         else graft.core.Dist.freeLocalCheckpoint(loop)
+        minRoot.unpersist(blocking = false)
         nodeRoot.unpersist(blocking = false)
         sealedOut
     }
@@ -743,12 +750,20 @@ object Dedup {
           r
         }
         it.foreach { row =>
-          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val aNull = row.isNullAt(0)
+          val bNull = row.isNullAt(1)
+          if (!aNull && !bNull) {
             val ra = find(row.get(0))
             val rb = find(row.get(1))
             if (ra != rb) {
               if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
             }
+          } else if (!aNull) {
+            // half-null pair: the non-null endpoint still appears in a pair,
+            // so it must surface (as a singleton) per the contract
+            find(row.get(0)); ()
+          } else if (!bNull) {
+            find(row.get(1)); ()
           }
         }
         // copy the key set first: find()'s path compression rewrites values,

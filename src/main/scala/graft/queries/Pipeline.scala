@@ -1743,7 +1743,10 @@ object Pipeline extends QueryPack {
       .orderBy("doc_id")
   private val qRepetitionSql =
     """WITH q AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |  -- coalesce mirrors the engine's NULL-text ≡ '' rule (the gram array
+      |  -- is consumed unexploded there, so NULL must not poison the fractions)
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+      |  FROM documents),
       |gr AS (
       |  SELECT doc_id, t,
       |    list_transform(generate_series(1, greatest(len(t) - 2, 1)),

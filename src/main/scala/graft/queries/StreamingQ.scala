@@ -33,13 +33,16 @@ object StreamingQ extends QueryPack {
     * sizes state stores per query the same way. The conf is restored before
     * the sink table is read back, so downstream batch aggregation keeps the
     * session's parallelism. */
-  private def drain(s: SparkSession)
-                   (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  private def withStateShuffle[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try { val q = start; q.processAllAvailable(); q.stop() }
+    try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def drain(s: SparkSession)
+                   (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    withStateShuffle(s) { val q = start; q.processAllAvailable(); q.stop() }
 
   private def qRoundtrip(s: SparkSession, sf: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -63,10 +66,7 @@ object StreamingQ extends QueryPack {
     // few thousand rows — 8 keeps the same plan with 1/4 the commit fan-out
     // (state-store count is a per-query setting in production, sized to the
     // ingest key cardinality, exactly as here)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try Ingest.runOnce(s, src, table, ckpt)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateShuffle(s)(Ingest.runOnce(s, src, table, ckpt))
     val back = s.read.parquet(table)
       .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
     M3QL.query(s, back, grid, "fetch name:click")

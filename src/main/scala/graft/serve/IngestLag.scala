@@ -94,15 +94,21 @@ object IngestLag {
                  (sink: (DataFrame, Long) => Unit)
                  : (DataFrame, Long) => Unit = { (df, batchId) =>
     val arrival = arrivalClock(batchId)
-    val stats = df.agg(
-      count(lit(1)), min(col(tsCol)), max(col(tsCol)),
-      sum(lit(arrival) - col(tsCol))).collect()(0)
-    val rows = stats.getLong(0)
-    sink(df, batchId)
-    if (rows > 0)
-      record(BatchLag(source, batchId, rows,
-        stats.getLong(1), stats.getLong(2),
-        arrival, commitClock(batchId), stats.getLong(3)))
+    // persist: the stats aggregate AND the real sink both consume the
+    // micro-batch — without it the source plan (file read, parse) executes
+    // twice per batch, inflating the very appendLag being metered
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = df.agg(
+        count(lit(1)), min(col(tsCol)), max(col(tsCol)),
+        sum(lit(arrival) - col(tsCol))).collect()(0)
+      val rows = stats.getLong(0)
+      sink(df, batchId)
+      if (rows > 0)
+        record(BatchLag(source, batchId, rows,
+          stats.getLong(1), stats.getLong(2),
+          arrival, commitClock(batchId), stats.getLong(3)))
+    } finally df.unpersist(blocking = false)
   }
 
   /** Meter a NAMED streaming query from its progress events — the listener

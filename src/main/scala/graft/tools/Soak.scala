@@ -85,6 +85,11 @@ object Soak {
       val secs = (System.nanoTime() - t0) / 1e9
       val (sm, _, _) = graft.core.MetricsTap.storageGauge(spark)
       println(s"| $name | $rows | ${f2(secs)} | ${f2(sm / 1e6)} |")
+      // RDD-level leftovers (e.g. a returned localCheckpoint the op dropped
+      // by reference) escape clearCache and would otherwise wait for driver
+      // GC — at 100x that standing set is real heap the next op needs
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     op("exact dedup (full text key)") {
       graft.pipelines.Dedup.exact(docs, Seq("text"))
@@ -135,6 +140,13 @@ object Soak {
     val nSeries = 10000L * mult
     val ingestStage = s"$work/series_src"
     val ingestTable = s"$work/series_table"
+    // a re-run in the same workDir must not resume the old checkpoint over
+    // freshly-named stage files (it would APPEND the new rows onto the old
+    // table and report a double-counted ingest): start the op from zero
+    Seq(ingestTable, s"$work/series_ckpt").foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    }
     val ingestRows = spark.range(nSeries).toDF("sid")
       .crossJoin(spark.range(4).toDF("k"))
       .select(

@@ -135,6 +135,17 @@ class PipelineSpec extends SparkTestBase {
     assert(off == expected)
   }
 
+  test("half-null pairs still register their non-null endpoint") {
+    // no pipeline emits null ids, but the contract is every node that
+    // appears in a pair: the null side is dropped, the other survives as
+    // a singleton component
+    val pairs = Seq((Some(5L), None), (None, Some(7L)), (Some(1L), Some(2L)))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(5L -> 5L, 7L -> 7L, 1L -> 1L, 2L -> 1L), s"$out")
+  }
+
   test("clusterPairs string ids pick the min in UTF-8 byte order") {
     // the local union-find must order strings exactly like Spark's min/least
     // (UTF8String binary order): 'Z' < 'a' < 'b' < 'é' by UTF-8 bytes
