@@ -465,9 +465,18 @@ class PipelineSpec extends SparkTestBase {
         val cl = members.min
         members.map(_ -> cl)
       }.toMap
-      val got = Dedup.clusterPairs(edges.toDF("doc_id_a", "doc_id_b"))
+      // random partition counts sweep the contraction's boundary-graph
+      // shapes (1 partition = everything local, 11 = heavy crossings);
+      // contraction off must produce the identical labels
+      val parts = 1 + rnd.nextInt(11)
+      val df = edges.toDF("doc_id_a", "doc_id_b").repartition(parts)
+      val got = Dedup.clusterPairs(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial: ${got.toSeq.sorted.take(8)}… vs expected")
+      assert(got == expected,
+        s"trial $trial parts=$parts: ${got.toSeq.sorted.take(8)}… vs expected")
+      val gotOff = Dedup.clusterPairs(df, localContract = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotOff == expected, s"trial $trial parts=$parts contraction-off")
     }
   }
 
