@@ -135,6 +135,16 @@ class PipelineSpec extends SparkTestBase {
     assert(off == expected)
   }
 
+  test("clusterPairs fails loudly when maxIters can't reach the fixpoint") {
+    // a 40-link path can't converge in one round of the raw loop; silent
+    // non-fixpoint labels would mislabel components downstream
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterPairs(pairs, maxIters = 1, localContract = false).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("half-null pairs still register their non-null endpoint") {
     // no pipeline emits null ids, but the contract is every node that
     // appears in a pair: the null side is dropped, the other survives as
