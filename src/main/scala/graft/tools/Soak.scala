@@ -198,6 +198,28 @@ object Soak {
       graft.stages.GridOps.densify(winSamples, wgrid)
     }
 
+    // UnfoldAggregationBenchmark envelope (BASELINE.md: >=10k series × 100
+    // samples fanned into ONE query, stage = scale): the full parse →
+    // compile → fetch → mapper → grouping-agg path at query fan-in scale
+    val nUnfold = 1000L * mult
+    val unfStage = s"$work/series_unfold"
+    val ugrid = QueryGrid(base, base + 100L * 10000L, 10000L)
+    spark.range(nUnfold).toDF("sid")
+      .crossJoin(spark.range(100).toDF("k"))
+      .select(
+        map(lit("name"), lit("cpu"),
+          lit("host"), concat(lit("h"), col("sid"))).as(S.LabelsCol),
+        (lit(base) + col("k") * 10000L).as(S.Ts),
+        (col("sid") % 13).cast("double").as(S.Value))
+      .transform(TsSchema.withSeriesId)
+      .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
+      .write.mode("overwrite").parquet(unfStage)
+    val unfSamples = spark.read.parquet(unfStage)
+    op(s"unfold aggregation: fetch | scale 2 | sum ($nUnfold series × 100)") {
+      graft.lang.m3.M3QL.query(spark, unfSamples, ugrid,
+        "fetch name:cpu | scale 2 | sum")
+    }
+
     graft.core.Memo.clearSession(spark)
     spark.stop()
   }
