@@ -684,7 +684,14 @@ object Dedup {
       if (localContract) localContraction(pairs, aCol, bCol) else None
     contracted match {
       case None =>
-        propagateLabels(pairs.select(col(aCol).as("a"), col(bCol).as("b")),
+        // coalesce half-null pairs into self-edges so the fallback loop
+        // keeps the non-null endpoint as a singleton — exactly what the
+        // contracted path does — instead of leaking a null-keyed label row
+        propagateLabels(
+          pairs.select(
+              coalesce(col(aCol), col(bCol)).as("a"),
+              coalesce(col(bCol), col(aCol)).as("b"))
+            .where(col("a").isNotNull),
           maxIters, checkpointDir, logRounds)
       case Some(nodeRoot0) =>
         val t0 = System.nanoTime()
@@ -699,31 +706,36 @@ object Dedup {
         // aggregation — the widest shuffle of the phase — would run twice.
         val minRoot = nodeRoot.groupBy("node").agg(min("root").as("mroot"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val boundary = nodeRoot.join(minRoot, Seq("node"))
-          .where(col("root") =!= col("mroot"))
-          .select(col("mroot").as("a"), col("root").as("b"))
-          .distinct()
-        val loop = propagateLabels(boundary, maxIters, checkpointDir, logRounds)
-        val out = minRoot
-          .join(loop.select(col("node").as("mroot"), col("cluster")), Seq("mroot"), "left")
-          .select(col("node"), coalesce(col("cluster"), col("mroot")).as("cluster"))
-        if (logRounds) {
-          Console.err.println(f"[clusterPairs] contraction wall=${(System.nanoTime - t0) / 1e9}%.2fs")
+        try {
+          val boundary = nodeRoot.join(minRoot, Seq("node"))
+            .where(col("root") =!= col("mroot"))
+            .select(col("mroot").as("a"), col("root").as("b"))
+            .distinct()
+          val loop = propagateLabels(boundary, maxIters, checkpointDir, logRounds)
+          val out = minRoot
+            .join(loop.select(col("node").as("mroot"), col("cluster")), Seq("mroot"), "left")
+            .select(col("node"), coalesce(col("cluster"), col("mroot")).as("cluster"))
+          if (logRounds) {
+            Console.err.println(f"[clusterPairs] contraction wall=${(System.nanoTime - t0) / 1e9}%.2fs")
+          }
+          // the composed frame still reads the persisted node→root map; hand
+          // the caller a materialized result so the unpersist below is safe.
+          // Durable mode materializes reliably — the caller's fault-tolerance
+          // contract covers the returned frame, not just the loop rounds.
+          val sealedOut =
+            if (checkpointDir.isDefined) out.checkpoint(eager = true)
+            else out.localCheckpoint(eager = true)
+          // the loop's final round (boundary-graph labels) is consumed by the
+          // composed frame: free it so durable runs hold one checkpoint, not two
+          if (checkpointDir.isDefined) graft.core.Dist.freeReliableCheckpoint(loop)
+          else graft.core.Dist.freeLocalCheckpoint(loop)
+          sealedOut
+        } finally {
+          // also on the loop's non-convergence throw: these two frames are
+          // internal, nothing downstream can reach them after an abort
+          minRoot.unpersist(blocking = false)
+          nodeRoot.unpersist(blocking = false)
         }
-        // the composed frame still reads the persisted node→root map; hand
-        // the caller a materialized result so the unpersist below is safe.
-        // Durable mode materializes reliably — the caller's fault-tolerance
-        // contract covers the returned frame, not just the loop rounds.
-        val sealedOut =
-          if (checkpointDir.isDefined) out.checkpoint(eager = true)
-          else out.localCheckpoint(eager = true)
-        // the loop's final round (boundary-graph labels) is consumed by the
-        // composed frame: free it so durable runs hold one checkpoint, not two
-        if (checkpointDir.isDefined) graft.core.Dist.freeReliableCheckpoint(loop)
-        else graft.core.Dist.freeLocalCheckpoint(loop)
-        minRoot.unpersist(blocking = false)
-        nodeRoot.unpersist(blocking = false)
-        sealedOut
     }
   }
 
@@ -872,7 +884,8 @@ object Dedup {
     * UTF8String's binary order (Java String.compareTo would diverge on
     * supplementary-plane characters). */
   private def nodeOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
-    case LongType    => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+    // LongType never reaches here — localContraction short-circuits it
+    // into the primitive LongUnionFind path
     case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
     case ShortType   => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
     case ByteType    => Some(Ordering.by((x: Any) => x.asInstanceOf[Byte]))
@@ -958,11 +971,15 @@ object Dedup {
     // a non-fixpoint label map silently mislabels components downstream
     // (survivor selection would drop the wrong docs) — fail loudly instead.
     // Unreachable at the default 25 with contraction on (rounds track
-    // partition crossings), but maxIters is caller-tunable.
-    if (!done)
+    // partition crossings), but maxIters is caller-tunable. The abandoned
+    // round is released first: nothing can consume it after the throw, and
+    // in durable mode its reliable-checkpoint files would otherwise orphan.
+    if (!done) {
+      release(labels)
       throw new IllegalStateException(
         s"clusterPairs: label propagation did not converge within $maxIters " +
           "rounds; raise maxIters")
+    }
     labels.select("node", "cluster")
   }
 

@@ -151,9 +151,14 @@ class PipelineSpec extends SparkTestBase {
     // a singleton component
     val pairs = Seq((Some(5L), None), (None, Some(7L)), (Some(1L), Some(2L)))
       .toDF("doc_id_a", "doc_id_b")
+    val expected = Set(5L -> 5L, 7L -> 7L, 1L -> 1L, 2L -> 1L)
     val out = Dedup.clusterPairs(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out == Set(5L -> 5L, 7L -> 7L, 1L -> 1L, 2L -> 1L), s"$out")
+    assert(out == expected, s"$out")
+    // the fallback loop must agree — no null-keyed label row either
+    val rowsOff = Dedup.clusterPairs(pairs, localContract = false).collect()
+    assert(rowsOff.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(rowsOff.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
   test("clusterPairs string ids pick the min in UTF-8 byte order") {
