@@ -194,6 +194,12 @@ object Soak {
     op(s"perSecondRate 2m lookback ($nWinSeries series × 7200)") {
       graft.stages.Temporal.perSecondRate(winSamples, 120000L)
     }
+    // the OTHER MovingStageBenchmark axis: 2m window with the median fn —
+    // the worst-case per-window aggregate (exact percentile over every
+    // 12-sample frame) where the 2h row exercises the widest frame
+    op(s"moving 2m median ($nWinSeries series × 7200)") {
+      graft.stages.Temporal.moving(winSamples, wgrid, 120000L, "median")
+    }
     op(s"grid densify to 10s ($nWinSeries series × 7200)") {
       graft.stages.GridOps.densify(winSamples, wgrid)
     }
