@@ -199,6 +199,54 @@ object Bench {
       if (calibration.nonEmpty)
         calibration.map(_._2).max / math.max(calibration.map(_._2).min, 1e-9)
       else 0.0
+    // ---- ADJUDICATION (r11 verdict: promote the calibration channels into
+    // a machine-readable verdict, so no prose rerun-adjudication is needed).
+    // Three signals, each with its r10/r11 empirical anchor:
+    //  - contaminated: probe drift > 2 (quiet r11 measured 1.89, the
+    //    contaminated driver run 2.58) — identical work slowing down across
+    //    the run is co-tenant load by construction
+    //  - run_spread suspects: one timed pass >3× the query's own min (and
+    //    min >0.5s so short-query jitter doesn't trip it) — the
+    //    dedup_keep_central [9.2, 148.3, 8.7] signature
+    //  - vs_isolated suspects: min-of-runs >2× the committed isolated-warm
+    //    reference (BENCH_isolated_ref.json, same sf only) and >1s absolute
+    //    — suite-position cost (eviction, contention) a reader should
+    //    discount before calling a regression
+    val isolatedRef: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REF", "BENCH_isolated_ref.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val refSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!refSf.contains(sfDir)) Map.empty
+        else {
+          val qBlock = txt.substring(txt.indexOf("\"queries\""))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(qBlock)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val suspects = runs.flatMap { case (n, best, _, ts, _, _, _) =>
+      val spread = ts.max / math.max(ts.min, 1e-9) > 3.0 && ts.min > 0.5
+      val slowVsIso = isolatedRef.get(n)
+        .exists(iso => best > 2.0 * iso && best > 1.0)
+      if (spread && slowVsIso) Some((n, "run_spread+vs_isolated"))
+      else if (spread) Some((n, "run_spread"))
+      else if (slowVsIso) Some((n, "vs_isolated"))
+      else None
+    }
+    val benchVerdict =
+      if (calDrift > 2.0) "host_contaminated"
+      else if (suspects.nonEmpty) "suspect_queries"
+      else "clean"
+    val adjJson = {
+      val sus = suspects.take(20).map { case (n, r) =>
+        s"""{"query":"$n","reason":"$r"}""" }.mkString("[", ",", "]")
+      s"""{"verdict":"$benchVerdict","contaminated":${calDrift > 2.0},""" +
+        s""""calibration_drift":${f2(calDrift)},"suspects":$sus,""" +
+        s""""suspects_omitted":${math.max(0, suspects.size - 20)},""" +
+        s""""isolated_ref_queries":${isolatedRef.size}}"""
+    }
     // the environment block that makes heap-pressure discrepancies
     // attributable from the artifact alone (r9's were not)
     val env =
@@ -208,7 +256,7 @@ object Bench {
       s""""blocks_dropped_min_runs":$droppedTotal,""" +
       s""""calibration_drift":${f2(calDrift)},""" +
       s""""memo_max_entries":"${spark.conf.get("graft.memo.maxEntries", "128")}"}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_single_pass":$singlePass,"queries":$qs,"runs":$runsJson,"io":$ioJson,"calibration":$calJson,"shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,"env":$env,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_single_pass":$singlePass,"adjudication":$adjJson,"queries":$qs,"runs":$runsJson,"io":$ioJson,"calibration":$calJson,"shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,"env":$env,"sf":"$sfDir"}"""
     // the artifact must not depend on a stdout tail: persist the FULL line
     // (every runs/io channel + the calibration series) to a file
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
@@ -230,6 +278,7 @@ object Bench {
     val omitted = results.size - keep.size
     Console.out.println(
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","value_single_pass":${f2(singlePass)},""" +
+        s""""adjudication":$adjJson,""" +
         s""""shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,"env":$env,""" +
         s""""full_json":"$outPath","queries":$compactQs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     Console.out.flush()

@@ -673,6 +673,13 @@ object Dedup {
     * still surfaces as a singleton, keeping the returns-every-node
     * contract identical across the contracted and fallback paths.
     *
+    * `maxIters` INCLUDES the confirming round: convergence is only
+    * detected by a round that changes nothing, so the budget buys
+    * `maxIters − 1` productive rounds — a run whose labels reach fixpoint
+    * exactly on its last permitted round still needs one more to prove it.
+    * Callers tuning `maxIters` tightly (the default 25 is ~log₂ of any
+    * realistic crossing count, with room) should budget that extra round.
+    *
     * Returns (node, cluster) for every node that appears in a pair; cluster
     * is the component's minimum node id. */
   def clusterPairs(pairs: DataFrame, aCol: String = "doc_id_a", bCol: String = "doc_id_b",
@@ -695,8 +702,19 @@ object Dedup {
           maxIters, checkpointDir, logRounds)
       case Some(nodeRoot0) =>
         val t0 = System.nanoTime()
-        val nodeRoot = nodeRoot0
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // durable mode (the preemptible-cluster contract): the contraction
+        // map must be RELIABLY checkpointed, not merely persisted —
+        // MEMORY_AND_DISK falls back to lineage recompute on executor
+        // loss, and if the boundary loop and the final compose observed
+        // differently-recomputed partitions (nondeterministic upstream,
+        // e.g. a sampled candidate set) the composed labels could be
+        // inconsistent. Freed in the finally, after sealedOut materializes.
+        val durable = checkpointDir.isDefined
+        checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+        val nodeRoot =
+          if (durable) nodeRoot0.checkpoint(eager = true)
+          else nodeRoot0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // one shuffle keyed by node: the minimum local root each node saw
         // across partitions, and — for multi-root nodes — clique edges
         // stitching those roots together. Only boundary nodes contribute
@@ -734,19 +752,25 @@ object Dedup {
           // also on the loop's non-convergence throw: these two frames are
           // internal, nothing downstream can reach them after an abort
           minRoot.unpersist(blocking = false)
-          nodeRoot.unpersist(blocking = false)
+          if (durable) graft.core.Dist.freeReliableCheckpoint(nodeRoot)
+          else nodeRoot.unpersist(blocking = false)
         }
     }
   }
 
   /** Open-addressed long→long union-find (power-of-2 table, linear
-    * probing, path-compressing find, union-by-min): ~17 bytes per node
-    * against ~100 for a boxed HashMap entry. The contraction's only
-    * per-task memory is this table, so the Long-id fast path — every
-    * registry pipeline keys documents by a LONG — keeps partition-local
-    * union-find comfortably inside executor task memory at 100TB
-    * partition sizes (an 8M-edge/16M-node parquet split is ~270 MB of
-    * table, not ~1.6 GB of HashMap). */
+    * probing, path-compressing find, union-by-min): 17 bytes per SLOT
+    * (8 key + 8 value + 1 used flag) against ~100 per boxed HashMap
+    * entry. Sized at CAPACITY, not node count: the ≤0.7 load factor plus
+    * power-of-2 rounding puts slots-per-node in [1.43, 2.86), i.e.
+    * 24–49 bytes per node worst case (the high end lands right after a
+    * doubling). The contraction's only per-task memory is this table, so
+    * the Long-id fast path — every registry pipeline keys documents by a
+    * LONG — keeps partition-local union-find inside executor task memory
+    * at 100TB partition sizes: an 8M-edge/16M-node parquet split is 32M
+    * slots × 17 B ≈ 544 MB of table worst case, vs ~1.6 GB of boxed
+    * HashMap — still a fraction of a task's heap share, and the split
+    * size is the tuning lever when it isn't. */
   private final class LongUnionFind(initialCap: Int) {
     private var mask = {
       var c = 16; while (c < initialCap * 2) c <<= 1; c - 1
@@ -897,6 +921,14 @@ object Dedup {
     case _ => None
   }
 
+  /** Rounds the most recent [[propagateLabels]] loop on this driver took to
+    * converge (including the zero-change confirming round). Diagnostics
+    * only — single value per driver, racy under concurrent clusterPairs
+    * calls — read by the contraction soak and the hostile-partitioning
+    * spec to pin "scattered input never exceeds the pointer-doubling
+    * bound" as an assertion rather than a stderr log. */
+  @volatile private[graft] var lastLoopRounds: Int = -1
+
   /** The distributed min-label pointer-doubling loop over an (a, b) edge
     * frame — see [[clusterPairs]] for the full semantics and cost notes. */
   private def propagateLabels(edgesIn: DataFrame, maxIters: Int,
@@ -968,6 +1000,7 @@ object Dedup {
       }
     }
     sym.unpersist()
+    lastLoopRounds = it
     // a non-fixpoint label map silently mislabels components downstream
     // (survivor selection would drop the wrong docs) — fail loudly instead.
     // Unreachable at the default 25 with contraction on (rounds track
@@ -978,7 +1011,8 @@ object Dedup {
       release(labels)
       throw new IllegalStateException(
         s"clusterPairs: label propagation did not converge within $maxIters " +
-          "rounds; raise maxIters")
+          "rounds (the budget includes the zero-change confirming round, " +
+          "so this bought " + (maxIters - 1) + " productive rounds); raise maxIters")
     }
     labels.select("node", "cluster")
   }

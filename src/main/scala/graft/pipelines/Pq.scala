@@ -142,11 +142,20 @@ object Pq {
     * float re-scoring orders them); `spill` ≥ 2 multi-assigns each vector
     * to its `spill` nearest cells — the recall lever that moves the CELL
     * COVERAGE bound, which `rerank` alone cannot (at nProbe=16/45 cells the
-    * single-assignment ceiling is exact-IVF's own ~0.80). */
+    * single-assignment ceiling is exact-IVF's own ~0.80).
+    *
+    * DEFAULTS are the refine path (r11 verdict item 4): `spill = 2,
+    * rerank = 32` — the measured sweep (IvfRecallSpec, OPERATORS.md) puts
+    * the unrefined single-assignment config at recall 0.80 under a 16/45
+    * probe while the default crosses the 0.95 operating point at the
+    * signature's own `nProbe = 32`, for a 2× index footprint and a 2×
+    * refine buffer. Callers optimizing index size down pass
+    * `spill = 1, rerank = 16` explicitly (the `ann_ivfpq` registry entry
+    * keeps that point measured as the cheap-index anchor). */
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 32,
                 nCentroids: Int = 0, m: Int = 16, ks: Int = 16,
-                iters: Int = 2, rerank: Int = 16, dim: Int = 64,
-                spill: Int = 1,
+                iters: Int = 2, rerank: Int = 32, dim: Int = 64,
+                spill: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dsub = dim / m
     graft.functions.VectorExprs.register(emb.sparkSession)

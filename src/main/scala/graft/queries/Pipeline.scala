@@ -2365,27 +2365,33 @@ object Pipeline extends QueryPack {
     Similarity.kmeansTopics(Tables.embeddings(s, sf), k = 8, iters = 2)
       .orderBy("vec_id")
 
-  /** IVF-PQ at nProbe=64 ≥ nCells at every check scale (45 cells at
-    * sf0.1), so the cell filter is provably a no-op and the result equals
-    * ad-hoc PQ — the oracle is shared. The genuine pruning regime
-    * (nProbe < nCells) is recall-gated in IvfRecallSpec. */
+  /** IVF-PQ at the CHEAP-INDEX point (spill=1, rerank=16 — explicitly NOT
+    * the library default since r12, which is the refine path measured in
+    * `ann_ivfpq_rerank`): kept registered as the anchor for callers
+    * trading recall for a 1× index footprint. nProbe=64 ≥ nCells at every
+    * check scale (45 cells at sf0.1), so the cell filter is provably a
+    * no-op and the result equals ad-hoc PQ — the oracle is shared. The
+    * genuine pruning regime (nProbe < nCells) is recall-gated in
+    * IvfRecallSpec. */
   private def qAnnIvfPq(s: SparkSession, sf: String): DataFrame =
     graft.pipelines.Pq.ivfPqTopK(Tables.embeddings(s, sf), queryId = 0L,
-        k = 10, nProbe = 64)
+        k = 10, nProbe = 64, rerank = 16, spill = 1)
       .select("vec_id", "rnk")
       .orderBy("rnk")
 
-  /** IVF-PQ with the refine levers engaged: rerank=32 (double the exact
-    * refine buffer) AND spill=2 (each vector indexed under its two nearest
-    * cells). At nProbe=64 ≥ nCells both are oracle-neutral-by-construction
-    * — every cell probed means spill only duplicates members (deduped) and
-    * the result provably equals ad-hoc PQ at rerank=32, which the oracle
+  /** IVF-PQ at the DEFAULT config — the refine levers rerank=32 (double
+    * exact refine buffer) and spill=2 (each vector indexed under its two
+    * nearest cells) are the `ivfPqTopK` signature defaults since r12. At
+    * nProbe=64 ≥ nCells both are oracle-neutral-by-construction — every
+    * cell probed means spill only duplicates members (deduped) and the
+    * result provably equals ad-hoc PQ at rerank=32, which the oracle
     * replays. The genuine pruning regime (nProbe=16/45 cells, where spill
-    * lifts recall past the single-assignment cell-coverage ceiling) is
-    * recall-gated in IvfRecallSpec and measured in OPERATORS.md. */
+    * lifts recall past the single-assignment cell-coverage ceiling; the
+    * default nProbe=32 crosses 0.95) is recall-gated in IvfRecallSpec and
+    * measured in OPERATORS.md. */
   private def qAnnIvfPqRerank(s: SparkSession, sf: String): DataFrame =
     graft.pipelines.Pq.ivfPqTopK(Tables.embeddings(s, sf), queryId = 0L,
-        k = 10, nProbe = 64, rerank = 32, spill = 2)
+        k = 10, nProbe = 64)
       .select("vec_id", "rnk")
       .orderBy("rnk")
 

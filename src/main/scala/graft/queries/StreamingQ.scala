@@ -24,18 +24,23 @@ object StreamingQ extends QueryPack {
   private val grid = Tables.EventsGrid6h
 
   /** Start and fully drain a registry stream with the state shuffle sized
-    * to the query's key cardinality (8) instead of the session default
-    * (32): every stateful micro-batch commits one state-store delta PER
-    * SHUFFLE PARTITION, and at registry data sizes those commits — not row
-    * work — are the wall clock (this same cut took
-    * streaming_ingest_roundtrip 4.3s → 2.5s isolated). Partition count can
-    * never change results (each query's parity spec pins that); production
-    * sizes state stores per query the same way. The conf is restored before
-    * the sink table is read back, so downstream batch aggregation keeps the
-    * session's parallelism. */
+    * to the query's key cardinality (default 8, overridable via the
+    * session conf `graft.stream.statePartitions` — the sweep tool
+    * [[graft.tools.StateShuffleSweep]] uses that knob to measure the
+    * commit-fan-out curve) instead of the session default (32): every
+    * stateful micro-batch commits one state-store delta PER SHUFFLE
+    * PARTITION, and at registry data sizes those commits — not row work —
+    * are the wall clock (this same cut took streaming_ingest_roundtrip
+    * 4.3s → 2.5s isolated; the measured 4/8/16/32 curve is in
+    * OPERATORS.md). Partition count can never change results (each
+    * query's parity spec pins that); production sizes state stores per
+    * query the same way. The conf is restored before the sink table is
+    * read back, so downstream batch aggregation keeps the session's
+    * parallelism. */
   private def withStateShuffle[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("graft.stream.statePartitions", "8"))
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -517,17 +522,32 @@ object StreamingQ extends QueryPack {
   /** INGESTION-LAG metering (ref: metrics/TSDBIngestionLagMetrics.java
     * coordinatorLag/appendLag histograms; action/TSDBIngestionLagActionFilter
     * .java:92-106 `now − minSampleTimestamp` per bulk request): the click
-    * wire rows split into three deterministic micro-batches (user bucket,
-    * one file per batch, mtime-ordered, maxFilesPerTrigger=1), stream
-    * through parse → metered sink → parquet append, and the per-batch lag
-    * ledger comes back as rows. The wall clock is the one genuinely
-    * non-replayable input, so the metered sink takes an injected batch
-    * clock (arrival = base + batchId·1s, commit = arrival + 500ms) — the
-    * SAME code path production meters with `System.currentTimeMillis()`
-    * (`IngestLag.meteredSink` defaults), which the deliberately-late-stream
-    * spec exercises. Everything else — batch boundaries, event-time
-    * extents, per-row lag sums — is real and hash-compared. */
-  private def qIngestLag(s: SparkSession, sf: String): DataFrame = {
+    * wire rows split into three deterministic micro-batches (one file per
+    * user bucket, maxFilesPerTrigger=1), stream through parse → metered
+    * sink → parquet append, and the per-batch lag ledger comes back as
+    * rows. Batch IDENTITY is derived from batch CONTENT (`meteredSink`'s
+    * `batchKey` = the user bucket carried in the labels), NOT from the file
+    * source's arrival order — the r11 driver-gate hash mismatch was exactly
+    * that unpinned mapping (file listing order permuting which streaming
+    * batchId saw which bucket). However the source interleaves the three
+    * files, each batch self-identifies and the injected clocks key off the
+    * bucket, so the ledger is a pure function of the DATA
+    * (`IngestLagOrderSpec` pins this by reversing the mtimes). The wall
+    * clock is the one genuinely non-replayable input, so the metered sink
+    * takes an injected batch clock (arrival = base + bucket·1s, commit =
+    * arrival + 500ms) — the SAME code path production meters with
+    * `System.currentTimeMillis()` (`IngestLag.meteredSink` defaults), which
+    * the deliberately-late-stream spec exercises. Everything else — batch
+    * boundaries, event-time extents, per-row lag sums — is real and
+    * hash-compared. */
+  private def qIngestLag(s: SparkSession, sf: String): DataFrame =
+    ingestLagLedger(s, sf, mtimeOfBucket = b => 1000000000000L + b * 60000L)
+
+  /** [[qIngestLag]] with the per-bucket file mtime injectable, so the
+    * order-permutation spec can make the file source process buckets in
+    * REVERSE and assert the ledger doesn't move. */
+  private[graft] def ingestLagLedger(s: SparkSession, sf: String,
+                                     mtimeOfBucket: Int => Long): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_ilag")
     val (src, table) = (s"$base/src", s"$base/table")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
@@ -538,8 +558,8 @@ object StreamingQ extends QueryPack {
           lit(" user "), col(S.LabelsCol).getItem("user")).as("labels"),
         col(S.Ts).as("timestamp"), col(S.Value).as("value"),
         (col(S.LabelsCol).getItem("user").cast("long") % 3).as("_b"))
-    // one json file per bucket, strictly increasing mtimes: the file source
-    // (maxFilesPerTrigger=1, oldest-first) makes batch i exactly bucket i
+    // one json file per bucket; mtimes only steer WHICH batch is which —
+    // identity no longer depends on it (batchKey below)
     for (b <- 0 to 2) {
       val tmp = s"$base/tmp$b"
       wire.where(col("_b") === b).drop("_b")
@@ -549,14 +569,15 @@ object StreamingQ extends QueryPack {
       val dst = java.nio.file.Paths.get(src, f"batch$b%03d.json")
       java.nio.file.Files.move(part.toPath, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+        java.nio.file.attribute.FileTime.fromMillis(mtimeOfBucket(b)))
     }
     val arrivalBase = IngestLagArrivalBase
     val source = s"ilag:$base"
     graft.serve.IngestLag.clear(source)
     val sink = graft.serve.IngestLag.meteredSink(source,
-      arrivalClock = bid => arrivalBase + bid * 1000L,
-      commitClock = bid => arrivalBase + bid * 1000L + 500L) {
+      arrivalClock = bucket => arrivalBase + bucket * 1000L,
+      commitClock = bucket => arrivalBase + bucket * 1000L + 500L,
+      batchKey = Some(col(S.LabelsCol).getItem("user").cast("long") % 3)) {
       (df, _) => df.write.mode("append").parquet(table)
     }
     val q = Ingest.parseWire(

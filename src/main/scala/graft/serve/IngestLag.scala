@@ -87,27 +87,61 @@ object IngestLag {
     * event-time extent and per-row lag sum (one aggregate over the
     * already-materialized micro-batch), runs the real sink, and records a
     * [[BatchLag]]. `tsCol` must be epoch millis. Clocks default to wall
-    * time (production); inject deterministic ones for oracle replay. */
+    * time (production); inject deterministic ones for oracle replay.
+    *
+    * `batchKey` (optional) makes batch IDENTITY data-derived: a long-valued
+    * column, constant within each micro-batch, whose value replaces the
+    * streaming `batchId` in the ledger row AND as the argument to both
+    * injected clocks. Without it, the ledger is keyed by the engine's batch
+    * id, which for a file source is an ARRIVAL-ORDER artifact (listing
+    * order, scheduler) — fine for wall-clock observability, but an oracle
+    * replay that assumes "batch i == logical unit i" silently depends on
+    * it. With `batchKey`, a replay is order-independent: however the
+    * source interleaves the files, each batch self-identifies from its
+    * rows. The key must be constant per batch (min==max enforced) —
+    * the natural fit is a partitioning column the writer batched by. */
   def meteredSink(source: String, tsCol: String = graft.core.TsSchema.Ts,
                   arrivalClock: Long => Long = _ => System.currentTimeMillis(),
-                  commitClock: Long => Long = _ => System.currentTimeMillis())
+                  commitClock: Long => Long = _ => System.currentTimeMillis(),
+                  batchKey: Option[org.apache.spark.sql.Column] = None)
                  (sink: (DataFrame, Long) => Unit)
                  : (DataFrame, Long) => Unit = { (df, batchId) =>
-    val arrival = arrivalClock(batchId)
+    // production path (no batchKey): stamp arrival at batch ENTRY, before
+    // the stats aggregate spends time; the injected-clock path is a pure
+    // function of the key, so stamping after the aggregate changes nothing
+    val entryArrival = if (batchKey.isEmpty) Some(arrivalClock(batchId)) else None
     // persist: the stats aggregate AND the real sink both consume the
     // micro-batch — without it the source plan (file read, parse) executes
     // twice per batch, inflating the very appendLag being metered
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stats = df.agg(
-        count(lit(1)), min(col(tsCol)), max(col(tsCol)),
-        sum(lit(arrival) - col(tsCol))).collect()(0)
+      val keyAggs = batchKey.toSeq.flatMap(k =>
+        Seq(min(k.cast("long")), max(k.cast("long"))))
+      // Σt as decimal(38,0): raw epoch-millis sums overflow Long around
+      // 5M rows/batch (1.7e12 each); the final lag sum is small again
+      val stats = df.agg(count(lit(1)),
+        (Seq(min(col(tsCol)), max(col(tsCol)),
+          sum(col(tsCol).cast("decimal(38,0)"))) ++ keyAggs): _*)
+        .collect()(0)
       val rows = stats.getLong(0)
       sink(df, batchId)
-      if (rows > 0)
-        record(BatchLag(source, batchId, rows,
+      if (rows > 0) {
+        val id = if (batchKey.isEmpty) batchId else {
+          val (lo, hi) = (stats.getLong(4), stats.getLong(5))
+          require(lo == hi,
+            s"batchKey must be constant within a micro-batch; batch $batchId spans [$lo, $hi]")
+          lo
+        }
+        val arrival = entryArrival.getOrElse(arrivalClock(id))
+        // Σ(arrival − t) = n·arrival − Σt, exact in decimal then narrowed
+        val sumTs = stats.getDecimal(3)
+        val lagSum = java.math.BigDecimal.valueOf(rows)
+          .multiply(java.math.BigDecimal.valueOf(arrival))
+          .subtract(sumTs).longValueExact()
+        record(BatchLag(source, id, rows,
           stats.getLong(1), stats.getLong(2),
-          arrival, commitClock(batchId), stats.getLong(3)))
+          arrival, commitClock(id), lagSum))
+      }
     } finally df.unpersist(blocking = false)
   }
 
@@ -119,16 +153,30 @@ object IngestLag {
     * path always is), and the per-row lag sum falls out of the average:
     * Σ(arrival − t) = n·(arrival − avg). Arrival = trigger start; commit =
     * trigger start + triggerExecution — the same two instants the metered
-    * sink stamps. Remove with [[detachListener]]. */
+    * sink stamps. Remove with [[detachListener]], or pass
+    * `autoDetach = true` to have the listener remove itself when a query
+    * that STARTED under `queryName` terminates (the default-on metering in
+    * [[graft.streaming.Ingest.writer]] uses this, one listener per stream
+    * lifetime). */
   def attachListener(spark: org.apache.spark.sql.SparkSession,
-                     queryName: String, source: String)
+                     queryName: String, source: String,
+                     autoDetach: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQueryListener = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val l = new StreamingQueryListener {
+      // runIds observed STARTING under our name: termination of one of
+      // them detaches this listener (the autoDetach lifecycle used by the
+      // default-metered ingest writer, so each ingest stream leaves no
+      // listener behind on the session)
+      private val owned =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
       override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (autoDetach && queryName == e.name) { owned.add(e.runId); () }
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (autoDetach && owned.remove(e.runId))
+          spark.streams.removeListener(this)
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress

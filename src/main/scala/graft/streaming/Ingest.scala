@@ -74,11 +74,34 @@ object Ingest {
       .drop("_event_time")
   }
 
+  /** Monotonic suffix so concurrent ingest streams to distinct tables (or
+    * restarts within one session) never collide on the active-query-name
+    * uniqueness Spark enforces. */
+  private val writerSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Write the canonical stream to a day-partitioned parquet table.
-    * trigger interval ≈ the reference's refresh interval (~1s visibility). */
+    * trigger interval ≈ the reference's refresh interval (~1s visibility).
+    *
+    * Ingestion-lag metering is ON BY DEFAULT (r11 verdict: the stats
+    * `ingestionLag` section must populate for every ingest stream without
+    * caller opt-in, the way the reference meters every bulk request): the
+    * query is named internally and a self-detaching
+    * [[graft.serve.IngestLag.attachListener]] records per-batch lag under
+    * source = `tablePath` — read it back with
+    * `IngestLag.batches(tablePath)` / `TsdbStats.renderGroupedWithLag`.
+    * To meter under a custom name, pass `queryName` HERE rather than
+    * chaining `.queryName` on the result (a chained override would orphan
+    * the internal listener's name). */
   def writer(samples: DataFrame, tablePath: String, checkpoint: String,
-             triggerMs: Long = 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
+             triggerMs: Long = 1000L,
+             queryName: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val qn = queryName.getOrElse(
+      s"graft_ingest_${writerSeq.incrementAndGet()}_" +
+        Integer.toHexString(tablePath.hashCode))
+    graft.serve.IngestLag.attachListener(
+      samples.sparkSession, qn, source = tablePath, autoDetach = true)
     samples.writeStream
+      .queryName(qn)
       .format("parquet")
       .option("path", tablePath)
       .option("checkpointLocation", checkpoint)
@@ -86,6 +109,7 @@ object Ingest {
       .partitionBy("day")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .outputMode("append")
+  }
 
   def start(spark: SparkSession, sourcePath: String, tablePath: String,
             checkpoint: String, oooToleranceMs: Long = 60000L): StreamingQuery =

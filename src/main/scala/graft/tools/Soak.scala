@@ -125,6 +125,20 @@ object Soak {
         .withColumn("doc_id_b", col("doc_id_a") + 1L)
       graft.pipelines.Dedup.clusterPairs(chain)
     }
+    println(s"|   └ loop rounds | ${graft.pipelines.Dedup.lastLoopRounds} | | |")
+    // HOSTILE partitioning (r11 verdict item 5): the same path scattered so
+    // every edge is a partition crossing — adjacent edges always land in
+    // different partitions (key = a mod partitions, consecutive a differ),
+    // so the local union-find collapses nothing and the boundary graph is
+    // the full chain. The pin: cost degrades to the PLAIN pointer-doubling
+    // bound (log4 rounds), never worse — contraction only removes rounds.
+    op(s"connected components (same path, hostile scatter — every edge crosses)") {
+      val chain = spark.range(nDocs).toDF("doc_id_a")
+        .withColumn("doc_id_b", col("doc_id_a") + 1L)
+        .repartition(cpus.toInt, pmod(col("doc_id_a"), lit(cpus.toInt)))
+      graft.pipelines.Dedup.clusterPairs(chain)
+    }
+    println(s"|   └ loop rounds | ${graft.pipelines.Dedup.lastLoopRounds} | | |")
     spark.conf.unset("graft.clusterPairs.log")
 
     // ---- series family at the reference's own JMH envelopes ---------------

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured commit-fan-out curve for stateful streaming (r11 verdict item
+  * 6): every stateful micro-batch commits one state-store delta PER
+  * SHUFFLE PARTITION, so at small per-trigger row counts the partition
+  * count — not row work — is the wall clock, and production should size
+  * `spark.sql.shuffle.partitions` (i.e. the state-store count) to key
+  * cardinality per query. This sweep turns that advice into a table:
+  * two stateful registry queries (the ingest roundtrip's
+  * dropDuplicatesWithinWatermark state, and the KMV sketch's
+  * flatMapGroupsWithState) run at 4/8/16/32 state partitions via the
+  * `graft.stream.statePartitions` knob the registry drain respects.
+  * Results can NEVER move — each query's oracle/parity spec pins
+  * partition-count invariance — only the wall clock does.
+  *
+  * Usage: `runMain graft.tools.StateShuffleSweep [sfDir]`. Prints a
+  * markdown table for OPERATORS.md; each cell is min-of-2 warm passes.
+  */
+object StateShuffleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    val queries = Seq("streaming_ingest_roundtrip", "streaming_kmv_distinct")
+    val parts = Seq(4, 8, 16, 32)
+    println(s"| query | " + parts.map(p => s"$p parts (s)").mkString(" | ") + " |")
+    println("|---|" + parts.map(_ => "---").mkString("|") + "|")
+    for (q <- queries) {
+      val fn = graft.SparkEntry.queries(q)
+      // untimed warm at the default: JIT + parquet footers out of the way
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      val cells = parts.map { p =>
+        spark.conf.set("graft.stream.statePartitions", p.toString)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      spark.conf.unset("graft.stream.statePartitions")
+      println(s"| $q | " + cells.map(f2).mkString(" | ") + " |")
+    }
+    spark.stop()
+  }
+}

@@ -271,24 +271,32 @@ class IvfRecallSpec extends SparkTestBase {
     val emb = graft.core.Tables.embeddings(spark, big)
     // nProbe >= nCells (45 here): the cell filter is a no-op, so the
     // composed path must equal plain PQ exactly — the registered query's
-    // oracle-sharing precondition
+    // oracle-sharing precondition (cheap-index point: spill=1/rerank=16,
+    // passed explicitly since the r12 default flip to the refine path)
     for (q <- Seq(0L, 7L)) {
-      val full = graft.pipelines.Pq.ivfPqTopK(emb, q, 10, nProbe = 64)
+      val full = graft.pipelines.Pq.ivfPqTopK(emb, q, 10, nProbe = 64,
+          rerank = 16, spill = 1)
         .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
       val plain = graft.pipelines.Pq.pqTopK(emb, q, 10)
         .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
       assert(full == plain, s"query $q: all-cell ivf-pq diverged from pq")
     }
-    // genuine pruning: recall vs exact at shrinking probe counts
+    // genuine pruning at the SIGNATURE DEFAULTS (spill=2, rerank=32):
+    // the default config must hold the 0.95 operating point at its own
+    // default probe width — the r12 contract for flipping the default
     val queries = Seq(0L, 7L, 42L, 100L, 499L)
-    for (np <- Seq(16, 32)) {
+    val byProbe = Seq(16, 32).map { np =>
       val rs = queries.map { q =>
         val exact = ids(Similarity.bruteForceTopK(emb, q, 10))
         exact.intersect(ids(graft.pipelines.Pq.ivfPqTopK(emb, q, 10,
           nProbe = np))).size / 10.0
       }
-      info(f"sf0.1 recall@10: ivfpq(nProbe=$np)=${rs.sum / rs.size}%.2f (45 cells)")
-    }
+      val r = rs.sum / rs.size
+      info(f"sf0.1 recall@10: ivfpq-default(nProbe=$np)=$r%.2f (45 cells)")
+      np -> r
+    }.toMap
+    assert(byProbe(32) >= 0.95,
+      s"default ivf-pq config must hold recall >= 0.95 at default nProbe=32, got ${byProbe(32)}")
   }
 
   test("ivf-pq refine levers: all-cell spill+rerank equals pq(rerank); " +

@@ -88,8 +88,7 @@ class StreamingIngestSpec extends SparkTestBase {
     try {
       val q = Ingest.writer(
           Ingest.withIngestSemantics(Ingest.readJsonStream(spark, src), 60000L),
-          tbl, ckp)
-        .queryName("lag_listener_q")
+          tbl, ckp, queryName = Some("lag_listener_q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination(); q.stop()
@@ -112,6 +111,39 @@ class StreamingIngestSpec extends SparkTestBase {
       graft.serve.IngestLag.detachListener(spark, l)
       graft.serve.IngestLag.clear(source)
     }
+  }
+
+  test("ingest lag meters by default — no explicit attach — and the " +
+       "listener detaches itself at termination") {
+    // r11 verdict item 3: Ingest.writer users must get the ingestionLag
+    // stats section populated WITHOUT remembering attachListener; the
+    // auto-attached listener must also not accumulate on the session
+    val dir = Files.createTempDirectory("graft_laga").toFile.getAbsolutePath
+    val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
+    new java.io.File(src).mkdirs()
+    val late = System.currentTimeMillis() - 300000L
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(
+        s"""{"labels":"host a","timestamp":$late,"value":1.0}""",
+        s"""{"labels":"host b","timestamp":${late + 2000},"value":2.0}""")
+        .mkString("\n").getBytes)
+    val listenersBefore = spark.streams.listListeners().length
+    Ingest.runOnce(spark, src, tbl, ckp)   // plain production entry point
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.serve.IngestLag.batches(tbl).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val bs = graft.serve.IngestLag.batches(tbl)
+      assert(bs.nonEmpty, "default-on metering recorded no batches")
+      assert(bs.head.rows == 2)
+      assert(bs.head.coordinatorLagMs >= 300000L)
+      // the auto listener removes itself once the query terminates
+      val detachBy = System.currentTimeMillis() + 15000
+      while (spark.streams.listListeners().length > listenersBefore &&
+             System.currentTimeMillis() < detachBy) Thread.sleep(100)
+      assert(spark.streams.listListeners().length == listenersBefore,
+        "auto-attached lag listener must detach at query termination")
+    } finally graft.serve.IngestLag.clear(tbl)
   }
 
   test("streaming ingest writes day-partitioned parquet with dedup") {
