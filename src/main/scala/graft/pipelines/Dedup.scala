@@ -712,7 +712,18 @@ object Dedup {
         val durable = checkpointDir.isDefined
         checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
         val nodeRoot =
-          if (durable) nodeRoot0.checkpoint(eager = true)
+          if (durable) {
+            // persist first: a reliable checkpoint otherwise recomputes
+            // every partition a second time to write its files — i.e. the
+            // full edge scan + union-find pass, the exact cost the
+            // contraction exists to pay once. The cache is dropped as soon
+            // as the checkpoint files own the data.
+            val cached = nodeRoot0
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val ck = cached.checkpoint(eager = true)
+            cached.unpersist(blocking = false)
+            ck
+          }
           else nodeRoot0
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // one shuffle keyed by node: the minimum local root each node saw

@@ -54,12 +54,34 @@ object IngestLag {
     * commit, so appendLag covers it — documented n/a rather than faked. */
   val MaxBatches = 256
 
+  /** Distinct sources retained (FIFO-evicted beyond this) — needed since
+    * metering went default-on in `Ingest.writer`: every ingest stream
+    * records under source = tablePath, and a long-lived session writing to
+    * per-run paths (the registry roundtrip query, the soak) would
+    * otherwise grow the ledger map monotonically. */
+  val MaxSources = 256
+
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Vector[BatchLag]]
   private val droppedCtr =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val sourceOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  def record(b: BatchLag): Unit =
+  def record(b: BatchLag): Unit = {
+    if (!reg.contains(b.source)) {
+      sourceOrder.add(b.source)
+      // bounded walk: evict oldest sources until under budget; the counter
+      // guards the (clear-race) case where the queue and map disagree
+      var attempts = reg.size + 1
+      while (reg.size >= MaxSources && attempts > 0) {
+        attempts -= 1
+        val old = sourceOrder.poll()
+        if (old == null) attempts = 0 // queue drained concurrently
+        else if (old != b.source) { reg.remove(old); droppedCtr.remove(old) }
+        else sourceOrder.add(old) // never evict the source being recorded
+      }
+    }
     reg.updateWith(b.source) {
       case Some(v) =>
         if (v.size >= MaxBatches)
@@ -70,6 +92,7 @@ object IngestLag {
         Some((v :+ b).takeRight(MaxBatches))
       case None    => Some(Vector(b))
     }
+  }
 
   /** Ring-evicted batch count for one source (the `pendingDropped`
     * analogue); summaries (max lag, row totals) only cover retained
@@ -80,7 +103,8 @@ object IngestLag {
     reg.getOrElse(source, Vector.empty)
 
   def clear(source: String): Unit = {
-    reg.remove(source); droppedCtr.remove(source); ()
+    reg.remove(source); droppedCtr.remove(source)
+    sourceOrder.remove(source); ()
   }
 
   /** Wrap a per-batch sink with lag metering: computes the batch's
@@ -107,8 +131,11 @@ object IngestLag {
                  (sink: (DataFrame, Long) => Unit)
                  : (DataFrame, Long) => Unit = { (df, batchId) =>
     // production path (no batchKey): stamp arrival at batch ENTRY, before
-    // the stats aggregate spends time; the injected-clock path is a pure
-    // function of the key, so stamping after the aggregate changes nothing
+    // the stats aggregate spends time. With a batchKey the id isn't known
+    // until the aggregate returns, so arrival is stamped immediately AFTER
+    // it and — critically — BEFORE the real sink runs: coordinator lag may
+    // carry the (small) aggregate cost but never the sink's write time,
+    // which belongs only to appendLag.
     val entryArrival = if (batchKey.isEmpty) Some(arrivalClock(batchId)) else None
     // persist: the stats aggregate AND the real sink both consume the
     // micro-batch — without it the source plan (file read, parse) executes
@@ -116,7 +143,7 @@ object IngestLag {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keyAggs = batchKey.toSeq.flatMap(k =>
-        Seq(min(k.cast("long")), max(k.cast("long"))))
+        Seq(min(k.cast("long")), max(k.cast("long")), count(k.cast("long"))))
       // Σt as decimal(38,0): raw epoch-millis sums overflow Long around
       // 5M rows/batch (1.7e12 each); the final lag sum is small again
       val stats = df.agg(count(lit(1)),
@@ -124,15 +151,23 @@ object IngestLag {
           sum(col(tsCol).cast("decimal(38,0)"))) ++ keyAggs): _*)
         .collect()(0)
       val rows = stats.getLong(0)
-      sink(df, batchId)
-      if (rows > 0) {
-        val id = if (batchKey.isEmpty) batchId else {
+      // derive identity and stamp arrival BEFORE the sink commits: an
+      // invalid batch (non-constant or null key) must fail before its side
+      // effect, or a restart would re-append the rows and crash-loop
+      val (id, arrival) =
+        if (rows == 0) (batchId, 0L)
+        else if (batchKey.isEmpty) (batchId, entryArrival.get)
+        else {
+          require(stats.getLong(6) == rows,
+            s"batchKey must be non-null for every row; batch $batchId has " +
+              s"${rows - stats.getLong(6)} null keys")
           val (lo, hi) = (stats.getLong(4), stats.getLong(5))
           require(lo == hi,
             s"batchKey must be constant within a micro-batch; batch $batchId spans [$lo, $hi]")
-          lo
+          (lo, arrivalClock(lo))
         }
-        val arrival = entryArrival.getOrElse(arrivalClock(id))
+      sink(df, batchId)
+      if (rows > 0) {
         // Σ(arrival − t) = n·arrival − Σt, exact in decimal then narrowed
         val sumTs = stats.getDecimal(3)
         val lagSum = java.math.BigDecimal.valueOf(rows)
@@ -158,42 +193,60 @@ object IngestLag {
     * that STARTED under `queryName` terminates (the default-on metering in
     * [[graft.streaming.Ingest.writer]] uses this, one listener per stream
     * lifetime). */
+  /** Auto-attached listeners by source: a `writer()` whose `start()` never
+    * happened (or threw) leaves a listener that can never self-detach; the
+    * next auto-attach for the SAME source replaces it, bounding orphans to
+    * one per distinct table path instead of one per attempt. */
+  private val autoBySource =
+    scala.collection.concurrent.TrieMap.empty[String, LagListener]
+
+  private final class LagListener(
+      spark: org.apache.spark.sql.SparkSession,
+      queryName: String, source: String, autoDetach: Boolean)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    /** true once a query STARTED under our name — a started listener is
+      * live (its termination will detach it) and must never be replaced. */
+    @volatile var sawStart = false
+    // runIds observed STARTING under our name: termination of one of
+    // them detaches this listener (the autoDetach lifecycle used by the
+    // default-metered ingest writer, so each ingest stream leaves no
+    // listener behind on the session)
+    private val owned =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      if (autoDetach && queryName == e.name) { sawStart = true; owned.add(e.runId); () }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (autoDetach && owned.remove(e.runId)) {
+        autoBySource.remove(source, this)
+        spark.streams.removeListener(this)
+      }
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val et = p.eventTime
+      if (queryName == p.name && p.numInputRows > 0 && et != null &&
+          et.containsKey("min") && et.containsKey("avg")) {
+        def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+        val arrival = ms(p.timestamp)
+        val commit = arrival +
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+        record(BatchLag(source, p.batchId, p.numInputRows,
+          ms(et.get("min")), ms(et.get("max")), arrival, commit,
+          p.numInputRows * (arrival - ms(et.get("avg")))))
+      }
+    }
+  }
+
   def attachListener(spark: org.apache.spark.sql.SparkSession,
                      queryName: String, source: String,
                      autoDetach: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQueryListener = {
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    val l = new StreamingQueryListener {
-      // runIds observed STARTING under our name: termination of one of
-      // them detaches this listener (the autoDetach lifecycle used by the
-      // default-metered ingest writer, so each ingest stream leaves no
-      // listener behind on the session)
-      private val owned =
-        java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit =
-        if (autoDetach && queryName == e.name) { owned.add(e.runId); () }
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (autoDetach && owned.remove(e.runId))
-          spark.streams.removeListener(this)
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        val et = p.eventTime
-        if (queryName == p.name && p.numInputRows > 0 && et != null &&
-            et.containsKey("min") && et.containsKey("avg")) {
-          def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
-          val arrival = ms(p.timestamp)
-          val commit = arrival +
-            Option(p.durationMs.get("triggerExecution"))
-              .map(_.longValue).getOrElse(0L)
-          record(BatchLag(source, p.batchId, p.numInputRows,
-            ms(et.get("min")), ms(et.get("max")), arrival, commit,
-            p.numInputRows * (arrival - ms(et.get("avg")))))
-        }
+    val l = new LagListener(spark, queryName, source, autoDetach)
+    if (autoDetach)
+      autoBySource.put(source, l).foreach { prev =>
+        if (!prev.sawStart) spark.streams.removeListener(prev)
       }
-    }
     spark.streams.addListener(l)
     l
   }

@@ -127,16 +127,25 @@ object Soak {
     }
     println(s"|   └ loop rounds | ${graft.pipelines.Dedup.lastLoopRounds} | | |")
     // HOSTILE partitioning (r11 verdict item 5): the same path scattered so
-    // every edge is a partition crossing — adjacent edges always land in
-    // different partitions (key = a mod partitions, consecutive a differ),
-    // so the local union-find collapses nothing and the boundary graph is
-    // the full chain. The pin: cost degrades to the PLAIN pointer-doubling
-    // bound (log4 rounds), never worse — contraction only removes rounds.
+    // every edge is a partition crossing — an EXPLICIT partitioner pins
+    // edge (i, i+1) to partition i mod n (a repartition by pmod would
+    // re-hash the residue and collisions would co-locate some adjacent
+    // edges), so the local union-find collapses nothing and the boundary
+    // graph is the full chain. The pin: cost degrades to the PLAIN
+    // pointer-doubling bound, never worse — contraction only removes rounds.
     op(s"connected components (same path, hostile scatter — every edge crosses)") {
-      val chain = spark.range(nDocs).toDF("doc_id_a")
+      val n = cpus.toInt
+      val base = spark.range(nDocs).toDF("doc_id_a")
         .withColumn("doc_id_b", col("doc_id_a") + 1L)
-        .repartition(cpus.toInt, pmod(col("doc_id_a"), lit(cpus.toInt)))
-      graft.pipelines.Dedup.clusterPairs(chain)
+      spark.createDataFrame(
+        base.rdd.map(r => (r.getLong(0), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = n
+            override def getPartition(key: Any): Int =
+              (key.asInstanceOf[Long] % n).toInt
+          }).values,
+        base.schema)
+        .transform(df => graft.pipelines.Dedup.clusterPairs(df))
     }
     println(s"|   └ loop rounds | ${graft.pipelines.Dedup.lastLoopRounds} | | |")
     spark.conf.unset("graft.clusterPairs.log")
