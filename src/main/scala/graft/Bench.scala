@@ -195,10 +195,17 @@ object Bench {
     val calJson = calibration.map { case (at, sec, la) =>
       s"""{"at":$at,"sec":${f2(sec)},"loadavg":${f2(la)}}"""
     }.mkString("[", ",", "]")
+    // drift = max/MEDIAN, not max/min: a single residual cold probe (the
+    // r12 quiet run recorded 0.37s then a dead-flat 0.18–0.25 tail, and
+    // max/min read 2.06 — a false contamination call at the 2.0 gate)
+    // must not dominate, while sustained contamination still does (the
+    // same day's genuinely loaded run reads 3.5 under max/median vs 0.96
+    // cold + 0.71 mid-run bumps over a 0.27 median)
     val calDrift =
-      if (calibration.nonEmpty)
-        calibration.map(_._2).max / math.max(calibration.map(_._2).min, 1e-9)
-      else 0.0
+      if (calibration.nonEmpty) {
+        val sorted = calibration.map(_._2).sorted
+        sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
+      } else 0.0
     // ---- ADJUDICATION (r11 verdict: promote the calibration channels into
     // a machine-readable verdict, so no prose rerun-adjudication is needed).
     // Three signals, each with its r10/r11 empirical anchor:
