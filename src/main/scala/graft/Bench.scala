@@ -195,23 +195,28 @@ object Bench {
     val calJson = calibration.map { case (at, sec, la) =>
       s"""{"at":$at,"sec":${f2(sec)},"loadavg":${f2(la)}}"""
     }.mkString("[", ",", "]")
-    // drift = max/MEDIAN, not max/min: a single residual cold probe (the
+    // drift = max / P25, not max/min: a single residual cold probe (the
     // r12 quiet run recorded 0.37s then a dead-flat 0.18–0.25 tail, and
     // max/min read 2.06 — a false contamination call at the 2.0 gate)
-    // must not dominate, while sustained contamination still does (the
-    // same day's genuinely loaded run reads 3.5 under max/median vs 0.96
-    // cold + 0.71 mid-run bumps over a 0.27 median)
+    // must not dominate the DENOMINATOR side, while the numerator stays
+    // the raw max so contamination spanning even half the run still
+    // registers (a median denominator would sit inside the inflated half
+    // and mask it). Fewer than 4 probes falls back to max/min — a
+    // quartile of 2–3 samples is meaningless. Empirical anchors: quiet
+    // r12 = 1.85, the same day's loaded runs = 4.0/2.3/2.6.
     val calDrift =
       if (calibration.nonEmpty) {
         val sorted = calibration.map(_._2).sorted
-        sorted.last / math.max(sorted(sorted.size / 2), 1e-9)
+        val denom = if (sorted.size >= 4) sorted(sorted.size / 4) else sorted.head
+        sorted.last / math.max(denom, 1e-9)
       } else 0.0
     // ---- ADJUDICATION (r11 verdict: promote the calibration channels into
     // a machine-readable verdict, so no prose rerun-adjudication is needed).
     // Three signals, each with its r10/r11 empirical anchor:
-    //  - contaminated: probe drift > 2 (quiet r11 measured 1.89, the
-    //    contaminated driver run 2.58) — identical work slowing down across
-    //    the run is co-tenant load by construction
+    //  - contaminated: probe drift (max/P25, see calDrift) > 2, OR more
+    //    suspects than the gate below — identical work slowing down
+    //    across the run, or broad per-query inflation the probe is too
+    //    short to feel, is co-tenant load by construction
     //  - run_spread suspects: one timed pass >3× the query's own min (and
     //    min >0.5s so short-query jitter doesn't trip it) — the
     //    dedup_keep_central [9.2, 148.3, 8.7] signature
@@ -242,14 +247,21 @@ object Bench {
       else if (slowVsIso) Some((n, "vs_isolated"))
       else None
     }
+    // second contamination channel: the SUSPECT COUNT. This host's probe
+    // (a short 32-thread burst) stays flat under co-tenant load that
+    // still inflates long queries 20-30% — measured r12: the quiet run
+    // flagged 7 suspects, the three loaded runs 19-30. Probe drift alone
+    // would have called two of those three clean.
+    val suspectGate = math.max(12, runs.size / 25)
+    val contaminated = calDrift > 2.0 || suspects.size > suspectGate
     val benchVerdict =
-      if (calDrift > 2.0) "host_contaminated"
+      if (contaminated) "host_contaminated"
       else if (suspects.nonEmpty) "suspect_queries"
       else "clean"
     val adjJson = {
       val sus = suspects.take(20).map { case (n, r) =>
         s"""{"query":"$n","reason":"$r"}""" }.mkString("[", ",", "]")
-      s"""{"verdict":"$benchVerdict","contaminated":${calDrift > 2.0},""" +
+      s"""{"verdict":"$benchVerdict","contaminated":$contaminated,""" +
         s""""calibration_drift":${f2(calDrift)},"suspects":$sus,""" +
         s""""suspects_omitted":${math.max(0, suspects.size - 20)},""" +
         s""""isolated_ref_queries":${isolatedRef.size}}"""

@@ -180,6 +180,23 @@ object Dist {
       .where(col("_scan") <= k).withColumnRenamed("_scan", "_rn")
   }
 
+  /** Test/bench utility: place each row in partition `firstLongCol mod n`
+    * via an EXPLICIT partitioner. `repartition(n, pmod(col, n))` does NOT
+    * do this — it re-hashes the residue, and residue-hash collisions
+    * co-locate rows the construction needs separated. Used to build the
+    * connected-components hostile case (adjacent chain edges never share
+    * a partition, so every edge is a partition crossing) identically in
+    * the soak and the spec; the first column must be a non-null Long. */
+  def scatterByMod(df: DataFrame, n: Int): DataFrame =
+    df.sparkSession.createDataFrame(
+      df.rdd.map(r => (r.getLong(0), r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = n
+          override def getPartition(key: Any): Int =
+            (key.asInstanceOf[Long] % n).toInt
+        }).values,
+      df.schema)
+
   /** Drop the block-manager storage behind a `localCheckpoint(eager=true)`d
     * frame. A local checkpoint truncates lineage, so Spark itself only frees
     * the blocks when the driver GCs the RDD handle — on a large driver heap

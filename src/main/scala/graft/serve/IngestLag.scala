@@ -65,21 +65,23 @@ object IngestLag {
     scala.collection.concurrent.TrieMap.empty[String, Vector[BatchLag]]
   private val droppedCtr =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  private val sourceOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // least-recently-RECORDED source order (LinkedHashMap accessOrder): a
+  // long-lived production stream keeps touching its entry and is never
+  // the eviction victim — only sources that stopped recording age out
+  // (dead per-run temp paths, exactly what the bound is for). Guarded by
+  // its own lock: the admission sequence (touch → evict eldest) is
+  // check-then-act and two streams' first batches may race.
+  private val sourceLru =
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true)
 
   def record(b: BatchLag): Unit = {
-    if (!reg.contains(b.source)) {
-      sourceOrder.add(b.source)
-      // bounded walk: evict oldest sources until under budget; the counter
-      // guards the (clear-race) case where the queue and map disagree
-      var attempts = reg.size + 1
-      while (reg.size >= MaxSources && attempts > 0) {
-        attempts -= 1
-        val old = sourceOrder.poll()
-        if (old == null) attempts = 0 // queue drained concurrently
-        else if (old != b.source) { reg.remove(old); droppedCtr.remove(old) }
-        else sourceOrder.add(old) // never evict the source being recorded
+    sourceLru.synchronized {
+      sourceLru.put(b.source, java.lang.Boolean.TRUE) // touch: moves to tail
+      val it = sourceLru.keySet.iterator
+      while (sourceLru.size > MaxSources && it.hasNext) {
+        val old = it.next() // eldest first; b.source was just touched to tail
+        it.remove()
+        reg.remove(old); droppedCtr.remove(old)
       }
     }
     reg.updateWith(b.source) {
@@ -104,7 +106,7 @@ object IngestLag {
 
   def clear(source: String): Unit = {
     reg.remove(source); droppedCtr.remove(source)
-    sourceOrder.remove(source); ()
+    sourceLru.synchronized { sourceLru.remove(source) }; ()
   }
 
   /** Wrap a per-batch sink with lag metering: computes the batch's
@@ -193,12 +195,20 @@ object IngestLag {
     * that STARTED under `queryName` terminates (the default-on metering in
     * [[graft.streaming.Ingest.writer]] uses this, one listener per stream
     * lifetime). */
-  /** Auto-attached listeners by source: a `writer()` whose `start()` never
-    * happened (or threw) leaves a listener that can never self-detach; the
-    * next auto-attach for the SAME source replaces it, bounding orphans to
-    * one per distinct table path instead of one per attempt. */
-  private val autoBySource =
-    scala.collection.concurrent.TrieMap.empty[String, LagListener]
+  /** PENDING auto-attached listeners by source — attached but no query has
+    * started under their name yet. A `writer()` whose `start()` never
+    * happens (or throws) leaves a listener that can never self-detach;
+    * capping the pending set per source bounds that leak on retry loops.
+    * Eagerly REPLACING the previous pending listener would be wrong: two
+    * writers for the same table built before either starts would silently
+    * un-meter the first stream, so up to [[MaxPendingPerSource]] coexist
+    * and only older ones beyond the cap detach. A listener leaves the
+    * pending set the moment its query starts (then its termination
+    * detaches it from the bus). */
+  private val MaxPendingPerSource = 4
+  private val pendingAuto =
+    scala.collection.concurrent.TrieMap.empty[String, List[LagListener]]
+  private val pendingLock = new Object
 
   private final class LagListener(
       spark: org.apache.spark.sql.SparkSession,
@@ -215,12 +225,22 @@ object IngestLag {
     private val owned =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     override def onQueryStarted(e: QueryStartedEvent): Unit =
-      if (autoDetach && queryName == e.name) { sawStart = true; owned.add(e.runId); () }
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      if (autoDetach && owned.remove(e.runId)) {
-        autoBySource.remove(source, this)
-        spark.streams.removeListener(this)
+      if (autoDetach && queryName == e.name) {
+        sawStart = true; owned.add(e.runId)
+        // no longer pending: lifecycle is now owned by termination
+        pendingLock.synchronized {
+          pendingAuto.updateWith(source) {
+            case Some(ls) =>
+              val rest = ls.filterNot(_ eq this)
+              if (rest.isEmpty) None else Some(rest)
+            case None => None
+          }
+        }
+        ()
       }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (autoDetach && owned.remove(e.runId))
+        spark.streams.removeListener(this)
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
       val et = p.eventTime
@@ -243,10 +263,15 @@ object IngestLag {
                      autoDetach: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQueryListener = {
     val l = new LagListener(spark, queryName, source, autoDetach)
-    if (autoDetach)
-      autoBySource.put(source, l).foreach { prev =>
-        if (!prev.sawStart) spark.streams.removeListener(prev)
-      }
+    if (autoDetach) pendingLock.synchronized {
+      // newest first; anything beyond the cap that still never started is
+      // an orphan from a failed/abandoned start and detaches now
+      val prev = pendingAuto.getOrElse(source, Nil).filterNot(_.sawStart)
+      val all = l :: prev
+      val (keep, drop) = all.splitAt(MaxPendingPerSource)
+      drop.foreach(spark.streams.removeListener)
+      pendingAuto.put(source, keep); ()
+    }
     spark.streams.addListener(l)
     l
   }

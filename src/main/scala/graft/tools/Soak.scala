@@ -134,18 +134,10 @@ object Soak {
     // graph is the full chain. The pin: cost degrades to the PLAIN
     // pointer-doubling bound, never worse — contraction only removes rounds.
     op(s"connected components (same path, hostile scatter — every edge crosses)") {
-      val n = cpus.toInt
       val base = spark.range(nDocs).toDF("doc_id_a")
         .withColumn("doc_id_b", col("doc_id_a") + 1L)
-      spark.createDataFrame(
-        base.rdd.map(r => (r.getLong(0), r))
-          .partitionBy(new org.apache.spark.Partitioner {
-            override def numPartitions: Int = n
-            override def getPartition(key: Any): Int =
-              (key.asInstanceOf[Long] % n).toInt
-          }).values,
-        base.schema)
-        .transform(df => graft.pipelines.Dedup.clusterPairs(df))
+      graft.pipelines.Dedup.clusterPairs(
+        graft.core.Dist.scatterByMod(base, cpus.toInt))
     }
     println(s"|   └ loop rounds | ${graft.pipelines.Dedup.lastLoopRounds} | | |")
     spark.conf.unset("graft.clusterPairs.log")

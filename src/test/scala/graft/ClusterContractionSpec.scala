@@ -25,27 +25,15 @@ class ClusterContractionSpec extends SparkTestBase {
       "one path component: every node labels to the minimum id 0")
   }
 
-  /** Edge (i, i+1) pinned to partition i mod n via an EXPLICIT partitioner
-    * — `repartition(n, pmod(a, n))` would re-hash the residue and its
-    * collisions would co-locate some adjacent edges, quietly softening the
-    * worst case. Here adjacent edges NEVER share a partition, so every
-    * interior node is a boundary node and the boundary graph is the whole
-    * chain. */
-  private def scatter(df: org.apache.spark.sql.DataFrame, n: Int) =
-    spark.createDataFrame(
-      df.rdd.map(r => (r.getLong(0), r))
-        .partitionBy(new org.apache.spark.Partitioner {
-          override def numPartitions: Int = n
-          override def getPartition(key: Any): Int =
-            (key.asInstanceOf[Long] % n).toInt
-        }).values,
-      df.schema)
-
   test("scattered path: every edge a partition crossing, rounds within the " +
        "pointer-doubling bound, labels exact") {
-    // node i+1 is seen by the partitions of edges i and i+1 with two
-    // different local roots, so the boundary graph is the whole chain
-    val hostile = scatter(chain, 13)
+    // Dist.scatterByMod pins edge (i, i+1) to partition i mod 13 with an
+    // explicit partitioner (repartition by pmod would re-hash the residue
+    // and collisions would co-locate some adjacent edges): node i+1 is
+    // seen by the partitions of edges i and i+1 with two different local
+    // roots, so the boundary graph is the whole chain — the identical
+    // construction the soak's hostile row measures
+    val hostile = graft.core.Dist.scatterByMod(chain, 13)
     labelsOk(Dedup.clusterPairs(hostile))
     val hostileRounds = Dedup.lastLoopRounds
     // the same chain with contraction OFF — the plain pointer-doubling
