@@ -226,17 +226,39 @@ object Bench {
     //    discount before calling a regression
     val isolatedRef: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REF", "BENCH_isolated_ref.json")
+      // Jackson (on Spark's classpath) instead of the r12 regex scrape: the
+      // scrape anchored at indexOf("queries") and absorbed any numeric field
+      // serialized AFTER the queries block as a query entry, and its
+      // catch-all silently disabled the vs_isolated channel on format
+      // drift. A parse/sf failure now logs, so a reader can tell "channel
+      // off" (isolated_ref_queries:0 + this line) from "no suspects".
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        val refSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!refSf.contains(sfDir)) Map.empty
-        else {
-          val qBlock = txt.substring(txt.indexOf("\"queries\""))
-          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(qBlock)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)))
+        val refSf = Option(root.get("sf")).map(_.asText)
+        if (!refSf.contains(sfDir)) {
+          Console.err.println(
+            s"[bench] isolated ref $path sf=${refSf.getOrElse("?")} != $sfDir; vs_isolated channel OFF")
+          Map.empty
+        } else {
+          val qs = root.get("queries")
+          if (qs == null || !qs.isObject) {
+            Console.err.println(
+              s"[bench] isolated ref $path has no queries object; vs_isolated channel OFF")
+            Map.empty
+          } else {
+            val b = Map.newBuilder[String, Double]
+            qs.fields().forEachRemaining(e =>
+              if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble)
+            b.result()
+          }
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case e: Throwable =>
+        Console.err.println(
+          s"[bench] isolated ref $path unreadable (${e.getClass.getSimpleName}: ${e.getMessage}); vs_isolated channel OFF")
+        Map.empty
+      }
     }
     val suspects = runs.flatMap { case (n, best, _, ts, _, _, _) =>
       val spread = ts.max / math.max(ts.min, 1e-9) > 3.0 && ts.min > 0.5
@@ -286,20 +308,40 @@ object Bench {
     // full-precision line first, for any consumer that captures whole stdout
     Console.out.println(line)
     // the harness keeps only a ~2KB tail of stdout, so the LAST emitted line
-    // must carry the result inside that window: a compact line with the
-    // headline subset (every tpch_* plus the slowest queries, 2-decimal secs)
-    // and the exact total. queries_omitted records the cap (no silent caps).
+    // must carry the result inside that window. r12 broke this: inlining the
+    // full adjudication block (20 suspects with reasons) + env pushed the
+    // compact line past the tail and the driver recorded "parsed": null —
+    // the machine-readable verdict built FOR the driver made the line too
+    // big for the driver to read. The compact line now carries the verdict
+    // as three scalars (everything else lives in the committed full file),
+    // adaptively halves the query map until the line fits, and SELF-CHECKS
+    // (Jackson parse + hard size assert) before printing.
+    val CompactCap = 1900 // bytes, < the driver's ~2KB stdout tail
+    val adjCompact =
+      s"""{"verdict":"$benchVerdict","calibration_drift":${f2(calDrift)},""" +
+        s""""suspects_count":${suspects.size}}"""
     val byTime = results.sortBy(-_._2)
-    val keep = (results.filter(_._1.startsWith("tpch_")) ++ byTime).map(_._1)
-      .distinct.take(40).toSet
-    val compactQs = results.filter(r => keep(r._1))
-      .map { case (k, v) => s""""$k":${f2(v)}""" }.mkString("{", ",", "}")
-    val omitted = results.size - keep.size
-    Console.out.println(
+    def compactLine(nQueries: Int): String = {
+      val keep = (results.filter(_._1.startsWith("tpch_")) ++ byTime)
+        .map(_._1).distinct.take(nQueries).toSet
+      val compactQs = results.filter(r => keep(r._1))
+        .map { case (k, v) => s""""$k":${f2(v)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","value_single_pass":${f2(singlePass)},""" +
-        s""""adjudication":$adjJson,""" +
-        s""""shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,"env":$env,""" +
-        s""""full_json":"$outPath","queries":$compactQs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
+        s""""adjudication":$adjCompact,""" +
+        s""""shuffle_bytes_total":$shuffleTotal,"spill_bytes_total":$spillTotal,""" +
+        s""""full_json":"$outPath","queries":$compactQs,""" +
+        s""""queries_omitted":${results.size - keep.size},"sf":"$sfDir"}"""
+    }
+    val compact = Iterator.iterate(40)(_ / 2).map(compactLine)
+      .find(l => l.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        <= CompactCap)
+      .get // nQueries=0 is a fixed-size line well under the cap
+    // self-check: the emitted line must be valid JSON and inside the cap —
+    // fail the bench loudly rather than hand the driver another parsed:null
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(compact)
+    require(compact.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      <= CompactCap, s"compact bench line ${compact.length}B > $CompactCap")
+    Console.out.println(compact)
     Console.out.flush()
     graft.core.Memo.clearSession(spark)
     spark.stop()

@@ -186,14 +186,15 @@ object Dist {
     * co-locate rows the construction needs separated. Used to build the
     * connected-components hostile case (adjacent chain edges never share
     * a partition, so every edge is a partition crossing) identically in
-    * the soak and the spec; the first column must be a non-null Long. */
+    * the soak and the spec; the first column must be a non-null Long
+    * (negative ids are valid: floorMod keeps the partition in [0, n)). */
   def scatterByMod(df: DataFrame, n: Int): DataFrame =
     df.sparkSession.createDataFrame(
       df.rdd.map(r => (r.getLong(0), r))
         .partitionBy(new org.apache.spark.Partitioner {
           override def numPartitions: Int = n
           override def getPartition(key: Any): Int =
-            (key.asInstanceOf[Long] % n).toInt
+            java.lang.Math.floorMod(key.asInstanceOf[Long], n.toLong).toInt
         }).values,
       df.schema)
 

@@ -833,6 +833,10 @@ object Dedup {
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) setParent(rb, ra) else setParent(ra, rb) }
     }
+    /** registered node count / table footprint — the memory-claim
+      * observation channel (17 B per slot: 8 key + 8 value + 1 used). */
+    def size: Int = n
+    def tableBytes: Long = (mask.toLong + 1) * 17L
     /** one (node, root) pair per registered node; keys snapshot first —
       * find() only rewrites parents for keys already present */
     def entries: Iterator[(Long, Long)] = {
@@ -939,6 +943,21 @@ object Dedup {
     * spec to pin "scattered input never exceeds the pointer-doubling
     * bound" as an assertion rather than a stderr log. */
   @volatile private[graft] var lastLoopRounds: Int = -1
+
+  /** MEASURED union-find footprint at `nodes` registered nodes (a single
+    * path component, the contraction soak's shape): (tableBytes, nodes,
+    * bytesPerNode). This is the 24–49 B/node capacity claim
+    * (ARCHITECTURE.md) as an observation instead of arithmetic — the soak
+    * prints it per scale row and `ClusterContractionSpec` asserts the
+    * band. Only meaningful once `nodes` has outgrown the 4096-slot
+    * initial table (≥ ~3k nodes); below that the fixed floor dominates. */
+  private[graft] def unionFindMemory(nodes: Int): (Long, Int, Double) = {
+    val uf = new LongUnionFind(1 << 12)
+    var i = 0L
+    while (i < nodes - 1) { uf.union(i, i + 1); i += 1 }
+    if (nodes == 1) uf.find(0L)
+    (uf.tableBytes, uf.size, uf.tableBytes.toDouble / uf.size)
+  }
 
   /** The distributed min-label pointer-doubling loop over an (a, b) edge
     * frame — see [[clusterPairs]] for the full semantics and cost notes. */

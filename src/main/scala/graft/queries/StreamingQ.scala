@@ -37,17 +37,26 @@ object StreamingQ extends QueryPack {
     * query the same way. The conf is restored before the sink table is
     * read back, so downstream batch aggregation keeps the session's
     * parallelism. */
-  private def withStateShuffle[T](s: SparkSession)(body: => T): T = {
+  private def withStateShuffle[T](s: SparkSession, default: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("graft.stream.statePartitions", "8"))
+      s.conf.get("graft.stream.statePartitions", default.toString))
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private def drain(s: SparkSession)
+  /** `stateParts` is PER QUERY, sized to its stateful key cardinality (the
+    * r12 sweep's own finding applied): a global-sketch stream whose state
+    * is a handful of shard/register keys pays pure commit fan-out for every
+    * partition past that — the measured curve (OPERATORS.md) has
+    * streaming_kmv_distinct at 2.71s @ 4 vs 2.81s @ 8 vs 4.14s @ 32 —
+    * while a per-user/per-doc stream (hundreds–thousands of keys per
+    * trigger) keeps the default 8. The sweep tool's session conf still
+    * overrides both, so the 4/8/16/32 curve stays measurable. Partition
+    * count can never change results (each query's parity spec pins that). */
+  private def drain(s: SparkSession, stateParts: Int = 8)
                    (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    withStateShuffle(s) { val q = start; q.processAllAvailable(); q.stop() }
+    withStateShuffle(s, stateParts) { val q = start; q.processAllAvailable(); q.stop() }
 
   private def qRoundtrip(s: SparkSession, sf: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -71,7 +80,7 @@ object StreamingQ extends QueryPack {
     // few thousand rows — 8 keeps the same plan with 1/4 the commit fan-out
     // (state-store count is a per-query setting in production, sized to the
     // ingest key cardinality, exactly as here)
-    withStateShuffle(s)(Ingest.runOnce(s, src, table, ckpt))
+    withStateShuffle(s, 8)(Ingest.runOnce(s, src, table, ckpt))
     val back = s.read.parquet(table)
       .select(S.SeriesId, S.LabelsCol, S.Ts, S.Value)
     M3QL.query(s, back, grid, "fetch name:click")
@@ -200,7 +209,7 @@ object StreamingQ extends QueryPack {
       .schema("doc_id BIGINT, text STRING").json(src)
     val out = graft.streaming.HeavyHitters.heavyHitters(
       stream, capacity = 1 << 16, shards = 8, minCount = 10L)
-    drain(s) { out.writeStream.format("memory")
+    drain(s, stateParts = 4) { out.writeStream.format("memory")
       .queryName("hh_out").outputMode("update").start() }
     s.table("hh_out")
       .groupBy("token")
@@ -287,7 +296,7 @@ object StreamingQ extends QueryPack {
       .schema("l_orderkey BIGINT").json(src)
     val snaps = graft.streaming.KmvStream.kmvBuckets(
       stream, col("l_orderkey"))
-    drain(s) { snaps.writeStream.format("memory")
+    drain(s, stateParts = 4) { snaps.writeStream.format("memory")
       .queryName("skmv_out").outputMode("update").start() }
     graft.pipelines.Sketches.kmvEstimate(
       graft.streaming.KmvStream.finalizeSketch(s.table("skmv_out")),
@@ -315,7 +324,7 @@ object StreamingQ extends QueryPack {
       .schema("l_orderkey BIGINT").json(src)
     val regs = graft.pipelines.Sketches.hllRegisters(
       stream, col("l_orderkey"), Seq.empty)
-    drain(s) { regs.writeStream.format("memory")
+    drain(s, stateParts = 4) { regs.writeStream.format("memory")
       .queryName("shll_out").outputMode("update").start() }
     val finalRegs = s.table("shll_out")
       .groupBy("_b").agg(max("_mr").as("_mr"))
@@ -338,7 +347,7 @@ object StreamingQ extends QueryPack {
       .schema("doc_id BIGINT, term STRING, tf BIGINT").json(src)
     val counters = graft.pipelines.Sketches.cmsCounters(
       stream, col("term"), col("tf"))
-    drain(s) { counters.writeStream.format("memory")
+    drain(s, stateParts = 4) { counters.writeStream.format("memory")
       .queryName("scms_out").outputMode("update").start() }
     val finalCounters = s.table("scms_out")
       .groupBy("j", "b").agg(max("cnt").as("cnt"))
@@ -474,7 +483,7 @@ object StreamingQ extends QueryPack {
       .schema("probe_id BIGINT, q_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).parquet(src)
     val out = graft.pipelines.Similarity.streamingAnnProbe(emb, stream, k = 5)
-    drain(s) { out.writeStream.format("memory")
+    drain(s, stateParts = 4) { out.writeStream.format("memory")
       .queryName("sann_out").outputMode("update").start() }
     // Update-mode sinks append one snapshot per trigger that touches a key;
     // each probe_id arrives exactly once here, but reduce to one snapshot
@@ -543,6 +552,44 @@ object StreamingQ extends QueryPack {
   private def qIngestLag(s: SparkSession, sf: String): DataFrame =
     ingestLagLedger(s, sf, mtimeOfBucket = b => 1000000000000L + b * 60000L)
 
+  /** STATIC twin of [[qIngestLag]]: the identical ledger computed with a
+    * plain batch `groupBy` — no streaming, no file source, no foreachBatch,
+    * no JSON round-trip, no registry. Same bucket derivation, same injected
+    * clock arithmetic, SAME oracle SQL. This is a diagnostic bisect for the
+    * driver-gate hash mismatch the streaming row has shown (r11, r12) while
+    * every judge replay passes: static green + streaming red isolates the
+    * fault to the file-source/foreachBatch/registry layer in the driver's
+    * session; both red means the data/hash layer; both green means the
+    * failure was environmental and transient. Mirrors the xxhash
+    * portable-twin pattern already in the registry. */
+  private def qIngestLagStatic(s: SparkSession, sf: String): DataFrame = {
+    val n = col("n_rows").cast("decimal(38,0)")
+    val arrival =
+      (lit(IngestLagArrivalBase) + col("batch_id") * 1000L).cast("decimal(38,0)")
+    Tables.eventSamples(s, sf)
+      .where(col(S.LabelsCol).getItem("name") === "click")
+      .select(
+        (col(S.LabelsCol).getItem("user").cast("long") % 3).as("batch_id"),
+        col(S.Ts).as("t"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("t").as("min_event_ms"), max("t").as("max_event_ms"),
+        sum(col("t").cast("decimal(38,0)")).as("sum_t"))
+      // Σ(arrival − t) = n·arrival − Σt stays decimal(38,0) — integer-exact
+      .withColumn("_lag_sum", n * arrival - col("sum_t"))
+      .select(col("batch_id"), col("n_rows"),
+        col("min_event_ms"), col("max_event_ms"),
+        (lit(IngestLagArrivalBase) + col("batch_id") * 1000L
+          - col("min_event_ms")).as("coordinator_lag_ms"),
+        (lit(IngestLagArrivalBase) + col("batch_id") * 1000L + 500L
+          - col("min_event_ms")).as("append_lag_ms"),
+        // integral `div`, never fractional decimal division: all-positive
+        // operands make it == the streaming path's Long truncation ==
+        // DuckDB's `//`, with no scale-capped rounding in between
+        expr("CAST(_lag_sum div n_rows AS BIGINT)").as("avg_lag_ms"))
+      .orderBy("batch_id")
+  }
+
   /** [[qIngestLag]] with the per-bucket file mtime injectable, so the
     * order-permutation spec can make the file source process buckets in
     * REVERSE and assert the ledger doesn't move. */
@@ -574,15 +621,39 @@ object StreamingQ extends QueryPack {
     val arrivalBase = IngestLagArrivalBase
     val source = s"ilag:$base"
     graft.serve.IngestLag.clear(source)
+    // EXPECTED per-bucket ledger from the pre-JSON frame — the diagnostic
+    // baseline for the `[ingestlag]` stderr lines below. One 3-row
+    // aggregate; any recorded batch diverging from its expected row is
+    // printed column-by-column, so a red driver-gate row carries its own
+    // diagnosis (r12 verdict: instrument, don't guess) in the [verify] log.
+    val expected = wire
+      .groupBy(col("_b").cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), min("timestamp").as("lo"),
+        max("timestamp").as("hi"),
+        sum(col("timestamp").cast("decimal(38,0)")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDecimal(4)))
+      .toMap
+    def diag(m: String): Unit = Console.err.println(s"[ingestlag] $m")
+    expected.toSeq.sortBy(_._1).foreach { case (b, (n, lo, hi, st)) =>
+      diag(s"expect bucket=$b rows=$n minEventMs=$lo maxEventMs=$hi sumTs=$st") }
     val sink = graft.serve.IngestLag.meteredSink(source,
       arrivalClock = bucket => arrivalBase + bucket * 1000L,
       commitClock = bucket => arrivalBase + bucket * 1000L + 500L,
       batchKey = Some(col(S.LabelsCol).getItem("user").cast("long") % 3)) {
-      (df, _) => df.write.mode("append").parquet(table)
+      // df is persisted by meteredSink, so the diagnostic count is cheap;
+      // engineBatch is the file source's arrival-order id — printing it
+      // recovers the file→batch mapping the ledger deliberately discards
+      (df, engineBatch) =>
+        diag(s"sink engineBatch=$engineBatch rows=${df.count()}")
+        df.write.mode("append").parquet(table)
     }
+    // FAILFAST: a malformed wire line must abort the query with its parse
+    // error in the log, not silently drop rows into a hash mismatch
     val q = Ingest.parseWire(
         s.readStream.schema(Ingest.wireSchema)
-          .option("maxFilesPerTrigger", 1).json(src))
+          .option("maxFilesPerTrigger", 1)
+          .option("mode", "FAILFAST").json(src))
       .writeStream
       .foreachBatch(sink)
       .option("checkpointLocation", s"$base/ckpt")
@@ -590,7 +661,33 @@ object StreamingQ extends QueryPack {
       .start()
     q.awaitTermination(); q.stop()
     import s.implicits._
-    val rows = graft.serve.IngestLag.batches(source).map(b =>
+    val recorded = graft.serve.IngestLag.batches(source)
+    recorded.sortBy(_.batchId).foreach { b =>
+      val exp = expected.get(b.batchId)
+      val expLagSum = exp.map { case (n, _, _, st) =>
+        java.math.BigDecimal.valueOf(n)
+          .multiply(java.math.BigDecimal.valueOf(arrivalBase + b.batchId * 1000L))
+          .subtract(st).longValueExact() }
+      val drift = exp match {
+        case None => " UNEXPECTED-BUCKET"
+        case Some((n, lo, hi, _)) =>
+          val ds = Seq(
+            (b.rows != n) -> s"rows:${b.rows}!=$n",
+            (b.minEventMs != lo) -> s"min:${b.minEventMs}!=$lo",
+            (b.maxEventMs != hi) -> s"max:${b.maxEventMs}!=$hi",
+            (!expLagSum.contains(b.lagSumMs)) ->
+              s"lagSum:${b.lagSumMs}!=${expLagSum.getOrElse(-1L)}")
+            .collect { case (true, m) => m }
+          if (ds.isEmpty) " OK" else ds.mkString(" DIVERGED[", ",", "]")
+      }
+      diag(s"ledger bucket=${b.batchId} rows=${b.rows} " +
+        s"minEventMs=${b.minEventMs} maxEventMs=${b.maxEventMs} " +
+        s"arrivalMs=${b.arrivalMs} commitMs=${b.commitMs} " +
+        s"lagSumMs=${b.lagSumMs}$drift")
+    }
+    expected.keySet.diff(recorded.map(_.batchId).toSet).toSeq.sorted
+      .foreach(b => diag(s"ledger bucket=$b MISSING (expected, never recorded)"))
+    val rows = recorded.map(b =>
       (b.batchId, b.rows, b.minEventMs, b.maxEventMs,
         b.coordinatorLagMs, b.appendLagMs, b.avgLagMs))
     graft.serve.IngestLag.clear(source)
@@ -620,6 +717,7 @@ object StreamingQ extends QueryPack {
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("tsdb_ingest_lag", qIngestLag, Some(qIngestLagSql)),
+    QueryDef("tsdb_ingest_lag_static", qIngestLagStatic, Some(qIngestLagSql)),
     QueryDef("streaming_winnow_probe", qStreamWinnow,
       Some(Pipeline.winnowStreamProbeSql)),
     QueryDef("streaming_ann_probe", qStreamAnn, Some(qStreamAnnSql)),

@@ -75,6 +75,13 @@ object IngestLag {
     new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true)
 
   def record(b: BatchLag): Unit = {
+    // the reg insert happens INSIDE the LRU lock: were it outside, a
+    // concurrent eviction could remove this source between the LRU touch
+    // and the reg write, re-inserting a reg entry the LRU no longer tracks
+    // — an entry that then escapes the MaxSources bound until the source
+    // happens to record again. reg stays a TrieMap so READERS never take
+    // the lock; only the per-batch write path does (cheap: one batch per
+    // trigger per stream).
     sourceLru.synchronized {
       sourceLru.put(b.source, java.lang.Boolean.TRUE) // touch: moves to tail
       val it = sourceLru.keySet.iterator
@@ -83,17 +90,18 @@ object IngestLag {
         it.remove()
         reg.remove(old); droppedCtr.remove(old)
       }
+      reg.updateWith(b.source) {
+        case Some(v) =>
+          if (v.size >= MaxBatches)
+            droppedCtr.updateWith(b.source) {
+              case Some(n) => Some(n + (v.size - MaxBatches + 1))
+              case None    => Some((v.size - MaxBatches + 1).toLong)
+            }
+          Some((v :+ b).takeRight(MaxBatches))
+        case None    => Some(Vector(b))
+      }
     }
-    reg.updateWith(b.source) {
-      case Some(v) =>
-        if (v.size >= MaxBatches)
-          droppedCtr.updateWith(b.source) {
-            case Some(n) => Some(n + (v.size - MaxBatches + 1))
-            case None    => Some((v.size - MaxBatches + 1).toLong)
-          }
-        Some((v :+ b).takeRight(MaxBatches))
-      case None    => Some(Vector(b))
-    }
+    ()
   }
 
   /** Ring-evicted batch count for one source (the `pendingDropped`
@@ -104,9 +112,9 @@ object IngestLag {
   def batches(source: String): Vector[BatchLag] =
     reg.getOrElse(source, Vector.empty)
 
-  def clear(source: String): Unit = {
+  def clear(source: String): Unit = sourceLru.synchronized {
     reg.remove(source); droppedCtr.remove(source)
-    sourceLru.synchronized { sourceLru.remove(source) }; ()
+    sourceLru.remove(source); ()
   }
 
   /** Wrap a per-batch sink with lag metering: computes the batch's
@@ -150,9 +158,17 @@ object IngestLag {
       // 5M rows/batch (1.7e12 each); the final lag sum is small again
       val stats = df.agg(count(lit(1)),
         (Seq(min(col(tsCol)), max(col(tsCol)),
-          sum(col(tsCol).cast("decimal(38,0)"))) ++ keyAggs): _*)
+          sum(col(tsCol).cast("decimal(38,0)")), count(col(tsCol))) ++
+          keyAggs): _*)
         .collect()(0)
       val rows = stats.getLong(0)
+      // a null event-time is invalid wire data, not a zero-lag row: the
+      // lag-sum identity Σ(arrival − t) = n·arrival − Σt assumes every row
+      // contributes a t, and min/max would NPE on an all-null batch. Fail
+      // loudly BEFORE the sink commits, exactly like the batchKey checks.
+      if (rows > 0) require(stats.getLong(4) == rows,
+        s"event-time column '$tsCol' must be non-null for every row; " +
+          s"batch $batchId has ${rows - stats.getLong(4)} null timestamps")
       // derive identity and stamp arrival BEFORE the sink commits: an
       // invalid batch (non-constant or null key) must fail before its side
       // effect, or a restart would re-append the rows and crash-loop
@@ -160,10 +176,10 @@ object IngestLag {
         if (rows == 0) (batchId, 0L)
         else if (batchKey.isEmpty) (batchId, entryArrival.get)
         else {
-          require(stats.getLong(6) == rows,
+          require(stats.getLong(7) == rows,
             s"batchKey must be non-null for every row; batch $batchId has " +
-              s"${rows - stats.getLong(6)} null keys")
-          val (lo, hi) = (stats.getLong(4), stats.getLong(5))
+              s"${rows - stats.getLong(7)} null keys")
+          val (lo, hi) = (stats.getLong(5), stats.getLong(6))
           require(lo == hi,
             s"batchKey must be constant within a micro-batch; batch $batchId spans [$lo, $hi]")
           (lo, arrivalClock(lo))
@@ -212,7 +228,7 @@ object IngestLag {
 
   private final class LagListener(
       spark: org.apache.spark.sql.SparkSession,
-      queryName: String, source: String, autoDetach: Boolean)
+      val queryName: String, source: String, autoDetach: Boolean)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     /** true once a query STARTED under our name — a started listener is
@@ -265,12 +281,21 @@ object IngestLag {
     val l = new LagListener(spark, queryName, source, autoDetach)
     if (autoDetach) pendingLock.synchronized {
       // newest first; anything beyond the cap that still never started is
-      // an orphan from a failed/abandoned start and detaches now
+      // an orphan from a failed/abandoned start and detaches now.
+      // sawStart is set by the ASYNC listener bus, so a listener whose
+      // query has already started may not know it yet — a burst of
+      // writer() builds for one tablePath must not un-meter that live
+      // stream. Anything matching an active query NAME is therefore
+      // treated as started: kept on the bus (its termination event will
+      // detach it) and exempt from the pending cap.
       val prev = pendingAuto.getOrElse(source, Nil).filterNot(_.sawStart)
       val all = l :: prev
-      val (keep, drop) = all.splitAt(MaxPendingPerSource)
+      val (keep, overflow) = all.splitAt(MaxPendingPerSource)
+      val activeNames =
+        spark.streams.active.flatMap(q => Option(q.name)).toSet
+      val (live, drop) = overflow.partition(x => activeNames(x.queryName))
       drop.foreach(spark.streams.removeListener)
-      pendingAuto.put(source, keep); ()
+      pendingAuto.put(source, keep ++ live); ()
     }
     spark.streams.addListener(l)
     l

@@ -140,6 +140,14 @@ object Soak {
         graft.core.Dist.scatterByMod(base, cpus.toInt))
     }
     println(s"|   └ loop rounds | ${graft.pipelines.Dedup.lastLoopRounds} | | |")
+    // the restated memory claim (24–49 B/node at capacity) as a MEASURED
+    // row: the per-task union-find table footprint for a component of this
+    // scale row's node count (r12 verdict item 6)
+    locally {
+      val (bytes, nodes, perNode) =
+        graft.pipelines.Dedup.unionFindMemory(nDocs.toInt)
+      println(f"|   └ union-find table | $bytes B @ $nodes nodes | $perNode%.1f B/node | claim 24-49 |")
+    }
     spark.conf.unset("graft.clusterPairs.log")
 
     // ---- series family at the reference's own JMH envelopes ---------------

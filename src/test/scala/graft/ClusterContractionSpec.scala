@@ -62,4 +62,21 @@ class ClusterContractionSpec extends SparkTestBase {
     assert(contiguousRounds <= 3,
       s"contiguous chain must converge in O(log partitions) rounds, got $contiguousRounds")
   }
+
+  test("union-find table stays inside the stated 24-49 B/node band at " +
+       "capacity (measured, not computed)") {
+    // sizes straddling table doublings: load ≤0.7 bounds the low end
+    // (17 B/slot ÷ 0.7 ≈ 24.3 B/node), a just-grown table the high end
+    // (load ≈0.35 → ~48.6). Small n is excluded — below ~3k nodes the
+    // fixed 4096-slot initial table dominates and B/node is meaningless.
+    // 11468/11469 straddle a doubling (grow fires past load 0.7 at 11469):
+    // the pair lands on both ends of the band in one run
+    for (nodes <- Seq(5000, 11468, 11469, 50000, 500000)) {
+      val (bytes, registered, perNode) = Dedup.unionFindMemory(nodes)
+      assert(registered == nodes, s"registered $registered != $nodes")
+      info(f"$nodes%7d nodes: $bytes%9d B, $perNode%.1f B/node")
+      assert(perNode >= 24.0 && perNode <= 49.0,
+        s"$nodes nodes: $perNode B/node outside the stated band")
+    }
+  }
 }

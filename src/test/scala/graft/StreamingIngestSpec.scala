@@ -113,6 +113,74 @@ class StreamingIngestSpec extends SparkTestBase {
     }
   }
 
+  test("listener-derived lag equals metered-sink lag on the SAME stream " +
+       "within trigger skew") {
+    // r12 verdict item 7: the metered sink is oracle-checked, but the
+    // default-on LISTENER path derives its lag from progress-event
+    // eventTime stats (n·(arrival − avg)) — arithmetic DuckDB can never
+    // face because progress timestamps are wall time. Parity with the
+    // metered sink ON ONE STREAM is the strongest available check: one
+    // query, one micro-batch, metered simultaneously both ways. Exact
+    // equality holds for rows and event extents; the lag columns differ
+    // only by (a) the instants sampled (trigger start vs batch entry —
+    // both inside the same trigger, so bounded by its wall time) and
+    // (b) ±1ms rounding in the progress avg.
+    val dir = Files.createTempDirectory("graft_lagp").toFile.getAbsolutePath
+    val src = s"$dir/src"; val tbl = s"$dir/tbl"; val ckp = s"$dir/ckp"
+    new java.io.File(src).mkdirs()
+    val late = System.currentTimeMillis() - 300000L
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(
+        s"""{"labels":"host a","timestamp":$late,"value":1.0}""",
+        s"""{"labels":"host b","timestamp":${late + 2000},"value":2.0}""",
+        s"""{"labels":"host c","timestamp":${late + 7000},"value":3.0}""")
+        .mkString("\n").getBytes)
+    val sinkSrc = s"parity-sink:$dir"; val lisSrc = s"parity-listener:$dir"
+    val l = graft.serve.IngestLag.attachListener(spark, "lag_parity_q", lisSrc)
+    try {
+      val sink = graft.serve.IngestLag.meteredSink(sinkSrc) {
+        (df, _) => df.write.mode("append").parquet(tbl)
+      }
+      // watermark via the ingest path so the progress event carries
+      // eventTime stats; foreachBatch drops the day/grouping like prod
+      val q = Ingest.withIngestSemantics(
+          Ingest.readJsonStream(spark, src), 60000L)
+        .drop("day")
+        .writeStream.queryName("lag_parity_q")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.serve.IngestLag.batches(lisSrc).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val sb = graft.serve.IngestLag.batches(sinkSrc)
+      val lb = graft.serve.IngestLag.batches(lisSrc)
+      assert(sb.size == 1 && lb.size == 1,
+        s"both channels must meter the one batch: sink=${sb.size} listener=${lb.size}")
+      val (s0, l0) = (sb.head, lb.head)
+      assert(l0.rows == s0.rows, "row counts must agree exactly")
+      assert(l0.minEventMs == s0.minEventMs && l0.maxEventMs == s0.maxEventMs,
+        "event-time extents must agree exactly")
+      // instants: trigger start (listener) precedes batch entry (sink),
+      // both inside one trigger — skew bounded by its wall time
+      val skew = math.max(2000L,
+        (l0.commitMs - l0.arrivalMs) + (s0.commitMs - s0.arrivalMs))
+      def close(a: Long, b: Long, what: String): Unit =
+        assert(math.abs(a - b) <= skew + 2,
+          s"$what diverges beyond trigger skew: listener=$a sink=$b (skew bound $skew)")
+      close(l0.coordinatorLagMs, s0.coordinatorLagMs, "coordinatorLag")
+      close(l0.appendLagMs, s0.appendLagMs, "appendLag")
+      close(l0.avgLagMs, s0.avgLagMs, "avgLag")
+      // structural floor both channels must clear: the staleness injected
+      assert(l0.coordinatorLagMs >= 293000L && s0.coordinatorLagMs >= 293000L)
+    } finally {
+      graft.serve.IngestLag.detachListener(spark, l)
+      graft.serve.IngestLag.clear(sinkSrc); graft.serve.IngestLag.clear(lisSrc)
+    }
+  }
+
   test("ingest lag meters by default — no explicit attach — and the " +
        "listener detaches itself at termination") {
     // r11 verdict item 3: Ingest.writer users must get the ingestionLag
