@@ -626,14 +626,20 @@ object StreamingQ extends QueryPack {
     // aggregate; any recorded batch diverging from its expected row is
     // printed column-by-column, so a red driver-gate row carries its own
     // diagnosis (r12 verdict: instrument, don't guess) in the [verify] log.
-    val expected = wire
-      .groupBy(col("_b").cast("long").as("b"))
-      .agg(count(lit(1)).as("n"), min("timestamp").as("lo"),
-        max("timestamp").as("hi"),
-        sum(col("timestamp").cast("decimal(38,0)")).as("st"))
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDecimal(4)))
-      .toMap
+    // `graft.ingestlag.diag=false` (the bench sets it) skips the expected
+    // aggregate and per-batch counts — diagnostics cost belongs at the
+    // correctness gate, not on the clock; the RESULT path is identical.
+    val diagOn = s.conf.get("graft.ingestlag.diag", "true") == "true"
+    val expected: Map[Long, (Long, Long, Long, java.math.BigDecimal)] =
+      if (!diagOn) Map.empty
+      else wire
+        .groupBy(col("_b").cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), min("timestamp").as("lo"),
+          max("timestamp").as("hi"),
+          sum(col("timestamp").cast("decimal(38,0)")).as("st"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDecimal(4)))
+        .toMap
     def diag(m: String): Unit = Console.err.println(s"[ingestlag] $m")
     expected.toSeq.sortBy(_._1).foreach { case (b, (n, lo, hi, st)) =>
       diag(s"expect bucket=$b rows=$n minEventMs=$lo maxEventMs=$hi sumTs=$st") }
@@ -645,7 +651,7 @@ object StreamingQ extends QueryPack {
       // engineBatch is the file source's arrival-order id — printing it
       // recovers the file→batch mapping the ledger deliberately discards
       (df, engineBatch) =>
-        diag(s"sink engineBatch=$engineBatch rows=${df.count()}")
+        if (diagOn) diag(s"sink engineBatch=$engineBatch rows=${df.count()}")
         df.write.mode("append").parquet(table)
     }
     // FAILFAST: a malformed wire line must abort the query with its parse
@@ -662,31 +668,33 @@ object StreamingQ extends QueryPack {
     q.awaitTermination(); q.stop()
     import s.implicits._
     val recorded = graft.serve.IngestLag.batches(source)
-    recorded.sortBy(_.batchId).foreach { b =>
-      val exp = expected.get(b.batchId)
-      val expLagSum = exp.map { case (n, _, _, st) =>
-        java.math.BigDecimal.valueOf(n)
-          .multiply(java.math.BigDecimal.valueOf(arrivalBase + b.batchId * 1000L))
-          .subtract(st).longValueExact() }
-      val drift = exp match {
-        case None => " UNEXPECTED-BUCKET"
-        case Some((n, lo, hi, _)) =>
-          val ds = Seq(
-            (b.rows != n) -> s"rows:${b.rows}!=$n",
-            (b.minEventMs != lo) -> s"min:${b.minEventMs}!=$lo",
-            (b.maxEventMs != hi) -> s"max:${b.maxEventMs}!=$hi",
-            (!expLagSum.contains(b.lagSumMs)) ->
-              s"lagSum:${b.lagSumMs}!=${expLagSum.getOrElse(-1L)}")
-            .collect { case (true, m) => m }
-          if (ds.isEmpty) " OK" else ds.mkString(" DIVERGED[", ",", "]")
+    if (diagOn) {
+      recorded.sortBy(_.batchId).foreach { b =>
+        val exp = expected.get(b.batchId)
+        val expLagSum = exp.map { case (n, _, _, st) =>
+          java.math.BigDecimal.valueOf(n)
+            .multiply(java.math.BigDecimal.valueOf(arrivalBase + b.batchId * 1000L))
+            .subtract(st).longValueExact() }
+        val drift = exp match {
+          case None => " UNEXPECTED-BUCKET"
+          case Some((n, lo, hi, _)) =>
+            val ds = Seq(
+              (b.rows != n) -> s"rows:${b.rows}!=$n",
+              (b.minEventMs != lo) -> s"min:${b.minEventMs}!=$lo",
+              (b.maxEventMs != hi) -> s"max:${b.maxEventMs}!=$hi",
+              (!expLagSum.contains(b.lagSumMs)) ->
+                s"lagSum:${b.lagSumMs}!=${expLagSum.getOrElse(-1L)}")
+              .collect { case (true, m) => m }
+            if (ds.isEmpty) " OK" else ds.mkString(" DIVERGED[", ",", "]")
+        }
+        diag(s"ledger bucket=${b.batchId} rows=${b.rows} " +
+          s"minEventMs=${b.minEventMs} maxEventMs=${b.maxEventMs} " +
+          s"arrivalMs=${b.arrivalMs} commitMs=${b.commitMs} " +
+          s"lagSumMs=${b.lagSumMs}$drift")
       }
-      diag(s"ledger bucket=${b.batchId} rows=${b.rows} " +
-        s"minEventMs=${b.minEventMs} maxEventMs=${b.maxEventMs} " +
-        s"arrivalMs=${b.arrivalMs} commitMs=${b.commitMs} " +
-        s"lagSumMs=${b.lagSumMs}$drift")
+      expected.keySet.diff(recorded.map(_.batchId).toSet).toSeq.sorted
+        .foreach(b => diag(s"ledger bucket=$b MISSING (expected, never recorded)"))
     }
-    expected.keySet.diff(recorded.map(_.batchId).toSet).toSeq.sorted
-      .foreach(b => diag(s"ledger bucket=$b MISSING (expected, never recorded)"))
     val rows = recorded.map(b =>
       (b.batchId, b.rows, b.minEventMs, b.maxEventMs,
         b.coordinatorLagMs, b.appendLagMs, b.avgLagMs))

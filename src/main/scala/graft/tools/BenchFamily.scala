@@ -32,6 +32,8 @@ object BenchFamily {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // diagnostics cost stays off the isolated clock too (see Bench)
+    spark.conf.set("graft.ingestlag.diag", "false")
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val wanted = graft.Bench.familyNames.collect {
       case (id, n) if famName == "all" || famName == n => id

@@ -35,7 +35,13 @@ object StreamFloorProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = java.nio.file.Files.createTempDirectory("graft_floor")
+    // GRAFT_FLOOR_DIR relocates the staging/checkpoint dirs (e.g. to
+    // /dev/shm) to isolate how much of the floor is checkpoint-log fsync
+    val base = sys.env.get("GRAFT_FLOOR_DIR") match {
+      case Some(d) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(d), "graft_floor")
+      case None => java.nio.file.Files.createTempDirectory("graft_floor")
+    }
     val src = s"$base/src"
     // two files => two triggers under maxFilesPerTrigger=1, the registry
     // queries' standard multi-trigger state-carry shape
