@@ -125,10 +125,14 @@ object Bench {
         .agg(fsum(col("l_extendedprice") * col("l_discount"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // untimed warm ×2: parquet footer cache + codegen + JIT — one pass
+    // untimed warm ×3: parquet footer cache + codegen + JIT — one pass
     // leaves the first RECORDED probe ~2× the steady state (r11 measured
-    // 0.48s vs 0.21-0.34 thereafter), which would read as fake drift
-    calibrate(); calibrate()
+    // 0.48s vs 0.21-0.34 thereafter), and two passes still left it 1.9-3×
+    // on the loaded r13 host (1.01-1.09s vs a 0.27-0.33 flat tail), where
+    // it dominated the drift NUMERATOR — a cold-start artifact reading as
+    // contamination. The probe series exists to measure the HOST, so the
+    // probe's own warm-up must be fully amortized before recording.
+    calibrate(); calibrate(); calibrate()
     val calibration = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     var sinceProbe = 0
     var queryIdx = 0
