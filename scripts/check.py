@@ -54,7 +54,20 @@ for name in names:
     else:
         for c in got.columns:
             g, e = got[c].values, exp[c].values
-            if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(exp[c].dtype, np.floating):
+            # DTYPE-STRICT (r13 lesson): the driver's hash is dtype-sensitive,
+            # so an int64-vs-float64 pairing is a MISMATCH here even when the
+            # values compare equal — otherwise this gate is weaker than the
+            # driver's and can green-light a query the driver will fail
+            # (exactly how the HUGEINT->float64 avg_lag_ms bug hid 3 rounds).
+            g_int = np.issubdtype(got[c].dtype, np.integer)
+            e_int = np.issubdtype(exp[c].dtype, np.integer)
+            g_flt = np.issubdtype(got[c].dtype, np.floating)
+            e_flt = np.issubdtype(exp[c].dtype, np.floating)
+            if (g_int and e_flt) or (g_flt and e_int):
+                ok = False
+                msgs.append(f"col {c}: DTYPE int-vs-float ({got[c].dtype} vs {exp[c].dtype}) — driver hash will diverge")
+                continue
+            if g_flt or e_flt:
                 g = g.astype(float); e = e.astype(float)
                 both_nan = pd.isna(g) & pd.isna(e)
                 eq = (g == e) | both_nan

@@ -949,8 +949,11 @@ object Dedup {
     * bytesPerNode). This is the 24–49 B/node capacity claim
     * (ARCHITECTURE.md) as an observation instead of arithmetic — the soak
     * prints it per scale row and `ClusterContractionSpec` asserts the
-    * band. Only meaningful once `nodes` has outgrown the 4096-slot
-    * initial table (≥ ~3k nodes); below that the fixed floor dominates. */
+    * band. Only meaningful once `nodes` has outgrown the initial table —
+    * `LongUnionFind(1 << 12)` doubles its requested capacity
+    * (`while (c < initialCap * 2)`), so the floor is 8192 slots and the
+    * band reflects load factor (not the floor) from ≥ ~6k nodes; below
+    * that the fixed floor dominates B/node. */
   private[graft] def unionFindMemory(nodes: Int): (Long, Int, Double) = {
     val uf = new LongUnionFind(1 << 12)
     var i = 0L

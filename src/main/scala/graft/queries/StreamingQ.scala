@@ -709,7 +709,13 @@ object StreamingQ extends QueryPack {
   private val IngestLagArrivalBase = 2000000000000L
 
   /** DuckDB mirror: the same three user buckets with the same injected
-    * clock — count/extents/lags are all BIGINT, so the compare is exact. */
+    * clock — count/extents/lags are all BIGINT, so the compare is exact.
+    * GOTCHA (r13 root cause, three rounds red): DuckDB's `sum(BIGINT)`
+    * promotes to HUGEINT, so any expression containing it — here the
+    * `//`-division feeding `avg_lag_ms` — materializes through pandas as
+    * float64 while Spark emits BIGINT. Value-tolerant compares pass;
+    * the driver's dtype-sensitive hash does not. Every integer aggregate
+    * in an oracle output column MUST be wrapped in `CAST(… AS BIGINT)`. */
   private val qIngestLagSql =
     s"""WITH w AS (
        |  SELECT (user_id % 10) % 3 AS b, epoch_ms(ts) AS t
@@ -719,12 +725,16 @@ object StreamingQ extends QueryPack {
        |  min(t) AS min_event_ms, max(t) AS max_event_ms,
        |  ($IngestLagArrivalBase + b * 1000) - min(t) AS coordinator_lag_ms,
        |  ($IngestLagArrivalBase + b * 1000 + 500) - min(t) AS append_lag_ms,
-       |  (count(*) * ($IngestLagArrivalBase + b * 1000) - sum(t)) // count(*) AS avg_lag_ms
+       |  CAST((count(*) * ($IngestLagArrivalBase + b * 1000) - sum(t)) // count(*)
+       |       AS BIGINT) AS avg_lag_ms
        |FROM w GROUP BY b ORDER BY batch_id""".stripMargin
 
   override def all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ingest_roundtrip", qRoundtrip, Some(qRoundtripSql)),
     QueryDef("tsdb_ingest_lag", qIngestLag, Some(qIngestLagSql)),
+    // DELIBERATELY KEPT (r14 decision, not drift): the static twin is the
+    // registry's streaming-vs-batch bisect AND its only dtype canary for
+    // the HUGEINT gotcha above; it costs one tiny batch agg per gate run.
     QueryDef("tsdb_ingest_lag_static", qIngestLagStatic, Some(qIngestLagSql)),
     QueryDef("streaming_winnow_probe", qStreamWinnow,
       Some(Pipeline.winnowStreamProbeSql)),

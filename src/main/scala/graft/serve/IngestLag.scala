@@ -240,6 +240,14 @@ object IngestLag {
     // listener behind on the session)
     private val owned =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    /** Adopt a runId observed ACTIVE on the session rather than via a
+      * QueryStartedEvent — used when this listener attached after the start
+      * event already fired (overflow-eviction path in [[attachListener]]).
+      * Marks the listener started so its lifecycle is owned by the
+      * termination event, exactly as if onQueryStarted had seen it. */
+    def adoptRun(runId: java.util.UUID): Unit = {
+      sawStart = true; owned.add(runId); ()
+    }
     override def onQueryStarted(e: QueryStartedEvent): Unit =
       if (autoDetach && queryName == e.name) {
         sawStart = true; owned.add(e.runId)
@@ -291,11 +299,23 @@ object IngestLag {
       val prev = pendingAuto.getOrElse(source, Nil).filterNot(_.sawStart)
       val all = l :: prev
       val (keep, overflow) = all.splitAt(MaxPendingPerSource)
-      val activeNames =
-        spark.streams.active.flatMap(q => Option(q.name)).toSet
-      val (live, drop) = overflow.partition(x => activeNames(x.queryName))
+      val activeRuns: Map[String, Seq[java.util.UUID]] =
+        spark.streams.active.toSeq
+          .flatMap(q => Option(q.name).map(_ -> q.runId))
+          .groupMap(_._1)(_._2)
+      val (live, drop) = overflow.partition(x => activeRuns.contains(x.queryName))
       drop.foreach(spark.streams.removeListener)
-      pendingAuto.put(source, keep ++ live); ()
+      // A kept-because-live listener attached AFTER its query's start event
+      // fired, so onQueryStarted can never populate `owned` — without
+      // adoption the termination event would not detach it, leaving a
+      // permanent bus listener that double-records every progress event
+      // (and `keep ++ live` would grow without bound). Adopting the active
+      // runIds (sawStart=true) hands its lifecycle to onQueryTerminated
+      // and removes it from the pending set, restoring the cap.
+      live.foreach(x => activeRuns(x.queryName).foreach(x.adoptRun))
+      if (keep.isEmpty) pendingAuto.remove(source)
+      else pendingAuto.put(source, keep)
+      ()
     }
     spark.streams.addListener(l)
     l

@@ -249,6 +249,94 @@ object Soak {
         "fetch name:cpu | scale 2 | sum")
     }
 
+    // ---- STREAMING stateful family at scale (r13 verdict item 6) ----------
+    // The only family without a scale row: state-store size and per-trigger
+    // latency vs KEY CARDINALITY, at mult× the sf0.1 events table (100k
+    // rows → 1M at 10×, 10M at 100×). Three rows isolate the two axes:
+    //   (a) per-key state at SCALING cardinality (1k·mult funnel keys) —
+    //       state rows must track distinct keys, bytes per key flat;
+    //   (b) the SAME events folded to a FIXED 1k keys — state flat at any
+    //       mult, isolating per-trigger cost from state growth;
+    //   (c) a global sketch (KMV bottom-k) — O(buckets·k) state,
+    //       independent of BOTH axes.
+    // Events stage as 4 parquet files + maxFilesPerTrigger=1 → 4 real
+    // triggers, so per-trigger wall and end-of-drain state both measure.
+    // State shuffle fixed at 8 partitions (the registry's per-user sizing).
+    val nEv = 100000L * mult
+    val nEvUsers = 1000L * mult
+    val evSpanMs = 6L * 3600 * 1000 // constant span: density scales, not range
+    val evStage = s"$work/events_stream"
+    spark.range(nEv).toDF("event_id")
+      .select(
+        col("event_id"),
+        (lit(base) + (col("event_id") * evSpanMs / nEv)).as("tm"),
+        pmod(xxhash64(lit("u"), col("event_id")), lit(nEvUsers)).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(xxhash64(lit("t"), col("event_id")), lit(3)) + 1).cast("int"))
+          .as("event_type"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(evStage)
+    val evSchema = spark.read.parquet(evStage).schema
+    def evStream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(evStage)
+    // same re-run hazard as the series ingest above: a stale checkpoint
+    // over freshly-named stage files would replay nothing — start clean
+    Seq("ckpt_funnel_scale", "ckpt_funnel_fixed", "ckpt_kmv").foreach { c =>
+      val path = new org.apache.hadoop.fs.Path(s"$work/$c")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    }
+
+    println()
+    println("| streaming operator | state rows | state (MB) | per-trigger (s) | total (s) |")
+    println("|---|---|---|---|---|")
+    def opStream(name: String)
+                (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      graft.core.Memo.clearSession(spark)
+      spark.catalog.clearCache()
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
+      val q =
+        try { val q = start; q.processAllAvailable(); q.stop(); q }
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val trig = progs.map(p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L) / 1000.0)
+      // last progress carries the final committed state-store totals
+      val st = progs.lastOption.flatMap(_.stateOperators.headOption)
+      val rows = st.map(_.numRowsTotal).getOrElse(-1L)
+      val mb = st.map(_.memoryUsedBytes / 1e6).getOrElse(-1.0)
+      println(s"| $name | $rows | ${f2(mb)} | " +
+        s"[${trig.map(f2).mkString(", ")}] | ${f2(secs)} |")
+    }
+    opStream(s"funnel view→click→purchase ($nEv events, $nEvUsers keys — scaling)") {
+      graft.streaming.StreamingFunnel.funnel(
+          evStream, Seq("view", "click", "purchase"), 3600000L)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt_funnel_scale")
+        .start()
+    }
+    opStream(s"funnel, same $nEv events folded to FIXED 1k keys") {
+      graft.streaming.StreamingFunnel.funnel(
+          evStream.withColumn("user_id", pmod(col("user_id"), lit(1000L))),
+          Seq("view", "click", "purchase"), 3600000L)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt_funnel_fixed")
+        .start()
+    }
+    opStream(s"KMV bottom-k distinct sketch ($nEv events, 32 shards × k=256)") {
+      graft.streaming.KmvStream.kmvBuckets(evStream, col("user_id"))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt_kmv")
+        .start()
+    }
+
     graft.core.Memo.clearSession(spark)
     spark.stop()
   }

@@ -67,8 +67,10 @@ class ClusterContractionSpec extends SparkTestBase {
        "capacity (measured, not computed)") {
     // sizes straddling table doublings: load ≤0.7 bounds the low end
     // (17 B/slot ÷ 0.7 ≈ 24.3 B/node), a just-grown table the high end
-    // (load ≈0.35 → ~48.6). Small n is excluded — below ~3k nodes the
-    // fixed 4096-slot initial table dominates and B/node is meaningless.
+    // (load ≈0.35 → ~48.6). Small n is excluded — the constructor doubles
+    // the requested 4096-slot capacity to 8192, so below ~6k nodes the
+    // fixed initial table dominates B/node (5000 still lands in-band:
+    // 8192 slots × 17 B ÷ 5000 ≈ 27.8 B/node, by floor not load).
     // 11468/11469 straddle a doubling (grow fires past load 0.7 at 11469):
     // the pair lands on both ends of the band in one run
     for (nodes <- Seq(5000, 11468, 11469, 50000, 500000)) {

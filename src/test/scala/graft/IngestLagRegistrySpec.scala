@@ -54,4 +54,42 @@ class IngestLagRegistrySpec extends SparkTestBase {
     (ls :+ explicit).foreach(IngestLag.detachListener(spark, _))
     IngestLag.clear(src)
   }
+
+  test("overflow auto-listeners matching an ACTIVE query adopt its runId " +
+       "and detach when it terminates") {
+    // r13 advice (medium): a listener attached AFTER its query's start
+    // event fired can never see QueryStartedEvent, so before the adoption
+    // fix an overflow listener kept-because-live had an empty `owned` set —
+    // termination never detached it, leaving a permanent bus listener per
+    // extra writer() build that double-records every progress event.
+    val src = "ilagreg:liveadopt"
+    val before = spark.streams.listListeners().length
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adopt").toString
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+      .writeStream.queryName("live_adopt_q").format("noop")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val ls =
+      try {
+        // 6 auto attaches AFTER start: 4 stay pending (cap), 2 overflow —
+        // both match the active name, so both must be kept AND adopted
+        val ls = (0 until 6).map(_ =>
+          IngestLag.attachListener(spark, "live_adopt_q", src, autoDetach = true))
+        assert(spark.streams.listListeners().length - before == 6,
+          "listeners naming a live query must never be dropped from the bus")
+        ls
+      } finally q.stop()
+    // the two ADOPTED listeners own the runId now — termination detaches
+    // them (bus delivery is async: poll with a deadline)
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.streams.listListeners().length - before > 4 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val leaked = spark.streams.listListeners().length - before
+    assert(leaked <= 4,
+      s"adopted overflow listeners must detach at termination, $leaked remain " +
+        "(expected only the 4 capped pending ones)")
+    ls.foreach(IngestLag.detachListener(spark, _))
+    IngestLag.clear(src)
+  }
 }
