@@ -52,6 +52,35 @@ class StreamingFunnelSpec extends SparkTestBase {
     assert(out == Seq((2L, 2L, 2)))
   }
 
+  test("a BELOW-anchor click survives state pruning: a later, earlier " +
+       "first-touch resurrects it") {
+    // trigger 1: view@100 (window [100,200]) and click@60 — the click is
+    // BEFORE the first touch, so reached 1. The r14 state bound prunes
+    // timestamps above anchor+window (they can never match again, the
+    // anchor only decreases) — but below-anchor events like this click
+    // must STAY in state:
+    // trigger 2: a LATE view@50 moves the window to [50,150] and the
+    // retained click@60 completes the funnel. Over-pruning the low side
+    // would leave reached at 1.
+    val out = run(Seq(
+      Seq((3L, "view", 100L), (3L, "click", 60L)),
+      Seq((3L, "view", 50L))))
+    assert(out == Seq((3L, 3L, 2)))
+  }
+
+  test("an ABOVE-window click is pruned from state AND stays immaterial: " +
+       "anchor moves keep it out forever") {
+    // trigger 1: view@100, click@250 — click is past window [100,200],
+    // reached 1, and the state bound drops it (anchor+window can only
+    // decrease, so it can never match).
+    // trigger 2: late view@0 → window [0,100]; click@250 still outside
+    // (as it must be — upper edges only move DOWN). reached stays 1.
+    val out = run(Seq(
+      Seq((4L, "view", 100L), (4L, "click", 250L)),
+      Seq((4L, "view", 0L))))
+    assert(out == Seq((4L, 3L, 1)))
+  }
+
   test("streaming cohorts: a late earlier event re-assigns the cohort") {
     val dir = java.nio.file.Files.createTempDirectory("scohort_spec")
     // trigger A: periods 5 and 7 seen -> cohort 5, offsets {0, 2}
