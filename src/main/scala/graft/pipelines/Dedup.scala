@@ -1125,9 +1125,18 @@ object Dedup {
                   idCol: String = "doc_id"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val Dec = DecimalType(38, 9)
+    // r14 (guide §3.3 "very large plans" / §7.3): left lazy, round i's rank
+    // frame embedded round i−1's ENTIRE tree at every reference, and sym/deg
+    // re-derived per reference — the 2-round plan reached 466 Exchange nodes
+    // and planning itself became a cost. localCheckpoint each bounded frame
+    // once (sym = 2·|pairs| ids, deg/pr = one row per node) — the same
+    // per-round lineage cut clusterPairs' loop uses; values unchanged (the
+    // checkpoint materializes the identical deterministic frame).
     val sym = pairs.select(col("doc_id_a").as("_src"), col("doc_id_b").as("_dst"))
       .union(pairs.select(col("doc_id_b").as("_src"), col("doc_id_a").as("_dst")))
+      .localCheckpoint(true)
     val deg = sym.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
     var pr = deg.select(col("_src").as("_node"), lit(1.0).as("_pr"))
     for (_ <- 1 to iters)
       pr = sym.join(deg, Seq("_src"))
@@ -1137,6 +1146,7 @@ object Dedup {
           sum((col("_pr") / col("_deg")).cast(Dec)).cast(DoubleType))
           .cast(Dec).cast(DoubleType).as("_pr"))
         .select(col("_dst").as("_node"), col("_pr"))
+        .localCheckpoint(true)
     val labels = clusterPairs(pairs)
     val winners = labels.join(pr, col("node") === col("_node"))
       .withColumn("_rn", row_number().over(
@@ -1533,6 +1543,25 @@ object Dedup {
       .select(col(idCol), col("pos").cast(LongType).as("pos"), col("col").as("_x"))
   }
 
+  /** [[spanGrams]] memoized + persisted per (corpus plan, k, portable, id,
+    * text) — r14, guide §2.4: the (doc, pos, windowHash) stream is the
+    * shared derived input of the whole span/winnowing family
+    * (duplicatedSpans consumes it TWICE in one plan — dup-hash aggregate +
+    * semi-join back; selfRepeatedSpans twice; winnowing once; the span
+    * index writers once), and before the memo every consumer re-tokenized
+    * and re-hashed the corpus per subtree per action. Streams bypass the
+    * memo (a stream cannot persist); eviction rides the session ledger. */
+  private val spanGramsMemo =
+    new graft.core.PlanMemo[(Int, Boolean, String, String), DataFrame](
+      _.unpersist(blocking = false))
+  private def spanGramsCached(docs: DataFrame, k: Int, idCol: String,
+                              textCol: String, portable: Boolean): DataFrame =
+    if (docs.isStreaming) spanGrams(docs, k, idCol, textCol, portable)
+    else spanGramsMemo(docs, (k, portable, idCol, textCol)) {
+      spanGrams(docs, k, idCol, textCol, portable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Gaps-and-islands merge of flagged window positions into maximal spans:
     * windows all span k tokens, so sorted by pos the running span end is
     * lag(pos)+k-1 and a new island starts exactly when pos > lag(pos)+k
@@ -1556,7 +1585,7 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       portable: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val grams = spanGrams(docs, k, idCol, textCol, portable)
+    val grams = spanGramsCached(docs, k, idCol, textCol, portable)
     // df >= 2 ⟺ min(doc) != max(doc): one combinable aggregation with O(1)
     // state per gram. The countDistinct rewrite shuffles one row per
     // distinct (gram, doc) into the gram's reducer — a web-scale
@@ -1585,7 +1614,7 @@ object Dedup {
   def writeSpanIndex(docs: DataFrame, k: Int, table: String,
                      idCol: String = "doc_id", textCol: String = "text",
                      portable: Boolean = false, buckets: Int = 64): Unit =
-    spanGrams(docs, k, idCol, textCol, portable)
+    spanGramsCached(docs, k, idCol, textCol, portable)
       .select(col("_x").as("x")).distinct()
       .repartition(buckets, col("x")) // one file per bucket, see writeShingleIndex
       .write.mode("overwrite")
@@ -1600,7 +1629,7 @@ object Dedup {
   def appendSpanIndex(docs: DataFrame, k: Int, table: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       portable: Boolean = false, buckets: Int = 64): Unit =
-    spanGrams(docs, k, idCol, textCol, portable)
+    spanGramsCached(docs, k, idCol, textCol, portable)
       .select(col("_x").as("x")).distinct()
       .repartition(buckets, col("x")) // one file per bucket, see writeShingleIndex
       .write.mode("append")
@@ -1620,7 +1649,7 @@ object Dedup {
                                  idCol: String = "doc_id",
                                  textCol: String = "text",
                                  portable: Boolean = false): DataFrame = {
-    val grams = spanGrams(incoming, k, idCol, textCol, portable)
+    val grams = spanGramsCached(incoming, k, idCol, textCol, portable)
     val inIndex = grams
       .join(spark.table(table).select(col("x").as("_x")), Seq("_x"), "left_semi")
       .select(idCol, "pos")
@@ -1677,7 +1706,7 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         portable: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val grams = spanGrams(docs, k, idCol, textCol, portable)
+    val grams = spanGramsCached(docs, k, idCol, textCol, portable)
     val firsts = grams.groupBy(col(idCol), col("_x")).agg(min("pos").as("_p0"))
     val rep = grams.join(firsts, Seq(idCol, "_x"))
       .where(col("pos") > col("_p0"))
@@ -1716,7 +1745,7 @@ object Dedup {
                             textCol: String = "text"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(w >= 1, "w must be >= 1")
-    val grams = spanGrams(docs, k, idCol, textCol, portable = true)
+    val grams = spanGramsCached(docs, k, idCol, textCol, portable = true)
     val win = Window.partitionBy(idCol).orderBy("pos")
     val trail = win.rowsBetween(-(w - 1), 0)
     val keyed = grams

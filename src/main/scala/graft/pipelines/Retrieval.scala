@@ -56,6 +56,25 @@ object Retrieval {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast(LongType).as("tf"))
 
+  /** [[postings]] memoized + persisted per (corpus plan, id, text) — the
+    * retrieval family's shared derived input (r14, guide §2.4/§1.2: the
+    * tokenize+count pass is the same frame in bm25TopK's postings/dl/stats/
+    * dfq subtrees, both PRF passes, RRF's lexical arm, lexical diversity
+    * and the CMS term stream; before the memo one bm25TopK plan re-derived
+    * it FOUR times — 4 Generate+HashAggregate chains over the same scan).
+    * Batch inputs only (a stream cannot persist); the session ledger owns
+    * eviction, rebuild is sameResult-identical. */
+  def postingsCached(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    postingsMemo(docs, (idCol, textCol)) {
+      postings(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val postingsMemo =
+    new graft.core.PlanMemo[(String, String), DataFrame](
+      _.unpersist(blocking = false))
+
   /** Per-term BM25 contribution in integer nano-units (see class doc).
     * All inputs are integer columns; the only transcendental is quantized
     * immediately. Column math is written in the exact op order the DuckDB
@@ -88,7 +107,7 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queryId: Long, k: Int,
                k1: Double = K1, b: Double = B,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val post = postings(docs, idCol, textCol)
+    val post = postingsCached(docs, idCol, textCol)
     val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
     val qTerms = post.where(col(idCol) === queryId).select("term")
@@ -162,9 +181,9 @@ object Retrieval {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && feedbackK >= 1 && expandM >= 0, "k, feedbackK >= 1")
     // postings feed both passes, both df counts, dl and the expansion —
-    // materialize once (the bench re-tokenizes per consumer otherwise)
-    val post = postings(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the memoized session frame (r14; the per-call .persist this replaces
+    // piled up one cache entry per invocation and re-tokenized per session)
+    val post = postingsCached(docs, idCol, textCol)
     val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))
     // the pass-1 result, feedback ids and expansion terms pin lineage
@@ -264,7 +283,7 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, table: String,
                      idCol: String = "doc_id", textCol: String = "text",
                      buckets: Int = 64): Unit = {
-    val post = postings(docs, idCol, textCol)
+    val post = postingsCached(docs, idCol, textCol)
     val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfAll = post.groupBy("term").agg(count(lit(1)).as("df"))
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len"))

@@ -650,11 +650,32 @@ object Similarity {
   /** The refined centroids of [[kmeansTopics]]: `(cluster, _carr)` — cluster
     * is the seeding vector's own id, `_carr` the double centroid array.
     * Exposed so scoring can run where clustering didn't (a later snapshot, a
-    * stream). */
+    * stream).
+    *
+    * MEMOIZED per (corpus plan, params) like [[lshPlanes]]/[[ivfIndex]]
+    * (r14, guide §2.4 "remove shuffles outright"): six registry queries —
+    * topics, purity, silhouette, outliers, SemDeDup, the streaming topic
+    * scorer — share this exact clustering, and before the memo each one
+    * re-ran both Lloyd rounds (2 corpus assignment passes + 2 recenter
+    * shuffles) on EVERY action. The persisted frame is k rows; eviction
+    * rides the session ledger, results are unchanged by construction
+    * (a re-derived frame is sameResult-identical — the Memo contract). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    kmeansCentsMemo(emb, (idCol, vecCol, k, iters)) {
+      buildKmeansCentroids(emb, k, iters, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  private val kmeansCentsMemo =
+    new graft.core.PlanMemo[(String, String, Int, Int), DataFrame](
+      _.unpersist(blocking = false))
+
+  private def buildKmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+                                   idCol: String, vecCol: String): DataFrame = {
     val hv = graft.core.OracleSafe.hashLong(
       concat(lit("km:"), col(idCol).cast("string")))
     val seeds = emb.withColumn("_h", hv)

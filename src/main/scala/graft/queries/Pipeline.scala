@@ -1658,8 +1658,15 @@ object Pipeline extends QueryPack {
     val cleaned = Dedup.removeDuplicatedSpans(Tables.documents(s, sf), k = 8,
         minDocs = 2, portable = true)
       .withColumnRenamed("clean_text", "text")
-    TextAnalysis.keepTopFraction(TextAnalysis.qualityScore(cleaned),
-        frac = 0.5, scoreCol = "quality")
+    // r14 (guide §5 caching note): the exact-rank floor consumes its input
+    // three times (count + the prefix scan's two phases), and here that
+    // input is the whole span-removal ∘ quality chain — checkpoint the
+    // scored frame once instead of re-running the chain per reference
+    // (values unchanged; the frame is (doc_id, n_removed, quality)-sized)
+    val scored = TextAnalysis.qualityScore(cleaned)
+      .select("doc_id", "n_removed", "quality")
+      .localCheckpoint(true)
+    TextAnalysis.keepTopFraction(scored, frac = 0.5, scoreCol = "quality")
       .select("doc_id", "n_removed")
       .orderBy("doc_id")
   }
@@ -2402,7 +2409,7 @@ object Pipeline extends QueryPack {
     * fraction — repetition/templating quality signals. Integer counts plus
     * two single divisions, exact cross-engine. */
   private def qLexicalDiversity(s: SparkSession, sf: String): DataFrame =
-    graft.pipelines.Retrieval.postings(Tables.documents(s, sf))
+    graft.pipelines.Retrieval.postingsCached(Tables.documents(s, sf))
       .groupBy("doc_id").agg(
         sum("tf").as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -2521,7 +2528,7 @@ object Pipeline extends QueryPack {
     * exact counts: a 4×256 integer counter table (mergeable by addition,
     * estimates never under-count), replayed cell for cell in the oracle. */
   private def qCmsTerms(s: SparkSession, sf: String): DataFrame = {
-    val post = graft.pipelines.Retrieval.postings(Tables.documents(s, sf))
+    val post = graft.pipelines.Retrieval.postingsCached(Tables.documents(s, sf))
     val counters = graft.pipelines.Sketches.cmsCounters(
       post, col("term"), col("tf"))
     val top = post.groupBy("term").agg(sum("tf").as("exact"))

@@ -61,6 +61,29 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(cov / (s1 * s2)) < 0.05, s"corr ${cov / (s1 * s2)}")
   }
 
+  test("fused triangular Gram accumulator equals the declarative explode pass bit for bit") {
+    // negatives, mixed magnitudes, values large enough that floor(ci*cj*1e9)
+    // terms reach ~1e11 — exercises the flush path's arithmetic; and a
+    // 13-partition layout so per-partition partials genuinely merge
+    val emb = spark.range(257).select(
+      col("id").as("vec_id"),
+      array(
+        (col("id").cast("double") - 128.0).cast("float"),
+        (sin(col("id").cast("double") * 0.37) * 9.5).cast("float"),
+        ((col("id") % 11).cast("double") - 5.0).cast("float"),
+        (-col("id").cast("double") / 3.0).cast("float"))
+        .as("embedding"))
+    val m = Array(0.1, -2.5, 0.0, 42.0) // any centering vector: same c both paths
+    for (parts <- Seq(1, 13)) {
+      val centered = Pca.centeredOf(emb.repartition(parts), m, "vec_id", "embedding")
+      val fast = Pca.gram(centered, 4)
+      val slow = Pca.gramDeclarative(centered, 4)
+      for (i <- 0 until 4; j <- 0 until 4)
+        assert(fast(i)(j) == slow(i)(j),
+          s"g($i)($j) parts=$parts: ${fast(i)(j)} != ${slow(i)(j)}")
+    }
+  }
+
   test("mean/Gram passes are partition-invariant") {
     val a = Pca.pc1Projections(cloud.repartition(1), iters = 5, dim = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
