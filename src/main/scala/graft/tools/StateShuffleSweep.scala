@@ -33,8 +33,12 @@ object StateShuffleSweep {
     spark.sparkContext.setLogLevel("ERROR")
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
-    val queries = Seq("streaming_ingest_roundtrip", "streaming_kmv_distinct")
-    val parts = Seq(4, 8, 16, 32)
+    // r14: swept below 4 for the first time (the floor probe's stateful_1
+    // is 0.2s under stateful_4) over every handful-of-keys sketch stream
+    val queries = Seq("streaming_ingest_roundtrip", "streaming_kmv_distinct",
+      "streaming_hll_distinct", "streaming_cms_terms",
+      "streaming_heavy_hitters", "streaming_ann_probe")
+    val parts = Seq(1, 2, 4, 8)
     println(s"| query | " + parts.map(p => s"$p parts (s)").mkString(" | ") + " |")
     println("|---|" + parts.map(_ => "---").mkString("|") + "|")
     for (q <- queries) {

@@ -92,6 +92,10 @@ object StreamFloorProbe {
       "floor_stateless" -> minOf(3)(drainOnce(8, stateful = false, noData = true)),
       "floor_stateful_8" -> minOf(3)(drainOnce(8, stateful = true, noData = true)),
       "floor_stateful_4" -> minOf(3)(drainOnce(4, stateful = true, noData = true)),
+      // r14: the 4-vs-8 sweep never probed BELOW 4 — for the handful-of-keys
+      // sketch streams the remaining commit fan-out at 4 may still dominate
+      "floor_stateful_2" -> minOf(3)(drainOnce(2, stateful = true, noData = true)),
+      "floor_stateful_1" -> minOf(3)(drainOnce(1, stateful = true, noData = true)),
       "floor_nodata_off_4" -> minOf(3)(drainOnce(4, stateful = true, noData = false)))
 
     val queries = Seq("streaming_kmv_distinct", "streaming_hll_distinct",
