@@ -138,14 +138,25 @@ object Bench {
     // 20%, capped at 8 (a host that never stabilizes should read as
     // contaminated through the recorded series, not spin here). The count
     // is emitted as cal_warms so a reader can see how long settling took.
+    // r14: the 20%/two-agree rule still under-warmed — a quiet-host run
+    // recorded warms=4 then a 0.50s first probe against a dead-flat
+    // 0.22–0.30 tail (two adjacent C2-churn probes can agree within 20%
+    // while both sit 2× steady state), and that one cold sample alone
+    // pushed max/P25 drift to 2.13 > the 2.0 gate — a false contamination
+    // verdict on an idle machine. Tightened to THREE consecutive probes
+    // agreeing within 10%, cap 12: the cap still bounds a genuinely noisy
+    // host (which then reads as contaminated through the recorded series,
+    // as designed — this loop only amortizes the probe's own JIT).
     val calWarms = {
       var prev = calibrate()
       var n = 1
-      var stable = false
-      while (!stable && n < 8) {
+      var agree = 0
+      while (agree < 2 && n < 12) {
         val cur = calibrate()
         n += 1
-        stable = math.max(prev, cur) / math.max(math.min(prev, cur), 1e-9) <= 1.2
+        if (math.max(prev, cur) / math.max(math.min(prev, cur), 1e-9) <= 1.1)
+          agree += 1
+        else agree = 0
         prev = cur
       }
       n
