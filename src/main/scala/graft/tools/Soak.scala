@@ -27,6 +27,15 @@ object Soak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r14 (guide §2/§6): let AQE re-plan CACHED frames too — the default
+      // pins every memoized frame to the raw shuffle layout (32 one-task
+      // partitions here), so each consumer stage pays full task fan-out to
+      // read a few MB; with AQE the cached layout coalesces to the advisory
+      // partition size (size-adaptive — big frames keep their partitions).
+      // Output VALUES never depend on partitioning (DifferentialSpec /
+      // PartitionInvarianceSpec pin this); measured: retrieval_bm25 warm
+      // 1.6-1.8s -> 0.8-0.9s.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
