@@ -130,10 +130,11 @@ object Dist {
     * bounded by partition count, not row count — windows THAT tiny frame for
     * the per-partition starting offsets, and broadcasts it back. The result
     * is byte-identical to a serial pass regardless of partition count.
-    * (Spark logs `WindowExec: No Partition Defined` for this phase-2 window
-    * when `keyNames` is empty — expected and harmless HERE: the frame it
-    * moves to one partition is the per-partition totals, one row per range
-    * partition, never the data.)
+    * (The phase-2 window moves only the per-partition totals — one row per
+    * range partition × key group, never the data — to a single task; with
+    * empty `keyNames` it partitions by a constant so WindowExec doesn't log
+    * its scary-but-irrelevant "No Partition Defined" warning for a frame
+    * this size. PrefixScanSpec pins the boundedness.)
     * Callers: series ranking (`sort`/`head`/`topk`), sequence packing,
     * weighted source mixing.
     *
@@ -149,7 +150,19 @@ object Dist {
       .orderBy(localOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_scan0", sum(value).over(wLocal))
-    val wOff = Window.partitionBy(keyCols: _*).orderBy("_pid")
+    // r15 (VERDICT r14 item 7): with no keys this phase-2 window is global —
+    // WindowExec logged "No Partition Defined ... single partition" once per
+    // consumer query (the burst in the Verify tail), alarming for a frame
+    // that is in fact BOUNDED at one row per range partition × key group
+    // (never the data; see the scaladoc above). Partitioning by a constant
+    // executes identically (all offset rows to one task, as before) and
+    // keeps the log channel clean for warnings that mean something. The
+    // constant must not be FOLDABLE (EliminateWindowPartitions strips
+    // literals and the warning returns): pmod(_pid, 1) is 0 on every row
+    // but survives the optimizer.
+    val offKeys: Seq[Column] =
+      if (keyCols.isEmpty) Seq(pmod(col("_pid"), lit(1))) else keyCols
+    val wOff = Window.partitionBy(offKeys: _*).orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     // partition totals aggregate the VALUE directly — max of the running
     // sum only equals the total for non-negative values, and this primitive

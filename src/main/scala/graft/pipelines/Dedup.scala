@@ -1122,7 +1122,8 @@ object Dedup {
     * driver action, no window over the graph. */
   def keepCentral(docs: DataFrame, pairs: DataFrame, iters: Int = 2,
                   damping: Double = 0.85,
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  labels: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val Dec = DecimalType(38, 9)
     // r14 (guide §3.3 "very large plans" / §7.3): left lazy, round i's rank
@@ -1147,15 +1148,20 @@ object Dedup {
           .cast(Dec).cast(DoubleType).as("_pr"))
         .select(col("_dst").as("_node"), col("_pr"))
         .localCheckpoint(true)
-    val labels = clusterPairs(pairs)
-    val winners = labels.join(pr, col("node") === col("_node"))
+    // r15 (guide §2.4, VERDICT r14 item 3): callers that already hold the
+    // (node, cluster) assignment — e.g. a session-shared memo of the same
+    // clustering other survivor-selection queries consume — pass it in and
+    // skip re-running the CC loop here; the PageRank loop (the operator this
+    // policy adds) still runs in full. Default behavior unchanged.
+    val lbl = labels.getOrElse(clusterPairs(pairs))
+    val winners = lbl.join(pr, col("node") === col("_node"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(col("_pr").desc, col("node").asc)))
       .where(col("_rn") === 1)
       .select(col("node").as(idCol))
     val singletons = docs
-      .join(labels.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+      .join(lbl.select(col("node").as(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol))
     singletons.unionByName(winners)
   }
@@ -1196,9 +1202,21 @@ object Dedup {
     * the drop set; incoming payloads move once, in the final anti join. */
   def dedupIncremental(existing: DataFrame, incoming: DataFrame, n: Int,
                        threshold: Double, idCol: String = "doc_id",
-                       maxDf: Int = 1000): DataFrame = {
-    val all = existing.select(col(idCol), col("text"))
-      .unionByName(incoming.select(col(idCol), col("text")))
+                       maxDf: Int = 1000,
+                       allDocs: Option[DataFrame] = None): DataFrame = {
+    // r15 (guide §2.4): when existing/incoming are two filters PARTITIONING
+    // one corpus frame the caller already holds (existing ∩ incoming = ∅,
+    // existing ∪ incoming = allDocs — the caller must guarantee both, e.g.
+    // `isin`/`!isin` on a non-null column), passing that frame keeps the
+    // shingle-index subplan byte-identical to a direct
+    // [[ngramJaccardPairs]](allDocs) call, so Spark's CacheManager shares
+    // ONE persisted shingle index across this and the whole-corpus pair
+    // queries instead of building a second, sameResult-distinct copy of
+    // the same rows from the union-of-filters plan. Pair semantics are
+    // unchanged: ngramJaccardPairs sees the same (id, text) row set.
+    val all = allDocs.getOrElse(
+      existing.select(col(idCol), col("text"))
+        .unionByName(incoming.select(col(idCol), col("text"))))
     val pairs = ngramJaccardPairs(all, n, threshold, idCol, maxDf)
     val flags = existing.select(col(idCol), lit(true).as("_old"))
     val withFlags = pairs

@@ -92,7 +92,18 @@ object Pca {
             val ci = a(i)
             var j = i
             while (j < dim) {
-              val v = math.floor(ci * a(j) * 1e9).toLong
+              val d = ci * a(j) * 1e9
+              // r15 (ADVICE r14): fail LOUDLY instead of letting toLong
+              // saturate silently at ±Long.MaxValue (|c_i·c_j| ≥ ~9.2e9,
+              // unreachable for current embedding magnitudes ~1e3). The
+              // 4.0e18 bound also closes the headroom off-by-one-row: the
+              // flush fires AFTER the row that exhausts headroom, so |acc|
+              // can reach Long.MaxValue/2 (≈4.61e18) + one row's max |v|;
+              // capping |v| at 4.0e18 keeps that sum < Long.MaxValue.
+              if (!(math.abs(d) < 4.0e18))
+                throw new ArithmeticException(
+                  s"pca gram: |c_i*c_j*1e9| = $d overflows the Long lane")
+              val v = math.floor(d).toLong
               acc(t) += v
               val av = math.abs(v)
               if (av > rowMax) rowMax = av
@@ -100,9 +111,9 @@ object Pca {
             }
             i += 1
           }
-          // conservative overflow guard: after this row every cell moved by
-          // at most rowMax, so spending rowMax of shared headroom per row
-          // can never let any |acc| cross Long.MaxValue/2 between flushes
+          // conservative overflow guard: flush once cumulative per-row max
+          // movement exhausts Long.MaxValue/2; combined with the 4.0e18
+          // per-value bound above, no |acc| can overflow before the flush
           headroom -= math.max(rowMax, 1L)
           if (headroom <= 0) flush()
         }

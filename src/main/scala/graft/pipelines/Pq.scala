@@ -304,9 +304,11 @@ object Pq {
       .withColumn("cosine",
         graft.functions.VectorExprs.fastCosine(vecCol, "q_emb"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
-      .withColumn("_q", lit(queryId))
+      // k-row frame; non-foldable constant key (see Similarity.rankTail)
+      // keeps the window partitioned in the optimized plan
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("_q").orderBy(col("cosine").desc, col(idCol))))
+        Window.partitionBy(pmod(col(idCol), lit(1)))
+          .orderBy(col("cosine").desc, col(idCol))))
       .select(col(idCol), col("cosine"), col("rnk"))
   }
 

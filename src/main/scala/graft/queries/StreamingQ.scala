@@ -74,8 +74,25 @@ object StreamingQ extends QueryPack {
     * inputs. */
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  // r15 (ADVICE r14): clearing a session must also DELETE its staged temp
+  // directories — before this only the map entries were dropped, so a
+  // long-lived multi-session JVM accumulated full-corpus JSON copies on
+  // disk for as long as the process lived.
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(deleteRec(_)) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
   graft.core.Memo.onClearSession { s =>
-    stagedDirs.keys.filter(_._1 eq s).foreach(stagedDirs.remove)
+    stagedDirs.keys.filter(_._1 eq s).foreach { k =>
+      stagedDirs.remove(k).foreach { dir =>
+        try deleteRec(java.nio.file.Paths.get(dir).getParent)
+        catch { case _: Throwable => () }
+      }
+    }
   }
   private def stagedSrc(s: SparkSession, sf: String, tag: String)
                        (write: String => Unit): String =

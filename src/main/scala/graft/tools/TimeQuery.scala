@@ -31,7 +31,11 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     // ad-hoc conf A/B: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+      .foreach { kv =>
+        require(kv.contains("="), s"bad SPARK_GRAFT_EXTRA_CONF entry (no '='): $kv")
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val fn = graft.SparkEntry.queries(name)
     for (i <- 1 to n) {
       val t0 = System.nanoTime()

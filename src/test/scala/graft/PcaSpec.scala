@@ -84,6 +84,35 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("Gram accumulator multi-flush path (headroom exhaustion) stays bit-exact") {
+    // r15 (ADVICE r14): magnitudes chosen so ONE row's |floor(ci*cj*1e9)|
+    // ≈ 2.6e18 — under the 4.0e18 per-value bound, but two rows exhaust the
+    // Long.MaxValue/2 headroom, so a 1-partition pass over 6 rows flushes
+    // mid-stream ≥2 times; this exercises the BigInt merge + acc reset that
+    // the 257-row spec above never reaches (~4e15 of 4.6e18 spent).
+    val big = spark.range(6).select(
+      col("id").as("vec_id"),
+      array(
+        (col("id").cast("double") * 100.0 + 50500.0).cast("float"),
+        (col("id").cast("double") * (-50.0) - 25000.0).cast("float"))
+        .as("embedding"))
+    val m = Array(0.0, 0.0)
+    val centered = Pca.centeredOf(big.repartition(1), m, "vec_id", "embedding")
+    val fast = Pca.gram(centered, 2)
+    val slow = Pca.gramDeclarative(centered, 2)
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(fast(i)(j) == slow(i)(j),
+        s"g($i)($j): ${fast(i)(j)} != ${slow(i)(j)}")
+    // and the loud saturation guard: a value past the per-lane bound throws
+    // instead of silently saturating toLong
+    val over = spark.range(1).select(
+      col("id").as("vec_id"),
+      array(lit(3.0e9f), lit(0.0f)).as("embedding"))
+    val oc = Pca.centeredOf(over, m, "vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] { Pca.gram(oc, 2) }
+    assert(e.getMessage != null)
+  }
+
   test("mean/Gram passes are partition-invariant") {
     val a = Pca.pc1Projections(cloud.repartition(1), iters = 5, dim = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet

@@ -258,6 +258,36 @@ class PipelineSpec extends SparkTestBase {
     assert(keptAll.toSeq == Seq(0L, 3L, 4L))
   }
 
+  test("dedupIncremental allDocs fast path equals the union-of-filters path") {
+    // r15: when existing/incoming PARTITION one frame, passing that frame as
+    // allDocs must be result-identical (it only swaps the shingle subplan's
+    // input from union-of-filters to the frame itself)
+    val existing = docs.where(col("doc_id") === 0L)
+    val incoming = docs.where(col("doc_id") =!= 0L)
+    val viaUnion = Dedup.dedupIncremental(existing, incoming, n = 3,
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaAll = Dedup.dedupIncremental(existing, incoming, n = 3,
+        threshold = 0.5, allDocs = Some(docs))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaAll == viaUnion)
+  }
+
+  test("keepCentral with precomputed labels equals the internal CC loop") {
+    // r15: the labels override must be a pure plumbing change — same
+    // survivors whether the (node, cluster) assignment is computed inside
+    // or passed from a shared memo
+    val kcDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 6L))
+      .toDF("doc_id_a", "doc_id_b")
+    val internal = Dedup.keepCentral(kcDocs, pairs, iters = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val external = Dedup.keepCentral(kcDocs, pairs, iters = 2,
+        labels = Some(Dedup.clusterPairs(pairs)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(external == internal)
+  }
+
   test("decontaminate drops docs sharing an n-gram with the benchmark") {
     // benchmark = doc 0; docs 1 and 2 share 5-grams with it, 3 and 4 do not
     val bench = docs.where(col("doc_id") === 0L)
